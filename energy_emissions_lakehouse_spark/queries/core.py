@@ -1,0 +1,635 @@
+"""Core relational operator inventory over the TPC-H-ish testdata.
+
+Each query exercises specific operators from SURVEY.md §2 (ids in the
+``survey=`` argument) and ships a DuckDB oracle that is engineered to match
+the Spark result bit-for-bit (see registry.py for the exactness policy).
+
+Scale notes are inline per query: broadcast hints on dimension-sized tables,
+no driver-side collects, aggregation-before-join where cardinality allows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import (
+    scaled_avg,
+    scaled_avg_sql,
+    scaled_sum,
+    scaled_sum_sql,
+)
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import TABLES, t
+
+
+# --------------------------------------------------------------------------
+# Aggregation / filter / sort
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                            AS sum_qty,
+           {scaled_sum_sql('l_extendedprice')}                        AS sum_base_price,
+           {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')}   AS sum_disc_price,
+           SUM(l_quantity) / CAST(COUNT(*) AS DOUBLE)                 AS avg_qty,
+           {scaled_avg_sql('l_extendedprice')}                        AS avg_price,
+           COUNT(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A1 A2 F1 O1 P10 P11 — grouped multi-aggregate with filter "
+    "(silver_to_gold.py:37-45; SQL/03_analysis_queries.sql:49-55)",
+)
+def pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-shaped rollup: map-side partial agg then single shuffle on the
+    (tiny-cardinality) group key — the canonical scalable aggregation plan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02 00:00:00"))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        scaled_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        scaled_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        (F.sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+        scaled_avg(F.col("l_extendedprice")).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name,
+           CAST(YEAR(o.o_orderdate) AS BIGINT)                        AS order_year,
+           {scaled_sum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           COUNT(*)                                                   AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, CAST(YEAR(o.o_orderdate) AS BIGINT)
+    """,
+    survey="J4 J5 P4 A3 — star join fact->dims with broadcast "
+    "(SQL/03_analysis_queries.sql:21-23,38-40)",
+)
+def star_join_revenue(spark, sf_dir) -> DataFrame:
+    """Fact-to-dims star join. nation/region are broadcast explicitly;
+    customer stays hash-joined (at 100 TB customer is ~15 GB — too big to
+    broadcast, co-partitioned by key with AQE picking the strategy)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            scaled_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "avg_price_by_part_type",
+    oracle=f"""
+    SELECT p.p_type,
+           {scaled_avg_sql('l.l_extendedprice')} AS avg_price,
+           COUNT(*)                              AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+    survey="J5 A5 O3 P10 — dim join + grouped avg + round "
+    "(SQL/03_analysis_queries.sql:49-55)",
+)
+def avg_price_by_part_type(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    # part is a dimension (200k rows at sf=1) — broadcast to avoid
+    # shuffling the fact table.
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            scaled_avg(F.col("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "quantity_range_summary",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                                       AS n_rows,
+           SUM(l_quantity)                                AS sum_qty,
+           SUM(GREATEST(0.0, l_quantity - 15.0))          AS sum_over_15
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+    GROUP BY l_returnflag
+    """,
+    survey="F1 P9 A1 — null-rejecting BETWEEN + greatest clamp "
+    "(bronze_to_silver.py:35-36; generate_energy_emissions.py:55,85)",
+)
+def quantity_range_summary(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(10, 20))
+    # l_quantity is integer-valued: plain double sums are exact (< 2^53).
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.greatest(F.lit(0.0), F.col("l_quantity") - F.lit(15.0))).alias(
+            "sum_over_15"
+        ),
+    )
+
+
+@register(
+    "median_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity)            AS median_qty,
+           QUANTILE_CONT(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="A8 — exact median/percentile (bronze_to_silver.py:39,69); exact "
+    "`percentile`, NOT percentile_approx, per SURVEY §4",
+)
+def median_quantity_by_flag(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
+        F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@register(
+    "price_per_unit_by_year",
+    oracle=f"""
+    SELECT CAST(YEAR(o.o_orderdate) AS BIGINT)              AS order_year,
+           {scaled_sum_sql('l.l_extendedprice')}            AS total_price,
+           SUM(l.l_quantity)                                AS total_qty,
+           ROUND({scaled_sum_sql('l.l_extendedprice')}
+                 / NULLIF(SUM(l.l_quantity), 0), 6)         AS price_per_unit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY CAST(YEAR(o.o_orderdate) AS BIGINT)
+    """,
+    survey="P7 J1 A3 P4 — inner equi-join + totals + null-safe division "
+    "(silver_to_gold.py:64-84)",
+)
+def price_per_unit_by_year(spark, sf_dir) -> DataFrame:
+    """carbon_intensity-shaped KPI: totals joined then null-safe ratio
+    (0-divisor -> null, silver_to_gold.py:81-84)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    agg = joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        scaled_sum(F.col("l_extendedprice")).alias("total_price"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return agg.withColumn(
+        "price_per_unit",
+        F.round(F.col("total_price") / F.nullif(F.col("total_qty"), F.lit(0)), 6),
+    )
+
+
+@register(
+    "monthly_revenue_1998",
+    oracle=f"""
+    SELECT CAST(MONTH(o_orderdate) AS BIGINT)   AS order_month,
+           COUNT(*)                             AS n_orders,
+           {scaled_sum_sql('o_totalprice')}     AS revenue
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1998
+    GROUP BY CAST(MONTH(o_orderdate) AS BIGINT)
+    """,
+    survey="F3 A7 P4 — equality filter + BI-style monthly sum "
+    "(SQL/03_analysis_queries.sql:88; PBIX visuals)",
+)
+def monthly_revenue_1998(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    return orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "lineitem_null_audit",
+    oracle="""
+    SELECT """
+    + ",\n           ".join(
+        f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS null_{c}"
+        for c in (
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_shipdate",
+        )
+    )
+    + """
+    FROM lineitem
+    """,
+    survey="Q1 F5 A6 — fail-fast null audit (load_to_postgres.py:182-187; "
+    "SQL/03_analysis_queries.sql:71-76)",
+)
+def lineitem_null_audit(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    return li.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
+            for c in cols
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 5
+    """,
+    survey="W1 W2 F4 O2 — ROW_NUMBER top-K per group "
+    "(SQL/03_analysis_queries.sql:28-45)",
+)
+def top_orders_per_priority(spark, sf_dir) -> DataFrame:
+    """Top-K per group. o_orderkey tiebreak makes ranking total, so the
+    result is deterministic across engines and shuffles."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "revenue_growth_by_month",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT)  AS y,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+               {scaled_sum_sql('o_totalprice')}   AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT y, m, revenue,
+           LAG(revenue) OVER (ORDER BY y, m)           AS prev_revenue,
+           revenue - LAG(revenue) OVER (ORDER BY y, m) AS growth
+    FROM monthly
+    """,
+    survey="extension (timeseries): LAG over monthly rollup — beyond the "
+    "reference's ranking-only window surface (SURVEY §2.7)",
+)
+def revenue_growth_by_month(spark, sf_dir) -> DataFrame:
+    """Analytic window over an 84-row aggregate: the unpartitioned window is
+    fine because it runs on post-aggregation (tiny) data, never on the fact."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(scaled_sum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("y", "m")
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("growth"),
+    )
+
+
+@register(
+    "first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           o_orderdate AS first_orderdate, o_totalprice AS first_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    survey="D2 — deterministic dedup-by-key (keep first by sort order), "
+    "load_to_postgres.py:45; made total via the o_orderkey tiebreak",
+)
+def first_order_per_customer(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+            F.col("o_totalprice").alias("first_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup / distinct / set ops / sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE (l_orderkey % 13) = 0
+    )
+    WHERE (l_orderkey % 3) = 0
+    """,
+    survey="D1 U2 — full-row exact dedup after duplicate injection "
+    "(bronze_to_silver.py:21,53; generate_energy_emissions.py:113-116)",
+)
+def dedup_exact_rows(spark, sf_dir) -> DataFrame:
+    """Exact dedup = hash-shuffle on all columns; at 100 TB prefer
+    dropDuplicates on a strong row-hash column to shrink shuffle width."""
+    base = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dupes = base.filter((F.col("l_orderkey") % 13) == 0)
+    return (
+        base.unionByName(dupes)
+        .filter((F.col("l_orderkey") % 3) == 0)
+        .dropDuplicates()
+    )
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    survey="D3 O6 — sorted distinct of one column (load_to_postgres.py:21)",
+)
+def distinct_segments(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "nation_presence_union",
+    oracle="""
+    SELECT n.n_name
+    FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    ) keys
+    JOIN nation n ON n.n_nationkey = keys.k
+    ORDER BY n.n_name
+    """,
+    survey="U3 D4 — distinct union of keys across tables + dim join "
+    "(load_to_postgres.py:138-141)",
+)
+def nation_presence_union(spark, sf_dir) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    keys = (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .union(supplier.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+    )
+    return (
+        keys.join(F.broadcast(nation), keys.k == nation.n_nationkey)
+        .select("n_name")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "table_row_counts",
+    oracle="\n    UNION ALL ".join(
+        f"SELECT '{name}' AS table_name, COUNT(*) AS n_rows FROM {name}"
+        for name in TABLES
+    ),
+    survey="U1 A4 Q2 — per-table row-count report "
+    "(SQL/03_analysis_queries.sql:2-10)",
+)
+def table_row_counts(spark, sf_dir) -> DataFrame:
+    counts = [
+        t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for name in TABLES
+    ]
+    return reduce(DataFrame.unionByName, counts)
+
+
+@register(
+    "deterministic_sample_stats",
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE ((l_orderkey * 7919 + l_linenumber) % 100) < 2
+    GROUP BY l_linestatus
+    """,
+    survey="R1 — seeded sampling (generate_energy_emissions.py:114). "
+    "Implemented as modular key selection: deterministic cross-engine, unlike "
+    "Bernoulli sample(); at scale it is a pushed-down filter, no shuffle.",
+)
+def deterministic_sample_stats(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber")) % 100) < 2
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "count_distinct_parts_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="extension: distinct aggregate (SURVEY §2.6 notes none exist in "
+    "the reference); the approx variant is `approx_distinct_parts` (rows-only)",
+)
+def count_distinct_parts_by_flag(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketch — engine-specific, rows-only check
+    survey="extension: approx_count_distinct (HLL) — the 100 TB path where "
+    "exact distinct would shuffle the full key set",
+)
+def approx_distinct_parts(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins beyond the star
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey="J2 J3 S8 — left anti join / insert-if-missing pattern "
+    "(load_to_postgres.py:29-35,48-54)",
+)
+def customers_without_orders(spark, sf_dir) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customer_segment_activity",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    survey="extension: left semi join (reference has only anti, SURVEY §2.5)",
+)
+def customer_segment_activity(spark, sf_dir) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@register(
+    "region_status_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    survey="J7 S9 — cross join (generator grid, "
+    "generate_energy_emissions.py:39-96)",
+)
+def region_status_cross(spark, sf_dir) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    statuses = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE (o_orderkey % 10) = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM updates
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 S8 — idempotent upsert: MERGE semantics as anti-join + union "
+    "(load_to_postgres.py:73-117); on Delta this is DeltaTable.merge",
+)
+def merge_upsert_orders(spark, sf_dir) -> DataFrame:
+    """Upsert expressed relationally (source wins on key conflict). The
+    same helper backs the warehouse load; Delta MERGE replaces it when a
+    transactional table format is available."""
+    from energy_emissions_lakehouse_spark.operators.merge import upsert
+
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.filter((F.col("o_orderkey") % 10) == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = upsert(target=orders, source=updates, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )

@@ -1,0 +1,115 @@
+"""Event-stream analytics over the ``events`` table (SURVEY.md §2.12).
+
+The reference is batch-only; this is the engine's streaming-surface
+extension. Each operator here has *batch-equivalent semantics* checked
+against the DuckDB oracle; the same transformations run under Structured
+Streaming in ``energy_emissions_lakehouse_spark.streaming`` (exercised by
+tests, since a streaming query cannot return a bounded DataFrame to the
+driver's comparator).
+
+Cross-engine note: the testdata ``ts`` column is parquet nanosecond
+precision; outputs truncate to second granularity so Spark (µs) and DuckDB
+(ns) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts)        AS window_start,
+           event_type,
+           COUNT(*)                      AS n_events,
+           {scaled_sum_sql('value')}     AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    survey="extension (streaming surface): tumbling window aggregate — "
+    "batch-checkable analog of readStream + F.window(ts, '1 hour')",
+)
+def events_hourly_tumbling(spark, sf_dir) -> DataFrame:
+    """F.window in batch mode: identical grouping semantics to the streaming
+    tumbling window (epoch-aligned hour buckets == date_trunc('hour'))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            scaled_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR DATE_DIFF('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)    AS session_id,
+           COUNT(*)                      AS n_events,
+           DATE_TRUNC('second', MIN(ts)) AS session_start,
+           DATE_TRUNC('second', MAX(ts)) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    survey="extension (streaming surface): session windows via "
+    "gaps-and-islands — batch-checkable analog of F.session_window / "
+    "applyInPandasWithState; W1-style windows power the island numbering",
+)
+def events_sessionization(spark, sf_dir) -> DataFrame:
+    """Session windows (30-min gap) as pure window algebra: LAG to flag gaps,
+    running SUM to number islands. Partitioned by user_id -> scales linearly;
+    no per-user skew at 100 TB unless one user dominates (then salt by day)."""
+    ev = t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    by_user = Window.partitionBy("user_id").orderBy(*order)
+    running = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(by_user)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(running).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.date_trunc("second", F.max("ts")).alias("session_end"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Tuned for correctness parity with the reference semantics (SURVEY.md §7):
+- ANSI off: cast of bad strings -> null, matching pandas ``errors="coerce"``
+  (reference src/10_silver/bronze_to_silver.py:24,31-32).
+- UTC session timezone so date-part extraction is independent of host TZ.
+- AQE on: runtime shuffle coalescing, skew-join splitting, broadcast demotion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Settings safe to (re)apply on an existing session at runtime.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable conf to a session we did not build (e.g. the
+    driver's). Ignores settings the session refuses to mutate."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "energy-emissions-lakehouse",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local session sized from ``SPARK_GRAFT_CPUS``.
+
+    On a real cluster the same code runs unchanged — only master/sizing conf
+    differs; nothing in the engine assumes local mode.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if shuffle_partitions is None:
+        # Local rule of thumb: ~2x cores keeps all threads busy through AQE
+        # coalescing without tiny-partition overhead at test scale.
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return configure_runtime(builder.getOrCreate())

@@ -1,0 +1,69 @@
+"""Testdata table access (TESTDATA.md contract).
+
+All driver-provided tables are plain parquet under ``{sf_dir}/{name}.parquet``.
+Reads go through ``spark.read.parquet`` so Catalyst gets predicate pushdown +
+column pruning for free; never hand-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from energy_emissions_lakehouse_spark.session import configure_runtime
+
+#: Driver-registered oracle view names (BASELINE/TESTDATA contract).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet reader
+# rejects ([PARQUET_TYPE_ILLEGAL]). Read the physical int64 via an explicit
+# schema and convert ns -> µs timestamp in the JVM (`div` = integer division;
+# a double `/` would lose precision above 2^53 at epoch-nanos magnitude).
+# Truncation toward zero matches DuckDB's ns->second flooring for positive
+# epochs, so second-granularity outputs stay oracle-exact.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Applies runtime parity conf (UTC, ANSI off)
+    defensively — the driver hands us a session we didn't configure."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return (
+            spark.read.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.parquet(path)
