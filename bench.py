@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query is timed end-to-end (plan build + execution + collect of the
+result, which is small for every headline query). A JVM/codegen warm-up
+query runs first and is not counted. Query set spans the engine surface:
+TPC-H-style scan/agg/join/window, the medallion pipeline, text analysis,
+MinHash-LSH dedup, and embedding similarity (SURVEY.md §2 + extensions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from energy_emissions_lakehouse_spark.registry import all_queries
+from energy_emissions_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    # TPC-H-ish core: scan, hash agg, star join, windows
+    "pricing_summary",
+    "star_join_revenue",
+    "top_orders_per_priority",
+    "revenue_growth_by_month",
+    "first_order_per_customer",
+    "customer_segment_activity",
+    # medallion pipeline (generator -> silver -> gold -> analysis)
+    "medallion_gold_carbon_intensity",
+    "medallion_analysis_q3",
+    # events (sessionization / tumbling windows)
+    "events_hourly_tumbling",
+    "events_sessionization",
+    # text analysis over documents
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprints",
+    # dedup family
+    "dedup_exact_documents",
+    "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
+    "ngram_jaccard_pairs",
+    # embedding similarity
+    "cosine_topk_bruteforce",
+    "ann_bucketed_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else -1.0
+
+    spark = get_spark(app_name="eel-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm-up: JVM JIT + codegen + parquet footer reads (not counted).
+    queries["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

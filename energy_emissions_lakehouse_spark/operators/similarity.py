@@ -1,0 +1,119 @@
+"""Embedding similarity search (extension surface: ANN over array<float>).
+
+Two tiers:
+- brute-force cosine top-k: the correctness baseline — broadcast the (small)
+  query set against all candidates; one pass, no index.
+- hyperplane-LSH (sign random projection) bucketed top-k: the scale path —
+  bucket assignment is a map-only pass, then top-k only *within* buckets
+  (equi-join on bucket id), turning O(Q*N) into O(Q*N/2^H) expected.
+
+All vector math is JVM higher-order functions over array columns
+(zip_with + aggregate fold in double precision) — no Python UDFs, no
+collect. Hyperplanes are deterministic integer patterns so the DuckDB
+oracle reproduces bucket assignment exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+NUM_HYPERPLANES = 8
+
+
+def hyperplane(i: int, dim: int = EMBED_DIM) -> list[int]:
+    """Deterministic pseudo-random hyperplane i: weights in [-9, 9]."""
+    return [((i * 37 + d * 101) % 19) - 9 for d in range(dim)]
+
+
+def as_double(vec: Column) -> Column:
+    """float32 -> float64 widening (exact) so both engines do double math."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-random-projection bucket id in [0, 2^H): bit i = (v . h_i) >= 0."""
+    total = None
+    for i in range(NUM_HYPERPLANES):
+        plane = F.array(*[F.lit(float(w)) for w in hyperplane(i)])
+        bit = F.when(dot(vec, plane) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("long")
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, cand_id, sim, rank). Query side is
+    broadcast (small by construction); ties broken by cand_id on the
+    6-decimal rounded similarity so ranking is total and cross-engine
+    stable."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("q_vec")
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"), as_double("embedding").alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 3
+) -> DataFrame:
+    """Approximate top-k restricted to the query's LSH bucket — the join key
+    is the bucket id, so candidate generation is an equi-join, not a scan of
+    all N per query."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("q_vec"),
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        as_double("embedding").alias("c_vec"),
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

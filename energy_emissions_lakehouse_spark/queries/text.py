@@ -1,2 +1,402 @@
-"""Text-analysis operators over ``documents`` (extension surface). Filled in
-incrementally; see operators/text.py for the implementation."""
+"""Text-analysis + dedup queries over ``documents`` (extension surface).
+
+Oracle SQL mirrors the operators in operators/text.py and operators/dedup.py
+expression-by-expression; shared constants (hash parameters, thresholds,
+marker lists) are imported from the operator modules so the two sides cannot
+drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
+from energy_emissions_lakehouse_spark.operators import dedup as dd
+from energy_emissions_lakehouse_spark.operators import text as tx
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+JACCARD_THRESHOLD = 0.8
+
+# ---------------------------------------------------------------- SQL mirrors
+
+_TOKS = "string_split_regex(lower(text), '\\W+')"
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [] END"
+)
+_STOP_LIST = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+
+_DOC_TOKS_CTE = (
+    f"doc_toks AS (SELECT doc_id, lang, source, text, n_chars, "
+    f"{_TOKS} AS toks FROM documents)"
+)
+_DOC_SH_CTE = (
+    f"{_DOC_TOKS_CTE}, doc_sh AS "
+    f"(SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM doc_toks)"
+)
+
+_VOCAB_CTE = (
+    "sh_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_sh), "
+    "vocab AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT)"
+    " AS tid FROM (SELECT DISTINCT shingle FROM sh_ex)), "
+    "tids AS (SELECT e.doc_id, v.tid FROM sh_ex e JOIN vocab v USING (shingle))"
+)
+
+_MINHASH_AGGS = ", ".join(
+    f"MIN((tid * {A} + {B}) % {dd.MINHASH_P}) AS h{i}"
+    for i, (A, B) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+)
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM tids GROUP BY doc_id)"
+
+_N_BANDS = dd.NUM_HASHES // dd.BAND_SIZE
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * dd.BAND_SIZE + j} AS b{j}" for j in range(dd.BAND_SIZE)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    + ")"
+)
+_BAND_JOIN = " AND ".join(["x.band = y.band"] + [f"x.b{j} = y.b{j}" for j in range(dd.BAND_SIZE)])
+
+_JACCARD_SQL = (
+    "ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / NULLIF("
+    "CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)),"
+    " 0.0), 6)"
+)
+
+
+def _marker_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(toks, tk -> tk IN ({lst}))) AS BIGINT)"
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"{_marker_score_sql(markers)} AS s_{lang}" for lang, markers in tx.LANG_MARKERS
+)
+_BEST_SQL = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in tx.LANG_MARKERS) + ")"
+_PRED_SQL = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = {_BEST_SQL} THEN '{lang}'" for lang, _ in tx.LANG_MARKERS)
+    + " END"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE}
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM doc_toks
+    GROUP BY lang
+    """,
+    survey="extension (text analysis): token counting per language — "
+    "JVM split/size, no UDF",
+)
+def doc_token_stats(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(toks)).alias("total_tokens"),
+        F.sum(tx.distinct_token_count(toks)).alias("total_distinct_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, tk -> tk IN ({_STOP_LIST}))) AS BIGINT)
+                 AS n_stop,
+             CAST(length(regexp_replace(lower(text), '\\W+', '', 'g')) AS BIGINT)
+                 AS n_word_chars
+      FROM doc_toks
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)
+               AS type_token_ratio,
+           ROUND(CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)
+               AS mean_token_len,
+           ROUND(0.3 * (CAST(n_distinct AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0))
+                 + 0.4 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CAST(n_stop AS DOUBLE)
+                                / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)), 6)
+               AS quality_score
+    FROM m
+    """,
+    survey="extension (text analysis): per-doc quality scoring "
+    "(lexical diversity, length, stopword density)",
+)
+def doc_quality_scores(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.token_count(toks).alias("n_tokens"),
+        tx.distinct_token_count(toks).alias("n_distinct"),
+        F.round(tx.type_token_ratio(toks), 6).alias("type_token_ratio"),
+        F.round(tx.mean_token_length(F.col("text"), toks), 6).alias("mean_token_len"),
+        F.round(tx.quality_score(toks), 6).alias("quality_score"),
+    )
+
+
+@register(
+    "doc_language_id",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    scored AS (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM doc_toks)
+    SELECT lang, {_PRED_SQL} AS predicted_lang, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, {_PRED_SQL}
+    """,
+    survey="extension (text analysis): n-gram/marker language-ID heuristic; "
+    "confusion counts vs the labeled lang column",
+)
+def doc_language_id(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return (
+        docs.select("lang", tx.predicted_lang(toks).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok_ex AS (
+      SELECT doc_id, toks[i] AS tok, i AS ord
+      FROM doc_toks, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    tok_vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT tok FROM tok_ex)
+    )
+    SELECT e.doc_id,
+           CAST(SUM((v.tid + 1) * ((e.ord * 2654435761) % 1000003)) AS BIGINT)
+               AS fingerprint
+    FROM tok_ex e JOIN tok_vocab v USING (tok)
+    GROUP BY e.doc_id
+    """,
+    survey="extension (text analysis): positional rolling-hash document "
+    "fingerprint over dictionary token ids",
+)
+def doc_fingerprints(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    ex = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("ord", F.col("pos") + 1)
+    w = Window.orderBy("tok")
+    vocab = (
+        ex.select("tok").distinct()
+        .select("tok", F.row_number().over(w).cast("long").alias("tid"))
+    )
+    return (
+        ex.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("tid") + 1) * ((F.col("ord") * 2654435761) % 1000003)
+            ).cast("long").alias("fingerprint")
+        )
+    )
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    WITH docs_plus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 20 = 0
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM docs_plus GROUP BY text
+    """,
+    survey="extension (dedup, exact tier): content hash-groupBy keeping the "
+    "lowest id — D1 at corpus scale; duplicate copies injected "
+    "deterministically since testdata has none",
+)
+def dedup_exact_documents(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dupes)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DOC_SH_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, {_JACCARD_SQL} AS sim
+    FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    """,
+    survey="extension (dedup, exact-similarity tier): word-3-gram Jaccard "
+    "within lang blocks; quadratic within block — the LSH tier below is the "
+    "100 TB path",
+)
+def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", tx.shingles(tx.tokens(F.col("text"))).alias("sh")
+    )
+    a = sh.select(
+        F.col("lang"), F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = sh.select(
+        F.col("lang"), F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dd.jaccard(F.col("a_sh"), F.col("b_sh")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}
+    SELECT doc_id, {_MINHASH_AGGS} FROM tids GROUP BY doc_id
+    """,
+    survey="extension (dedup, MinHash tier): 16-hash signatures over "
+    "dictionary shingle ids — shingle->minhash stage of the LSH pipeline",
+)
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    doc_sh = dd.doc_shingles(docs)
+    vocab = dd.shingle_vocabulary(doc_sh)
+    return dd.minhash_signatures(doc_sh, vocab)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y ON {_BAND_JOIN} AND x.doc_id < y.doc_id
+    )
+    SELECT c.a_id, c.b_id, {_JACCARD_SQL} AS sim
+    FROM cand c
+    JOIN doc_sh a ON a.doc_id = c.a_id
+    JOIN doc_sh b ON b.doc_id = c.b_id
+    WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    """,
+    survey="extension (dedup, LSH tier): band-bucket equi-join candidates + "
+    "exact-Jaccard verification — the scalable near-dup path (no cartesian)",
+)
+def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    doc_sh = dd.doc_shingles(docs)
+    vocab = dd.shingle_vocabulary(doc_sh)
+    sigs = dd.minhash_signatures(doc_sh, vocab)
+    cand = dd.lsh_candidate_pairs(sigs)
+    return dd.verified_pairs(cand, doc_sh, JACCARD_THRESHOLD)
+
+
+_SIMHASH_WEIGHTS = ", ".join(
+    f"SUM(((g >> {j}) & 1) * 2 - 1) AS w{j}" for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN w{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_CTE = (
+    f"hashed AS (SELECT doc_id, (tid * {dd.SIMHASH_A} + {dd.SIMHASH_B}) "
+    f"% {dd.SIMHASH_M} AS g FROM tids), "
+    f"weights AS (SELECT doc_id, {_SIMHASH_WEIGHTS} FROM hashed GROUP BY doc_id), "
+    f"sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS sh32 FROM weights)"
+)
+_SIM_WIDTH = dd.SIMHASH_BITS // dd.SIMHASH_BANDS
+_SIM_BANDS_CTE = (
+    "sim_bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, sh32, {b} AS band, (sh32 >> {b * _SIM_WIDTH}) "
+        f"& {(1 << _SIM_WIDTH) - 1} AS band_val FROM sims"
+        for b in range(dd.SIMHASH_BANDS)
+    )
+    + ")"
+)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}, {_SIMHASH_CTE}, {_SIM_BANDS_CTE}
+    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+           CAST(bit_count(xor(x.sh32, y.sh32)) AS BIGINT) AS hamming
+    FROM sim_bands x
+    JOIN sim_bands y ON x.band = y.band AND x.band_val = y.band_val
+                     AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sh32, y.sh32)) <= 3
+    """,
+    survey="extension (dedup, SimHash tier): 32-bit sign-projection hash, "
+    "byte-banded join exact for hamming<=3 by pigeonhole",
+)
+def simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    doc_sh = dd.doc_shingles(docs)
+    vocab = dd.shingle_vocabulary(doc_sh)
+    sims = dd.simhash(doc_sh, vocab)
+    return dd.simhash_hamming_pairs(sims, max_hamming=3)
+
+
+@register(
+    "doc_stats_rollup",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE}
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {scaled_sum_sql("CAST(len(toks) AS DOUBLE)", 1)} AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM doc_toks
+    GROUP BY lang, source
+    """,
+    survey="extension (text analysis): corpus rollup by (lang, source) — "
+    "the partition-key profile a 100 TB corpus job starts from",
+)
+def doc_stats_rollup(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        scaled_sum(tx.token_count(toks).cast("double"), scale=1).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )

@@ -1,2 +1,134 @@
-"""Embedding similarity operators over ``embeddings`` (extension surface).
-Filled in incrementally; see operators/similarity.py."""
+"""Embedding similarity queries over ``embeddings`` (extension surface).
+
+Oracle note: Spark computes dot products as an explicit fold
+(operators/similarity.py); DuckDB uses list_dot_product. Both in double
+precision — results are rounded to 6 decimals before any ranking so the
+~1e-15 summation-order drift can never flip an output or a rank (ranking
+ties on the rounded value break by cand_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
+from energy_emissions_lakehouse_spark.operators import similarity as sim
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+_DOT = "list_dot_product({a}, {b})"
+_NORM = "sqrt(list_dot_product({v}, {v}))"
+_EMB = "CAST(embedding AS DOUBLE[])"
+
+_COS = (
+    "ROUND(list_dot_product(q.v, c.v) / NULLIF("
+    "sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0.0), 6)"
+)
+
+_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_dot_product(v, {plane}) >= 0.0 THEN {bit} ELSE 0 END)".format(
+        plane="[" + ", ".join(f"{float(w)}" for w in sim.hyperplane(i)) + "]::DOUBLE[]",
+        bit=1 << i,
+    )
+    for i in range(sim.NUM_HYPERPLANES)
+)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vectors,
+           ROUND({scaled_sum_sql(_NORM.format(v=_EMB), 1_000_000)}
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY CAST(label AS BIGINT)
+    """,
+    survey="extension (similarity): vector-norm profile per label — "
+    "array<float> columns handled fully JVM-side (zip_with/aggregate)",
+)
+def embedding_norm_stats(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = sim.as_double(F.col("embedding"))
+    n = F.count(F.lit(1))
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        n.alias("n_vectors"),
+        F.round(
+            scaled_sum(sim.norm(v), scale=1_000_000) / n.cast("double"), 6
+        ).alias("avg_norm"),
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_EMB} AS v FROM embeddings
+               WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS cand_id, {_EMB} AS v FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.cand_id, {_COS} AS sim
+        FROM q CROSS JOIN c WHERE q.query_id != c.cand_id
+    )
+    SELECT * FROM (
+        SELECT query_id, cand_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    survey="extension (similarity): exact cosine top-k baseline — broadcast "
+    "query set x full scan, the brute-force ANN reference",
+)
+def cosine_topk_bruteforce(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.brute_force_topk(queries, emb, k=10)
+
+
+@register(
+    "ann_bucket_histogram",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, ({_BUCKET_SQL}) AS bucket
+               FROM (SELECT vec_id, {_EMB} AS v FROM embeddings))
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vectors
+    FROM a GROUP BY bucket
+    """,
+    survey="extension (similarity, scale path): hyperplane-LSH bucket "
+    "assignment histogram — map-only pass, deterministic planes",
+)
+def ann_bucket_histogram(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = sim.as_double(F.col("embedding"))
+    return (
+        emb.select(sim.lsh_bucket(v).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_bucketed_topk",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, v, ({_BUCKET_SQL}) AS bucket
+               FROM (SELECT vec_id, {_EMB} AS v FROM embeddings)),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM a WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS cand_id, v, bucket FROM a),
+    scored AS (
+        SELECT q.query_id, c.cand_id, {_COS} AS sim
+        FROM q JOIN c ON q.bucket = c.bucket AND q.query_id != c.cand_id
+    )
+    SELECT * FROM (
+        SELECT query_id, cand_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    survey="extension (similarity, scale path): top-k within LSH bucket — "
+    "equi-join on bucket id replaces the full scan per query",
+)
+def ann_bucketed_topk(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.bucketed_topk(queries, emb, k=3)
