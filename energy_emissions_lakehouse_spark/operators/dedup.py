@@ -2,47 +2,69 @@
 
 Four tiers, each a `queries()` entry over ``documents``:
 - exact:      hash-groupBy on content (dedup_exact_documents)
-- n-gram:     exact Jaccard on word-3-gram shingle sets (ngram_jaccard_pairs)
+- n-gram:     exact Jaccard via prefix-filter set-similarity join
 - MinHash+LSH: shingle -> minhash signature -> band-bucket join -> verify
 - SimHash:    32-bit sign-random-projection hash -> banded hamming join
 
 Scale design (the point of each tier at 100 TB):
-- exact Jaccard all-pairs is quadratic — only ever run it *within blocks*
-  (or as verification of LSH candidates, which is what minhash_lsh_pairs
-  does). The LSH band join replaces the cartesian product with an equi-join
-  on (band_id, band_values): shuffle-partitionable, linear in candidates.
+- Shingle ids are a deterministic md5-derived 60-bit hash computed inline
+  (``hash_id``) — no dictionary build, no global sort, no extra shuffle.
+  The same expression runs in DuckDB (verified bit-equal), so every stage
+  stays oracle-checkable. Collision odds across a 10^9-shingle vocabulary
+  are ~10^-9 (birthday bound at 60 bits) — absorbed by LSH's inherent
+  approximation.
+- Exact Jaccard all-pairs is quadratic; ``prefix_candidate_pairs`` replaces
+  the blocked cartesian with the PPJoin prefix-filter equi-join: two sets
+  with Jaccard >= t MUST share one of each other's first
+  ``|sh| - ceil(t*|sh|) + 1`` shingles under any global total order, so
+  candidates come from an equi-join on prefix shingles — shuffle keyed by
+  shingle (high cardinality), not by block id.
+- The LSH band join replaces the cartesian product with an equi-join on
+  (band_id, band_values): shuffle-partitionable, linear in candidates.
 - SimHash banding is exact for hamming <= BANDS-1 by pigeonhole: k bit
   flips cannot touch all k+1 bands, so candidates = equi-join on any band.
-- Token/shingle ids come from an explicit dictionary (sorted dense ids)
-  rather than an engine hash, making every stage reproducible in the DuckDB
-  oracle; at pure-production scale you'd swap the dictionary join for
-  xxhash64 and skip the vocab build (one fewer shuffle) at the cost of
-  oracle checkability.
 
-MinHash h_i(t) = (A_i * t + B_i) mod P with P prime > 2^32; A_i spread over
-[0, P) so products wrap the modulus (small multipliers would make every h_i
-pick the same argmin — a classic silent correctness bug). int64-safe:
-A_i * tid < 2^63 for vocab < 2e9.
+MinHash h_i(t) = (A_i * (t mod P) + B_i) mod P with P = 2^31-1 (Mersenne
+prime). int64-safe: (P-1)^2 + B < 2^63. A_i spread over [1, P) so products
+wrap the modulus many times (small sequential multipliers would preserve
+ordering and make every h_i pick the same argmin — a classic silent
+correctness bug).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.operators.text import shingles, tokens
 
-MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
 NUM_HASHES = 16
 BAND_SIZE = 4  # 4 bands x 4 rows
-MINHASH_A = [(2_654_435_761 * (i + 1) + 104_729) % MINHASH_P for i in range(NUM_HASHES)]
-MINHASH_B = [(40_503 * (i + 1) * 2_246_822_519 + 3_266_489_917) % MINHASH_P for i in range(NUM_HASHES)]
+MINHASH_A = [
+    (2_654_435_761 * (i + 1) + 104_729) % MINHASH_P or 1 for i in range(NUM_HASHES)
+]
+MINHASH_B = [
+    (40_503 * (i + 1) * 2_246_822_519 + 3_266_489_917) % MINHASH_P
+    for i in range(NUM_HASHES)
+]
 
 SIMHASH_BITS = 32
-SIMHASH_A = 2_654_435_761
-SIMHASH_B = 104_729
-SIMHASH_M = 1 << 32
+SIMHASH_MASK = (1 << SIMHASH_BITS) - 1
 SIMHASH_BANDS = 4  # exact for hamming <= 3
+
+
+def hash_id(col: Column) -> Column:
+    """Deterministic 60-bit id from any string: first 15 hex chars of md5.
+
+    Bit-equal in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT`` —
+    the cross-engine anchor for every hash-based operator here."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash_id_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`hash_id` (same bits, verified)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -52,34 +74,22 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def shingle_vocabulary(doc_sh: DataFrame) -> DataFrame:
-    """(shingle, tid) dictionary with dense ids ordered lexically.
-
-    The global sort is one shuffle over the *distinct* shingle set (vocab,
-    not corpus, cardinality). Oracle-reproducible; see module docstring for
-    the hash-based alternative at production scale."""
-    w = Window.orderBy("shingle")
-    return (
-        doc_sh.select(F.explode("sh").alias("shingle"))
-        .distinct()
-        .select("shingle", F.row_number().over(w).cast("long").alias("tid"))
+def _exploded_hids(doc_sh: DataFrame) -> DataFrame:
+    """(doc_id, hid) — one row per (doc, shingle), hash-id'd inline.
+    Narrow (no shuffle): explode + md5 inside whole-stage codegen."""
+    return doc_sh.select("doc_id", F.explode(F.col("sh")).alias("shingle")).select(
+        "doc_id", hash_id(F.col("shingle")).alias("hid")
     )
 
 
-def _exploded_tids(doc_sh: DataFrame, vocab: DataFrame) -> DataFrame:
-    return doc_sh.select("doc_id", F.explode("sh").alias("shingle")).join(
-        vocab, "shingle"
-    )
-
-
-def minhash_signatures(doc_sh: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(doc_id, h0..h{k-1}): min over shingle ids of (A_i*tid+B_i) mod P.
+def minhash_signatures(doc_sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}): min over shingle ids of (A_i*(hid%P)+B_i) mod P.
     One explode + one groupBy — partial aggregation keeps shuffle tiny
     (k longs per doc). Docs with no shingles drop out (LSH has nothing to
-    hash), matching the SQL oracle's inner join."""
-    ex = _exploded_tids(doc_sh, vocab)
+    hash), matching the SQL oracle's grouped inner aggregation."""
+    ex = _exploded_hids(doc_sh).withColumn("tm", F.col("hid") % MINHASH_P)
     aggs = [
-        F.min((F.col("tid") * A + B) % MINHASH_P).alias(f"h{i}")
+        F.min((F.col("tm") * A + B) % MINHASH_P).alias(f"h{i}")
         for i, (A, B) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return ex.groupBy("doc_id").agg(*aggs)
@@ -121,16 +131,43 @@ def jaccard(a_sh: Column, b_sh: Column) -> Column:
     return inter / F.nullif(union, F.lit(0.0))
 
 
+def prefix_candidate_pairs(doc_sh: DataFrame, threshold: float) -> DataFrame:
+    """Distinct (a_id, b_id) candidates via PPJoin prefix filtering.
+
+    Sound for Jaccard >= threshold: |A∩B| >= t*max(|A|,|B|) implies the
+    lexicographic prefixes of length |X| - ceil(t*|X|) + 1 intersect
+    (pigeonhole on the sorted arrays). The equi-join key is the prefix
+    shingle itself — cardinality ~vocab, so the shuffle spreads evenly
+    regardless of how many documents share a language/block."""
+    k = (F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1).cast("int")
+    pref = doc_sh.select(
+        "doc_id", F.explode(F.slice(F.array_sort("sh"), F.lit(1), k)).alias("p")
+    )
+    left = pref.select(F.col("doc_id").alias("a_id"), "p")
+    right = pref.select(F.col("doc_id").alias("b_id"), "p")
+    return (
+        left.join(right, "p")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
 def verified_pairs(
     candidates: DataFrame, doc_sh: DataFrame, threshold: float
 ) -> DataFrame:
     """Join candidate ids back to shingle sets and keep exact-Jaccard >=
-    threshold: (a_id, b_id, sim) with sim rounded for cross-engine ties."""
+    threshold: (a_id, b_id, sim) with sim rounded for cross-engine ties.
+
+    A size-ratio prefilter (|a|>=t|b| and |b|>=t|a| — necessary for
+    Jaccard>=t) prunes most candidates before the O(|a|+|b|) intersect."""
     a = doc_sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = doc_sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    na, nb = F.size("a_sh").cast("double"), F.size("b_sh").cast("double")
     return (
         candidates.join(a, "a_id")
         .join(b, "b_id")
+        .filter((na >= nb * threshold) & (nb >= na * threshold))
         .select(
             "a_id",
             "b_id",
@@ -140,14 +177,16 @@ def verified_pairs(
     )
 
 
-def simhash(doc_sh: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(doc_id, sh32): 32-bit SimHash from shingle-id hashes.
+def simhash(doc_sh: DataFrame) -> DataFrame:
+    """(doc_id, sh32): 32-bit SimHash from shingle-id hash bits.
 
-    bit_j(doc) = sign of sum over shingles of (+1/-1 per hash bit j) —
-    computed as 32 conditional sums in ONE aggregate pass (no per-bit
-    shuffles)."""
-    g = (F.col("tid") * SIMHASH_A + SIMHASH_B) % SIMHASH_M
-    ex = _exploded_tids(doc_sh, vocab).withColumn("g", g)
+    Uses the low 32 bits of the md5-derived shingle id directly as the
+    per-shingle projection (already uniform — no second mixing needed).
+    bit_j(doc) = sign of sum over shingles of (+1/-1 per bit j) — computed
+    as 32 conditional sums in ONE aggregate pass (no per-bit shuffles)."""
+    ex = _exploded_hids(doc_sh).withColumn(
+        "g", F.col("hid").bitwiseAND(F.lit(SIMHASH_MASK))
+    )
     weights = [
         F.sum(
             (F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) * 2 - 1)

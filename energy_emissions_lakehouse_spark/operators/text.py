@@ -36,14 +36,24 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Guarded so <n-token docs yield an empty
-    array (F.sequence would count DOWN for start>stop — a silent trap)."""
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    """Distinct word n-gram shingles, built by zipping the token array with
+    its own shifted slices.
+
+    Deliberately avoids ``transform(sequence(...), i -> element_at(toks, i))``:
+    when ``toks`` is an inline expression (split of the raw text), Catalyst's
+    project-collapsing substitutes that expression into the lambda body, so
+    ``element_at`` re-tokenizes the document once per shingle element —
+    measured 100x slowdown at sf0.1. ``zip_with`` evaluates each argument
+    array exactly once per row, so the cost stays O(tokens) however the
+    optimizer inlines it. The trailing n-1 zip entries are padded with nulls
+    (``concat_ws`` skips them), producing truncated grams — sliced off.
+
+    Guarded so <n-token docs yield an empty array."""
+    gram = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    gram = F.slice(gram, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )

@@ -8,7 +8,7 @@ drift independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
@@ -38,15 +38,14 @@ _DOC_SH_CTE = (
     f"(SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM doc_toks)"
 )
 
-_VOCAB_CTE = (
+# Hash-based shingle ids (no dictionary build — see operators/dedup.py).
+_TIDS_CTE = (
     "sh_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_sh), "
-    "vocab AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT)"
-    " AS tid FROM (SELECT DISTINCT shingle FROM sh_ex)), "
-    "tids AS (SELECT e.doc_id, v.tid FROM sh_ex e JOIN vocab v USING (shingle))"
+    f"tids AS (SELECT doc_id, {dd.hash_id_sql('shingle')} AS hid FROM sh_ex)"
 )
 
 _MINHASH_AGGS = ", ".join(
-    f"MIN((tid * {A} + {B}) % {dd.MINHASH_P}) AS h{i}"
+    f"MIN(((hid % {dd.MINHASH_P}) * {A} + {B}) % {dd.MINHASH_P}) AS h{i}"
     for i, (A, B) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
 )
 _SIGS_CTE = f"sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM tids GROUP BY doc_id)"
@@ -190,19 +189,17 @@ def doc_language_id(spark, sf_dir) -> DataFrame:
     tok_ex AS (
       SELECT doc_id, toks[i] AS tok, i AS ord
       FROM doc_toks, UNNEST(range(1, len(toks) + 1)) AS u(i)
-    ),
-    tok_vocab AS (
-      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT tok FROM tok_ex)
     )
-    SELECT e.doc_id,
-           CAST(SUM((v.tid + 1) * ((e.ord * 2654435761) % 1000003)) AS BIGINT)
+    SELECT doc_id,
+           CAST(SUM(({dd.hash_id_sql('tok')} % 1000003 + 1)
+                    * ((ord * 2654435761) % 1000003)) AS BIGINT)
                AS fingerprint
-    FROM tok_ex e JOIN tok_vocab v USING (tok)
-    GROUP BY e.doc_id
+    FROM tok_ex
+    GROUP BY doc_id
     """,
     survey="extension (text analysis): positional rolling-hash document "
-    "fingerprint over dictionary token ids",
+    "fingerprint over md5-derived token ids — explode + one groupBy, no "
+    "dictionary build",
 )
 def doc_fingerprints(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -210,19 +207,11 @@ def doc_fingerprints(spark, sf_dir) -> DataFrame:
     ex = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     ).withColumn("ord", F.col("pos") + 1)
-    w = Window.orderBy("tok")
-    vocab = (
-        ex.select("tok").distinct()
-        .select("tok", F.row_number().over(w).cast("long").alias("tid"))
-    )
-    return (
-        ex.join(vocab, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                (F.col("tid") + 1) * ((F.col("ord") * 2654435761) % 1000003)
-            ).cast("long").alias("fingerprint")
-        )
+    return ex.groupBy("doc_id").agg(
+        F.sum(
+            (dd.hash_id(F.col("tok")) % 1000003 + 1)
+            * ((F.col("ord") * 2654435761) % 1000003)
+        ).cast("long").alias("fingerprint")
     )
 
 
@@ -264,23 +253,28 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
     WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
     """,
     survey="extension (dedup, exact-similarity tier): word-3-gram Jaccard "
-    "within lang blocks; quadratic within block — the LSH tier below is the "
-    "100 TB path",
+    "within lang blocks via PPJoin prefix filtering — equi-join on prefix "
+    "shingles, no quadratic block scan (same-lang semantics kept by a "
+    "verify-time filter; the oracle states it as a blocked self-join)",
 )
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "lang", tx.shingles(tx.tokens(F.col("text"))).alias("sh")
     )
+    cand = dd.prefix_candidate_pairs(sh.select("doc_id", "sh"), JACCARD_THRESHOLD)
     a = sh.select(
-        F.col("lang"), F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.col("sh").alias("a_sh"),
     )
     b = sh.select(
-        F.col("lang"), F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+        F.col("sh").alias("b_sh"),
     )
     return (
-        a.join(b, "lang")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.col("a_lang") == F.col("b_lang"))
         .select(
             "a_id",
             "b_id",
@@ -293,23 +287,21 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
 @register(
     "minhash_signatures",
     oracle=f"""
-    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}
+    WITH {_DOC_SH_CTE}, {_TIDS_CTE}
     SELECT doc_id, {_MINHASH_AGGS} FROM tids GROUP BY doc_id
     """,
     survey="extension (dedup, MinHash tier): 16-hash signatures over "
-    "dictionary shingle ids — shingle->minhash stage of the LSH pipeline",
+    "md5-derived shingle ids — shingle->minhash stage of the LSH pipeline",
 )
 def minhash_signatures(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    doc_sh = dd.doc_shingles(docs)
-    vocab = dd.shingle_vocabulary(doc_sh)
-    return dd.minhash_signatures(doc_sh, vocab)
+    return dd.minhash_signatures(dd.doc_shingles(docs))
 
 
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
-    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
+    WITH {_DOC_SH_CTE}, {_TIDS_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
     cand AS (
         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y ON {_BAND_JOIN} AND x.doc_id < y.doc_id
@@ -326,8 +318,7 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
 def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     doc_sh = dd.doc_shingles(docs)
-    vocab = dd.shingle_vocabulary(doc_sh)
-    sigs = dd.minhash_signatures(doc_sh, vocab)
+    sigs = dd.minhash_signatures(doc_sh)
     cand = dd.lsh_candidate_pairs(sigs)
     return dd.verified_pairs(cand, doc_sh, JACCARD_THRESHOLD)
 
@@ -339,8 +330,7 @@ _SIMHASH_VALUE = " + ".join(
     f"(CASE WHEN w{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
 )
 _SIMHASH_CTE = (
-    f"hashed AS (SELECT doc_id, (tid * {dd.SIMHASH_A} + {dd.SIMHASH_B}) "
-    f"% {dd.SIMHASH_M} AS g FROM tids), "
+    f"hashed AS (SELECT doc_id, hid & {dd.SIMHASH_MASK} AS g FROM tids), "
     f"weights AS (SELECT doc_id, {_SIMHASH_WEIGHTS} FROM hashed GROUP BY doc_id), "
     f"sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS sh32 FROM weights)"
 )
@@ -359,7 +349,7 @@ _SIM_BANDS_CTE = (
 @register(
     "simhash_hamming_pairs",
     oracle=f"""
-    WITH {_DOC_SH_CTE}, {_VOCAB_CTE}, {_SIMHASH_CTE}, {_SIM_BANDS_CTE}
+    WITH {_DOC_SH_CTE}, {_TIDS_CTE}, {_SIMHASH_CTE}, {_SIM_BANDS_CTE}
     SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
            CAST(bit_count(xor(x.sh32, y.sh32)) AS BIGINT) AS hamming
     FROM sim_bands x
@@ -372,9 +362,7 @@ _SIM_BANDS_CTE = (
 )
 def simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    doc_sh = dd.doc_shingles(docs)
-    vocab = dd.shingle_vocabulary(doc_sh)
-    sims = dd.simhash(doc_sh, vocab)
+    sims = dd.simhash(dd.doc_shingles(docs))
     return dd.simhash_hamming_pairs(sims, max_hamming=3)
 
 
