@@ -54,6 +54,13 @@ HEADLINE = [
     # embedding similarity
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",
+    "embedding_cosine_neardup",
+    # multimodal (Arrow-batched mapInPandas)
+    "media_feature_extract",
+    # structured streaming (availableNow run to completion)
+    "stream_hourly_tumbling",
+    # file-format roundtrips
+    "csv_roundtrip_silver_energy",
 ]
 
 

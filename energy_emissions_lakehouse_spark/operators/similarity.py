@@ -87,6 +87,37 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
+    """(a_id, b_id, sim) pairs with cosine >= threshold, candidates from the
+    hyperplane-LSH bucket equi-join — the embedding tier of the dedup family.
+
+    Same shuffle shape as the MinHash LSH join: bucket id is the join key,
+    so work scales with bucket occupancy, not N^2. High-cosine pairs agree
+    on most hyperplane signs, so near-dups co-bucket with high probability;
+    both engines run the identical algorithm, so the (approximate) recall
+    is bit-reproducible."""
+    a = vectors.select(
+        F.col("vec_id").alias("a_id"),
+        as_double("embedding").alias("a_vec"),
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+    )
+    b = vectors.select(
+        F.col("vec_id").alias("b_id"),
+        as_double("embedding").alias("b_vec"),
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def bucketed_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 3
 ) -> DataFrame:

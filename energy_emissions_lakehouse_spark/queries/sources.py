@@ -1,0 +1,84 @@
+"""Source/sink roundtrip queries (SURVEY.md §2.1 S1-S4).
+
+Each query pushes a medallion layer through a real file write+read and then
+recomputes a summary that an existing oracle already checks — proving the
+IO path is lossless (dirty whitespace, nulls, "N/A" strings, full double
+precision all survive).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
+from energy_emissions_lakehouse_spark.medallion.gold import energy_monthly
+from energy_emissions_lakehouse_spark.medallion.silver import clean_energy
+from energy_emissions_lakehouse_spark.medallion.sql_oracle import with_pipeline
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.sources import files
+
+#: Bronze energy CSV schema (S2): consumption stays a string so the dirty
+#: "N/A" literals survive to the cleaning cast (SURVEY §1.4).
+BRONZE_ENERGY_SCHEMA = StructType(
+    [
+        StructField("date", StringType()),
+        StructField("region", StringType()),
+        StructField("energy_source", StringType()),
+        StructField("consumption_mwh", StringType()),
+        StructField("temperature_c", DoubleType()),
+    ]
+)
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "eel_sources")
+
+
+@register(
+    "csv_roundtrip_silver_energy",
+    oracle=with_pipeline(
+        f"""
+    SELECT region, energy_source,
+           COUNT(*) AS records,
+           {scaled_sum_sql('consumption_mwh')} AS sum_consumption,
+           {scaled_sum_sql('temperature_c')} AS sum_temp,
+           MIN(date) AS min_date, MAX(date) AS max_date
+    FROM silver_energy GROUP BY region, energy_source
+    """
+    ),
+    survey="S1 S2 — bronze CSV write + schema'd read roundtrip, then the "
+    "full cleaning chain; summary must equal the in-memory silver oracle, "
+    "proving nulls/'N/A'/trailing-space dirt survives the CSV boundary "
+    "(generate_energy_emissions.py:123-124, bronze_to_silver.py:18)",
+)
+def csv_roundtrip_silver_energy(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.queries.medallion import _bronze
+
+    path = os.path.join(_IO_ROOT, "bronze_energy_csv")
+    files.write_csv(_bronze(spark)[0], path)
+    silver = clean_energy(files.read_csv(spark, path, BRONZE_ENERGY_SCHEMA))
+    return silver.groupBy("region", "energy_source").agg(
+        F.count(F.lit(1)).alias("records"),
+        scaled_sum(F.col("consumption_mwh")).alias("sum_consumption"),
+        scaled_sum(F.col("temperature_c")).alias("sum_temp"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+    )
+
+
+@register(
+    "parquet_roundtrip_gold_energy",
+    oracle=with_pipeline("SELECT * FROM gold_energy_monthly"),
+    survey="S3 S4 — silver parquet write + read roundtrip, then the energy "
+    "monthly mart; must equal the in-memory gold oracle "
+    "(bronze_to_silver.py:45, silver_to_gold.py:26-27)",
+)
+def parquet_roundtrip_gold_energy(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.queries.medallion import _silver
+
+    path = os.path.join(_IO_ROOT, "silver_energy_parquet")
+    files.write_parquet(_silver(spark)[0], path)
+    return energy_monthly(files.read_parquet(spark, path))

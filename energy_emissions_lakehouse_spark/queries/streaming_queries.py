@@ -1,0 +1,105 @@
+"""Registry entries for the Structured Streaming jobs (streaming/jobs.py).
+
+Each entry starts a REAL streaming query (readStream file source ->
+watermark -> windowed aggregation -> memory sink), runs it to completion
+with ``availableNow``, and returns the sink table — so the driver's DuckDB
+comparison validates the streaming execution path itself. ``complete``
+output mode is used so every window reaches the sink regardless of where
+the watermark stops on a bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum_sql
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.streaming import jobs
+
+
+@register(
+    "stream_hourly_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts)        AS window_start,
+           event_type,
+           COUNT(*)                      AS n_events,
+           {scaled_sum_sql('value')}     AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    survey="extension (streaming): readStream -> withWatermark(1h) -> "
+    "tumbling F.window(1h) -> memory sink, run via availableNow; result "
+    "must equal the batch oracle exactly",
+)
+def stream_hourly_tumbling(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.hourly_tumbling(ev), mode="complete")
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH starts AS (
+        SELECT DATE_TRUNC('hour', ts) AS window_start FROM events
+        UNION ALL
+        SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM starts GROUP BY window_start
+    """,
+    survey="extension (streaming): sliding window (2h length / 1h slide) — "
+    "each event contributes to two windows; oracle enumerates both starts",
+)
+def stream_sliding_counts(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.sliding_counts(ev), mode="complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR DATE_DIFF('second', prev_ts, ts) > {jobs.SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           DATE_TRUNC('second', MIN(ts)) AS session_start,
+           COUNT(*)                      AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    survey="extension (streaming): native F.session_window (30-min gap) per "
+    "user — streaming result must equal the batch gaps-and-islands oracle",
+)
+def stream_session_windows(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.session_windows(ev), mode="complete")
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    survey="extension (streaming): dropDuplicatesWithinWatermark over a "
+    "self-doubled stream — dedup must restore exact per-type counts",
+)
+def stream_dedup_counts(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.dedup_within_watermark(ev), mode="complete")

@@ -108,6 +108,49 @@ def ann_bucket_histogram(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL  -- identical copies: sim 1.0
+        SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0
+        UNION ALL  -- scaled copies: sim still 1.0 (norm-invariance check)
+        SELECT vec_id + 200000, list_transform(v, x -> x * 2.0)
+        FROM base WHERE vec_id % 50 = 0
+        UNION ALL  -- negated copies: sim -1.0, must be filtered out
+        SELECT vec_id + 300000, list_transform(v, x -> -x)
+        FROM base WHERE vec_id % 100 = 0
+    ),
+    a AS (SELECT vec_id, v, ({_BUCKET_SQL}) AS bucket FROM aug)
+    SELECT x.vec_id AS a_id, y.vec_id AS b_id, {_COS.replace('q.', 'x.').replace('c.', 'y.')} AS sim
+    FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_COS.replace('q.', 'x.').replace('c.', 'y.')} >= 0.9
+    """,
+    survey="extension (dedup, embedding tier): cosine near-duplicate pairs "
+    "via hyperplane-LSH bucket equi-join; duplicate copies (identical, "
+    "scaled, negated) injected deterministically since testdata has none",
+)
+def embedding_cosine_neardup(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("embedding")
+    )
+    scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    negated = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies).unionByName(scaled).unionByName(negated)
+    return sim.cosine_neardup_pairs(aug, threshold=0.9)
+
+
+@register(
     "ann_bucketed_topk",
     oracle=f"""
     WITH a AS (SELECT vec_id, v, ({_BUCKET_SQL}) AS bucket

@@ -64,6 +64,9 @@ def _load_all() -> None:
         core,
         events,
         medallion,
+        multimodal,
+        sources,
+        streaming_queries,
         text,
         vectors,
     )

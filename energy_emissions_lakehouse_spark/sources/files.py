@@ -1,0 +1,59 @@
+"""File sources/sinks for the medallion layers (SURVEY.md §2.1 S1-S4).
+
+Reference behavior being reproduced:
+- S1 bronze CSV write with header (generate_energy_emissions.py:123-124);
+- S2 bronze CSV read where pandas' default na_values silently nulls
+  empty fields (bronze_to_silver.py:18,50) — Spark needs ``nullValue=""``
+  and must NOT trim whitespace (the generator injects trailing spaces the
+  cleaning layer is supposed to strip itself);
+- S3/S4 parquet layer writes/reads (bronze_to_silver.py:45,75;
+  silver_to_gold.py:26-27,87-89).
+
+Scale note: these run through Spark's distributed writers/readers — one
+file per partition, commit-protocol atomic. Layer boundaries materialized
+this way are the 100 TB medallion contract (each layer independently
+re-runnable), exactly as SURVEY.md §3 prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S1: header CSV sink. Whitespace preserved verbatim — Spark's write
+    default (ignoreLeading/TrailingWhiteSpace=true) would silently launder
+    the dirty data the silver layer must clean."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S2: bronze CSV scan with explicit schema (no inference pass — at
+    100 TB an inference scan doubles the read). Empty fields -> null
+    (pandas-read_csv parity); literal "N/A" strings survive to the cleaning
+    cast, same end state as pandas' default na_values (SURVEY §1.4)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("nullValue", "")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def write_parquet(df: DataFrame, path: str) -> None:
+    """S3: columnar layer sink (silver/gold)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4: columnar layer scan — column pruning + predicate pushdown free."""
+    return spark.read.parquet(path)

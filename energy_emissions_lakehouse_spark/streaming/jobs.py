@@ -1,0 +1,138 @@
+"""Structured Streaming jobs over the ``events`` table (SURVEY.md §2.12).
+
+The reference has no streaming surface (its re-run-the-batch medallion is
+the substitute); this module is the engine's extension: a real
+``readStream`` file source -> watermarked/windowed transformations ->
+``writeStream`` sink. Each job also exists as a batch query in
+queries/events.py with identical semantics; the registry entries here run
+the stream to completion with ``trigger(availableNow=True)`` and hand the
+sink table back as a bounded DataFrame, so the DuckDB oracle checks the
+*streaming* result, not just the batch analog.
+
+Scale design:
+- the file source is partition-parallel and rate-limitable
+  (``maxFilesPerTrigger``) — backpressure at 100 TB is a config, not code;
+- all aggregations are keyed (window/event_type/user) so state is
+  hash-partitioned across executors; watermarks bound state size;
+- ``complete`` output mode is used where the oracle needs every window
+  (bounded key space here); production append-mode + watermark eviction is
+  the same plan with a different sink contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum
+from energy_emissions_lakehouse_spark.session import configure_runtime
+from energy_emissions_lakehouse_spark.tables import _EVENTS_RAW_SCHEMA
+
+SESSION_GAP_SECONDS = 1800
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with the same explicit-schema
+    nanosecond handling as the batch reader (tables.py): ns int64 -> µs
+    timestamp via integer division, all JVM-side."""
+    configure_runtime(spark)
+    # The file source monitors a DIRECTORY; sf_dir mixes every table's
+    # parquet (different schemas), so stage a directory holding only a
+    # symlink to events.parquet (read-only testdata stays untouched).
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "eel_stream_src",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_table(stream: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the sink contents as a bounded DataFrame."""
+    name = f"eel_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    return spark.table(name)
+
+
+def hourly_tumbling(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregate: the canonical streaming shape.
+    1-hour watermark bounds state; epoch-aligned 1-hour windows match
+    DATE_TRUNC('hour') exactly."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            scaled_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding window (2h length, 1h slide): each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Native session windows (30-min gap) per user — the streaming dual of
+    the batch gaps-and-islands sessionization (queries/events.py)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id, then a keyed count.
+
+    The input stream is doubled (self-union) so the dedup actually has
+    duplicates to drop; watermark bounds the dedup state retention."""
+    doubled = events.unionByName(events)
+    return (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

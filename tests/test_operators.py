@@ -1,0 +1,115 @@
+"""Operator-level tests not expressible as oracle comparisons."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hash_id_matches_duckdb(spark):
+    """The md5-derived 60-bit id must be bit-equal across engines — it
+    anchors every hash-based dedup/fingerprint oracle."""
+    from energy_emissions_lakehouse_spark.operators.dedup import hash_id, hash_id_sql
+
+    samples = ["", "a", "abc", "hello world", "ünïcode", "x" * 1000, "a b c"]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", hash_id(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            f"SELECT {hash_id_sql('?')}", [s]  # noqa: S608 - test literal
+        ).fetchone()[0]
+        assert got[s] == want, s
+
+
+def test_shingles_edge_cases(spark):
+    """<n tokens -> empty; order = first occurrence; duplicates dropped."""
+    from energy_emissions_lakehouse_spark.operators.text import shingles, tokens
+
+    rows = [
+        ("", []),
+        ("one", []),
+        ("one two", []),
+        ("one two three", ["one two three"]),
+        ("a b c d", ["a b c", "b c d"]),
+        ("a b a b a b", ["a b a", "b a b"]),  # distinct keeps first two
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], ["text"])
+    out = df.select("text", shingles(tokens(F.col("text"))).alias("sh")).collect()
+    got = {r["text"]: r["sh"] for r in out}
+    for s, want in rows:
+        assert got[s] == want, s
+
+
+def test_prefix_filter_is_sound(spark):
+    """Every pair with Jaccard >= t must appear among prefix candidates
+    (the filter may over-generate, never under-generate)."""
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        doc_shingles,
+        jaccard,
+        prefix_candidate_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "spark engines process completely different document content",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sh = doc_shingles(docs)
+    t = 0.5
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", jaccard(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("sim") >= t)
+        .collect()
+    }
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in prefix_candidate_pairs(sh, t).collect()
+    }
+    assert truth, "test corpus must contain at least one qualifying pair"
+    assert truth <= cands
+
+
+def test_decode_image_is_stubbed():
+    from energy_emissions_lakehouse_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_audit_no_nulls_raises(spark):
+    from energy_emissions_lakehouse_spark.medallion.star import audit_no_nulls
+
+    clean = spark.createDataFrame([(1, "a")], ["id", "v"])
+    audit_no_nulls(clean)  # must not raise
+    dirty = spark.createDataFrame([(1, "a"), (2, None)], ["id", "v"])
+    with pytest.raises(ValueError, match="v"):
+        audit_no_nulls(dirty)
+    audit_no_nulls(dirty, allow={"v"})  # allowed nullable column
+
+
+def test_streaming_jobs_run_incrementally(spark, sf_dir):
+    """The streaming path must accept per-file incremental triggers (not
+    just one mega-batch): cap files per trigger and confirm the final
+    result still matches the batch analog."""
+    from energy_emissions_lakehouse_spark.registry import get_query
+    from energy_emissions_lakehouse_spark.streaming import jobs
+
+    ev = jobs.read_events_stream(spark, sf_dir)
+    got = jobs.run_to_table(jobs.hourly_tumbling(ev), mode="complete")
+    want = get_query("events_hourly_tumbling").spark(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
