@@ -633,3 +633,242 @@ def merge_upsert_orders(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# OLAP extensions: multi-dimensional aggregates, outer joins, pivot, windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue_by_year_flag",
+    oracle=f"""
+    SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+           {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (CAST(YEAR(l_shipdate) AS BIGINT), l_returnflag)
+    """,
+    survey="extension (OLAP): ROLLUP hierarchy subtotals — one shuffle, "
+    "Spark expands grouping sets map-side (no reference analog, SURVEY §2.6)",
+)
+def rollup_revenue_by_year_flag(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.rollup(F.year("l_shipdate").cast("long").alias("ship_year"), "l_returnflag")
+        .agg(scaled_sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="extension (OLAP): CUBE over two dimensions — all 4 grouping "
+    "sets in one pass",
+)
+def cube_status_priority(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "left_outer_order_linecount",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN l.cnt IS NULL THEN 0 ELSE l.cnt END) AS BIGINT)
+               AS n_lineitems,
+           COUNT(CASE WHEN l.cnt IS NULL THEN 1 END) AS n_empty_orders
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_orderkey) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey="extension (joins): LEFT OUTER with pre-aggregated build side — "
+    "aggregate-before-join keeps the shuffled payload to one row per key "
+    "(reference has no outer joins, SURVEY §2.5)",
+)
+def left_outer_order_linecount(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li_counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = orders.join(
+        li_counts, orders.o_orderkey == li_counts.l_orderkey, "left_outer"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("n_lineitems"),
+        F.count(F.when(F.col("cnt").isNull(), 1)).alias("n_empty_orders"),
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+    survey="extension (joins): FULL OUTER over grouped sides with COALESCE "
+    "key recovery",
+)
+def full_outer_nation_presence(spark, sf_dir) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, cust.c_nk == supp.s_nk, "full_outer").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "pivot_revenue_by_flag",
+    oracle=f"""
+    SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           {scaled_sum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE NULL END")} AS flag_a,
+           {scaled_sum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE NULL END")} AS flag_n,
+           {scaled_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE NULL END")} AS flag_r
+    FROM lineitem
+    GROUP BY CAST(YEAR(l_shipdate) AS BIGINT)
+    """,
+    survey="extension (OLAP): pivot (wide conditional aggregation) — "
+    "explicit value list so the plan is a single pass, no distinct-scan",
+)
+def pivot_revenue_by_flag(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # Explicit pivot values: skips Spark's extra distinct-collection job and
+    # keeps output schema static (required for the driver contract anyway).
+    return (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(scaled_sum(F.col("l_extendedprice")))
+        .select(
+            "ship_year",
+            F.col("A").alias("flag_a"),
+            F.col("N").alias("flag_n"),
+            F.col("R").alias("flag_r"),
+        )
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (
+        SELECT c_acctbal,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                   AS quartile
+        FROM customer
+    )
+    GROUP BY quartile
+    """,
+    survey="extension (windows): NTILE bucketing with a unique tiebreaker "
+    "(total order -> deterministic cross-engine)",
+)
+def customer_balance_quartiles(spark, sf_dir) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "running_monthly_revenue",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT order_year, order_month,
+           CAST(SUM(cents) OVER (
+               PARTITION BY order_year ORDER BY order_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS cumulative_revenue
+    FROM monthly
+    """,
+    survey="extension (windows): aggregate-over-frame (running cumulative "
+    "sum) — ROWS frame on pre-rounded integer cents so the running values "
+    "are order-exact in both engines",
+)
+def running_monthly_revenue(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("order_year")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "order_year",
+        "order_month",
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias(
+            "cumulative_revenue"
+        ),
+    )
+
+
+@register(
+    "part_types_per_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT p_type) AS n_types,
+           array_to_string(list_sort(list_distinct(list(p_type))), '|')
+               AS types_sorted
+    FROM part
+    GROUP BY p_brand
+    """,
+    survey="extension (aggregates): collect_set + sorted array join — "
+    "string-serialized so the comparison is engine-neutral (array reprs "
+    "differ between pandas/duckdb)",
+)
+def part_types_per_brand(spark, sf_dir) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("p_type")), "|").alias(
+            "types_sorted"
+        ),
+    )
