@@ -82,3 +82,29 @@ def parquet_roundtrip_gold_energy(spark, sf_dir) -> DataFrame:
     path = os.path.join(_IO_ROOT, "silver_energy_parquet")
     files.write_parquet(_silver(spark)[0], path)
     return energy_monthly(files.read_parquet(spark, path))
+
+
+@register(
+    "partitioned_gold_prune_2024",
+    oracle=with_pipeline(
+        "SELECT * FROM gold_energy_monthly WHERE year = 2024"
+    ),
+    survey="S3 S4 F3 — gold mart written partitionBy(year) then read with a "
+    "year predicate: the Spark analog of the reference's time_id btree "
+    "indexes (SQL/01_create_schema.sql:56-58) — the filter prunes entire "
+    "partition directories at plan time (PartitionFilters), verified in "
+    "tests/test_operators.py",
+)
+def partitioned_gold_prune_2024(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.queries.medallion import _gold
+
+    path = os.path.join(_IO_ROOT, "gold_energy_partitioned")
+    _gold(spark)[0].write.mode("overwrite").partitionBy("year").parquet(path)
+    out = files.read_parquet(spark, path).filter(F.col("year") == 2024)
+    # partitionBy moves `year` to the directory key (read back as int);
+    # restore the original column order + long type for oracle parity.
+    return out.select(
+        "region", "energy_source", F.col("year").cast("long").alias("year"),
+        "month", "avg_consumption_mwh", "max_consumption_mwh", "avg_temp_c",
+        "records",
+    )

@@ -113,3 +113,16 @@ def test_streaming_jobs_run_incrementally(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_partitioned_gold_prunes_partitions(spark, sf_dir):
+    """The year filter must reach the file index as a PartitionFilter
+    (directory pruning), not just a data filter."""
+    from energy_emissions_lakehouse_spark.registry import get_query
+
+    df = get_query("partitioned_gold_prune_2024").spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must mention the year predicate inside PartitionFilters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "year" in pf
