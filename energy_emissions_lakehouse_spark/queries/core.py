@@ -872,3 +872,40 @@ def part_types_per_brand(spark, sf_dir) -> DataFrame:
             "types_sorted"
         ),
     )
+
+
+@register(
+    "small_part_only_brand_types",
+    oracle="""
+    SELECT p_brand, p_type FROM part
+    EXCEPT
+    SELECT p_brand, p_type FROM part WHERE p_size > 40
+    """,
+    survey="extension (set ops): EXCEPT (set semantics, "
+    "DataFrame.subtract) — reference has only UNION (SURVEY §2.9)",
+)
+def small_part_only_brand_types(spark, sf_dir) -> DataFrame:
+    """(brand, type) combinations that only ever ship in small sizes."""
+    part = t(spark, sf_dir, "part")
+    all_bt = part.select("p_brand", "p_type")
+    large_bt = part.filter(F.col("p_size") > 40).select("p_brand", "p_type")
+    return all_bt.subtract(large_bt)
+
+
+@register(
+    "nations_customers_intersect_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    survey="extension (set ops): INTERSECT",
+)
+def nations_customers_intersect_suppliers(spark, sf_dir) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)

