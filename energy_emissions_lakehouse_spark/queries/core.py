@@ -909,3 +909,101 @@ def nations_customers_intersect_suppliers(spark, sf_dir) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.intersect(supp)
+
+
+@register(
+    "salted_join_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {scaled_sum_sql('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey="extension (skew): salted equi-join — skewed side salted by a "
+    "deterministic row hash, compact side replicated per salt; result is "
+    "row-identical to the plain join (this oracle IS the plain join)",
+)
+def salted_join_revenue(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, keys=["l_orderkey"], num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        scaled_sum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
+@register(
+    "lineitem_exact_stats",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sx,
+               SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                 / 100.0, 6) AS stddev_qty,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT((SELECT CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            FROM (SELECT COUNT(*) AS n,
+                                         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                                             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+                                  FROM lineitem li2
+                                  WHERE li2.l_returnflag = m.l_returnflag)
+                           ) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM m
+    """,
+    survey="extension (statistics): stddev + correlation derived from "
+    "integer-cent moments — order-independent integer sums make the "
+    "statistics bit-exact under any parallelism (plain stddev_samp/corr "
+    "drift between engines by summation order)",
+)
+def lineitem_exact_stats(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    xq = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    yp = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(xq * xq).alias("sxx"),
+        F.sum(yp).alias("sy"),
+        F.sum(yp * yp).alias("syy"),
+        F.sum(xq * yp).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num = n * sxx - sx * sx
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(F.sqrt(var_num / (n * (n - F.lit(1.0)))) / F.lit(100.0), 6).alias(
+            "stddev_qty"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(var_num) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )

@@ -113,3 +113,37 @@ def events_sessionization(spark, sf_dir) -> DataFrame:
             F.date_trunc("second", F.max("ts")).alias("session_end"),
         )
     )
+
+
+@register(
+    "events_json_props",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="extension (semi-structured): JSON property extraction with a "
+    "typed schema (from_json -> struct, fully JVM-side) over the events "
+    "props column",
+)
+def events_json_props(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", props_schema).alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
