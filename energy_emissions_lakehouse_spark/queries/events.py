@@ -147,3 +147,46 @@ def events_json_props(spark, sf_dir) -> DataFrame:
         F.min("p.k").alias("min_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+@register(
+    "asof_last_purchase_per_click",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               date_trunc('microseconds', ts) AS ts
+        FROM events
+    ),
+    c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value, event_id FROM e
+          WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS last_purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    survey="extension (custom operator): as-of / point-in-time join — "
+    "union + running last(ignorenulls) window over an atomic match struct "
+    "(operators/asof.py); the oracle is DuckDB's NATIVE ASOF JOIN, so the "
+    "composition is checked against a first-class implementation",
+)
+def asof_last_purchase_per_click(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        payload=["value"], right_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_ts").alias("purchase_ts"),
+        F.col("asof_value").alias("last_purchase_value"),
+    )

@@ -103,3 +103,21 @@ def stream_session_windows(spark, sf_dir) -> DataFrame:
 def stream_dedup_counts(spark, sf_dir) -> DataFrame:
     ev = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_to_table(jobs.dedup_within_watermark(ev), mode="complete")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {scaled_sum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="extension (streaming, custom state): applyInPandasWithState — "
+    "explicit per-user GroupState (count + integer-cents sum) updated per "
+    "micro-batch; final emitted state must equal the batch aggregate",
+)
+def stream_stateful_user_stats(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.stateful_user_stats(ev), mode="update")
