@@ -59,6 +59,10 @@ HEADLINE = [
     "media_feature_extract",
     # structured streaming (availableNow run to completion)
     "stream_hourly_tumbling",
+    "stream_stateful_user_stats",
+    # custom operators
+    "asof_last_purchase_per_click",
+    "salted_join_revenue",
     # file-format roundtrips
     "csv_roundtrip_silver_energy",
 ]

@@ -59,6 +59,19 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style coarse classes): letter runs,
+#: digit runs, punctuation runs. Verified to produce identical token lists
+#: in Spark (java.util.regex) and DuckDB (RE2) — both engines use leftmost
+#: longest-alternative-first matching for this alternation.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Lowercased BPE-ish pre-tokenization (the token-count proxy an LLM
+    data pipeline budgets with before running the real tokenizer)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_count(toks: Column) -> Column:
     return F.size(toks).cast("long")
 

@@ -401,3 +401,43 @@ def doc_stats_rollup(spark, sf_dir) -> DataFrame:
         scaled_sum(tx.token_count(toks).cast("double"), scale=1).alias("total_tokens"),
         F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
     )
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang,
+               regexp_extract_all(lower(text), '{tx.BPE_ISH_PATTERN}') AS bt
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(bt)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(list_filter(bt, x -> x ~ '^[0-9]+$'))) AS BIGINT)
+               AS digit_runs,
+           CAST(SUM(len(list_filter(bt, x -> x ~ '^[^a-z0-9]+$'))) AS BIGINT)
+               AS punct_runs
+    FROM toks
+    GROUP BY lang
+    """,
+    survey="extension (text analysis): BPE-ish regex pre-tokenization "
+    "(letter/digit/punct runs) — the LLM token-budget proxy; "
+    "regexp_extract_all verified token-identical across engines",
+)
+def doc_bpe_token_stats(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bt = tx.bpe_ish_tokens(F.col("text"))
+    digit = F.filter(bt, lambda x: x.rlike("^[0-9]+$"))
+    punct = F.filter(bt, lambda x: x.rlike("^[^a-z0-9]+$"))
+    return (
+        docs.select("lang", bt.alias("bt"), F.size(digit).alias("nd"),
+                    F.size(punct).alias("np"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bt").cast("long")).alias("total_bpe_tokens"),
+            F.sum(F.col("nd").cast("long")).alias("digit_runs"),
+            F.sum(F.col("np").cast("long")).alias("punct_runs"),
+        )
+    )
