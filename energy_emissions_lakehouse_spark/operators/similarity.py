@@ -87,6 +87,75 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (max cosine, ties -> lowest centroid id) via broadcast cross join +
+    per-vector top-1 window.
+
+    The centroid set is small by construction (the IVF invariant: nlist <<
+    N), so the cross join broadcasts it — the assignment pass is map-only,
+    no shuffle of the vector side; the only shuffle is the per-vector
+    argmin window, keyed by vector id (perfectly spread)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("c_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_pred,
+    k: int = 3,
+) -> DataFrame:
+    """IVF search with nprobe=1: queries probe only their own centroid cell.
+
+    Both sides reuse one assignment pass; candidate generation is the
+    equi-join on centroid_id (cell locality), so search cost scales with
+    cell occupancy N/nlist instead of N — the inverted-file counterpart to
+    the hyperplane-LSH tier."""
+    assigned = ivf_assign(vectors, centroids)
+    q = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        "centroid_id",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("c_vec"),
+        "centroid_id",
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
     """(a_id, b_id, sim) pairs with cosine >= threshold, candidates from the
     hyperplane-LSH bucket equi-join — the embedding tier of the dedup family.

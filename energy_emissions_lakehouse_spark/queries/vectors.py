@@ -175,3 +175,54 @@ def ann_bucketed_topk(spark, sf_dir) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.bucketed_topk(queries, emb, k=3)
+
+
+@register(
+    "ivf_topk_nprobe1",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS c_vec FROM e
+             WHERE vec_id % 100 = 1),
+    scored AS (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               ROUND(list_dot_product(e.v, cent.c_vec) / NULLIF(
+                   sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(cent.c_vec, cent.c_vec)), 0.0), 6)
+                   AS c_sim
+        FROM e CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v, centroid_id FROM assigned
+          WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS cand_id, v, centroid_id FROM assigned),
+    pairs AS (
+        SELECT q.query_id, c.cand_id, {_COS} AS sim
+        FROM q JOIN c ON q.centroid_id = c.centroid_id
+                     AND q.query_id != c.cand_id
+    )
+    SELECT * FROM (
+        SELECT query_id, cand_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+    """,
+    survey="extension (similarity, IVF tier): inverted-file ANN — broadcast "
+    "coarse quantization to deterministic centroids, then nprobe=1 search "
+    "within the cell (equi-join on centroid_id); the second scale path "
+    "besides hyperplane LSH",
+)
+def ivf_topk_nprobe1(spark, sf_dir) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") % 100 == 1)
+    return sim.ivf_topk(
+        emb, centroids, F.col("vec_id") % 100 == 0, k=3
+    )
