@@ -364,3 +364,91 @@ def medallion_analysis_q6(spark, sf_dir) -> DataFrame:
 )
 def medallion_analysis_q7(spark, sf_dir) -> DataFrame:
     return an.q7_intensity_2024(_star(spark))
+
+
+# ------------------------------------------------------------------ BI (A7)
+
+
+@register(
+    "medallion_bi_intensity_by_month",
+    oracle=with_pipeline(
+        f"""
+    SELECT t.year, t.month,
+           {scaled_sum_sql('f.co2_per_mwh', 1_000_000)} AS sum_intensity
+    FROM fact_carbon_intensity f
+    JOIN dim_time t ON f.time_id = t.time_id
+    GROUP BY t.year, t.month
+    """
+    ),
+    survey="A7 J4 — PBI line chart: Sum(co2_per_mwh) by month with year "
+    "series (Dashboards/PowerBI Report/Layout, SURVEY §3 entry point 4)",
+)
+def medallion_bi_intensity_by_month(spark, sf_dir) -> DataFrame:
+    star = _star(spark)
+    f, dt = star["fact_carbon_intensity"], star["dim_time"]
+    return (
+        f.join(F.broadcast(dt), "time_id")
+        .groupBy("year", "month")
+        .agg(
+            scaled_sum(F.col("co2_per_mwh"), scale=1_000_000).alias(
+                "sum_intensity"
+            )
+        )
+    )
+
+
+@register(
+    "medallion_bi_intensity_by_region",
+    oracle=with_pipeline(
+        f"""
+    SELECT r.region_name,
+           {scaled_sum_sql('f.co2_per_mwh', 1_000_000)} AS sum_intensity
+    FROM fact_carbon_intensity f
+    JOIN dim_region r ON f.region_id = r.region_id
+    GROUP BY r.region_name
+    """
+    ),
+    survey="A7 J5 — PBI bar chart: Sum(co2_per_mwh) by region_name",
+)
+def medallion_bi_intensity_by_region(spark, sf_dir) -> DataFrame:
+    star = _star(spark)
+    f, dr = star["fact_carbon_intensity"], star["dim_region"]
+    return (
+        f.join(F.broadcast(dr), "region_id")
+        .groupBy("region_name")
+        .agg(
+            scaled_sum(F.col("co2_per_mwh"), scale=1_000_000).alias(
+                "sum_intensity"
+            )
+        )
+    )
+
+
+@register(
+    "medallion_bi_totals_by_month_2024",
+    oracle=with_pipeline(
+        f"""
+    SELECT t.month,
+           {scaled_sum_sql('f.total_co2_tonnes')}  AS sum_co2,
+           {scaled_sum_sql('f.total_energy_mwh')}  AS sum_energy
+    FROM fact_carbon_intensity f
+    JOIN dim_time t ON f.time_id = t.time_id
+    WHERE t.year = 2024
+    GROUP BY t.month
+    """
+    ),
+    survey="A7 F3 J4 — PBI column chart (Sum co2 + Sum energy by month) "
+    "under the year slicer (slicer = partition filter)",
+)
+def medallion_bi_totals_by_month_2024(spark, sf_dir) -> DataFrame:
+    star = _star(spark)
+    f, dt = star["fact_carbon_intensity"], star["dim_time"]
+    return (
+        f.join(F.broadcast(dt), "time_id")
+        .filter(F.col("year") == 2024)
+        .groupBy("month")
+        .agg(
+            scaled_sum(F.col("total_co2_tonnes")).alias("sum_co2"),
+            scaled_sum(F.col("total_energy_mwh")).alias("sum_energy"),
+        )
+    )

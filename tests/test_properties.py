@@ -1,0 +1,67 @@
+"""Property tests from SURVEY.md §5: dedup idempotence, upsert idempotence,
+null-division totality — the reference's implicit invariants made explicit."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_dedup_is_idempotent(spark, sf_dir):
+    from energy_emissions_lakehouse_spark.tables import t
+
+    li = t(spark, sf_dir, "lineitem").limit(2000)
+    doubled = li.unionByName(li)
+    once = doubled.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert once.count() == li.dropDuplicates().count()
+    assert twice.exceptAll(once).count() == 0
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_upsert_is_idempotent(spark, sf_dir):
+    """Running the same MERGE twice must leave the target unchanged — the
+    reference's stated design goal (load_to_postgres.py:13)."""
+    from energy_emissions_lakehouse_spark.operators.merge import upsert
+    from energy_emissions_lakehouse_spark.tables import t
+
+    orders = t(spark, sf_dir, "orders").limit(1000)
+    updates = orders.filter((F.col("o_orderkey") % 7) == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    once = upsert(target=orders, source=updates, keys=["o_orderkey"])
+    twice = upsert(target=once, source=updates, keys=["o_orderkey"])
+    assert once.count() == twice.count() == orders.count()
+    assert twice.exceptAll(once).count() == 0
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_null_safe_division_is_total(spark):
+    """P7: division must yield null (never ±inf/NaN) for any divisor,
+    including 0 and null (silver_to_gold.py:81-84)."""
+    rows = [(1.0, 2.0), (5.0, 0.0), (0.0, 0.0), (-3.5, 0.0), (None, 2.0),
+            (4.0, None), (None, None)]
+    df = spark.createDataFrame(rows, ["num", "den"])
+    out = df.select(
+        (F.col("num") / F.nullif(F.col("den"), F.lit(0.0))).alias("q")
+    ).collect()
+    for r in out:
+        assert r["q"] is None or math.isfinite(r["q"])
+    # 0-divisor rows specifically -> null
+    zero = df.filter(F.col("den") == 0.0).select(
+        (F.col("num") / F.nullif(F.col("den"), F.lit(0.0))).alias("q")
+    ).collect()
+    assert all(r["q"] is None for r in zero)
+
+
+def test_scaled_sum_is_partition_invariant(spark):
+    """The integer-cents sum must not depend on partitioning (the whole
+    point: order-independent cross-engine exactness)."""
+    from energy_emissions_lakehouse_spark.functions.exact import scaled_sum
+
+    rows = [(i, 0.01 * i * ((-1) ** i)) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a = df.repartition(1).agg(scaled_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    b = df.repartition(37).agg(scaled_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    assert a == b
