@@ -1007,3 +1007,110 @@ def lineitem_exact_stats(spark, sf_dir) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "window_rank_showcase",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT)   AS drank,
+           ROUND(PERCENT_RANK() OVER w, 6)       AS prank,
+           ROUND(CUME_DIST() OVER w, 6)          AS cdist,
+           CAST(NTILE(10) OVER w AS BIGINT)      AS decile
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey="extension (windows): dense_rank / percent_rank / cume_dist / "
+    "ntile in one partitioned window pass (single sort, shared frame); "
+    "percent_rank and cume_dist are exact rationals so cross-engine safe",
+)
+def window_rank_showcase(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "string_functions_profile",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           substr(p_name, 1, 5)                            AS name_prefix,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0')       AS key_padded,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           CAST(strpos(p_name, 'a') AS BIGINT)             AS first_a,
+           reverse(p_brand)                                AS brand_rev,
+           trim('  ' || p_brand || '  ')                   AS brand_trim
+    FROM part
+    WHERE p_partkey % 50 = 0
+    """,
+    survey="extension (P3/§2.11 string surface): upper/length/replace/"
+    "substr/lpad/concat_ws/instr/reverse/trim — all codegen'd JVM "
+    "expressions, verified char-identical vs DuckDB",
+)
+def string_functions_profile(spark, sf_dir) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+@register(
+    "date_functions_profile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)          AS y,
+           CAST(QUARTER(o_orderdate) AS BIGINT)       AS q,
+           CAST(MONTH(o_orderdate) AS BIGINT)         AS m,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT)     AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)      AS plus_30d,
+           date_trunc('month', o_orderdate)           AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d')          AS iso
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    survey="extension (P4/P5/§2.11 date surface): year/quarter/month/"
+    "dayofweek/dayofyear/last_day/date_add/date_trunc/date_format — note "
+    "DuckDB dow is 0-based Sunday, Spark 1-based (oracle adds 1)",
+)
+def date_functions_profile(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        # dates cast to timestamp: Spark DATE -> pandas datetime.date objects
+        # while DuckDB DATE -> datetime64; timestamps normalize identically.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp").alias("plus_30d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
+    )
