@@ -780,25 +780,31 @@ def pivot_revenue_by_flag(spark, sf_dir) -> DataFrame:
 @register(
     "customer_balance_quartiles",
     oracle="""
-    SELECT quartile, COUNT(*) AS n_customers,
+    SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
            MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
     FROM (
-        SELECT c_acctbal,
-               CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
-                   AS quartile
+        SELECT c_mktsegment, c_acctbal,
+               CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
         FROM customer
     )
-    GROUP BY quartile
+    GROUP BY c_mktsegment, quartile
     """,
     survey="extension (windows): NTILE bucketing with a unique tiebreaker "
-    "(total order -> deterministic cross-engine)",
+    "(total order -> deterministic cross-engine); partitioned by segment — "
+    "an unpartitioned NTILE over a fact-sized table would single-partition "
+    "at scale (caught by the plan audit in tests/test_plan_quality.py)",
 )
 def customer_balance_quartiles(spark, sf_dir) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
-        .groupBy("quartile")
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.min("c_acctbal").alias("min_bal"),

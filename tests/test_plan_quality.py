@@ -1,0 +1,79 @@
+"""Physical-plan audit: every registered query's executed plan is scanned
+for patterns that break at scale. This encodes the "would this survive a
+100x scale-up" review as a regression test.
+
+Red flags:
+- ``CartesianProduct`` — quadratic; every candidate-generation step must be
+  an equi-join (broadcast nested-loop over a broadcast-hinted tiny side is
+  fine and not flagged).
+- unpartitioned ``Window`` — single-partition sort of the whole input;
+  only permitted over provably bounded inputs (distinct dimension values /
+  calendar months), listed explicitly below.
+- ``BatchEvalPython`` — row-at-a-time Python UDF; Python is only allowed
+  Arrow-batched (``mapInPandas`` shows as MapInPandas / ArrowEvalPython).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from energy_emissions_lakehouse_spark.registry import all_specs
+
+#: Queries whose plan legitimately contains an unpartitioned window, with
+#: the boundedness argument. The window input in every case is a DISTINCT
+#: set whose cardinality is fixed by the domain, not the data volume.
+BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "medallion_analysis_q2": "dims: <=4 regions x 24 months",
+    "medallion_analysis_q3": "dims: <=4 regions x 24 months",
+    "medallion_analysis_q4": "dims: <=4 energy sources",
+    "medallion_analysis_q5": "dims: <=4 regions x 24 months",
+    "medallion_analysis_q7": "dims: <=4 regions x 24 months",
+    "medallion_bi_intensity_by_month": "dim_time: <=24 rows",
+    "medallion_bi_intensity_by_region": "dim_region: <=4 rows",
+    "medallion_bi_totals_by_month_2024": "dim_time: <=24 rows",
+    "medallion_dim_time": "distinct (year, month): <=24 rows",
+    "revenue_growth_by_month": "monthly rollup: <=84 rows (7y x 12m)",
+}
+
+
+def _top_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        if ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _batch_names() -> list[str]:
+    return [n for n in all_specs() if not n.startswith("stream_")]
+
+
+@pytest.mark.parametrize("name", _batch_names())
+def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
+    spec = all_specs()[name]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+    global_windows = []
+    for line in plan.splitlines():
+        ls = line.strip().lstrip("*+-: (0123456789)")
+        if ls.startswith("Window ") and len(_top_groups(ls)) == 2:
+            global_windows.append(ls[:120])
+    if global_windows and name not in BOUNDED_GLOBAL_WINDOWS:
+        raise AssertionError(
+            f"{name}: unpartitioned window over unbounded input "
+            f"(add to BOUNDED_GLOBAL_WINDOWS only with a boundedness "
+            f"argument): {global_windows[0]}"
+        )
