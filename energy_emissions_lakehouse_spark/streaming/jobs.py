@@ -60,6 +60,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_stream_from_dir(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream from an arbitrary staged directory of events-schema parquet.
+    ``max_files_per_trigger=1`` forces one micro-batch per file — the
+    multi-batch path where watermarks advance and state merges across
+    batches (exercised in tests/test_streaming_multibatch.py)."""
+    configure_runtime(spark)
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def run_to_table(stream: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink and return the sink contents as a bounded DataFrame."""

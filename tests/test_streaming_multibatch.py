@@ -1,0 +1,74 @@
+"""Multi-batch Structured Streaming: state must merge across micro-batches.
+
+The single-file availableNow runs in queries/streaming_queries.py process
+everything in one batch; here the events table is staged as 4 time-ranged
+files and streamed with ``maxFilesPerTrigger=1``, so the same jobs run as
+4 micro-batches with watermark advancement and cross-batch state — and the
+final result must STILL equal the batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from energy_emissions_lakehouse_spark.streaming import jobs
+from energy_emissions_lakehouse_spark.tables import _EVENTS_RAW_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def staged_dir(spark, sf_dir) -> str:
+    """events.parquet split into 4 time-ranged files (raw int64 ns ts)."""
+    out = os.path.join(
+        tempfile.gettempdir(), "eel_stream_multibatch", os.path.basename(sf_dir)
+    )
+    (
+        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _assert_same(got, want):
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_tumbling_aggregate_across_batches(spark, sf_dir, staged_dir):
+    from energy_emissions_lakehouse_spark.registry import get_query
+
+    ev = jobs.read_stream_from_dir(spark, staged_dir, max_files_per_trigger=1)
+    got = jobs.run_to_table(jobs.hourly_tumbling(ev), mode="complete")
+    want = get_query("events_hourly_tumbling").spark(spark, sf_dir)
+    _assert_same(got, want)
+
+
+def test_stateful_counts_accumulate_across_batches(spark, sf_dir, staged_dir):
+    """applyInPandasWithState: per-user GroupState must accumulate over 4
+    batches; only the LAST update per user may equal the batch total."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    ev = jobs.read_stream_from_dir(spark, staged_dir, max_files_per_trigger=1)
+    emitted = jobs.run_to_table(jobs.stateful_user_stats(ev), mode="update")
+    # update mode emits one row per (user, batch-containing-user): keep the
+    # final (max n_events) emission per user.
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )
+    want = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _assert_same(final, want)
+    # state really did span batches: users seen in >1 batch emitted >1 row
+    multi = emitted.groupBy("user_id").count().filter(F.col("count") > 1)
+    assert multi.count() > 0, "expected multi-batch state updates"
