@@ -35,12 +35,14 @@ HEADLINE = [
     "revenue_growth_by_month",
     "first_order_per_customer",
     "customer_segment_activity",
+    "bucketed_join_revenue_by_segment",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
     # events (sessionization / tumbling windows)
     "events_hourly_tumbling",
     "events_sessionization",
+    "range_join_event_pairs_1h",
     # text analysis over documents
     "doc_token_stats",
     "doc_quality_scores",

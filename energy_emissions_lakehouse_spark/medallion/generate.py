@@ -67,7 +67,14 @@ def _bp_to_double(bp: Column) -> Column:
 
 
 def _grid(spark: SparkSession, name: str, n: int) -> DataFrame:
-    return spark.range(n).select(F.col("id").cast("long").alias(name))
+    # Partition count sized to the grid: the reference workload is fixed at
+    # ~20k rows, where default parallelism (32) just buys task-scheduling
+    # overhead. At larger cardinalities (the 100 TB story: more days x more
+    # entities) this scales back up to one partition per ~1k keys.
+    parts = max(1, min(n // 1000 + 1, 32))
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").cast("long").alias(name)
+    )
 
 
 def _pick(idx: Column, values: list[str]) -> Column:

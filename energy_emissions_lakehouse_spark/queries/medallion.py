@@ -57,6 +57,9 @@ STAR_TABLES = (
 #: reference persisting each layer to parquet between stages (the medallion
 #: layer contract, SURVEY.md §3).
 _BRONZE_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+_SILVER_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+_GOLD_MEMO: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+_STAR_MEMO: dict[int, dict[str, DataFrame]] = {}
 
 
 def _bronze(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
@@ -70,17 +73,36 @@ def _bronze(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
 
 
 def _silver(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    e_raw, m_raw = _bronze(spark)
-    return clean_energy(e_raw), clean_emissions(m_raw)
+    key = id(spark)
+    if key not in _SILVER_MEMO:
+        e_raw, m_raw = _bronze(spark)
+        _SILVER_MEMO[key] = (
+            clean_energy(e_raw).localCheckpoint(eager=True),
+            clean_emissions(m_raw).localCheckpoint(eager=True),
+        )
+    return _SILVER_MEMO[key]
 
 
 def _gold(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
-    e, m = _silver(spark)
-    return energy_monthly(e), emissions_monthly(m), carbon_intensity(e, m)
+    key = id(spark)
+    if key not in _GOLD_MEMO:
+        e, m = _silver(spark)
+        # Gold marts are tiny (384/288/96 rows) but each star-schema branch
+        # (4 dims + 3 facts) re-derives them; checkpointing caps every
+        # downstream plan at a 3-mart scan.
+        _GOLD_MEMO[key] = (
+            energy_monthly(e).localCheckpoint(eager=True),
+            emissions_monthly(m).localCheckpoint(eager=True),
+            carbon_intensity(e, m).localCheckpoint(eager=True),
+        )
+    return _GOLD_MEMO[key]
 
 
 def _star(spark: SparkSession) -> dict[str, DataFrame]:
-    return build_star(*_gold(spark))
+    key = id(spark)
+    if key not in _STAR_MEMO:
+        _STAR_MEMO[key] = build_star(*_gold(spark))
+    return _STAR_MEMO[key]
 
 
 # ------------------------------------------------------------------ bronze

@@ -65,6 +65,7 @@ def _load_all() -> None:
         events,
         medallion,
         multimodal,
+        scale_joins,
         sources,
         streaming_queries,
         text,

@@ -77,3 +77,32 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
             f"(add to BOUNDED_GLOBAL_WINDOWS only with a boundedness "
             f"argument): {global_windows[0]}"
         )
+
+
+def test_bucketed_join_has_no_joinside_shuffle(spark, sf_dir):
+    """The bucketed co-located join must read both bucketed scans straight
+    into the sort-merge join: no Exchange may repartition either join key.
+    (The final segment rollup is allowed its tiny aggregation exchange.)"""
+    spec = all_specs()["bucketed_join_revenue_by_segment"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan, plan
+    for key in ("c_custkey", "o_custkey"):
+        for line in plan.splitlines():
+            if "Exchange" in line and key in line:
+                raise AssertionError(
+                    f"join-side shuffle on {key}: {line.strip()[:160]}"
+                )
+    assert "SelectedBucketsCount: 8 out of 8" in plan, (
+        "bucketed scan not engaged:\n" + plan
+    )
+
+
+def test_range_join_is_equijoin_banded(spark, sf_dir):
+    """The banded range join's candidate generation must be a hash/merge
+    equi-join on (user_id, bucket) — never BroadcastNestedLoopJoin, which is
+    what a naive interval predicate degenerates to."""
+    spec = all_specs()["range_join_event_pairs_1h"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bucket" in plan
