@@ -36,6 +36,8 @@ HEADLINE = [
     "first_order_per_customer",
     "customer_segment_activity",
     "bucketed_join_revenue_by_segment",
+    "grouping_sets_revenue",
+    "hll_sketch_distinct_custkeys",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -43,7 +45,8 @@ HEADLINE = [
     "events_hourly_tumbling",
     "events_sessionization",
     "range_join_event_pairs_1h",
-    # text analysis over documents
+    # text analysis / curation over documents
+    "stratified_sample_documents",
     "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",

@@ -1,0 +1,157 @@
+"""Advanced OLAP + training-pipeline aggregation surface.
+
+Three extension families beyond the reference (which has no grouping sets,
+no sketches, and only one unkeyed Bernoulli sample — SURVEY.md §2.6/§2.10):
+
+- **GROUPING SETS** — arbitrary subtotal lattices in one shuffle; Spark
+  expands the sets map-side, so the cost is one pass regardless of how many
+  subtotal combinations are requested.
+- **Mergeable sketches (Apache DataSketches HLL)** — the canonical 100 TB
+  distinct-counting pattern: each partition builds a fixed-size sketch,
+  sketches merge associatively (partial aggregation, then cross-group
+  ``hll_union_agg``), and nothing resembling the raw key set ever moves.
+  An exact ``count(distinct)`` of the same key shuffles every distinct
+  value; sketches shuffle kilobytes.
+- **Deterministic stratified sampling** — per-stratum keep rates applied by
+  hashing a stable key, the training-data-curation primitive ("downsample
+  the dominant language, keep the rare ones"). Hash-threshold selection is
+  reproducible across engines, cluster sizes, and reruns — unlike
+  ``df.sampleBy``, whose Bernoulli draw is seed+partitioning dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.functions.exact import scaled_sum_sql
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+#: Per-language keep rates in permille ("downsample en, thin zh, keep the
+#: rest"): the stratum is the partition column a real corpus job would use.
+STRATA_PERMILLE = {"en": 250, "zh": 600}
+DEFAULT_PERMILLE = 1000
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT ship_year, l_returnflag,
+           CAST(GROUPING(ship_year) * 2 + GROUPING(l_returnflag) AS BIGINT)
+               AS gid,
+           {scaled_sum_sql('disc_price')} AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+        SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+               l_returnflag,
+               l_extendedprice * (1.0 - l_discount) AS disc_price
+        FROM lineitem
+    )
+    GROUP BY GROUPING SETS ((ship_year, l_returnflag), (ship_year),
+                            (l_returnflag), ())
+    """,
+    survey="extension (OLAP): GROUPING SETS — the full subtotal lattice "
+    "(detail, each 1-D margin, grand total) in ONE shuffle; GROUPING() "
+    "bits disambiguate real nulls from subtotal rows. Generalizes the "
+    "rollup/cube queries; no reference analog (SURVEY §2.6: none)",
+)
+def grouping_sets_revenue(spark, sf_dir) -> DataFrame:
+    """Spark SQL GROUPING SETS over a projected view. The pre-projection
+    (ship_year, disc_price) keeps the grouping keys plain columns so the
+    GROUPING() bit positions line up across engines."""
+    t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        "l_returnflag",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+    ).createOrReplaceTempView("eel_li_gs")
+    return spark.sql(
+        f"""
+        SELECT ship_year, l_returnflag,
+               CAST(GROUPING(ship_year) * 2 + GROUPING(l_returnflag) AS BIGINT)
+                   AS gid,
+               {scaled_sum_sql('disc_price')} AS revenue,
+               COUNT(*) AS n_items
+        FROM eel_li_gs
+        GROUP BY GROUPING SETS ((ship_year, l_returnflag), (ship_year),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "hll_sketch_distinct_custkeys",
+    oracle=None,  # sketch binary/estimate is engine-specific: rows-only check
+    survey="extension (sketches): Apache DataSketches HLL — per-group "
+    "hll_sketch_agg + cross-group hll_union_agg. Mergeable fixed-size state "
+    "is the 100 TB distinct path (exact distinct shuffles the key set; "
+    "the sketch shuffles ~KB). Accuracy vs exact asserted in "
+    "tests/test_operators.py (<5% rel. error)",
+)
+def hll_sketch_distinct_custkeys(spark, sf_dir) -> DataFrame:
+    """Distinct customers per order priority via HLL sketches, plus an ALL
+    row whose sketch is the union of the per-group sketches — demonstrating
+    that group sketches re-aggregate without touching the raw keys."""
+    orders = t(spark, sf_dir, "orders")
+    sk = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    per_group = sk.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    overall = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate("u").alias("approx_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_group.unionByName(overall)
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                           < (CASE lang WHEN 'en' THEN {STRATA_PERMILLE['en']}
+                                        WHEN 'zh' THEN {STRATA_PERMILLE['zh']}
+                                        ELSE {DEFAULT_PERMILLE} END)
+                      THEN 1 END) AS n_kept,
+           CAST(SUM(CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                              < (CASE lang WHEN 'en' THEN {STRATA_PERMILLE['en']}
+                                           WHEN 'zh' THEN {STRATA_PERMILLE['zh']}
+                                           ELSE {DEFAULT_PERMILLE} END)
+                         THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    survey="extension (training pipeline): deterministic stratified "
+    "sampling — per-language keep rates via md5-hash thresholding on the "
+    "stable doc_id. Reproducible across engines/cluster layouts/reruns "
+    "(df.sampleBy is not); map-only, no shuffle beyond the audit rollup. "
+    "Reference has one Bernoulli sample (SURVEY §2.10 R1)",
+)
+def stratified_sample_documents(spark, sf_dir) -> DataFrame:
+    """Keep-decision = hash(doc_id) mod 1000 < rate(lang). The audit output
+    (per-lang totals, kept counts, kept chars) is what a curation job logs;
+    the kept rows themselves are the same filter without the groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(STRATA_PERMILLE["en"]))
+        .when(F.col("lang") == "zh", F.lit(STRATA_PERMILLE["zh"]))
+        .otherwise(F.lit(DEFAULT_PERMILLE))
+    )
+    keep = (h % 1000) < rate
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars"))).alias("kept_chars"),
+    )

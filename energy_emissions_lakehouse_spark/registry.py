@@ -61,6 +61,7 @@ def register(
 def _load_all() -> None:
     """Import every query module for its registration side effects."""
     from energy_emissions_lakehouse_spark.queries import (  # noqa: F401
+        advanced_olap,
         core,
         events,
         medallion,

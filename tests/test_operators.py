@@ -126,3 +126,29 @@ def test_partitioned_gold_prunes_partitions(spark, sf_dir):
     # the pruned scan must mention the year predicate inside PartitionFilters
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "year" in pf
+
+
+def test_hll_sketch_estimates_within_5pct(spark, sf_dir):
+    """The HLL sketch path (rows-only driver check) must track exact distinct
+    counts closely: <5% relative error per group, and the unioned ALL sketch
+    must estimate the global distinct within 5% too."""
+    from energy_emissions_lakehouse_spark.registry import all_specs
+    from energy_emissions_lakehouse_spark.tables import t
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in all_specs()["hll_sketch_distinct_custkeys"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert len(rows) >= 2 and "ALL" in rows
+    for prio, r in rows.items():
+        if prio == "ALL":
+            continue
+        exact = r["exact_distinct"]
+        assert exact > 0
+        assert abs(r["approx_distinct"] - exact) / exact < 0.05, prio
+    global_exact = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(rows["ALL"]["approx_distinct"] - global_exact) / global_exact < 0.05
