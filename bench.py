@@ -45,6 +45,7 @@ HEADLINE = [
     "events_hourly_tumbling",
     "events_sessionization",
     "range_join_event_pairs_1h",
+    "scd2_user_event_type_history",
     # text analysis / curation over documents
     "stratified_sample_documents",
     "doc_token_stats",

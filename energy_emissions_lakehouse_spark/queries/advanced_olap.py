@@ -155,3 +155,52 @@ def stratified_sample_documents(spark, sf_dir) -> DataFrame:
         F.count(F.when(keep, 1)).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_chars"))).alias("kept_chars"),
     )
+
+
+@register(
+    "theta_sketch_repeat_customers",
+    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    survey="extension (sketches): Apache DataSketches Theta — mergeable "
+    "distinct sketches that also support INTERSECTION and DIFFERENCE "
+    "(HLL can only union). One row compares approx vs exact for 1997 "
+    "buyers, 1998 buyers, their intersection (repeat customers) and union; "
+    "<6% rel. error asserted in tests/test_operators.py. At 100 TB the "
+    "year sketches come from partial aggregation per partition and the "
+    "set algebra runs on ~KB of sketch state, never the key sets",
+)
+def theta_sketch_repeat_customers(spark, sf_dir) -> DataFrame:
+    """Repeat-customer analysis as sketch set algebra. The exact columns
+    (computed here only to quantify error at test scale) are the expensive
+    path the sketches replace: each needs a full distinct shuffle."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    sk = orders.agg(
+        F.theta_sketch_agg(F.when(F.col("yr") == 1997, F.col("o_custkey"))).alias("a"),
+        F.theta_sketch_agg(F.when(F.col("yr") == 1998, F.col("o_custkey"))).alias("b"),
+        F.count_distinct(F.when(F.col("yr") == 1997, F.col("o_custkey"))).alias(
+            "exact_1997"
+        ),
+        F.count_distinct(F.when(F.col("yr") == 1998, F.col("o_custkey"))).alias(
+            "exact_1998"
+        ),
+    )
+    both = (
+        orders.filter(F.col("yr").isin(1997, 1998))
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("yr").alias("ny"))
+        .agg(
+            F.count(F.when(F.col("ny") == 2, 1)).alias("exact_both"),
+            F.count(F.lit(1)).alias("exact_either"),
+        )
+    )
+    return sk.crossJoin(both).select(
+        F.theta_sketch_estimate("a").alias("approx_1997"),
+        "exact_1997",
+        F.theta_sketch_estimate("b").alias("approx_1998"),
+        "exact_1998",
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("approx_both"),
+        "exact_both",
+        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("approx_either"),
+        "exact_either",
+    )

@@ -190,3 +190,83 @@ def asof_last_purchase_per_click(spark, sf_dir) -> DataFrame:
         F.col("asof_ts").alias("purchase_ts"),
         F.col("asof_value").alias("last_purchase_value"),
     )
+
+
+@register(
+    "scd2_user_event_type_history",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               DATE_TRUNC('second', ts) AS ts_s,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN LAG(event_type) OVER
+                            (PARTITION BY user_id ORDER BY es, event_id)
+                            IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM base
+    ),
+    islands AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, isl, MIN(event_type) AS event_type,
+               MIN(ts_s) AS valid_from, COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY isl)
+               AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY isl) IS NULL
+               AS is_current,
+           n_events
+    FROM runs
+    """,
+    survey="extension (lakehouse): SCD2 slowly-changing-dimension history "
+    "build — consecutive runs of each user's event_type collapse to "
+    "[valid_from, valid_to) validity intervals with an is_current flag; "
+    "gaps-and-islands (LAG change flag -> running-sum island id), all "
+    "windows partitioned by user_id so the build scales per-key. The "
+    "reference's dims are static (SQL/01_create_schema.sql:2-22); this is "
+    "the versioned-dimension upgrade a warehouse needs once sources mutate",
+)
+def scd2_user_event_type_history(spark, sf_dir) -> DataFrame:
+    """SCD2 interval build. Ordering uses (floor-epoch-second, event_id) —
+    both engines agree on it exactly, immune to the µs/ns precision gap."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    by_user = Window.partitionBy("user_id").orderBy("es", "event_id")
+    running = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        ~F.lag("event_type").over(by_user).eqNullSafe(F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.withColumn("chg", chg)
+        .withColumn("isl", F.sum("chg").over(running))
+        .groupBy("user_id", "isl")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts_s").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    by_isl = Window.partitionBy("user_id").orderBy("isl")
+    valid_to = F.lead("valid_from").over(by_isl)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -152,3 +152,23 @@ def test_hll_sketch_estimates_within_5pct(spark, sf_dir):
         t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert abs(rows["ALL"]["approx_distinct"] - global_exact) / global_exact < 0.05
+
+
+def test_theta_sketch_estimates_within_6pct(spark, sf_dir):
+    """Theta sketch set algebra (rows-only driver check) must track the
+    exact distinct/intersection/union counts within 6% relative error."""
+    from energy_emissions_lakehouse_spark.registry import all_specs
+
+    r = (
+        all_specs()["theta_sketch_repeat_customers"]
+        .spark(spark, sf_dir)
+        .collect()[0]
+    )
+    for approx, exact in (
+        (r["approx_1997"], r["exact_1997"]),
+        (r["approx_1998"], r["exact_1998"]),
+        (r["approx_both"], r["exact_both"]),
+        (r["approx_either"], r["exact_either"]),
+    ):
+        assert exact > 0
+        assert abs(approx - exact) / exact < 0.06, r
