@@ -57,6 +57,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "dedup_cluster_components",
     # embedding similarity
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",

@@ -243,3 +243,62 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by min-label propagation: (node, component_id)
+    where component_id is the smallest node id reachable from ``node``.
+
+    Pregel-shaped iteration: each round every node takes the min of its own
+    label and its neighbors' labels; convergence in <= diameter rounds. Each
+    round is one keyed join + groupBy (hash-partitioned, no driver data),
+    localCheckpoint'd so lineage stays flat; the only driver traffic is the
+    scalar changed-count used as the stop condition. This is the same
+    structure the large-star/small-star algorithm uses at web scale —
+    duplicate-cluster graphs have tiny diameters, so rounds stay single
+    digits. Input edges: (a_id, b_id); nodes not in any edge are absent
+    (callers union singletons back if they need total coverage)."""
+    sym = (
+        edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .unionByName(
+            edges.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nb_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter}")
+    return labels.select("node", F.col("label").alias("component_id"))

@@ -441,3 +441,66 @@ def doc_bpe_token_stats(spark, sf_dir) -> DataFrame:
             F.sum(F.col("np").cast("long")).alias("punct_runs"),
         )
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_DOC_SH_CTE},
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    copies AS (
+        SELECT doc_id AS a_id, doc_id + 1000000 AS b_id
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    all_edges AS (SELECT * FROM pairs UNION ALL SELECT * FROM copies),
+    sym AS (
+        SELECT a_id AS a, b_id AS b FROM all_edges
+        UNION
+        SELECT b_id AS a, a_id AS b FROM all_edges
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT s.b AS node, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
+    FROM comp
+    """,
+    survey="extension (dedup, clustering tier): connected components over "
+    "the near-dup pair graph (jaccard pairs + injected exact copies) via "
+    "iterative min-label propagation (operators/dedup.connected_components) "
+    "— the transitive-closure step that turns pairwise matches into dedup "
+    "clusters (keep min doc_id per component). Oracle is a DuckDB recursive "
+    "CTE computing the same fixpoint; the iterative tier is the engine's "
+    "only driver-looped operator (Pregel-style, scalar-only driver traffic)",
+)
+def dedup_cluster_components(spark, sf_dir) -> DataFrame:
+    """Dedup clusters: every doc that has at least one (near-)duplicate is
+    mapped to its component (labeled by the component's min doc_id) plus the
+    cluster size. Downstream curation keeps component_id == doc_id rows."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
+    copies = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("a_id"),
+            (F.col("doc_id") + 1000000).alias("b_id"),
+        )
+    )
+    comp = dd.connected_components(pairs.unionByName(copies))
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        F.col("node").alias("doc_id"), "component_id", "cluster_size"
+    )
