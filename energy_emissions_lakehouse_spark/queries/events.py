@@ -270,3 +270,42 @@ def scd2_user_event_type_history(spark, sf_dir) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 END)
+               AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="extension (semi-structured, Spark 4 VARIANT): parse_json -> "
+    "open VariantType + typed variant_get extraction — schema-on-read "
+    "without declaring a struct up front (the from_json path is "
+    "events_json_props); absent paths yield null, counted as the DQ probe. "
+    "Variant's binary encoding pushes extraction into the JVM columnar "
+    "path, the scale alternative to per-row Python JSON parsing",
+)
+def events_variant_props(spark, sf_dir) -> DataFrame:
+    """Same rollup as events_json_props but through the VARIANT type:
+    no schema declared, each path extracted on read with a target type."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.variant_get(v, "$.missing", "string").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing"),
+        )
+    )

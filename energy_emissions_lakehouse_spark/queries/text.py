@@ -96,6 +96,9 @@ _PRED_SQL = (
 #: standard "staging" parquet write between pipeline passes; here
 #: localCheckpoint keeps it in executor storage.
 _DOC_SH_MEMO: dict[tuple[int, str], DataFrame] = {}
+#: Verified jaccard pairs are an input to both the pair listing and the
+#: connected-components clustering — checkpoint once per session/sf.
+_JACCARD_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _doc_sh(spark, sf_dir: str) -> DataFrame:
@@ -277,6 +280,9 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
     "verify-time filter; the oracle states it as a blocked self-join)",
 )
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key in _JACCARD_PAIRS_MEMO:
+        return _JACCARD_PAIRS_MEMO[key]
     sh = _doc_sh(spark, sf_dir)
     cand = dd.prefix_candidate_pairs(sh.select("doc_id", "sh"), JACCARD_THRESHOLD)
     a = sh.select(
@@ -287,7 +293,7 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
         F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
         F.col("sh").alias("b_sh"),
     )
-    return (
+    pairs = (
         cand.join(a, "a_id")
         .join(b, "b_id")
         .filter(F.col("a_lang") == F.col("b_lang"))
@@ -298,6 +304,8 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("sim") >= JACCARD_THRESHOLD)
     )
+    _JACCARD_PAIRS_MEMO[key] = pairs.localCheckpoint(eager=True)
+    return _JACCARD_PAIRS_MEMO[key]
 
 
 @register(
