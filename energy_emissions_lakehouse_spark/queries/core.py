@@ -1120,3 +1120,56 @@ def date_functions_profile(spark, sf_dir) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
     )
+
+
+@register(
+    "rolling_30d_customer_revenue",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(DATE_DIFF('day', TIMESTAMP '1970-01-01 00:00:00',
+                              o_orderdate) AS BIGINT) AS order_day,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, order_day,
+           CAST(SUM(cents) OVER (
+               PARTITION BY o_custkey ORDER BY order_day
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS rolling_30d_revenue
+    FROM o
+    """,
+    survey="extension (windows): RANGE frame — per-customer 30-day rolling "
+    "revenue ordered by day number; RANGE (value-based) framing includes "
+    "same-day peer rows in each frame, so the result is total-order "
+    "deterministic without a tiebreaker (a ROWS frame would not be). "
+    "Partitioned by customer -> scales per key; integer-cents sums keep "
+    "the rolling values exact cross-engine. Completes the frame surface "
+    "next to the ROWS-frame running_monthly_revenue (reference has "
+    "ranking-only windows, SURVEY §2.7)",
+)
+def rolling_30d_customer_revenue(spark, sf_dir) -> DataFrame:
+    """30-day trailing spend per customer at each order date. rangeBetween
+    operates on the ORDER BY value (day number), not row position — the
+    Spark analog of SQL RANGE framing."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("order_day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias(
+            "rolling_30d_revenue"
+        ),
+    )
