@@ -38,12 +38,16 @@ HEADLINE = [
     "bucketed_join_revenue_by_segment",
     "grouping_sets_revenue",
     "hll_sketch_distinct_custkeys",
+    "correlated_above_nation_avg",
+    "window_analytic_functions",
+    "top100_orders_global",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
     # events (sessionization / tumbling windows)
     "events_hourly_tumbling",
     "events_sessionization",
+    "events_user_day_gapfill",
     "range_join_event_pairs_1h",
     "scd2_user_event_type_history",
     # text analysis / curation over documents
@@ -52,6 +56,7 @@ HEADLINE = [
     "doc_quality_scores",
     "doc_language_id",
     "doc_fingerprints",
+    "doc_word_topk",
     # dedup family
     "dedup_exact_documents",
     "minhash_lsh_pairs",
@@ -67,6 +72,7 @@ HEADLINE = [
     # structured streaming (availableNow run to completion)
     "stream_hourly_tumbling",
     "stream_stateful_user_stats",
+    "stream_static_enriched_counts",
     # custom operators
     "asof_last_purchase_per_click",
     "salted_join_revenue",

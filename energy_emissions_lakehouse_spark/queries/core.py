@@ -1173,3 +1173,132 @@ def rolling_30d_customer_revenue(spark, sf_dir) -> DataFrame:
             "rolling_30d_revenue"
         ),
     )
+
+
+@register(
+    "correlated_above_nation_avg",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS above_avg_customers
+    FROM c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.bal_cents > (SELECT AVG(c2.bal_cents)
+                         FROM c c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY n.n_name
+    """,
+    survey="extension (subqueries): correlated scalar subquery — Catalyst "
+    "decorrelates it into an aggregate + join, so the executed plan is one "
+    "shuffle per side, not a per-row re-scan (the reference has no "
+    "subqueries at all, SURVEY §2). Integer-cents AVG keeps the comparison "
+    "boundary exact cross-engine",
+)
+def correlated_above_nation_avg(spark, sf_dir) -> DataFrame:
+    """Customers whose balance beats their nation's average, counted per
+    nation. Expressed as a genuinely correlated scalar subquery through
+    ``spark.sql`` to exercise Catalyst's decorrelation rewrite (the
+    DataFrame-API equivalent would be groupBy-avg + equi-join; the
+    optimized plans converge)."""
+    t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    ).createOrReplaceTempView("eel_corr_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("eel_corr_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(*) AS above_avg_customers
+        FROM eel_corr_customer c
+        JOIN eel_corr_nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.bal_cents > (SELECT AVG(c2.bal_cents)
+                             FROM eel_corr_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "window_analytic_functions",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           LAG(cents)          OVER w  AS prev_cents,
+           LEAD(cents)         OVER w  AS next_cents,
+           FIRST_VALUE(cents)  OVER wf AS first_cents,
+           LAST_VALUE(cents)   OVER wf AS last_cents,
+           NTH_VALUE(cents, 2) OVER wf AS second_cents
+    FROM o
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    survey="extension (windows): full analytic-function surface — "
+    "lag/lead/first_value/last_value/nth_value in ONE partitioned window "
+    "pass (single sort per customer partition; all five functions share "
+    "the shuffle). Explicit unbounded ROWS frame on the value functions: "
+    "the default running frame would make last/nth order-dependent. "
+    "(o_orderdate, o_orderkey) total order -> deterministic cross-engine. "
+    "Completes §2.7 beyond the reference's ranking-only windows",
+)
+def window_analytic_functions(spark, sf_dir) -> DataFrame:
+    """Per-customer order timeline: previous/next/first/last/2nd order value
+    (integer cents). One window spec pair, five analytic functions, one
+    exchange+sort in the physical plan."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.lead("cents").over(w).alias("next_cents"),
+        F.first("cents").over(wf).alias("first_cents"),
+        F.last("cents").over(wf).alias("last_cents"),
+        F.nth_value("cents", 2).over(wf).alias("second_cents"),
+    )
+
+
+@register(
+    "top100_orders_global",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    survey="extension (top-k): global ORDER BY + LIMIT — Spark plans "
+    "TakeOrderedAndProject: each partition keeps a 100-row heap and only "
+    "those heaps reach the driver, never a total sort. The 100 TB-safe "
+    "global top-k (a full sort would range-shuffle the entire table). "
+    "o_orderkey tiebreaker makes the boundary row deterministic",
+)
+def top100_orders_global(spark, sf_dir) -> DataFrame:
+    """Top-100 orders by value. orderBy(...).limit(k) is the declarative
+    form; Catalyst rewrites it to a per-partition top-k heap + single
+    merge (plan-asserted in tests/test_plan_quality.py)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .limit(100)
+    )

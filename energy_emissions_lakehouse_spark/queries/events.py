@@ -309,3 +309,74 @@ def events_variant_props(spark, sf_dir) -> DataFrame:
             F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing"),
         )
     )
+
+
+@register(
+    "events_user_day_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    cal AS (
+        SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    grid AS (
+        SELECT u.user_id, cal.day
+        FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal
+    ),
+    joined AS (
+        SELECT g.user_id, g.day, d.n_events
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    ),
+    grouped AS (
+        SELECT user_id, day, n_events,
+               COUNT(n_events) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffg
+        FROM joined
+    )
+    SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, n_events,
+           MAX(n_events) OVER (PARTITION BY user_id, ffg) AS filled_events,
+           n_events IS NULL AS is_gap
+    FROM grouped
+    """,
+    survey="extension (timeseries): calendar densification + forward fill — "
+    "sequence()/explode builds the day spine (no driver loop), LEFT join "
+    "marks gaps, and the fill is the gaps-and-islands trick (running "
+    "COUNT of non-nulls partitions each gap with its preceding value; "
+    "MAX over that group fills it) — pure window algebra, no UDF, no "
+    "collect. The resample/ffill primitive a 100 TB telemetry rollup "
+    "needs; everything partitions by user",
+)
+def events_user_day_gapfill(spark, sf_dir) -> DataFrame:
+    """Dense per-user daily activity series: missing (user, day) cells are
+    materialized from a sequence() spine and forward-filled from the last
+    observed day. Integer counts keep the fill exact cross-engine."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    cal = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = joined.withColumn("ffg", F.count("n_events").over(w_run))
+    filled = F.max("n_events").over(Window.partitionBy("user_id", "ffg"))
+    return grouped.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        filled.alias("filled_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -121,3 +121,30 @@ def stream_dedup_counts(spark, sf_dir) -> DataFrame:
 def stream_stateful_user_stats(spark, sf_dir) -> DataFrame:
     ev = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_to_table(jobs.stateful_user_stats(ev), mode="update")
+
+
+@register(
+    "stream_static_enriched_counts",
+    oracle=f"""
+    SELECT c.c_mktsegment            AS segment,
+           e.event_type,
+           COUNT(*)                  AS n_events,
+           {scaled_sum_sql('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    survey="extension (streaming): stream-static broadcast join — the "
+    "dimension-enrichment shape every streaming pipeline has. The static "
+    "side joins statelessly inside each micro-batch (no join state, no "
+    "watermark interaction); only the downstream keyed aggregate holds "
+    "state. Result must equal the batch join+aggregate oracle",
+)
+def stream_static_enriched_counts(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.tables import t
+
+    ev = jobs.read_events_stream(spark, sf_dir)
+    customer = t(spark, sf_dir, "customer")
+    return jobs.run_to_table(
+        jobs.static_enriched_counts(ev, customer), mode="complete"
+    )

@@ -512,3 +512,39 @@ def dedup_cluster_components(spark, sf_dir) -> DataFrame:
     return comp.join(sizes, "component_id").select(
         F.col("node").alias("doc_id"), "component_id", "cluster_size"
     )
+
+
+@register(
+    "doc_word_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT UNNEST({_TOKS}) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM words
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 50
+    """,
+    survey="extension (text analysis): corpus word histogram top-k — "
+    "explode(split) lateral flatten + hash-aggregate + TakeOrderedAndProject "
+    "(no total sort; per-partition heaps). The vocabulary-profile pass a "
+    "training pipeline runs before building a tokenizer. Word asc "
+    "tiebreaker -> deterministic boundary at k=50",
+)
+def doc_word_topk(spark, sf_dir) -> DataFrame:
+    """Top-50 words across the corpus. The explode is a generator (no
+    shuffle); the count is one keyed hash-aggregate with map-side partials;
+    the top-k never sorts the full vocabulary."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("word")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(50)
+    )

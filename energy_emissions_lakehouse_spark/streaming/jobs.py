@@ -208,3 +208,24 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def static_enriched_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch equi-joins the
+    (bounded, broadcast) customer dimension — STATELESS, unlike
+    stream-stream joins, so no watermark bookkeeping is needed for the
+    join itself. At scale the dim re-broadcasts per batch; the aggregate
+    state is keyed on (segment, event_type) — a fixed, tiny key space."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            scaled_sum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -69,8 +69,14 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
     global_windows = []
     for line in plan.splitlines():
         ls = line.strip().lstrip("*+-: (0123456789)")
-        if ls.startswith("Window ") and len(_top_groups(ls)) == 2:
-            global_windows.append(ls[:120])
+        if ls.startswith("Window "):
+            groups = _top_groups(ls)
+            # 3 groups = [exprs], [partition], [order] -> partitioned.
+            # 2 groups: the second is either a partition spec (unordered
+            # window, fine) or an ordering (ASC/DESC markers) over a single
+            # global partition -> the scale red flag.
+            if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+                global_windows.append(ls[:120])
     if global_windows and name not in BOUNDED_GLOBAL_WINDOWS:
         raise AssertionError(
             f"{name}: unpartitioned window over unbounded input "
@@ -106,3 +112,25 @@ def test_range_join_is_equijoin_banded(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "bucket" in plan
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    top-k heaps, one driver merge) — a global range-shuffle Sort would be
+    the 100 TB failure mode. The scan must also prune to the two referenced
+    columns."""
+    spec = all_specs()["top100_orders_global"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan, plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join (one pass over customer per side) — a surviving
+    per-row Subquery node would re-scan customer per outer row."""
+    spec = all_specs()["correlated_above_nation_avg"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan, plan
