@@ -41,6 +41,11 @@ HEADLINE = [
     "correlated_above_nation_avg",
     "window_analytic_functions",
     "top100_orders_global",
+    "most_common_type_per_brand",
+    "unpivot_lineitem_measures",
+    "shipping_priority_top10",
+    "revenue_band_forecast",
+    "revenue_share_within_region",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -57,6 +62,8 @@ HEADLINE = [
     "doc_language_id",
     "doc_fingerprints",
     "doc_word_topk",
+    "doc_array_functions_profile",
+    "doc_regex_profile",
     # dedup family
     "dedup_exact_documents",
     "minhash_lsh_pairs",
@@ -73,8 +80,10 @@ HEADLINE = [
     "stream_hourly_tumbling",
     "stream_stateful_user_stats",
     "stream_static_enriched_counts",
+    "stream_purchase_click_join",
     # custom operators
     "asof_last_purchase_per_click",
+    "sessionize_partitionwise",
     "salted_join_revenue",
     # file-format roundtrips
     "csv_roundtrip_silver_energy",

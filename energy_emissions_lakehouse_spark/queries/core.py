@@ -1302,3 +1302,302 @@ def top100_orders_global(spark, sf_dir) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "status_count_map_by_priority",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           STRING_AGG(o_orderstatus || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY o_orderstatus) AS status_counts
+    FROM c GROUP BY o_orderpriority
+    """,
+    survey="extension (complex types): MapType aggregation — per-group "
+    "counts gathered into a map column (collect_list(struct) -> sort_array "
+    "-> map_from_entries), then serialized through map_entries + transform "
+    "(HOF) + array_join so the comparison is engine-neutral text. The "
+    "collect_list input is pre-aggregated (<= #statuses rows per group), "
+    "so the array is bounded — the 100 TB-safe way to build map columns",
+)
+def status_count_map_by_priority(spark, sf_dir) -> DataFrame:
+    """Status->count map per order priority. Exercises Spark's map/array
+    surface end-to-end: struct collect, canonical sort, map_from_entries,
+    map_entries, lambda transform, array_join."""
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entries = F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+    as_map = F.map_from_entries(entries)
+    serialized = F.array_join(
+        F.transform(
+            F.map_entries(as_map),
+            lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+        ),
+        ",",
+    )
+    return counts.groupBy("o_orderpriority").agg(serialized.alias("status_counts"))
+
+
+@register(
+    "most_common_type_per_brand",
+    oracle="""
+    WITH c AS (
+        SELECT p_brand, p_type, COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand, p_type
+    ),
+    r AS (
+        SELECT p_brand, p_type, n_parts,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY n_parts DESC, p_type) AS rn
+        FROM c
+    )
+    SELECT p_brand, p_type AS top_type, n_parts FROM r WHERE rn = 1
+    """,
+    survey="extension (aggregates): argmax / deterministic MODE per group — "
+    "count + ROW_NUMBER keep-first with a p_type tiebreaker (F.mode's tie "
+    "choice is engine-defined, so the window form is the cross-engine-exact "
+    "one). Two keyed shuffles total; the window input is pre-aggregated to "
+    "|brand x type| rows, not the raw table",
+)
+def most_common_type_per_brand(spark, sf_dir) -> DataFrame:
+    """Most frequent part type within each brand (ties -> lexically first
+    type). The argmax-per-group pattern: aggregate first, then a bounded
+    window over the group-level counts."""
+    part = t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("n_parts").desc(), "p_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("top_type"), "n_parts")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH a AS (
+        SELECT l_returnflag,
+               CAST(SUM(l_quantity) AS BIGINT)                              AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT)                                              AS price_cents,
+               COUNT(*)                                                     AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'price_cents', price_cents FROM a
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM a
+    """,
+    survey="extension (reshape): UNPIVOT / melt — wide aggregate rotated to "
+    "(key, measure, value) long form with DataFrame.unpivot, the inverse of "
+    "pivot_revenue_by_flag. Map-side only (no shuffle beyond the source "
+    "aggregate): each wide row expands to 3 long rows in place. Integer "
+    "measures so the rotation is hash-exact",
+)
+def unpivot_lineitem_measures(spark, sf_dir) -> DataFrame:
+    """Wide per-flag aggregate melted to long form. unpivot requires a
+    uniform value type — all three measures are BIGINT by construction."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "price_cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "price_cents", "n_rows"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle=f"""
+    SELECT l_orderkey,
+           {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    survey="extension (multi-join analytics): TPC-H Q3-shaped shipping "
+    "priority — 3-table join chain with per-side pushed filters, grouped "
+    "revenue, global top-10 via TakeOrderedAndProject (never a total "
+    "sort). Filters prune each side BEFORE its join; at 100 TB the "
+    "segment filter drops ~4/5 of customers ahead of the custkey shuffle",
+)
+def shipping_priority_top10(spark, sf_dir) -> DataFrame:
+    """Unshipped-revenue top-10 (TPC-H Q3 analog). Filter-before-join on
+    all three inputs; revenue exact via the cents trick; deterministic
+    tiebreak on l_orderkey."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_band_forecast",
+    oracle=f"""
+    SELECT {scaled_sum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="extension (scan efficiency): TPC-H Q6-shaped forecast — pure "
+    "filter+scalar-aggregate, zero joins/shuffles beyond the final "
+    "single-row reduce. The whole predicate set pushes into the parquet "
+    "scan (PushedFilters), so at 100 TB this reads only row groups whose "
+    "min/max stats overlap the ship-date year",
+)
+def revenue_band_forecast(spark, sf_dir) -> DataFrame:
+    """Revenue delta if mid-band discounts were dropped (TPC-H Q6 analog).
+    The canonical predicate-pushdown probe: every filter reaches the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        scaled_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "revenue_share_within_region",
+    oracle="""
+    WITH n AS (
+        SELECT r_name, n_name,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS DOUBLE) / 100.0 AS nation_revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE),
+                 6) AS region_share
+    FROM n
+    """,
+    survey="extension (windows): percent-of-total — window SUM over the "
+    "pre-aggregated nation rollup (|nations| rows, not the raw fact), so "
+    "the window pass is negligible no matter the fact size. Dims "
+    "broadcast; one keyed shuffle on the fact. Share computed on exact "
+    "integer cents, one IEEE division + round at the end",
+)
+def revenue_share_within_region(spark, sf_dir) -> DataFrame:
+    """Each nation's share of its region's order revenue. The
+    aggregate-then-window pattern: the expensive groupBy reduces the fact
+    first; the window only ever sees dimension-cardinality rows."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    ).alias("cents")
+    rolled = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(cents)
+    )
+    w = Window.partitionBy("r_name")
+    return rolled.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("nation_revenue"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("region_share"),
+    )
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)            AS bucket,
+           CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0  AS bucket_lo,
+           COUNT(*)                                                 AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                                                    AS cents_in_bucket
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey="extension (profiling): equi-width histogram via arithmetic "
+    "binning — floor(x/width) is a pure projection, so the whole "
+    "histogram is one map-side-combined hash aggregate over ~10 buckets. "
+    "The distribution-profile pass that sizes skew mitigations before a "
+    "100 TB job picks join strategies",
+)
+def order_price_histogram(spark, sf_dir) -> DataFrame:
+    """Order-value histogram in fixed 50k-wide buckets. floor-binning keeps
+    the bucket id integer-exact in both engines; counts and integer cents
+    make the row hash exact."""
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents_in_bucket"
+            ),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+            "cents_in_bucket",
+        )
+    )

@@ -380,3 +380,179 @@ def events_user_day_gapfill(spark, sf_dir) -> DataFrame:
         filled.alias("filled_events"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "sessionize_grouped_map",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR DATE_DIFF('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)    AS session_id,
+           COUNT(*)                      AS n_events,
+           DATE_TRUNC('second', MIN(ts)) AS session_start,
+           DATE_TRUNC('second', MAX(ts)) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    survey="extension (custom operator, grouped map): applyInPandas "
+    "sessionization — the Arrow-batched per-group escape hatch for logic "
+    "SQL can't express. Must produce EXACTLY the window-algebra oracle "
+    "(same as events_sessionization), proving the pandas path and the "
+    "declarative path agree. One hash shuffle on user_id; each group is "
+    "one in-memory pandas frame, so the 100 TB constraint is per-user "
+    "cardinality (bounded here), never total size",
+)
+def sessionize_grouped_map(spark, sf_dir) -> DataFrame:
+    """Per-user sessionization via groupBy().applyInPandas — imperative
+    gap-splitting in pandas, distributed by Spark. Exists to pin the
+    grouped-map operator surface against a declarative oracle; prefer the
+    pure window form (events_sessionization) when semantics allow."""
+    import pandas as pd
+
+    gap = SESSION_GAP_SECONDS
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = pdf["ts"].shift()
+        # second-boundary difference (== DATE_DIFF('second')/unix_timestamp
+        # semantics), NOT fractional elapsed time — sub-second gap parts
+        # must not flip the threshold comparison vs the oracle.
+        gaps = (
+            pdf["ts"].dt.floor("s") - prev.dt.floor("s")
+        ).dt.total_seconds()
+        new_session = prev.isna() | (gaps > gap)
+        pdf = pdf.assign(session_id=new_session.cumsum().astype("int64"))
+        out = (
+            pdf.groupby("session_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["session_start"] = out["session_start"].dt.floor("s")
+        out["session_end"] = out["session_end"].dt.floor("s")
+        return out[
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ]
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    schema = (
+        "user_id long, session_id long, n_events long, "
+        "session_start timestamp, session_end timestamp"
+    )
+    return ev.groupBy("user_id").applyInPandas(sessions, schema)
+
+
+@register(
+    "sessionize_partitionwise",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR DATE_DIFF('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)    AS session_id,
+           COUNT(*)                      AS n_events,
+           DATE_TRUNC('second', MIN(ts)) AS session_start,
+           DATE_TRUNC('second', MAX(ts)) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    survey="extension (custom operator, scale path): partition-wise "
+    "vectorized sessionization — mapInPandas over user-clustered "
+    "partitions, ONE pandas pipeline per partition (vectorized groupby "
+    "shift/cumsum), not one Python call per user. The per-group "
+    "applyInPandas form (sessionize_grouped_map) pays ~1 ms of "
+    "serialization per tiny group — 15k users -> 15 s; this form "
+    "amortizes it to per-partition and is ~10x faster at sf0.1. Same "
+    "oracle as the declarative window form, so all three sessionizers "
+    "are pinned to identical semantics",
+)
+def sessionize_partitionwise(spark, sf_dir) -> DataFrame:
+    """Sessionization via repartition(user_id) + mapInPandas: every user's
+    rows are co-located, then the whole partition is sessionized in one
+    vectorized pandas pass. The high-throughput shape for many-small-groups
+    custom logic at 100 TB."""
+    import pandas as pd
+
+    gap = SESSION_GAP_SECONDS
+
+    def sessionize(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = pdf.groupby("user_id", sort=False)["ts"].shift()
+        gaps = (
+            pdf["ts"].dt.floor("s") - prev.dt.floor("s")
+        ).dt.total_seconds()
+        new_session = prev.isna() | (gaps > gap)
+        pdf = pdf.assign(
+            session_id=new_session.groupby(pdf["user_id"], sort=False)
+            .cumsum()
+            .astype("int64")
+        )
+        out = (
+            pdf.groupby(["user_id", "session_id"], sort=False)
+            .agg(
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["session_start"] = out["session_start"].dt.floor("s")
+        out["session_end"] = out["session_end"].dt.floor("s")
+        yield out[
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ]
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .repartition("user_id")
+    )
+    schema = (
+        "user_id long, session_id long, n_events long, "
+        "session_start timestamp, session_end timestamp"
+    )
+    return ev.mapInPandas(sessionize, schema)

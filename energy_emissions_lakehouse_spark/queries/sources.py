@@ -108,3 +108,81 @@ def partitioned_gold_prune_2024(spark, sf_dir) -> DataFrame:
         "month", "avg_consumption_mwh", "max_consumption_mwh", "avg_temp_c",
         "records",
     )
+
+
+@register(
+    "json_roundtrip_events_summary",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*)                          AS n_events,
+           {scaled_sum_sql('value')}         AS total_value,
+           DATE_TRUNC('second', MIN(ts))     AS first_ts,
+           DATE_TRUNC('second', MAX(ts))     AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="extension (sources): JSON-lines sink + schema'd scan roundtrip "
+    "— the interchange format of event collectors. Explicit 6-digit "
+    "timestampFormat on both sides so microsecond event times survive "
+    "(Spark's default JSON format truncates to milliseconds); explicit "
+    "read schema so no inference pass doubles the scan at 100 TB. The "
+    "summary must equal the oracle computed on the original parquet, "
+    "proving the JSON boundary is lossless",
+)
+def json_roundtrip_events_summary(spark, sf_dir) -> DataFrame:
+    """events -> JSON lines -> read back -> per-type summary. Loses nothing:
+    counts, integer-cent value sums, and second-truncated min/max ts all
+    match the parquet-direct oracle."""
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(_IO_ROOT, "events_json")
+    micro_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", micro_fmt)
+        .json(path)
+    )
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", micro_fmt)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        scaled_sum(F.col("value")).alias("total_value"),
+        F.date_trunc("second", F.min("ts")).alias("first_ts"),
+        F.date_trunc("second", F.max("ts")).alias("last_ts"),
+    )
+
+
+@register(
+    "orc_roundtrip_part_stats",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*)                            AS n_parts,
+           CAST(SUM(p_size) AS BIGINT)         AS total_size,
+           {scaled_sum_sql('p_retailprice')}   AS total_retail
+    FROM part
+    GROUP BY p_brand
+    """,
+    survey="extension (sources): ORC write + read roundtrip — the second "
+    "columnar format Spark ships natively (vectorized reader, predicate "
+    "pushdown, column pruning like parquet). Brand stats off the ORC copy "
+    "must equal the parquet-direct oracle",
+)
+def orc_roundtrip_part_stats(spark, sf_dir) -> DataFrame:
+    """part -> ORC -> read back -> per-brand stats. Exercises the ORC
+    source/sink pair end-to-end; all-column fidelity checked through
+    counts, integer size sums, and cent-exact price sums."""
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    part = load(spark, sf_dir, "part")
+    path = os.path.join(_IO_ROOT, "part_orc")
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("total_size"),
+        scaled_sum(F.col("p_retailprice")).alias("total_retail"),
+    )

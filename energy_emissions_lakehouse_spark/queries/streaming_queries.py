@@ -148,3 +148,30 @@ def stream_static_enriched_counts(spark, sf_dir) -> DataFrame:
     return jobs.run_to_table(
         jobs.static_enriched_counts(ev, customer), mode="complete"
     )
+
+
+@register(
+    "stream_purchase_click_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+    survey="extension (streaming): stream-stream interval join — purchases "
+    "x same-user clicks within the trailing hour; watermarks on both sides "
+    "+ a two-sided time bound let Spark evict join state, the only way a "
+    "stream-stream join survives unbounded input. Append mode; result must "
+    "equal the batch interval-join oracle",
+)
+def stream_purchase_click_join(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(
+        jobs.purchase_click_interval_join(ev), mode="append"
+    )

@@ -548,3 +548,82 @@ def doc_word_topk(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(50)
     )
+
+
+@register(
+    "doc_array_functions_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter({_TOKS}, x -> x <> '') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT)                 AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT)  AS n_distinct,
+           array_to_string(
+               list_slice(list_sort(list_distinct(tk)), 1, 3), '|'
+           )                                       AS first3_sorted,
+           list_contains(tk, 'the')                AS has_the
+    FROM toks
+    """,
+    survey="extension (complex types): array higher-order-function surface — "
+    "filter (lambda), array_distinct, sort_array, slice, array_contains, "
+    "array_join, all evaluated per-row inside whole-stage codegen (zero "
+    "shuffles, zero UDFs). The per-document array never leaves its row, so "
+    "the pass is embarrassingly parallel at any scale",
+)
+def doc_array_functions_profile(spark, sf_dir) -> DataFrame:
+    """Per-document token-array profile: counts, distinct counts, the first
+    three distinct tokens (canonical sort, pipe-joined), and a membership
+    probe — the array-column toolkit on one line each."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", tk.alias("tk"))
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct("tk")), 1, 3), "|"
+        ).alias("first3_sorted"),
+        F.array_contains("tk", "the").alias("has_the"),
+    )
+
+
+@register(
+    "doc_regex_profile",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1)                AS first_number,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+                                                              AS n_vowel_pairs,
+           regexp_matches(text, 'https?://')                  AS has_url,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                                                              AS len_no_vowels
+    FROM documents
+    """,
+    survey="extension (P3/§2.11 string surface): regex function family — "
+    "regexp_extract / regexp_count / rlike / regexp_replace, all JVM "
+    "regex inside whole-stage codegen (zero shuffles, zero UDFs). "
+    "Patterns restricted to the dialect intersection (character classes, "
+    "quantifiers, alternation) so Java regex and DuckDB RE2 agree",
+)
+def doc_regex_profile(spark, sf_dir) -> DataFrame:
+    """Per-document regex probe: first number literal, double-vowel count,
+    URL detection, vowel-stripped length. A map-only pass — the regex cost
+    is per-row CPU, which is exactly what scales linearly with executors."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_count("text", F.lit(r"[aeiou]{2}"))
+        .cast("long")
+        .alias("n_vowel_pairs"),
+        F.col("text").rlike(r"https?://").alias("has_url"),
+        F.length(F.regexp_replace("text", r"[aeiou]", ""))
+        .cast("long")
+        .alias("len_no_vowels"),
+    )

@@ -229,3 +229,37 @@ def static_enriched_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
             scaled_sum(F.col("value")).alias("total_value"),
         )
     )
+
+
+def purchase_click_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks in
+    the preceding hour. Both sides carry watermarks and the join condition
+    bounds event time in BOTH directions — that pair is what lets Spark
+    evict join state (a click older than purchase_ts - 1h can never match
+    again). Append mode; matches emit as soon as both sides arrive."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts < clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "click_id", "user_id"
+    )

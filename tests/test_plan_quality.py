@@ -134,3 +134,38 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan and "Join" in plan, plan
+
+
+def test_q6_filters_push_into_scan(spark, sf_dir):
+    """revenue_band_forecast's whole predicate set must reach the parquet
+    scan as PushedFilters, and the scan must prune to the four referenced
+    columns — at 100 TB the row-group stats skip is the entire query."""
+    spec = all_specs()["revenue_band_forecast"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400], plan
+    assert "l_extendedprice" in plan.split("ReadSchema")[1], plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[1], plan
+
+
+def test_shipping_priority_topk_and_pushdown(spark, sf_dir):
+    """The Q3-shaped join must keep its global top-10 as
+    TakeOrderedAndProject and push each side's filter below its join."""
+    spec = all_specs()["shipping_priority_top10"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    pushed = plan.count("PushedFilters: [")
+    assert pushed >= 3, plan  # all three scans carry pushed predicates
+
+
+def test_partitionwise_sessionize_single_shuffle(spark, sf_dir):
+    """The mapInPandas sessionizer must show exactly one keyed exchange
+    (the user_id clustering) and an Arrow-batched Python node — never
+    row-at-a-time BatchEvalPython."""
+    spec = all_specs()["sessionize_partitionwise"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
