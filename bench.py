@@ -45,7 +45,14 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "shipping_priority_top10",
     "revenue_band_forecast",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "active_customers_exists",
     "revenue_share_within_region",
+    "map_transform_profile",
+    "quantile_sketch_prices",
+    "union_missing_columns",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -64,6 +71,7 @@ HEADLINE = [
     "doc_word_topk",
     "doc_array_functions_profile",
     "doc_regex_profile",
+    "lateral_explode_doc_words",
     # dedup family
     "dedup_exact_documents",
     "minhash_lsh_pairs",

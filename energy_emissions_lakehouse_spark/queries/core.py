@@ -1601,3 +1601,325 @@ def order_price_histogram(spark, sf_dir) -> DataFrame:
             "cents_in_bucket",
         )
     )
+
+
+@register(
+    "map_transform_profile",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey,
+               p_size * 2                                        AS size2,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) * 2 AS cents2
+        FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN size2 > 40 AND cents2 > 40 THEN
+                    'retail_cents:' || CAST(cents2 AS VARCHAR)
+                    || ',size:' || CAST(size2 AS VARCHAR)
+                WHEN cents2 > 40 THEN 'retail_cents:' || CAST(cents2 AS VARCHAR)
+                WHEN size2 > 40 THEN 'size:' || CAST(size2 AS VARCHAR)
+                ELSE '' END AS kept
+    FROM m
+    """,
+    survey="extension (complex types): map higher-order functions — "
+    "map_from_arrays construction, transform_values (lambda over entries), "
+    "map_filter, then canonical serialization via sorted map_entries. All "
+    "per-row codegen expressions; the map column never shuffles. Oracle is "
+    "the hand-decompiled scalar arithmetic, pinning Spark's map semantics "
+    "to explicit CASE logic",
+)
+def map_transform_profile(spark, sf_dir) -> DataFrame:
+    """Per-part metric map: build {size, retail_cents}, double every value
+    (transform_values), keep entries > 40 (map_filter), serialize sorted.
+    The map-column toolkit one op at a time."""
+    part = t(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("retail_cents")),
+        F.array(
+            F.col("p_size").cast("long"),
+            F.round(F.col("p_retailprice") * 100, 0).cast("long"),
+        ),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 40)
+    serialized = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(kept)),
+            lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+        ),
+        ",",
+    )
+    return part.select("p_partkey", serialized.alias("kept"))
+
+
+@register(
+    "quantile_sketch_prices",
+    oracle=None,  # sketch output; error bound asserted in tests/test_operators.py
+    survey="extension (sketches): approx_percentile (KLL-style quantile "
+    "sketch) per order priority + an ALL row — mergeable per-partition "
+    "sketches, one pass, fixed memory. The 100 TB path where exact "
+    "percentile would shuffle every value to sort; tests pin each "
+    "estimate within 1% relative error of the exact DuckDB quantile",
+)
+def quantile_sketch_prices(spark, sf_dir) -> DataFrame:
+    """Approximate o_totalprice quartiles + p99 per priority plus a global
+    ALL row. accuracy=10000 bounds rank error at 1/10000 of the row count;
+    both aggregates are one-pass mergeable sketches (two scans here for
+    clarity — a shared-scan grouping-sets form would fuse them)."""
+    orders = t(spark, sf_dir, "orders")
+    qs = F.percentile_approx(
+        "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000
+    ).alias("q")
+    rolled = (
+        orders.groupBy("o_orderpriority")
+        .agg(qs)
+        .unionByName(orders.groupBy().agg(qs).select(F.lit("ALL").alias("o_orderpriority"), "q"))
+    )
+    return rolled.select(
+        "o_orderpriority",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p99"),
+    )
+
+
+@register(
+    "union_missing_columns",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           o_totalprice AS totalprice,
+           CAST(NULL AS VARCHAR) AS priority
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    survey="extension (set ops): unionByName(allowMissingColumns=True) — "
+    "schema-evolution-tolerant union, the shape of appending a new-schema "
+    "day of data to an old-schema corpus. Name-based alignment (positional "
+    "union would silently mis-bind), absent columns null-filled; map-side "
+    "only, no shuffle",
+)
+def union_missing_columns(spark, sf_dir) -> DataFrame:
+    """Union of two different projections of orders: finished orders carry
+    totalprice, open orders carry priority; each side lacks the other's
+    column and gets nulls by name."""
+    orders = t(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return finished.unionByName(open_, allowMissingColumns=True).select(
+        "order_key", "totalprice", "priority"
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    survey="extension (subqueries): TPC-H Q18-shaped IN-subquery with "
+    "HAVING — the qualifying-key set is aggregated FIRST (|orders| -> "
+    "handful of keys), then applied as a left-semi join before the wide "
+    "3-table join runs. Filter-by-aggregate without ever materializing "
+    "the subquery to the driver",
+)
+def large_volume_customers(spark, sf_dir) -> DataFrame:
+    """Customers whose single orders exceed 300 total units (TPC-H Q18
+    analog). The IN (SELECT ... HAVING) becomes aggregate -> semi join;
+    l_quantity sums are integer-valued doubles, exact under parallelism."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH j AS (
+        SELECT p_type,
+               CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cents) AS DOUBLE), 6)          AS promo_share_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                AS BIGINT)                                 AS promo_cents,
+           CAST(SUM(cents) AS BIGINT)                      AS total_cents
+    FROM j
+    """,
+    survey="extension (conditional aggregation): TPC-H Q14-shaped promo "
+    "revenue ratio — CASE-gated and total sums computed in ONE aggregate "
+    "pass over the join (never two scans), ship-date filter pushed into "
+    "the lineitem scan. Integer-cent sums make the single final division "
+    "cross-engine exact",
+)
+def promo_revenue_share(spark, sf_dir) -> DataFrame:
+    """Share of 1997 revenue from PROMO-type parts (TPC-H Q14 analog):
+    two conditional sums in one pass, one division at the end."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type", cents.alias("cents")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(F.lit(0))
+    )
+    total = F.sum("cents")
+    return j.agg(
+        F.round(
+            100.0 * promo.cast("double") / total.cast("double"), 6
+        ).alias("promo_share_pct"),
+        promo.alias("promo_cents"),
+        total.alias("total_cents"),
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    survey="extension (multi-join analytics): TPC-H Q5-shaped 6-table "
+    "star-plus-constraint join — region/nation/supplier broadcast, "
+    "customer->orders->lineitem shuffle chain, plus the non-star "
+    "local-supplier predicate (s_nationkey = c_nationkey) applied as a "
+    "join condition, not a post-filter. Region + date filters prune "
+    "before any shuffle",
+)
+def local_supplier_volume(spark, sf_dir) -> DataFrame:
+    """Revenue from intra-nation supply chains in ASIA, 1997 (TPC-H Q5
+    analog). The biggest join tree in the suite — six tables, two shuffle
+    joins, three broadcasts."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+_PARTS_NEVER_ORDERED_SQL = """
+    SELECT p_partkey, p_name, p_brand
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey
+          AND l.l_shipdate >= TIMESTAMP '2001-01-01'
+    )
+"""
+
+
+@register(
+    "parts_never_ordered",
+    oracle=_PARTS_NEVER_ORDERED_SQL,
+    survey="extension (subqueries): NOT EXISTS anti-semantics via "
+    "spark.sql — IDENTICAL SQL text runs on both engines; Catalyst "
+    "rewrites the correlated NOT EXISTS to a left-anti join (no per-row "
+    "re-scan). The null-safe way to write NOT IN (which silently returns "
+    "empty if the subquery ever yields a null key)",
+)
+def parts_never_ordered(spark, sf_dir) -> DataFrame:
+    """Parts with no shipment since 2001 — stale-inventory detection. One
+    SQL string, two engines; Spark pushes the date filter into the
+    lineitem scan and plans a left-anti join on p_partkey."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PARTS_NEVER_ORDERED_SQL)
+
+
+_ACTIVE_CUSTOMERS_SQL = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+"""
+
+
+@register(
+    "active_customers_exists",
+    oracle=_ACTIVE_CUSTOMERS_SQL,
+    survey="extension (subqueries): correlated EXISTS via spark.sql — "
+    "same SQL text on both engines; Catalyst decorrelates to a left-semi "
+    "join with the date filter pushed into the orders scan (plan-asserted "
+    "in tests/test_plan_quality.py)",
+)
+def active_customers_exists(spark, sf_dir) -> DataFrame:
+    """Customers with at least one 2001 order, written as the EXISTS a
+    SQL-first user would write. Semi-join semantics: each customer emits
+    at most once regardless of order count."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ACTIVE_CUSTOMERS_SQL)

@@ -175,3 +175,25 @@ def stream_purchase_click_join(spark, sf_dir) -> DataFrame:
     return jobs.run_to_table(
         jobs.purchase_click_interval_join(ev), mode="append"
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*)                  AS n_events,
+           {scaled_sum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="extension (streaming, sinks): foreachBatch incremental upsert "
+    "— the reference's staging + ON CONFLICT DO UPDATE load "
+    "(load_to_postgres.py:73-117) as a streaming sink. The source replays "
+    "as 4 micro-batches (maxFilesPerTrigger=1); each batch MERGEs its "
+    "per-user aggregate into a versioned persisted table via full-outer "
+    "join + coalesced sums. The final table must equal the one-shot batch "
+    "aggregate, proving the merge is associative across batch boundaries",
+)
+def stream_foreachbatch_upsert(spark, sf_dir) -> DataFrame:
+    src = jobs.stage_events_split(spark, sf_dir, n_files=4)
+    return jobs.run_foreachbatch_upsert(spark, src)

@@ -627,3 +627,51 @@ def doc_regex_profile(spark, sf_dir) -> DataFrame:
         .cast("long")
         .alias("len_no_vowels"),
     )
+
+
+@register(
+    "lateral_explode_doc_words",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(tk)                 AS word,
+               generate_subscripts(tk, 1) AS pos
+        FROM toks
+    )
+    SELECT doc_id,
+           COUNT(*)           AS n_long_words,
+           arg_min(word, pos) AS first_long_word
+    FROM pos
+    WHERE length(word) >= 7
+    GROUP BY doc_id
+    """,
+    survey="extension (SQL surface): LATERAL VIEW posexplode through "
+    "spark.sql — the table-generating-function path of the SQL API; "
+    "argmin via min(struct(pos, word)) so 'first by position' needs no "
+    "window. Explode fan-out happens map-side inside codegen; the only "
+    "shuffle is the final doc_id aggregate",
+)
+def lateral_explode_doc_words(spark, sf_dir) -> DataFrame:
+    """Long words (>=7 chars) per document via SQL LATERAL VIEW posexplode:
+    count + the first one by token position. Registers the documents table
+    as a temp view and runs the query as SQL text — exercising the parser/
+    analyzer path a SQL-first user of the engine would hit."""
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("eel_docs_lateral")
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               COUNT(*)                                        AS n_long_words,
+               MIN(named_struct('pos', pos, 'word', word)).word AS first_long_word
+        FROM eel_docs_lateral
+        LATERAL VIEW posexplode(
+            filter(split(lower(text), '\\W+'), x -> x != '')
+        ) t AS pos, word
+        WHERE length(word) >= 7
+        GROUP BY doc_id
+        """
+    )

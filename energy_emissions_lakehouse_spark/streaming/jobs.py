@@ -263,3 +263,91 @@ def purchase_click_interval_join(events: DataFrame) -> DataFrame:
     return purchases.join(clicks, cond).select(
         "purchase_id", "click_id", "user_id"
     )
+
+
+def stage_events_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Stage events as an n-file parquet directory (µs timestamps) so a
+    maxFilesPerTrigger=1 stream replays it as n micro-batches. Idempotent
+    per (sf_dir, n_files); testdata stays untouched."""
+    from energy_emissions_lakehouse_spark.tables import t
+
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        "eel_stream_src",
+        "split_" + hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dst, "_SUCCESS")
+    if not os.path.exists(marker):
+        t(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(dst)
+    return dst
+
+
+def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: per micro-batch, aggregate the new
+    rows and MERGE them into a persisted per-user running table
+    (full-outer join + coalesced sums — the reference's staging +
+    ON CONFLICT DO UPDATE pattern, load_to_postgres.py:73-117, as a
+    streaming sink). Versioned target paths (v{batch_id}) keep each merge
+    an atomic write-then-advance — never rewriting a file that the same
+    job is lazily reading; on Delta this whole function is
+    ``MERGE INTO`` + exactly-once batch ids. Returns the final table."""
+    ev = (
+        spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "eel_fbatch", uuid.uuid4().hex[:12]
+    )
+    state: dict[str, str | None] = {"cur": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        if state["cur"] is None:
+            out = agg
+        else:
+            prev = spark.read.parquet(state["cur"])
+            out = (
+                prev.withColumnRenamed("n_events", "p_n")
+                .withColumnRenamed("value_cents", "p_c")
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("p_n"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("p_c"), F.lit(0))
+                        + F.coalesce(F.col("value_cents"), F.lit(0))
+                    ).alias("value_cents"),
+                )
+            )
+        nxt = os.path.join(root, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["cur"] is not None
+    final = spark.read.parquet(state["cur"])
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+    )

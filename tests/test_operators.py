@@ -172,3 +172,43 @@ def test_theta_sketch_estimates_within_6pct(spark, sf_dir):
     ):
         assert exact > 0
         assert abs(approx - exact) / exact < 0.06, r
+
+
+def test_quantile_sketch_within_rank_bound(spark, sf_dir):
+    """approx_percentile guarantees RANK error (not value error): each
+    estimate must lie between the exact quantiles at p ± 1 percentile.
+    Value-relative assertions would be unsound — adjacent order-statistics
+    near p99 can differ by >1% in a small group."""
+    from energy_emissions_lakehouse_spark.registry import all_specs
+
+    got = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p99"])
+        for r in all_specs()["quantile_sketch_prices"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    ps = [0.25, 0.5, 0.75, 0.99]
+    bounds = ", ".join(
+        f"quantile_disc(o_totalprice, {max(p - 0.01, 0.0)}) AS lo{i},"
+        f" quantile_disc(o_totalprice, {min(p + 0.01, 1.0)}) AS hi{i}"
+        for i, p in enumerate(ps)
+    )
+    exact = con.execute(
+        f"""
+        SELECT o_orderpriority, {bounds}
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', {bounds} FROM orders
+        """
+    ).fetchall()
+    assert set(got) == {row[0] for row in exact}
+    for row in exact:
+        for i in range(len(ps)):
+            est = got[row[0]][i]
+            lo, hi = row[1 + 2 * i], row[2 + 2 * i]
+            assert lo <= est <= hi, (row[0], ps[i], lo, est, hi)

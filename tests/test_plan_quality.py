@@ -169,3 +169,22 @@ def test_partitionwise_sessionize_single_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become a semi join (one pass per side),
+    with the order-date predicate pushed into the orders scan — a
+    surviving per-row subquery would re-scan orders per customer."""
+    spec = all_specs()["active_customers_exists"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan
+    assert "PushedFilters: [IsNotNull(o_custkey)" in plan or "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_not_exists_becomes_anti_join(spark, sf_dir):
+    """NOT EXISTS must plan as a left-anti join, never a nested re-scan."""
+    spec = all_specs()["parts_never_ordered"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "Subquery" not in plan, plan
