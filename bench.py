@@ -53,6 +53,7 @@ HEADLINE = [
     "map_transform_profile",
     "quantile_sketch_prices",
     "union_missing_columns",
+    "dq_expectations_orders",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -82,6 +83,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",
     "embedding_cosine_neardup",
+    "embedding_kmeans_clusters",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     # structured streaming (availableNow run to completion)
@@ -89,6 +91,7 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "stream_static_enriched_counts",
     "stream_purchase_click_join",
+    "stream_chained_window_rollup",
     # custom operators
     "asof_last_purchase_per_click",
     "sessionize_partitionwise",

@@ -217,3 +217,77 @@ def bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, one fused zip_with/aggregate fold —
+    JVM codegen, no Python."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Distributed Lloyd k-means over an array<double> column ``v``.
+
+    Deterministic contract (no RNG): initial centroids are the k
+    lowest-id vectors; assignment ties break to the lowest centroid id —
+    reruns and engines agree exactly.
+
+    Scale shape per iteration:
+    - ASSIGN: broadcast the k centroids, map-side argmin over sq L2 via a
+      per-row fold — the vector side never shuffles;
+    - UPDATE: posexplode to (cluster, dim, val), one keyed hash aggregate
+      (k x d groups), rebuild arrays with sorted collect_list. Model state
+      is k x d values — localCheckpoint'd per iteration so the lineage
+      stays flat; the DATA never collects to the driver.
+    Returns (cluster_id, n_members, inertia) — k rows.
+    """
+    seed = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("c_vec"))
+    )
+    centroids = seed.localCheckpoint(eager=True)
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cluster_id",
+            sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster_id", "d2")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters):
+        new_cents = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda e: e.m,
+                ).alias("c_vec")
+            )
+        )
+        centroids = new_cents.localCheckpoint(eager=True)
+        assigned = assign(centroids)
+
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+    )

@@ -1923,3 +1923,83 @@ def active_customers_exists(spark, sf_dir) -> DataFrame:
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ACTIVE_CUSTOMERS_SQL)
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'null_custkey' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                 OR o_totalprice < 0 OR o_totalprice > 1000000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'bad_status',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'duplicate_orderkey',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+    survey="extension (data quality): declarative expectation suite — the "
+    "reference's fail-fast null audit (Q1, load_to_postgres.py:182-187) "
+    "generalized to rules-as-data: all row-level rules evaluate in ONE "
+    "scan (conditional sums), key uniqueness is one keyed aggregate, "
+    "referential integrity is one anti join. Emits (rule, n_violations) "
+    "— the gate a 100 TB ingest runs before promoting a layer",
+)
+def dq_expectations_orders(spark, sf_dir) -> DataFrame:
+    """Five data-quality expectations over orders: null key, price range,
+    status domain, key uniqueness, referential integrity to customer.
+    Row-level rules share a single pass; only the set-level rules add
+    their own (keyed) stages."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def viol(name: str, cond) -> DataFrame:
+        return orders.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n")
+        ).select(F.lit(name).alias("rule"), F.col("n").alias("n_violations"))
+
+    row_rules = viol("null_custkey", F.col("o_custkey").isNull()).unionByName(
+        viol(
+            "price_out_of_range",
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < 0)
+            | (F.col("o_totalprice") > 1_000_000),
+        )
+    ).unionByName(
+        viol("bad_status", ~F.col("o_orderstatus").isin("F", "O", "P"))
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n"))
+        .select(
+            F.lit("duplicate_orderkey").alias("rule"),
+            F.col("n").alias("n_violations"),
+        )
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("orphan_custkey").alias("rule"),
+            F.col("n").alias("n_violations"),
+        )
+    )
+    return row_rules.unionByName(dups).unionByName(orphans)

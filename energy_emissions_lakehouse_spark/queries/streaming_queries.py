@@ -197,3 +197,27 @@ def stream_purchase_click_join(spark, sf_dir) -> DataFrame:
 def stream_foreachbatch_upsert(spark, sf_dir) -> DataFrame:
     src = jobs.stage_events_split(spark, sf_dir, n_files=4)
     return jobs.run_foreachbatch_upsert(spark, src)
+
+
+@register(
+    "stream_chained_window_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="extension (streaming): chained stateful operators — hourly "
+    "tumbling counts rolled into daily totals inside ONE streaming query "
+    "(Spark >=3.4 multi-stateful support), no intermediate sink; append "
+    "result must equal the one-level batch daily aggregate",
+)
+def stream_chained_window_rollup(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    out = jobs.run_to_table(jobs.chained_window_rollup(ev), mode="append")
+    # the first watermark sentinel's own (already-closed) windows surface
+    # in the sink; they are not part of the dataset
+    return out.filter(F.col("event_type") != "__flush__")

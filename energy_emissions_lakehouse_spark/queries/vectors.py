@@ -226,3 +226,24 @@ def ivf_topk_nprobe1(spark, sf_dir) -> DataFrame:
     return sim.ivf_topk(
         emb, centroids, F.col("vec_id") % 100 == 0, k=3
     )
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=None,  # iterative; invariants pinned in tests/test_operators.py
+    survey="extension (similarity, iterative): distributed Lloyd k-means "
+    "— deterministic seed (k lowest ids), per-iteration broadcast-assign "
+    "(map-only) + posexplode hash-aggregate update; model state is k x d "
+    "and localCheckpoint'd, the data never collects. The IVF centroid "
+    "TRAINING step that ivf_topk_nprobe1 consumes; tests assert cluster "
+    "count, membership total, and that inertia is monotone non-increasing "
+    "in iterations",
+)
+def embedding_kmeans_clusters(spark, sf_dir) -> DataFrame:
+    """8-way k-means over the embedding corpus, 3 Lloyd iterations.
+    Returns (cluster_id, n_members, inertia) — the training half of the
+    IVF index pipeline."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    return sim.kmeans_lloyd(emb, k=8, iters=3)

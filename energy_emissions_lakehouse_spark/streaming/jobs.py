@@ -76,19 +76,34 @@ def read_stream_from_dir(
     )
 
 
-def run_to_table(stream: DataFrame, mode: str) -> DataFrame:
+def run_to_table(
+    stream: DataFrame, mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink and return the sink contents as a bounded DataFrame."""
-    name = f"eel_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink and return the sink contents as a bounded DataFrame.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for the
+    duration of query PLANNING — a streaming query's state-store count is
+    frozen from this conf at first start, and every stateful micro-batch
+    pays per-store open/commit cost. The right number tracks the
+    executor count (it IS the state parallelism on a cluster); the
+    session-wide batch setting (32 here) costs ~4x per-batch overhead on
+    bounded local replays. Restored immediately after start."""
     spark = stream.sparkSession
+    name = f"eel_stream_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -350,4 +365,81 @@ def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+def read_events_stream_with_flush(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Like read_events_stream, but the staged directory also holds one
+    far-future ``__flush__`` sentinel event (max ts + 2 days). In append
+    mode the watermark only passes a window when LATER data arrives — on a
+    bounded replay the last windows would be withheld forever. The
+    sentinel advances the final watermark past every real window; its own
+    windows stay open and are never emitted, and the query additionally
+    filters the sentinel out AFTER the watermark node so it can never
+    reach an aggregate. The production analog: closing out a day by
+    feeding the watermark a heartbeat, standard bounded-replay practice."""
+    configure_runtime(spark)
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "eel_stream_src",
+        "flush_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # Two staggered sentinels: each chained stateful operator finalizes
+    # one batch AFTER the watermark passes it, so a 2-op pipeline needs 2
+    # trailing batches whose watermark already covers every real window.
+    import glob
+    import shutil
+
+    for i, days in enumerate((2, 4)):
+        flush = os.path.join(src, f"zz_flush{i}.parquet")
+        if os.path.exists(flush):
+            continue
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(link)
+        max_ns = raw.agg(F.max("ts")).collect()[0][0]
+        row = [(int(-1 - i), int(max_ns + days * 86400 * 10**9), int(-1),
+                "__flush__", 0.0, "{}")]
+        spark.createDataFrame(row, _EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(flush + ".dir")
+        # the file source lists files, not directories: move the part file
+        part = glob.glob(os.path.join(flush + ".dir", "part-*.parquet"))[0]
+        shutil.copyfile(part, flush)
+        shutil.rmtree(flush + ".dir")
+    # one file per micro-batch: the sentinels arrive in their own batches
+    # (file stream orders by modification time), each advancing the
+    # previous batch's watermark through the operator chain
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def chained_window_rollup(events: DataFrame) -> DataFrame:
+    """Two chained stateful window aggregates in ONE streaming query
+    (Spark >= 3.4 multi-stateful-operator support): hourly counts roll up
+    into daily counts without an intermediate sink. The daily stage groups
+    on the hourly WINDOW STRUCT itself (F.window over a window column),
+    which is what lets the planner chain event-time state correctly."""
+    # NOTE: sentinels are NOT filtered here — a pre-aggregation filter
+    # gets pushed into the parquet scan, which would drop the sentinel
+    # BEFORE the watermark node ever sees it (watermarks are computed from
+    # rows that reach the plan at runtime). The sentinel flows through the
+    # aggregates; callers drop its rows from the bounded sink output.
+    hourly = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), "event_type")
+        .agg(F.sum("n").alias("n_events"))
+        .select(F.col("d.start").alias("day"), "event_type", "n_events")
     )

@@ -212,3 +212,31 @@ def test_quantile_sketch_within_rank_bound(spark, sf_dir):
             est = got[row[0]][i]
             lo, hi = row[1 + 2 * i], row[2 + 2 * i]
             assert lo <= est <= hi, (row[0], ps[i], lo, est, hi)
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """k clusters, all vectors assigned, inertia monotone non-increasing
+    with more Lloyd iterations, fully deterministic across reruns."""
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+
+    def run(iters):
+        rows = sim.kmeans_lloyd(emb, k=8, iters=iters).collect()
+        return (
+            sum(r["n_members"] for r in rows),
+            sum(r["inertia"] for r in rows),
+            sorted((r["cluster_id"], r["n_members"]) for r in rows),
+        )
+
+    total1, inertia1, _ = run(1)
+    total3, inertia3, detail3 = run(3)
+    assert total1 == n and total3 == n
+    assert len(detail3) <= 8
+    assert inertia3 <= inertia1 + 1e-6
+    # determinism: same call twice -> identical assignment detail
+    assert detail3 == run(3)[2]
