@@ -45,6 +45,7 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "shipping_priority_top10",
     "revenue_band_forecast",
+    "disjunctive_predicate_revenue",
     "local_supplier_volume",
     "promo_revenue_share",
     "large_volume_customers",
@@ -54,6 +55,8 @@ HEADLINE = [
     "quantile_sketch_prices",
     "union_missing_columns",
     "dq_expectations_orders",
+    "null_safe_join_priority",
+    "global_row_ids_orders",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",

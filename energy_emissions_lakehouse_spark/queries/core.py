@@ -2003,3 +2003,133 @@ def dq_expectations_orders(spark, sf_dir) -> DataFrame:
         )
     )
     return row_rules.unionByName(dups).unionByName(orphans)
+
+
+@register(
+    "null_safe_join_priority",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+               COUNT(*) AS n_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+               COUNT(*) AS n_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    )
+    SELECT a.prio, a.n_f, b.n_o
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    """,
+    survey="extension (joins): null-safe equality join (<=> / IS NOT "
+    "DISTINCT FROM) — null keys MATCH each other instead of vanishing, "
+    "the semantic needed when a grouping key legitimately contains null "
+    "(e.g. 'unknown' buckets). Still hash-partitionable: null hashes to "
+    "a single bucket, so it shuffles like any equi-join",
+)
+def null_safe_join_priority(spark, sf_dir) -> DataFrame:
+    """Join two per-priority rollups where one priority is nulled out:
+    plain == would drop the null bucket, eqNullSafe keeps it."""
+    orders = t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(prio)
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(prio)
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a.prio.eqNullSafe(b.prio)).select(
+        a.prio.alias("prio"), "n_f", "n_o"
+    )
+
+
+@register(
+    "global_row_ids_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id
+    FROM orders
+    """,
+    survey="extension (numbering, scale path): dense global row ids "
+    "WITHOUT a single-partition window — range-repartition by key, rank "
+    "locally per partition (window keyed by spark_partition_id), then add "
+    "broadcast per-partition offsets (a ~#partitions-row cumulative sum). "
+    "The oracle is the naive global ROW_NUMBER; the two results must be "
+    "identical, proving the two-phase form is a drop-in replacement that "
+    "never funnels the data through one task",
+)
+def global_row_ids_orders(spark, sf_dir) -> DataFrame:
+    """zipWithIndex for DataFrames: consecutive 1-based ids in o_orderkey
+    order via local ranks + cumulative partition offsets. Driver traffic
+    is one row per partition (counts), never data."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    parts = orders.repartitionByRange(8, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy("o_orderkey")
+    ranked = parts.withColumn("local_rank", F.row_number().over(local_w))
+    # offsets: cumulative count of all earlier partitions (tiny frame)
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    return (
+        ranked.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.col("local_rank")).cast("long").alias("row_id"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1  AND l_quantity <= 15)
+       OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 25)
+       OR (p_type = 'LARGE'  AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 35)
+    """,
+    survey="extension (scan efficiency): TPC-H Q19-shaped disjunction of "
+    "conjunctions — Catalyst extracts the common sub-predicates each side "
+    "can evaluate alone (quantity bounds -> lineitem scan, type/size -> "
+    "part scan) BEFORE the join, so the OR-of-ANDs only fully evaluates "
+    "on join survivors. The predicate shape that defeats naive pushdown",
+)
+def disjunctive_predicate_revenue(spark, sf_dir) -> DataFrame:
+    """Revenue under a 3-branch OR-of-ANDs spanning both join sides
+    (TPC-H Q19 analog). Written as the single post-join predicate a user
+    would write — pushdown is Catalyst's job, verified in the plan audit."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    q, p_t, p_s = F.col("l_quantity"), F.col("p_type"), F.col("p_size")
+    cond = (
+        ((p_t == "SMALL") & p_s.between(1, 15) & (q >= 1) & (q <= 15))
+        | ((p_t == "MEDIUM") & p_s.between(10, 30) & (q >= 10) & (q <= 25))
+        | ((p_t == "LARGE") & p_s.between(20, 50) & (q >= 20) & (q <= 35))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+    )

@@ -556,3 +556,63 @@ def sessionize_partitionwise(spark, sf_dir) -> DataFrame:
         "session_start timestamp, session_end timestamp"
     )
     return ev.mapInPandas(sessionize, schema)
+
+
+@register(
+    "cogroup_user_conversion",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks,
+               DATE_TRUNC('second', MIN(ts)) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases,
+               DATE_TRUNC('second', MIN(ts)) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id)   AS user_id,
+           COALESCE(c.n_clicks, 0)          AS n_clicks,
+           COALESCE(p.n_purchases, 0)       AS n_purchases,
+           c.first_click,
+           p.first_purchase
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    survey="extension (custom operator, cogrouped map): "
+    "groupBy().cogroup().applyInPandas — BOTH sides of a key arrive as "
+    "pandas frames in one Python call, the escape hatch for per-key "
+    "merge logic SQL can't express (custom matching, model scoring over "
+    "paired histories). Pinned to a declarative full-outer-join oracle "
+    "so the cogrouped path is exactness-checked like everything else",
+)
+def cogroup_user_conversion(spark, sf_dir) -> DataFrame:
+    """Per-user click/purchase profile via cogrouped applyInPandas: clicks
+    and purchases are cogrouped by user_id and merged imperatively in
+    pandas. One shuffle per side (same key), Arrow-batched."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "user_id": key[0],
+            "n_clicks": len(left),
+            "n_purchases": len(right),
+            "first_click": left["ts"].min().floor("s") if len(left) else None,
+            "first_purchase": (
+                right["ts"].min().floor("s") if len(right) else None
+            ),
+        }
+        return pd.DataFrame([out])
+
+    schema = (
+        "user_id long, n_clicks long, n_purchases long, "
+        "first_click timestamp, first_purchase timestamp"
+    )
+    return (
+        clicks.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(merge, schema)
+    )

@@ -240,3 +240,25 @@ def test_kmeans_invariants(spark, sf_dir):
     assert inertia3 <= inertia1 + 1e-6
     # determinism: same call twice -> identical assignment detail
     assert detail3 == run(3)[2]
+
+
+def test_observe_metrics_piggyback(spark, sf_dir):
+    """df.observe() must deliver row-count/null-count metrics as a side
+    channel of a real query — the zero-extra-pass way to collect DQ
+    metrics on a 100 TB run (no second scan, no separate job)."""
+    from pyspark.sql import Observation
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    orders = load(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkeys"
+        ),
+    )
+    n = observed.filter(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    assert got["n_rows"] >= n
+    assert got["null_custkeys"] == 0

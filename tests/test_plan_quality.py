@@ -33,6 +33,8 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "medallion_bi_totals_by_month_2024": "dim_time: <=24 rows",
     "medallion_dim_time": "distinct (year, month): <=24 rows",
     "revenue_growth_by_month": "monthly rollup: <=84 rows (7y x 12m)",
+    "global_row_ids_orders": "offset cumsum: one row PER PARTITION (~8), "
+    "never data — the data-bearing window is keyed by spark_partition_id",
 }
 
 
@@ -188,3 +190,14 @@ def test_not_exists_becomes_anti_join(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     assert "Subquery" not in plan, plan
+
+
+def test_disjunction_pushes_per_side_residuals(spark, sf_dir):
+    """Catalyst must extract each side's evaluable residual from the
+    OR-of-ANDs and push it below the join: the lineitem scan gets the
+    quantity-range disjunction, the part scan gets the type/size one."""
+    spec = all_specs()["disjunctive_predicate_revenue"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")
+    assert len(pushed) >= 3, plan  # both scans carry pushed filters
+    assert "Or(" in pushed[1] or "Or(" in pushed[2], plan
