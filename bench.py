@@ -42,6 +42,8 @@ HEADLINE = [
     "window_analytic_functions",
     "top100_orders_global",
     "most_common_type_per_brand",
+    "latest_order_per_customer",
+    "try_arithmetic_profile",
     "unpivot_lineitem_measures",
     "shipping_priority_top10",
     "revenue_band_forecast",

@@ -2133,3 +2133,89 @@ def disjunctive_predicate_revenue(spark, sf_dir) -> DataFrame:
             F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         ).alias("revenue"),
     )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders
+    )
+    SELECT o_custkey,
+           o_orderdate AS latest_orderdate,
+           o_orderkey  AS latest_orderkey
+    FROM r WHERE rn = 1
+    """,
+    survey="extension (aggregates): one-pass argmax via max(struct(...)) "
+    "— a single hash aggregate replaces the window ROW_NUMBER keep-first "
+    "pattern (no sort, half the shuffle payload: only the running max "
+    "survives per group map-side). Struct comparison is lexicographic, "
+    "so (o_orderdate, o_orderkey) makes ties deterministic; the oracle "
+    "IS the window form, proving the rewrite is exact",
+)
+def latest_order_per_customer(spark, sf_dir) -> DataFrame:
+    """Each customer's most recent order in ONE aggregation pass:
+    max(struct(date, key)) instead of a partitioned window sort. The
+    group-by form partial-aggregates map-side — at 100 TB that's the
+    difference between shuffling every row and shuffling one row per
+    (partition, customer)."""
+    orders = t(spark, sf_dir, "orders")
+    top = F.max(F.struct("o_orderdate", "o_orderkey")).alias("m")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(top)
+        .select(
+            "o_custkey",
+            F.col("m.o_orderdate").alias("latest_orderdate"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+        )
+    )
+
+
+@register(
+    "try_arithmetic_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_numeric_prefix,
+           CAST(SUM(CASE WHEN o_totalprice = 0 THEN NULL
+                         ELSE CAST(ROUND(o_totalprice, 0) AS BIGINT) END)
+                AS BIGINT) AS sum_rounded,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey="extension (P2 coercion surface): try_* error-safe arithmetic "
+    "— try_cast for lenient string->number (the ANSI-mode-safe spelling "
+    "of the reference's errors='coerce', SURVEY §2.2 P2) and nullif-"
+    "guarded division semantics, all evaluated per-row in codegen. These "
+    "are the expressions that keep a 100 TB job from dying on one bad "
+    "row when ANSI mode is ON",
+)
+def try_arithmetic_profile(spark, sf_dir) -> DataFrame:
+    """Error-safe coercion probe: try_cast the priority's numeric prefix
+    (always succeeds for '1-URGENT'..'5-LOW'), null-guarded rounding sum.
+    Works identically with ANSI on or off — the forward-compatible way to
+    write the reference's coerce-to-null cleaning."""
+    orders = t(spark, sf_dir, "orders")
+    prefix_ok = (
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").isNotNull()
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(prefix_ok, 1).otherwise(0))
+        .cast("long")
+        .alias("n_numeric_prefix"),
+        F.sum(
+            F.when(F.col("o_totalprice") == 0, F.lit(None)).otherwise(
+                F.round("o_totalprice", 0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("sum_rounded"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
