@@ -87,6 +87,7 @@ HEADLINE = [
     # embedding similarity
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",
+    "ivf_topk_nprobe2",
     "embedding_cosine_neardup",
     "embedding_kmeans_clusters",
     # multimodal (Arrow-batched mapInPandas)

@@ -291,3 +291,62 @@ def kmeans_lloyd(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.sum("d2"), 6).alias("inertia"),
     )
+
+
+def ivf_topk_nprobe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_pred,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search probing the ``nprobe`` nearest cells per query.
+
+    Candidates stay in their single home cell; each query fans out to its
+    nprobe closest centroids, so the candidate set is the union of those
+    cells — recall rises toward brute force as nprobe grows while cost
+    stays O(nprobe * N / nlist) per query. Same equi-join-on-cell shape
+    as nprobe=1; the fan-out is a bounded row multiplication (x nprobe)
+    on the QUERY side only, which is the small side by construction."""
+    c_home = ivf_assign(vectors, centroids)
+    cents = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c_vec")
+    )
+    q_scored = (
+        vectors.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_vec"),
+            "centroid_id",
+            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    q = (
+        q_scored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    c = c_home.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("c_vec"),
+        "centroid_id",
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -247,3 +247,57 @@ def embedding_kmeans_clusters(spark, sf_dir) -> DataFrame:
         "vec_id", sim.as_double(F.col("embedding")).alias("v")
     )
     return sim.kmeans_lloyd(emb, k=8, iters=3)
+
+
+@register(
+    "ivf_topk_nprobe2",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS c_vec FROM e
+             WHERE vec_id % 100 = 1),
+    scored AS (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               ROUND(list_dot_product(e.v, cent.c_vec) / NULLIF(
+                   sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(cent.c_vec, cent.c_vec)), 0.0), 6)
+                   AS c_sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(e.v, cent.c_vec) / NULLIF(
+                       sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(cent.c_vec, cent.c_vec)),
+                       0.0), 6) DESC, cent.centroid_id) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    home AS (SELECT vec_id AS cand_id, v, centroid_id FROM scored
+             WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v, centroid_id FROM scored
+          WHERE vec_id % 100 = 0 AND rn <= 2),
+    pairs AS (
+        SELECT q.query_id, home.cand_id, {_COS.replace('c.v', 'home.v')} AS sim
+        FROM q JOIN home ON q.centroid_id = home.centroid_id
+                        AND q.query_id != home.cand_id
+    )
+    SELECT * FROM (
+        SELECT query_id, cand_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+    """,
+    survey="extension (similarity, IVF tier): nprobe=2 inverted-file ANN "
+    "— each query probes its TWO nearest cells (bounded x2 fan-out on the "
+    "small query side only; candidates stay in their home cell), lifting "
+    "recall toward brute force at O(nprobe x N/nlist) cost. Same "
+    "equi-join-on-cell scale shape as nprobe=1",
+)
+def ivf_topk_nprobe2(spark, sf_dir) -> DataFrame:
+    """IVF top-3 with nprobe=2 over deterministic centroids — the
+    recall/cost dial of the IVF index demonstrated as a first-class
+    operator."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") % 100 == 1)
+    return sim.ivf_topk_nprobe(
+        emb, centroids, F.col("vec_id") % 100 == 0, k=3, nprobe=2
+    )
