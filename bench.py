@@ -52,6 +52,8 @@ HEADLINE = [
     "promo_revenue_share",
     "large_volume_customers",
     "active_customers_exists",
+    "cheapest_supplier_per_part",
+    "idle_rich_customers",
     "revenue_share_within_region",
     "map_transform_profile",
     "quantile_sketch_prices",

@@ -2219,3 +2219,70 @@ def try_arithmetic_profile(spark, sf_dir) -> DataFrame:
         .alias("sum_rounded"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 100, 0)
+                    AS BIGINT)) AS unit_price_cents
+    FROM lineitem l
+    WHERE CAST(ROUND(l.l_extendedprice / l.l_quantity * 100, 0) AS BIGINT) = (
+        SELECT MIN(CAST(ROUND(i.l_extendedprice / i.l_quantity * 100, 0)
+                        AS BIGINT))
+        FROM lineitem i
+        WHERE i.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey, l.l_suppkey
+"""
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle=_CHEAPEST_SUPPLIER_SQL,
+    survey="extension (subqueries): TPC-H Q2-shaped correlated scalar MIN "
+    "subquery in WHERE — the same SQL text runs on both engines; Catalyst "
+    "decorrelates the per-part MIN into one aggregate + join over the "
+    "grouped keys (never a per-row re-scan). The keep-all-argmin variant "
+    "of argmax-per-group: ties all survive, unlike ROW_NUMBER keep-first",
+)
+def cheapest_supplier_per_part(spark, sf_dir) -> DataFrame:
+    """Suppliers matching the minimum unit price within each part (TPC-H
+    Q2's correlated-min shape on the tables we have). Integer-cent unit
+    prices make the correlated equality exact and portable."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CHEAPEST_SUPPLIER_SQL)
+
+
+_IDLE_RICH_CUSTOMERS_SQL = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(ROUND(i.c_acctbal * 100, 0) AS BIGINT))
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+        FROM customer i WHERE i.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "idle_rich_customers",
+    oracle=_IDLE_RICH_CUSTOMERS_SQL,
+    survey="extension (subqueries): TPC-H Q22-shaped uncorrelated scalar "
+    "subquery (global AVG threshold, computed once and broadcast as a "
+    "literal-like filter) + correlated NOT EXISTS anti join, composed in "
+    "one statement; same SQL text on both engines. Aggregated output "
+    "keeps the row hash scale-stable",
+)
+def idle_rich_customers(spark, sf_dir) -> DataFrame:
+    """Above-average-balance customers with no order since 2001, per
+    segment — the churned-high-value cohort. One scalar subquery pass +
+    one date-filtered anti join."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_IDLE_RICH_CUSTOMERS_SQL)
