@@ -54,6 +54,8 @@ HEADLINE = [
     "active_customers_exists",
     "cheapest_supplier_per_part",
     "idle_rich_customers",
+    "top_revenue_supplier",
+    "sole_supplier_orders",
     "revenue_share_within_region",
     "map_transform_profile",
     "quantile_sketch_prices",

@@ -2286,3 +2286,73 @@ def idle_rich_customers(spark, sf_dir) -> DataFrame:
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_IDLE_RICH_CUSTOMERS_SQL)
+
+
+_TOP_REVENUE_SUPPLIER_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue_cents
+    FROM supplier
+    JOIN rev ON s_suppkey = l_suppkey
+    WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+"""
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=_TOP_REVENUE_SUPPLIER_SQL,
+    survey="extension (subqueries): TPC-H Q15-shaped CTE + scalar MAX "
+    "against the same CTE — the rollup is computed once, referenced "
+    "twice (Catalyst may inline or reuse-exchange it; either plan reads "
+    "the fact once per reference, never per-row). Ties all survive, the "
+    "semantic LIMIT 1 would break. Same SQL text on both engines",
+)
+def top_revenue_supplier(spark, sf_dir) -> DataFrame:
+    """The quarter's top supplier(s) by revenue (TPC-H Q15 analog):
+    grouped CTE + uncorrelated scalar MAX over it. Integer cents keep
+    the equality exact under any aggregation order."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_TOP_REVENUE_SUPPLIER_SQL)
+
+
+_SOLE_SUPPLIER_ORDERS_SQL = """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_sole_orders
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l.l_orderkey
+                        AND l2.l_suppkey != l.l_suppkey)
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "sole_supplier_orders",
+    oracle=_SOLE_SUPPLIER_ORDERS_SQL,
+    survey="extension (subqueries): TPC-H Q21-shaped correlated NOT "
+    "EXISTS against the SAME fact table being scanned (self-anti-join on "
+    "order membership) + distinct aggregate — orders supplied "
+    "exclusively by one supplier. Spark rejects the join-condition "
+    "variant (correlated subquery over both join inputs); the WHERE-"
+    "clause form decorrelates to an anti join. Same SQL text on both "
+    "engines",
+)
+def sole_supplier_orders(spark, sf_dir) -> DataFrame:
+    """Per supplier: orders they supplied alone (no other supplier on
+    any line) — the single-source-dependency exposure report. The NOT
+    EXISTS correlates only to the scanned lineitem side, the form
+    Catalyst can decorrelate."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SOLE_SUPPLIER_ORDERS_SQL)
