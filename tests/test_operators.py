@@ -262,3 +262,28 @@ def test_observe_metrics_piggyback(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] >= n
     assert got["null_custkeys"] == 0
+
+
+def test_ann_recall_ladder(spark, sf_dir):
+    """Approximate search must actually approximate: recall@3 vs the
+    brute-force oracle must be positive, and probing more cells (nprobe=2)
+    must not lose recall vs nprobe=1 — the knob moves the right way."""
+    from energy_emissions_lakehouse_spark.registry import all_specs
+
+    def topk(name):
+        out = {}
+        for r in all_specs()[name].spark(spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    truth = topk("cosine_topk_bruteforce")
+    n1, n2 = topk("ivf_topk_nprobe1"), topk("ivf_topk_nprobe2")
+
+    def recall(approx):
+        hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        return hits / total
+
+    r1, r2 = recall(n1), recall(n2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0.25, (r1, r2)
