@@ -201,3 +201,13 @@ def test_disjunction_pushes_per_side_residuals(spark, sf_dir):
     pushed = plan.split("PushedFilters: [")
     assert len(pushed) >= 3, plan  # both scans carry pushed filters
     assert "Or(" in pushed[1] or "Or(" in pushed[2], plan
+
+
+def test_q5_join_tree_broadcasts_dims(spark, sf_dir):
+    """The 6-table Q5-shaped join must broadcast all three dimension
+    sides (region/nation/supplier) and never degenerate to a nested
+    loop; the fact chain stays as shuffle joins."""
+    spec = all_specs()["local_supplier_volume"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -72,3 +72,55 @@ def test_stateful_counts_accumulate_across_batches(spark, sf_dir, staged_dir):
     # state really did span batches: users seen in >1 batch emitted >1 row
     multi = emitted.groupBy("user_id").count().filter(F.col("count") > 1)
     assert multi.count() > 0, "expected multi-batch state updates"
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/restart with a checkpoint must resume exactly once: run a
+    windowed aggregation over half the data, terminate, add the second
+    half, restart with the SAME checkpoint — the final result must equal
+    the one-shot batch aggregate (no duplicated or lost state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.streaming import jobs
+    from energy_emissions_lakehouse_spark.tables import t
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    ev = t(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["event_type"]: r["n"] for r in spark.table(name).collect()
+        }
+
+    first = run("ckpt_run1")
+    assert sum(first.values()) == half1.count()
+    half2.coalesce(1).write.mode("append").parquet(src)
+    second = run("ckpt_run2")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert second == want
