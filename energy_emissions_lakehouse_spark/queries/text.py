@@ -675,3 +675,58 @@ def lateral_explode_doc_words(spark, sf_dir) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split(text, '.'), x -> trim(x)),
+                   x -> x <> ''
+               ) AS ss
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ss) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_max(list_transform(ss, x -> length(x))), 0)
+                AS BIGINT) AS max_sentence_len
+    FROM sent
+    WHERE len(ss) > 0
+    """,
+    survey="extension (UDTF surface): Python user-defined TABLE function "
+    "(Spark 4 @udtf) — one input row fans out to N sentence rows via a "
+    "LATERAL JOIN, then re-aggregates. The reference has no UDF/UDTF "
+    "surface at all (SURVEY §2.13); this pins the engine's table-function "
+    "escape hatch to a declarative split/unnest oracle. UDTFs run in the "
+    "Python worker — keep them off hot paths; this exists as operator "
+    "coverage, the split/HOF form (doc_* queries) is the scale path",
+)
+def udtf_sentence_stats(spark, sf_dir) -> DataFrame:
+    """Sentence stats per document through a Python UDTF lateral join:
+    the UDTF yields one row per non-empty trimmed '.'-segment; the outer
+    query counts and measures them. Exactly equals the pure-SQL
+    split/filter oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for seg in (text or "").split("."):
+                seg = seg.strip()
+                if seg:
+                    yield (seg,)
+
+    spark.udtf.register("eel_split_sentences", SplitSentences)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("eel_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT)               AS n_sentences,
+               CAST(MAX(length(s.sentence)) AS BIGINT) AS max_sentence_len
+        FROM eel_docs_udtf d,
+             LATERAL eel_split_sentences(d.text) s
+        GROUP BY d.doc_id
+        """
+    )

@@ -66,7 +66,12 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # row-at-a-time scalar Python UDFs are banned; BatchEvalPythonUDTF is a
+    # TABLE function (the deliberate fan-out escape hatch), not the red flag
+    scalar_python = plan.replace("BatchEvalPythonUDTF", "")
+    assert "BatchEvalPython" not in scalar_python, (
+        f"{name}: row-at-a-time Python UDF"
+    )
 
     global_windows = []
     for line in plan.splitlines():
