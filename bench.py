@@ -57,6 +57,7 @@ HEADLINE = [
     "top_revenue_supplier",
     "sole_supplier_orders",
     "revenue_share_within_region",
+    "moving_avg_weekly_revenue",
     "map_transform_profile",
     "quantile_sketch_prices",
     "union_missing_columns",

@@ -2356,3 +2356,55 @@ def sole_supplier_orders(spark, sf_dir) -> DataFrame:
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SOLE_SUPPLIER_ORDERS_SQL)
+
+
+@register(
+    "moving_avg_weekly_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', o_orderdate) AS d,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT d,
+           CAST(cents AS BIGINT) AS day_cents,
+           CAST(SUM(cents) OVER w AS BIGINT)   AS win_cents,
+           CAST(COUNT(*) OVER w AS BIGINT)     AS win_days,
+           ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0, 6)
+               AS moving_avg
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    survey="extension (windows): bounded ROWS frame (6 PRECEDING) moving "
+    "average — the physical-row sliding frame, complementing the RANGE "
+    "(value-based) 30-day frame and the unbounded running sum. Computed "
+    "over the pre-aggregated DAILY rollup (<=2,500 rows for 7 years), so "
+    "the unpartitioned ordered window is bounded by the calendar, never "
+    "the fact size; integer cents keep sum and count exact, one division "
+    "at the end",
+)
+def moving_avg_weekly_revenue(spark, sf_dir) -> DataFrame:
+    """7-day (7-row) trailing average of daily order revenue. Aggregate to
+    calendar grain FIRST; the window only ever sees calendar-bounded rows."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        F.col("cents").alias("day_cents"),
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_days"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+            / 100.0,
+            6,
+        ).alias("moving_avg"),
+    )

@@ -35,6 +35,8 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "revenue_growth_by_month": "monthly rollup: <=84 rows (7y x 12m)",
     "global_row_ids_orders": "offset cumsum: one row PER PARTITION (~8), "
     "never data — the data-bearing window is keyed by spark_partition_id",
+    "moving_avg_weekly_revenue": "daily rollup: calendar-bounded "
+    "(<=2,500 rows for 7 years), aggregated before the window",
 }
 
 

@@ -124,3 +124,4 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert second == want
+
