@@ -218,3 +218,15 @@ def test_q5_join_tree_broadcasts_dims(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """After execution, the adaptive plan must show AQEShuffleRead
+    coalescing — proof AQE is live, which is what re-plans skew and
+    right-sizes partitions at 100 TB (config, not code)."""
+    spec = all_specs()["star_join_revenue"]
+    df = spec.spark(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan, plan[:500]
+    assert "AQEShuffleRead" in plan, plan[:2000]
