@@ -57,3 +57,37 @@ def write_parquet(df: DataFrame, path: str) -> None:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S4: columnar layer scan — column pruning + predicate pushdown free."""
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_files: int,
+) -> None:
+    """Small-files compaction: rewrite a fragmented parquet directory into
+    ``target_files`` right-sized files. The classic lakehouse maintenance
+    op — streaming sinks and over-parallel writers leave thousands of
+    KB-sized files whose per-file open/footer cost dominates scans at
+    100 TB. One coalesce(n) write; on a cluster, pick n from
+    total_bytes / spark.sql.files.maxPartitionBytes."""
+    df = spark.read.parquet(src_dir)
+    df.coalesce(target_files).write.mode("overwrite").parquet(dst_dir)
+
+
+def write_sorted_by(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int = 4
+) -> None:
+    """Sort-clustered parquet write: range-partition by ``sort_cols`` and
+    sort within each file, so every row group's min/max stats cover a
+    narrow, non-overlapping slice of the sort key. Filters on that key
+    then skip whole row groups / files from the footer stats alone — the
+    poor man's Z-ORDER, and the right layout for time-filtered scans.
+    (repartitionByRange samples the key distribution, so file sizes stay
+    balanced even under skew.)"""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

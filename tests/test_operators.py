@@ -287,3 +287,74 @@ def test_ann_recall_ladder(spark, sf_dir):
     r1, r2 = recall(n1), recall(n2)
     assert r2 >= r1, (r1, r2)
     assert r2 > 0.25, (r1, r2)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction must reduce file count to the target while preserving
+    content exactly."""
+    from energy_emissions_lakehouse_spark.sources.files import compact_small_files
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    compact_small_files(spark, src, dst, target_files=2)
+    assert len(glob.glob(dst + "/part-*.parquet")) <= 2
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """A sort-clustered write must produce files whose l_shipdate min/max
+    ranges are (near-)disjoint — the footer-stats property that lets a
+    time filter skip whole files; a hash-shuffled write makes every file
+    span the full date range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from energy_emissions_lakehouse_spark.sources.files import write_sorted_by
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    clustered, shuffled = str(tmp_path / "byd"), str(tmp_path / "hash")
+    write_sorted_by(li, clustered, ["l_shipdate"], n_files=4)
+    li.repartition(4).write.mode("overwrite").parquet(shuffled)
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["l_shipdate"]
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    c = sorted(spans(clustered))
+    s = spans(shuffled)
+    # clustered: each file's span must not contain the NEXT file's start
+    # (disjoint up to the single boundary value range sampling allows)
+    for (lo1, hi1), (lo2, hi2) in zip(c, c[1:]):
+        assert hi1 <= lo2, (c,)
+    # hash-shuffled: every file spans nearly the whole range — the
+    # layout a filter cannot skip; clustered files each cover a sliver
+    glo = min(min(x for x, _ in s), min(x for x, _ in c))
+    ghi = max(max(y for _, y in s), max(y for _, y in c))
+    full = (ghi - glo).total_seconds()
+    for lo, hi in s:
+        assert (hi - lo).total_seconds() > 0.9 * full, (s,)
+    for lo, hi in c:
+        assert (hi - lo).total_seconds() < 0.5 * full, (c,)
