@@ -17,21 +17,8 @@ from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
 from energy_emissions_lakehouse_spark.medallion import analysis as an
-from energy_emissions_lakehouse_spark.medallion.generate import (
-    bronze_emissions,
-    bronze_energy,
-)
-from energy_emissions_lakehouse_spark.medallion.gold import (
-    carbon_intensity,
-    emissions_monthly,
-    energy_monthly,
-)
-from energy_emissions_lakehouse_spark.medallion.silver import (
-    clean_emissions,
-    clean_energy,
-)
 from energy_emissions_lakehouse_spark.medallion.sql_oracle import with_pipeline
-from energy_emissions_lakehouse_spark.medallion.star import build_star
+from energy_emissions_lakehouse_spark.medallion.staging import layer
 from energy_emissions_lakehouse_spark.registry import register
 
 STAR_TABLES = (
@@ -45,64 +32,33 @@ STAR_TABLES = (
 )
 
 
-#: Per-session memos of the materialized bronze/silver layers. The generator
-#: pipeline is deterministic and small (~20k rows / ~1 MB), but every
-#: star-schema branch (each dim + fact) references it — unmaterialized, one
-#: analysis query re-runs generate->clean up to 4x, and the 15 medallion
-#: queries re-run it 30x+. localCheckpoint (not cache) is used because a
-#: cached plan still carries the generator's huge expression tree, which
-#: Catalyst re-analyzes on EVERY downstream action (measured seconds of
-#: driver time per query); checkpointing truncates the lineage so downstream
-#: plans start from a materialized scan. This is the Spark analog of the
-#: reference persisting each layer to parquet between stages (the medallion
-#: layer contract, SURVEY.md §3).
-_BRONZE_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
-_SILVER_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
-_GOLD_MEMO: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
-_STAR_MEMO: dict[int, dict[str, DataFrame]] = {}
+# Every layer resolves through medallion/staging.py: materialized ONCE to
+# parquet (cross-process, fingerprint-keyed), then each query here is a
+# plain scan over a tiny table — the same contract as the reference, which
+# persists every layer between stages (bronze CSV -> silver parquet -> gold
+# parquet -> warehouse). Round 1's per-session localCheckpoint memos made
+# the first medallion query of each fresh session pay the full pipeline
+# build, which is what truncated the driver's correctness sweep.
 
 
 def _bronze(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    key = id(spark)
-    if key not in _BRONZE_MEMO:
-        _BRONZE_MEMO[key] = (
-            bronze_energy(spark).localCheckpoint(eager=True),
-            bronze_emissions(spark).localCheckpoint(eager=True),
-        )
-    return _BRONZE_MEMO[key]
+    return layer(spark, "bronze_energy"), layer(spark, "bronze_emissions")
 
 
 def _silver(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    key = id(spark)
-    if key not in _SILVER_MEMO:
-        e_raw, m_raw = _bronze(spark)
-        _SILVER_MEMO[key] = (
-            clean_energy(e_raw).localCheckpoint(eager=True),
-            clean_emissions(m_raw).localCheckpoint(eager=True),
-        )
-    return _SILVER_MEMO[key]
+    return layer(spark, "silver_energy"), layer(spark, "silver_emissions")
 
 
 def _gold(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
-    key = id(spark)
-    if key not in _GOLD_MEMO:
-        e, m = _silver(spark)
-        # Gold marts are tiny (384/288/96 rows) but each star-schema branch
-        # (4 dims + 3 facts) re-derives them; checkpointing caps every
-        # downstream plan at a 3-mart scan.
-        _GOLD_MEMO[key] = (
-            energy_monthly(e).localCheckpoint(eager=True),
-            emissions_monthly(m).localCheckpoint(eager=True),
-            carbon_intensity(e, m).localCheckpoint(eager=True),
-        )
-    return _GOLD_MEMO[key]
+    return (
+        layer(spark, "gold_energy_monthly"),
+        layer(spark, "gold_emissions_monthly"),
+        layer(spark, "gold_carbon_intensity"),
+    )
 
 
 def _star(spark: SparkSession) -> dict[str, DataFrame]:
-    key = id(spark)
-    if key not in _STAR_MEMO:
-        _STAR_MEMO[key] = build_star(*_gold(spark))
-    return _STAR_MEMO[key]
+    return {name: layer(spark, name) for name in STAR_TABLES}
 
 
 # ------------------------------------------------------------------ bronze

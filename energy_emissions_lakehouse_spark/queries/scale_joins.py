@@ -45,8 +45,12 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write customer + orders as bucketed catalog tables (once per session
-    and scale factor) and return their table names.
+    """Expose customer + orders as bucketed catalog tables and return their
+    names. The parquet bucket files are written ONCE per scale factor
+    (cross-process, on disk); later sessions only re-register the catalog
+    entry with ``CREATE TABLE ... CLUSTERED BY`` over the existing files —
+    a metadata-only operation, so the driver's per-query cost is a scan,
+    not a staging rewrite.
 
     Physical design: ``bucketBy(N_BUCKETS, custkey).sortBy(custkey)`` on
     both sides — matching bucket counts on the join key let the sort-merge
@@ -61,15 +65,29 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (cust_tbl, t(spark, sf_dir, "customer"), "c_custkey"),
         (ord_tbl, t(spark, sf_dir, "orders"), "o_custkey"),
     ):
+        path = os.path.join(_BUCKET_ROOT, tag, tbl)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (
-            df.write.format("parquet")
-            .mode("overwrite")
-            .bucketBy(N_BUCKETS, bucket_col)
-            .sortBy(bucket_col)
-            .option("path", os.path.join(_BUCKET_ROOT, tag, tbl))
-            .saveAsTable(tbl)
-        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Files already staged by an earlier session: register an
+            # external bucketed table over them (no data rewrite). Spark
+            # recovers each file's bucket id from its name.
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(N_BUCKETS, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
     _BUCKETED.add(key)
     return cust_tbl, ord_tbl
 

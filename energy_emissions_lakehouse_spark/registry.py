@@ -64,6 +64,7 @@ def _load_all() -> None:
         advanced_olap,
         core,
         events,
+        jdbc_queries,
         medallion,
         multimodal,
         scale_joins,

@@ -47,6 +47,10 @@ def get_spark(
         # Local rule of thumb: ~2x cores keeps all threads busy through AQE
         # coalescing without tiny-partition overhead at test scale.
         shuffle_partitions = max(2 * cpus, 8)
+    # Python workers inherit this env: silences pandas FutureWarnings emitted
+    # from Arrow serializers on empty batches, which would otherwise interleave
+    # with (and corrupt) machine-read stdout such as bench.py's JSON line.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -57,7 +61,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars write \r-animated [Stage N:...] frames to the console;
+        # any harness that captures a merged stream sees them swamp the real
+        # output (this cost round 1 its bench record — BENCH_r01 "parsed": null).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
-    return configure_runtime(builder.getOrCreate())
+    spark = configure_runtime(builder.getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -5,11 +5,11 @@ The reference stages every dataframe into Postgres with
 and reads dimension maps back with SELECTs (S6, :61,67). The Spark
 equivalents are thin: ``df.write.jdbc`` / ``spark.read.jdbc``.
 
-This container ships no database server or JDBC driver jar, so these
-wrappers are exercised by unit tests only up to option construction; the
-oracle-checked upsert path (S7/S8) runs database-free via the merge
-operator (operators/merge.py) instead. On a real cluster, pass e.g.
-``url="jdbc:postgresql://host/db"`` with the driver on the executor
+Exercised end-to-end in-container against embedded Apache Derby (the
+Derby jars ship with Spark itself): ``jdbc:derby:memory:`` gives a real
+SQL warehouse with no server process — see queries/jdbc_queries.py for
+the oracle-checked star-schema load roundtrip. On a real cluster, pass
+e.g. ``url="jdbc:postgresql://host/db"`` with the driver on the executor
 classpath.
 
 Scale notes baked into the defaults:
@@ -30,13 +30,17 @@ def write_jdbc_replace(
     table: str,
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    column_types: str | None = None,
 ) -> None:
-    """S5: full-replace staging write (``to_sql(if_exists="replace")``)."""
-    (
-        df.write.mode("overwrite")
-        .option("batchsize", batchsize)
-        .jdbc(url, table, properties=properties or {})
-    )
+    """S5: full-replace staging write (``to_sql(if_exists="replace")``).
+
+    ``column_types`` overrides the dialect's DDL type per column (e.g.
+    ``"region_name VARCHAR(64)"``) — some dialects map StringType to a LOB
+    type that disallows indexes/comparisons warehouse-side."""
+    writer = df.write.mode("overwrite").option("batchsize", batchsize)
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.jdbc(url, table, properties=properties or {})
 
 
 def read_jdbc(
