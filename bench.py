@@ -92,6 +92,7 @@ HEADLINE = [
     # embedding similarity
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",
+    "ann_multiprobe_topk",
     "ivf_topk_nprobe2",
     "embedding_cosine_neardup",
     "embedding_kmeans_clusters",
@@ -109,6 +110,9 @@ HEADLINE = [
     "salted_join_revenue",
     # file-format roundtrips
     "csv_roundtrip_silver_energy",
+    # warehouse paths
+    "jdbc_star_roundtrip_q2",
+    "merge_upsert_orders_partition_scoped",
 ]
 
 

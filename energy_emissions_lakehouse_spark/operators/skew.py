@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 SALT_COL = "__eel_salt"
 
 
+#: Join types for which the salt/replicate rewrite is row-identical to the
+#: unsalted join. For right/full outer, unmatched COMPACT-side rows would
+#: surface once per salt value (num_salts-fold duplicates) — for those,
+#: salt the other side or dedupe the replicated side instead.
+_SALTABLE = {"inner", "left", "leftouter", "left_outer"}
+
+
 def salted_join(
     skewed: DataFrame,
     compact: DataFrame,
@@ -32,7 +39,13 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the compact side
     replicated. Salt is a deterministic hash of the skewed row (xxhash64),
-    so plans are reproducible run to run."""
+    so plans are reproducible run to run. Only inner/left joins are
+    accepted (see _SALTABLE)."""
+    if how not in _SALTABLE:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTABLE)}, got {how!r}: outer "
+            "variants would emit unmatched compact-side rows once per salt"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
     ).cast("int")

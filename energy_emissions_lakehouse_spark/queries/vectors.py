@@ -26,13 +26,20 @@ _COS = (
     "sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0.0), 6)"
 )
 
-_BUCKET_SQL = " + ".join(
-    "(CASE WHEN list_dot_product(v, {plane}) >= 0.0 THEN {bit} ELSE 0 END)".format(
-        plane="[" + ", ".join(f"{float(w)}" for w in sim.hyperplane(i)) + "]::DOUBLE[]",
-        bit=1 << i,
+def _plane_sql(i: int) -> str:
+    return "[" + ", ".join(f"{float(w)}" for w in sim.hyperplane(i)) + "]::DOUBLE[]"
+
+
+def _bucket_sql(num_hyperplanes: int) -> str:
+    return " + ".join(
+        "(CASE WHEN list_dot_product(v, {plane}) >= 0.0 THEN {bit} ELSE 0 END)".format(
+            plane=_plane_sql(i), bit=1 << i
+        )
+        for i in range(num_hyperplanes)
     )
-    for i in range(sim.NUM_HYPERPLANES)
-)
+
+
+_BUCKET_SQL = _bucket_sql(sim.NUM_HYPERPLANES)
 
 
 @register(
@@ -175,6 +182,78 @@ def ann_bucketed_topk(spark, sf_dir) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.bucketed_topk(queries, emb, k=3)
+
+
+_MARGIN_SQL_UNION = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {i} AS i, "
+    f"ROUND(ABS(list_dot_product(v, {_plane_sql(i)})), 6) AS am "
+    f"FROM base WHERE vec_id % 100 = 0"
+    for i in range(5)
+)
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    a AS (SELECT vec_id, v, ({_bucket_sql(5)}) AS bucket FROM base),
+    qm AS (
+        {_MARGIN_SQL_UNION}
+    ),
+    ranked AS (
+        SELECT vec_id, i,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY am, i) AS rn
+        FROM qm
+    ),
+    flips AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN (1::BIGINT << i) END) AS b1,
+               MAX(CASE WHEN rn = 2 THEN (1::BIGINT << i) END) AS b2,
+               MAX(CASE WHEN rn = 3 THEN (1::BIGINT << i) END) AS b3,
+               MAX(CASE WHEN rn = 4 THEN (1::BIGINT << i) END) AS b4
+        FROM ranked GROUP BY vec_id
+    ),
+    pb AS (SELECT a.vec_id, a.v, a.bucket, f.b1, f.b2, f.b3, f.b4
+           FROM a JOIN flips f USING (vec_id)),
+    probes AS (
+        SELECT vec_id, v, CAST(bucket AS BIGINT) AS probe FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), b1) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), b2) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), b3) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), b4) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), xor(b1, b2)) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), xor(b1, b3)) FROM pb
+        UNION ALL SELECT vec_id, v, xor(CAST(bucket AS BIGINT), xor(b2, b3)) FROM pb
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(p.v, c.v) / NULLIF(
+                   sqrt(list_dot_product(p.v, p.v))
+                   * sqrt(list_dot_product(c.v, c.v)), 0.0), 6) AS sim
+        FROM probes p
+        JOIN a c ON p.probe = CAST(c.bucket AS BIGINT)
+                AND p.vec_id != c.vec_id
+    )
+    SELECT * FROM (
+        SELECT query_id, cand_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    survey="extension (similarity, scale path): MULTI-PROBE hyperplane-LSH "
+    "top-k — home bucket + single flips of the 4 lowest-|margin| planes + "
+    "pair flips of the 3 lowest (8 probes of 2^5 buckets). Fixes round 1's "
+    "recall@3=0.10 single-probe (now 0.58-0.60 measured) at ~1/3-corpus "
+    "scoring cost; fan-out multiplies only the small query side. H sized "
+    "by num_hyperplanes_for(corpus) in production (operators/similarity.py)",
+)
+def ann_multiprobe_topk(spark, sf_dir) -> DataFrame:
+    """Margin-guided multi-probe LSH search, the production replacement
+    for ann_bucketed_topk's single probe."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.multiprobe_topk(queries, emb, k=3, num_hyperplanes=5)
 
 
 @register(

@@ -36,6 +36,26 @@ from energy_emissions_lakehouse_spark.tables import _EVENTS_RAW_SCHEMA
 SESSION_GAP_SECONDS = 1800
 
 
+def _stage_key(sf_dir: str, extra: str = "") -> str:
+    """Staging-dir key: includes the source file's mtime+size so a
+    regenerated dataset at the same path gets a fresh staging dir (stale
+    sentinels/splits were an advisory finding in round 1)."""
+    p = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(p)
+    return hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{extra}".encode()
+    ).hexdigest()[:12]
+
+
+def _ensure_symlink(target: str, link: str) -> None:
+    """Atomic create-if-missing: concurrent stagers race exists-then-create,
+    so treat FileExistsError as success (the other runner won)."""
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        pass
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the same explicit-schema
     nanosecond handling as the batch reader (tables.py): ns int64 -> µs
@@ -45,14 +65,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet (different schemas), so stage a directory holding only a
     # symlink to events.parquet (read-only testdata stays untouched).
     src = os.path.join(
-        tempfile.gettempdir(),
-        "eel_stream_src",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        tempfile.gettempdir(), "eel_stream_src", _stage_key(sf_dir)
     )
     os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _ensure_symlink(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events.parquet"))
     return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .parquet(src)
@@ -199,10 +216,18 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            # HALF_UP (away from zero), mirroring F.round and DuckDB ROUND.
+            # pandas .round(0) is half-EVEN: an exactly-representable half
+            # cent (value=0.125 -> 12.5) would diverge across engines.
+            c = pdf["value"].mul(100)
+            cents += int(
+                (np.sign(c) * np.floor(c.abs() + 0.5)).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {
@@ -291,7 +316,7 @@ def stage_events_split(
     dst = os.path.join(
         tempfile.gettempdir(),
         "eel_stream_src",
-        "split_" + hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:12],
+        "split_" + _stage_key(sf_dir, extra=str(n_files)),
     )
     marker = os.path.join(dst, "_SUCCESS")
     if not os.path.exists(marker):
@@ -351,7 +376,15 @@ def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
             )
         nxt = os.path.join(root, f"v{batch_id}")
         out.write.mode("overwrite").parquet(nxt)
+        prev_dir = state["cur"]
         state["cur"] = nxt
+        if prev_dir is not None:
+            # The superseded version is fully copied into v{batch_id};
+            # dropping it bounds disk use to one live + one in-flight
+            # version (round 1 leaked every v{N}).
+            import shutil
+
+            shutil.rmtree(prev_dir, ignore_errors=True)
 
     q = (
         ev.writeStream.foreachBatch(upsert)
@@ -382,14 +415,11 @@ def read_events_stream_with_flush(
     feeding the watermark a heartbeat, standard bounded-replay practice."""
     configure_runtime(spark)
     src = os.path.join(
-        tempfile.gettempdir(),
-        "eel_stream_src",
-        "flush_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        tempfile.gettempdir(), "eel_stream_src", "flush_" + _stage_key(sf_dir)
     )
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _ensure_symlink(os.path.join(sf_dir, "events.parquet"), link)
     # Two staggered sentinels: each chained stateful operator finalizes
     # one batch AFTER the watermark passes it, so a 2-op pipeline needs 2
     # trailing batches whose watermark already covers every real window.
