@@ -377,7 +377,12 @@ def kmeans_lloyd(
                 "cluster_id", F.posexplode("v").alias("pos", "val")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            # Quantize the model state: FP sum order differs across engines
+            # (and partitionings), so raw means drift ~1e-15 and the drift
+            # compounds through iterations. Rounding each mean to 9 dp makes
+            # the centroid state — and hence every downstream assignment —
+            # bit-identical on any engine (the DuckDB oracle replays this).
+            .agg(F.round(F.avg("val"), 9).alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(

@@ -307,16 +307,68 @@ def ivf_topk_nprobe1(spark, sf_dir) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of kmeans_lloyd: seed = k lowest ids, then ``iters``
+    unrolled (update centroids -> re-assign) rounds. Exact cross-engine
+    parity holds because the model state is quantized: both engines round
+    each centroid mean to 9 dp per iteration, so FP summation-order drift
+    (~1e-15) can never compound into a divergent assignment."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.v, s.c_vec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, v, cluster_id, d2 FROM (
+            SELECT vec_id, v, cluster_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cluster_id) AS rn
+            FROM (SELECT e.vec_id, e.v, s.cluster_id, {d2} AS d2
+                  FROM e CROSS JOIN {cents} s)
+        ) WHERE rn = 1)"""
+
+    def update(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT cluster_id, list(m ORDER BY pos) AS c_vec FROM (
+            SELECT cluster_id, pos, ROUND(AVG(val), 9) AS m FROM (
+                SELECT cluster_id, generate_subscripts(v, 1) AS pos,
+                       unnest(v) AS val FROM {assigned})
+            GROUP BY cluster_id, pos)
+        GROUP BY cluster_id)"""
+
+    ctes = [
+        f"e AS (SELECT vec_id, {_EMB} AS v FROM embeddings)",
+        "seed AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e "
+        f"ORDER BY vec_id LIMIT {k})",
+        assign("seed", "a0"),
+    ]
+    cur = "a0"
+    for i in range(1, iters + 1):
+        ctes.append(update(cur, f"c{i}"))
+        ctes.append(assign(f"c{i}", f"a{i}"))
+        cur = f"a{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cluster_id, COUNT(*) AS n_members,
+           ROUND(SUM(d2), 6) AS inertia
+    FROM {cur} GROUP BY cluster_id"""
+    )
+
+
 @register(
     "embedding_kmeans_clusters",
-    oracle=None,  # iterative; invariants pinned in tests/test_operators.py
+    oracle=_kmeans_oracle_sql(k=8, iters=3),
     survey="extension (similarity, iterative): distributed Lloyd k-means "
     "— deterministic seed (k lowest ids), per-iteration broadcast-assign "
-    "(map-only) + posexplode hash-aggregate update; model state is k x d "
-    "and localCheckpoint'd, the data never collects. The IVF centroid "
-    "TRAINING step that ivf_topk_nprobe1 consumes; tests assert cluster "
-    "count, membership total, and that inertia is monotone non-increasing "
-    "in iterations",
+    "(map-only) + posexplode hash-aggregate update; model state is k x d, "
+    "quantized to 9 dp per iteration (cross-engine bit-reproducible) and "
+    "localCheckpoint'd, the data never collects. The IVF centroid "
+    "TRAINING step that ivf_topk_nprobe1 consumes; the DuckDB oracle "
+    "replays all 3 Lloyd iterations exactly (value-hash parity), and "
+    "tests additionally assert inertia is monotone non-increasing",
 )
 def embedding_kmeans_clusters(spark, sf_dir) -> DataFrame:
     """8-way k-means over the embedding corpus, 3 Lloyd iterations.
