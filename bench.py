@@ -116,6 +116,49 @@ HEADLINE = [
 ]
 
 
+def dedup_stage_sweep(spark, sf_dirs: list[str]) -> dict:
+    """Per-stage rows+timings for the MinHash-LSH and PPJoin dedup tiers
+    at each scale factor — the scale-sweep evidence that candidate counts
+    grow near-linearly with corpus size (equi-join candidate generation,
+    never all-pairs). Recorded under "stages" in the bench JSON."""
+    from energy_emissions_lakehouse_spark.operators import dedup as dd
+    from energy_emissions_lakehouse_spark.queries.text import JACCARD_THRESHOLD
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    out: dict[str, dict] = {}
+    for sf_dir in sf_dirs:
+        stages: dict[str, dict] = {}
+
+        def stage(name: str, df, eager: bool = False):
+            t0 = time.perf_counter()
+            if eager:  # materialize so downstream stages don't re-pay this
+                df = df.localCheckpoint(eager=True)
+            n = df.count()
+            stages[name] = {
+                "rows": n, "sec": round(time.perf_counter() - t0, 3)
+            }
+            return df
+
+        docs = load(spark, sf_dir, "documents")
+        doc_sh = stage("shingle", dd.doc_shingles(docs), eager=True)
+        sigs = stage("minhash_signature", dd.minhash_signatures(doc_sh),
+                     eager=True)
+        cands = stage("lsh_band_join", dd.lsh_candidate_pairs(sigs),
+                      eager=True)
+        stage("lsh_verify",
+              dd.verified_pairs(cands, doc_sh, JACCARD_THRESHOLD))
+        pp = stage("ppjoin_prefix_join",
+                   dd.prefix_candidate_pairs(doc_sh, JACCARD_THRESHOLD),
+                   eager=True)
+        stage("ppjoin_verify",
+              dd.verified_pairs(pp, doc_sh, JACCARD_THRESHOLD))
+        n_docs = docs.count()
+        out[os.path.basename(sf_dir.rstrip("/"))] = {
+            "n_docs": n_docs, **stages
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -136,12 +179,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    # Scale-sweep evidence (not counted in the headline total): dedup-tier
+    # stage rows/timings at sf0.01 and the bench SF (10x document count).
+    sweep_dirs = [os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")]
+    if os.path.realpath(sweep_dirs[0]) != os.path.realpath(sf_dir):
+        sweep_dirs.append(sf_dir)
+    stages = dedup_stage_sweep(spark, [d for d in sweep_dirs if os.path.isdir(d)])
+    for tag, rec in stages.items():
+        print(f"[bench] stages {tag}: {rec}", file=sys.stderr)
+
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "stages": stages,
             "sf": sf,
         }
     )

@@ -135,19 +135,83 @@ def prefix_candidate_pairs(doc_sh: DataFrame, threshold: float) -> DataFrame:
     """Distinct (a_id, b_id) candidates via PPJoin prefix filtering.
 
     Sound for Jaccard >= threshold: |A∩B| >= t*max(|A|,|B|) implies the
-    lexicographic prefixes of length |X| - ceil(t*|X|) + 1 intersect
-    (pigeonhole on the sorted arrays). The equi-join key is the prefix
-    shingle itself — cardinality ~vocab, so the shuffle spreads evenly
-    regardless of how many documents share a language/block."""
-    k = (F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1).cast("int")
-    pref = doc_sh.select(
-        "doc_id", F.explode(F.slice(F.array_sort("sh"), F.lit(1), k)).alias("p")
+    prefixes of length |X| - ceil(t*|X|) + 1 under ANY global total order
+    intersect (pigeonhole on the sorted arrays). The equi-join key is the
+    prefix shingle itself — cardinality ~vocab, so the shuffle spreads
+    evenly regardless of how many documents share a language/block.
+
+    Three PPJoin filters compound here (each sound, i.e. never drops a
+    true pair):
+    - PREFIX under the global order (document frequency ASC, shingle) —
+      the canonical rarest-first ordering, so prefixes are built from the
+      least-common shingles (lexicographic order put stop-word shingles
+      in prefixes: 2,315 vs 25 candidates at sf0.01);
+    - LENGTH: Jaccard >= t forces t*|A| <= |B| <= |A|/t, applied at the
+      candidate join (before the shuffle-out), not at verify;
+    - POSITIONAL: a pair first co-occurring at position i of A's prefix
+      and j of B's can overlap at most 1 + min(|A|-i, |B|-j) shingles,
+      which must reach ceil(t/(1+t)*(|A|+|B|)) — sound because a true
+      pair always survives via its FIRST shared ordered shingle (where
+      nothing has been matched yet).
+
+    Measured at t=0.8 on the flat-df synthetic corpus (every shingle df
+    ~7-12 — no Zipf tail, the adversarial case for prefix filtering):
+    sf0.01 (500 docs) 2,315 lexicographic candidates -> 25 (= exactly
+    the true pairs); sf0.1 (5,000 docs) 220,218 -> 12,740 (256 true).
+
+    Cost of the ordering: one vocab-keyed groupBy for df + one re-sort
+    groupBy per corpus — the same shuffle key as the candidate join, and
+    both aggregate map-side."""
+    ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "s"))),
+                lambda e: e.s,
+            ).alias("sh_o")
+        )
     )
-    left = pref.select(F.col("doc_id").alias("a_id"), "p")
-    right = pref.select(F.col("doc_id").alias("b_id"), "p")
+    k = (
+        F.size("sh_o") - F.ceil(F.size("sh_o") * F.lit(threshold)) + 1
+    ).cast("int")
+    pref = ranked.select(
+        F.col("doc_id"),
+        F.size("sh_o").alias("m"),
+        F.posexplode(F.slice("sh_o", F.lit(1), k)).alias("pos0", "p"),
+    )
+    left = pref.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("m").alias("a_m"),
+        (F.col("pos0") + 1).alias("a_pos"),
+        "p",
+    )
+    right = pref.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("m").alias("b_m"),
+        (F.col("pos0") + 1).alias("b_pos"),
+        "p",
+    )
+    t_lit = F.lit(threshold)
+    min_overlap = F.ceil(
+        (F.col("a_m") + F.col("b_m")) * t_lit / (F.lit(1.0) + t_lit)
+    )
     return (
         left.join(right, "p")
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("b_m") >= F.col("a_m") * t_lit)
+            & (F.col("a_m") >= F.col("b_m") * t_lit)
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a_m") - F.col("a_pos"), F.col("b_m") - F.col("b_pos")
+            )
+            >= min_overlap
+        )
         .select("a_id", "b_id")
         .distinct()
     )
