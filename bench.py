@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_multiprobe_topk",
     "ivf_topk_nprobe2",
     "embedding_cosine_neardup",
+    "embedding_neardup_adaptive",
     "embedding_kmeans_clusters",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",

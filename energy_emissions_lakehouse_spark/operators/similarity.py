@@ -58,16 +58,19 @@ def lsh_bucket(vec: Column, num_hyperplanes: int = NUM_HYPERPLANES) -> Column:
 
 
 def num_hyperplanes_for(corpus_size: int, target_occupancy: int = 64) -> int:
-    """Pick H so expected bucket occupancy ~= target: H = log2(N/occ).
+    """Pick H so expected bucket occupancy ~= target: the smallest H with
+    occ * 2^H >= N (equivalently ceil(log2(N/occ)), computed in integer
+    arithmetic so the DuckDB oracle reproduces H bit-exactly — no libm).
 
     The round-1 bug this fixes: a FIXED H gives bucket occupancy O(N/2^H),
     so within-bucket scoring grows quadratically with corpus size. Sizing
     H by the corpus keeps per-bucket work constant as N grows; multi-probe
     (``multiprobe_topk``) then buys recall back without shrinking buckets.
     """
-    import math
-
-    return max(1, math.ceil(math.log2(max(corpus_size, 2) / target_occupancy)))
+    h = 1
+    while (target_occupancy << h) < corpus_size and h < 62:
+        h += 1
+    return h
 
 
 def _abs_margins(vec: Column, num_hyperplanes: int) -> Column:
@@ -258,7 +261,11 @@ def ivf_topk(
     )
 
 
-def cosine_neardup_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    num_hyperplanes: int = NUM_HYPERPLANES,
+) -> DataFrame:
     """(a_id, b_id, sim) pairs with cosine >= threshold, candidates from the
     hyperplane-LSH bucket equi-join — the embedding tier of the dedup family.
 
@@ -270,12 +277,12 @@ def cosine_neardup_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
     a = vectors.select(
         F.col("vec_id").alias("a_id"),
         as_double("embedding").alias("a_vec"),
-        lsh_bucket(as_double("embedding")).alias("bucket"),
+        lsh_bucket(as_double("embedding"), num_hyperplanes).alias("bucket"),
     )
     b = vectors.select(
         F.col("vec_id").alias("b_id"),
         as_double("embedding").alias("b_vec"),
-        lsh_bucket(as_double("embedding")).alias("bucket"),
+        lsh_bucket(as_double("embedding"), num_hyperplanes).alias("bucket"),
     )
     return (
         a.join(b, "bucket")

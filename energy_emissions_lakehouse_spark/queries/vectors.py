@@ -157,6 +157,60 @@ def embedding_cosine_neardup(spark, sf_dir) -> DataFrame:
     return sim.cosine_neardup_pairs(aug, threshold=0.9)
 
 
+_ADAPTIVE_MAXH = 16
+_ADAPTIVE_OCC = 64
+_ADAPTIVE_BUCKET_SQL = " + ".join(
+    "(CASE WHEN {i} < nh.h AND list_dot_product(v, {plane}) >= 0.0 "
+    "THEN {bit} ELSE 0 END)".format(i=i, plane=_plane_sql(i), bit=1 << i)
+    for i in range(_ADAPTIVE_MAXH)
+)
+
+
+@register(
+    "embedding_neardup_adaptive",
+    oracle=f"""
+    WITH nh AS (
+        SELECT MIN(g) AS h
+        FROM generate_series(1, {_ADAPTIVE_MAXH}) t(g),
+             (SELECT COUNT(*) AS n FROM embeddings) c
+        WHERE {_ADAPTIVE_OCC} * (CAST(1 AS BIGINT) << g) >= c.n
+    ),
+    base AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0
+    ),
+    a AS (SELECT vec_id, v, ({_ADAPTIVE_BUCKET_SQL}) AS bucket
+          FROM aug CROSS JOIN nh)
+    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           {_COS.replace('q.', 'x.').replace('c.', 'y.')} AS sim
+    FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_COS.replace('q.', 'x.').replace('c.', 'y.')} >= 0.9
+    """,
+    survey="extension (dedup, embedding tier, scale path): near-duplicate "
+    "pairs with LSH geometry SIZED BY THE CORPUS — H = smallest h with "
+    "occ*2^h >= N (integer ladder, cross-engine exact; occ=64), so bucket "
+    "occupancy and per-bucket quadratic work stay ~constant as N grows. "
+    "H=3 at N=500, H=5 at N=2000 here; replaces the fixed 2^8-bucket "
+    "geometry flagged in round 1 (operators/similarity.py "
+    "num_hyperplanes_for)",
+)
+def embedding_neardup_adaptive(spark, sf_dir) -> DataFrame:
+    """Corpus-adaptive hyperplane count: the count() is index-build
+    metadata (one scalar to the driver at plan time, standard for sizing
+    an index), then the same bucket equi-join as cosine_neardup_pairs."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("embedding")
+    )
+    h = sim.num_hyperplanes_for(emb.count(), target_occupancy=_ADAPTIVE_OCC)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    return sim.cosine_neardup_pairs(aug, threshold=0.9, num_hyperplanes=h)
+
+
 @register(
     "ann_bucketed_topk",
     oracle=f"""
