@@ -64,6 +64,10 @@ HEADLINE = [
     "dq_expectations_orders",
     "null_safe_join_priority",
     "global_row_ids_orders",
+    "regional_market_share",
+    "profit_by_supp_nation_year",
+    "top_returned_revenue_customers",
+    "customer_order_count_distribution",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",

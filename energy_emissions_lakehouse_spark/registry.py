@@ -67,6 +67,7 @@ def _load_all() -> None:
         jdbc_queries,
         medallion,
         multimodal,
+        olap_shapes,
         scale_joins,
         sources,
         streaming_queries,
