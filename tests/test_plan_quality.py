@@ -230,3 +230,51 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan, plan[:500]
     assert "AQEShuffleRead" in plan, plan[:2000]
+
+
+def test_q4_exists_plans_as_semi_join_with_range_residual(spark, sf_dir):
+    """The Q4-shaped EXISTS (equi key + >30-day range) must be ONE
+    left-semi hash join with the range as join residual — not a per-order
+    subquery and not a nested loop."""
+    spec = all_specs()["late_shipment_priority_counts"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q10_grouped_topk_avoids_total_sort(spark, sf_dir):
+    """Q10's top-20 must plan as TakeOrderedAndProject over the grouped
+    aggregate — never a global range-partitioned sort."""
+    spec = all_specs()["top_returned_revenue_customers"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_q13_priority_filter_stays_in_outer_join(spark, sf_dir):
+    """Q13's priority exclusion must remain part of the LEFT OUTER join
+    condition (zero-order customers survive); Catalyst must not flip the
+    join inner."""
+    spec = all_specs()["customer_order_count_distribution"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan
+
+
+def test_q17_correlated_avg_is_decorrelated(spark, sf_dir):
+    """Q17's per-part average threshold must be one grouped aggregate
+    joined back on partkey — a surviving per-row Subquery would re-scan
+    lineitem per probe row."""
+    spec = all_specs()["small_quantity_brand_revenue"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_q20_shortlist_is_semi_join_chain(spark, sf_dir):
+    """Q20's IN-subquery must plan as a left-semi join into supplier
+    (only keys travel), with the part LIKE filter pushed to its scan."""
+    spec = all_specs()["bulk_part_supplier_shortlist"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "StringStartsWith(p_name,small)" in plan, plan
