@@ -51,6 +51,21 @@ def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFra
     return kept_target.unionByName(src)
 
 
+def scope_to_touched_partitions(
+    target: DataFrame, source: DataFrame, partition_col: str
+) -> DataFrame:
+    """Restrict a partitioned target scan to the partitions present in the
+    source, as a broadcast left-semi join on the partition column.
+
+    On a partitioned file source this triggers DYNAMIC PARTITION PRUNING:
+    the executed plan carries ``SubqueryBroadcast dynamicpruning`` on the
+    target scan's partition filter, so untouched partition directories are
+    never listed or read (asserted in tests/test_operators.py). This is
+    the read-side half of the partition-scoped MERGE contract."""
+    touched = source.select(partition_col).distinct()
+    return target.join(F.broadcast(touched), [partition_col], "left_semi")
+
+
 def upsert_partition_scoped(
     spark: SparkSession,
     target_path: str,
@@ -82,8 +97,7 @@ def upsert_partition_scoped(
     """
     keys = list(keys)
     target = spark.read.parquet(target_path)
-    touched = source.select(partition_col).distinct()
-    scoped = target.join(F.broadcast(touched), [partition_col], "left_semi")
+    scoped = scope_to_touched_partitions(target, source, partition_col)
     merged = upsert(scoped, source.select(*target.columns), keys)
     # Materialize before the write: the plan reads the same path it
     # overwrites. Size = touched partitions only (the delta, not the table).

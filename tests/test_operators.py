@@ -457,3 +457,29 @@ def test_num_hyperplanes_scales_with_corpus():
         == num_hyperplanes_for(2000, target_occupancy=16) + 1
     )
     assert num_hyperplanes_for(10, target_occupancy=64) == 1
+
+
+def test_scoped_merge_scan_uses_dynamic_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    """The read-side contract of upsert_partition_scoped: the semi-join on
+    the partition column must plan as dynamic partition pruning on the
+    target scan — untouched partition directories are never read (the
+    write-side counterpart is the byte-identical-files test above)."""
+    from energy_emissions_lakehouse_spark.operators.merge import (
+        scope_to_touched_partitions,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    path = str(tmp_path / "orders_by_year_dpp")
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    orders.write.partitionBy("o_year").parquet(path)
+    target = spark.read.parquet(path)
+    updates = orders.filter(F.col("o_year") == 1995)
+
+    scoped = scope_to_touched_partitions(target, updates, "o_year")
+    scoped.collect()
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
