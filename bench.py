@@ -93,6 +93,7 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
     "dedup_cluster_components",
+    "corpus_curation_pipeline",
     # embedding similarity
     "cosine_topk_bruteforce",
     "ann_bucketed_topk",

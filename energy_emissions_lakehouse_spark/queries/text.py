@@ -730,3 +730,110 @@ def udtf_sentence_stats(spark, sf_dir) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+_CURATION_Q_MIN = 0.62
+_CURATION_MIN_TOKENS = 20
+_QUALITY_SQL = (
+    "ROUND(0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)"
+    " / NULLIF(CAST(len(toks) AS DOUBLE), 0.0))"
+    " + 0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)"
+    f" + 0.3 * (1.0 - CAST(len(list_filter(toks, tk -> tk IN ({_STOP_LIST})))"
+    " AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)), 6)"
+)
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    scored AS (
+        SELECT doc_id, lang, source, text, toks,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               {_QUALITY_SQL} AS q, {_LANG_SCORES_SQL}
+        FROM doc_toks
+    ),
+    kept AS (
+        SELECT doc_id, lang, source, text, toks, n_tokens FROM scored
+        WHERE q >= {_CURATION_Q_MIN} AND n_tokens >= {_CURATION_MIN_TOKENS}
+          AND ({_PRED_SQL}) = lang
+    ),
+    exact AS (
+        SELECT * FROM kept k
+        WHERE doc_id = (SELECT MIN(doc_id) FROM kept k2 WHERE k2.text = k.text)
+    ),
+    sh AS (SELECT doc_id, lang, source, n_tokens, {_SHINGLES} AS sh
+           FROM exact),
+    near_drop AS (
+        SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    curated AS (
+        SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM curated
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    survey="extension (training-data pipeline, end-to-end composition): "
+    "quality gate (score>=0.62, >=20 tokens) -> language-consistency gate "
+    "(marker-predicted lang agrees with label) -> exact dedup (min-id per "
+    "content) -> near-dup removal (PPJoin + Jaccard>=0.8, drop the higher "
+    "id of each pair) -> curated per-(lang,source) doc/token stats. Every "
+    "stage is the registered operator it composes (doc_quality_scores, "
+    "doc_language_id, dedup_exact_documents, ngram_jaccard_pairs); one "
+    "declarative plan end-to-end — no staging collects",
+)
+def corpus_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """The canonical curation funnel a training-data pipeline runs before
+    tokenization, as ONE composed DataFrame plan (filters -> window dedup
+    -> PPJoin near-dup anti-join -> rollup)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        tx.token_count(toks).alias("n_tokens"),
+        F.round(tx.quality_score(toks), 6).alias("q"),
+        tx.predicted_lang(toks).alias("pred"),
+    )
+    kept = scored.filter(
+        (F.col("q") >= _CURATION_Q_MIN)
+        & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+        & (F.col("pred") == F.col("lang"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text")
+    exact = (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "source", "text", "n_tokens")
+    )
+    sh = exact.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        tx.shingles(tx.tokens(F.col("text"))).alias("sh"),
+    ).localCheckpoint(eager=True)
+    pairs = dd.verified_pairs(
+        dd.prefix_candidate_pairs(sh.select("doc_id", "sh"), JACCARD_THRESHOLD),
+        sh.select("doc_id", "sh"),
+        JACCARD_THRESHOLD,
+    )
+    near_drop = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    curated = sh.join(near_drop, "doc_id", "left_anti")
+    return (
+        curated.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
