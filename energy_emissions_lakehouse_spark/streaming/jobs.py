@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum
 from energy_emissions_lakehouse_spark.session import configure_runtime
-from energy_emissions_lakehouse_spark.tables import _EVENTS_RAW_SCHEMA
+from energy_emissions_lakehouse_spark.tables import EVENTS_SCHEMA, t as load_table
 
 SESSION_GAP_SECONDS = 1800
 
@@ -47,50 +47,55 @@ def _stage_key(sf_dir: str, extra: str = "") -> str:
     ).hexdigest()[:12]
 
 
-def _ensure_symlink(target: str, link: str) -> None:
-    """Atomic create-if-missing: concurrent stagers race exists-then-create,
-    so treat FileExistsError as success (the other runner won)."""
+def _stage_events_dir(spark: SparkSession, sf_dir: str, extra: str = "") -> str:
+    """One-time canonicalized copy of events for the file source.
+
+    The file source monitors a DIRECTORY, and sf_dir mixes every table's
+    parquet (different schemas) — so stage a directory holding only events.
+    The staged copy is written through ``tables.t``, which normalizes the
+    raw file's ts encoding (ns-int64 in some testdata generations, plain
+    TIMESTAMP_MICROS in others) to one canonical TIMESTAMP(MICROS) — every
+    streaming reader then uses EVENTS_SCHEMA with no per-row conversion.
+    Build goes to a tmp dir then one atomic ``os.rename`` (concurrent
+    stagers race safely; a lost race discards its redundant copy)."""
+    src = os.path.join(
+        tempfile.gettempdir(), "eel_stream_src", _stage_key(sf_dir, extra)
+    )
+    if os.path.isdir(src):
+        return src
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{src}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
     try:
-        os.symlink(target, link)
-    except FileExistsError:
-        pass
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with the same explicit-schema
-    nanosecond handling as the batch reader (tables.py): ns int64 -> µs
-    timestamp via integer division, all JVM-side."""
+    """File-source stream over the staged canonical events copy."""
     configure_runtime(spark)
-    # The file source monitors a DIRECTORY; sf_dir mixes every table's
-    # parquet (different schemas), so stage a directory holding only a
-    # symlink to events.parquet (read-only testdata stays untouched).
-    src = os.path.join(
-        tempfile.gettempdir(), "eel_stream_src", _stage_key(sf_dir)
-    )
-    os.makedirs(src, exist_ok=True)
-    _ensure_symlink(os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(src, "events.parquet"))
-    return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = _stage_events_dir(spark, sf_dir)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
 
 
 def read_stream_from_dir(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Stream from an arbitrary staged directory of events-schema parquet.
-    ``max_files_per_trigger=1`` forces one micro-batch per file — the
-    multi-batch path where watermarks advance and state merges across
+    """Stream from an arbitrary staged directory of canonical events-schema
+    parquet. ``max_files_per_trigger=1`` forces one micro-batch per file —
+    the multi-batch path where watermarks advance and state merges across
     batches (exercised in tests/test_streaming_multibatch.py)."""
     configure_runtime(spark)
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(src_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return reader.parquet(src_dir)
 
 
 def run_to_table(
@@ -414,15 +419,11 @@ def read_events_stream_with_flush(
     reach an aggregate. The production analog: closing out a day by
     feeding the watermark a heartbeat, standard bounded-replay practice."""
     configure_runtime(spark)
-    src = os.path.join(
-        tempfile.gettempdir(), "eel_stream_src", "flush_" + _stage_key(sf_dir)
-    )
-    os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
-    _ensure_symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = _stage_events_dir(spark, sf_dir, extra="flush")
     # Two staggered sentinels: each chained stateful operator finalizes
     # one batch AFTER the watermark passes it, so a 2-op pipeline needs 2
     # trailing batches whose watermark already covers every real window.
+    import datetime as _dt
     import glob
     import shutil
 
@@ -430,11 +431,14 @@ def read_events_stream_with_flush(
         flush = os.path.join(src, f"zz_flush{i}.parquet")
         if os.path.exists(flush):
             continue
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(link)
-        max_ns = raw.agg(F.max("ts")).collect()[0][0]
-        row = [(int(-1 - i), int(max_ns + days * 86400 * 10**9), int(-1),
+        staged = (
+            spark.read.schema(EVENTS_SCHEMA).parquet(src)
+            .filter(F.col("event_type") != "__flush__")
+        )
+        max_ts = staged.agg(F.max("ts")).collect()[0][0]
+        row = [(int(-1 - i), max_ts + _dt.timedelta(days=days), int(-1),
                 "__flush__", 0.0, "{}")]
-        spark.createDataFrame(row, _EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(row, EVENTS_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(flush + ".dir")
         # the file source lists files, not directories: move the part file
@@ -445,10 +449,9 @@ def read_events_stream_with_flush(
     # (file stream orders by modification time), each advancing the
     # previous batch's watermark through the operator chain
     return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from energy_emissions_lakehouse_spark.session import configure_runtime
@@ -37,12 +38,15 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet reader
-# rejects ([PARQUET_TYPE_ILLEGAL]). Read the physical int64 via an explicit
-# schema and convert ns -> µs timestamp in the JVM (`div` = integer division;
-# a double `/` would lose precision above 2^53 at epoch-nanos magnitude).
-# Truncation toward zero matches DuckDB's ns->second flooring for positive
-# epochs, so second-granularity outputs stay oracle-exact.
+# Some testdata generations write events.ts as INT64 TIMESTAMP(NANOS), which
+# Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); others write plain
+# TIMESTAMP(MICROS), which Spark reads natively. Detect from the parquet
+# footer (one driver-side metadata read, memoized per path) and only apply
+# the ns->µs workaround when the file really is nanos: read the physical
+# int64 via an explicit schema and convert in the JVM (`div` = integer
+# division; a double `/` would lose precision above 2^53 at epoch-nanos
+# magnitude). Truncation toward zero matches DuckDB's ns->second flooring
+# for positive epochs, so second-granularity outputs stay oracle-exact.
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -54,13 +58,37 @@ _EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
+#: Canonical events schema after ts normalization — what ``t()`` returns and
+#: what streaming sources read from their staged (pre-normalized) copies.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    if path not in _EVENTS_TS_IS_NANOS:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.read_schema(path).field("ts").type
+        _EVENTS_TS_IS_NANOS[path] = str(getattr(ts_type, "unit", "")) == "ns"
+    return _EVENTS_TS_IS_NANOS[path]
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Applies runtime parity conf (UTC, ANSI off)
     defensively — the driver hands us a session we didn't configure."""
     configure_runtime(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         return (
             spark.read.schema(_EVENTS_RAW_SCHEMA)
             .parquet(path)

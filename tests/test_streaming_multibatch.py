@@ -15,18 +15,17 @@ import tempfile
 import pytest
 
 from energy_emissions_lakehouse_spark.streaming import jobs
-from energy_emissions_lakehouse_spark.tables import _EVENTS_RAW_SCHEMA
+from energy_emissions_lakehouse_spark.tables import t
 
 
 @pytest.fixture(scope="module")
 def staged_dir(spark, sf_dir) -> str:
-    """events.parquet split into 4 time-ranged files (raw int64 ns ts)."""
+    """events split into 4 time-ranged files of canonical (µs-ts) schema."""
     out = os.path.join(
         tempfile.gettempdir(), "eel_stream_multibatch", os.path.basename(sf_dir)
     )
     (
-        spark.read.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        t(spark, sf_dir, "events")
         .repartitionByRange(4, "ts")
         .write.mode("overwrite")
         .parquet(out)
