@@ -59,6 +59,22 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def all_ngrams(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH duplicates kept — the repetition-analysis variant
+    of ``shingles`` (Gopher-style duplicate-n-gram-fraction rules need the
+    multiplicity, not the set). Same zip_with construction (each argument
+    array evaluated exactly once per row; see ``shingles`` for why not
+    transform(sequence)), minus the final array_distinct."""
+    gram = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    gram = F.slice(gram, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 #: BPE-ish pre-tokenizer pattern (GPT-2-style coarse classes): letter runs,
 #: digit runs, punctuation runs. Verified to produce identical token lists
 #: in Spark (java.util.regex) and DuckDB (RE2) — both engines use leftmost

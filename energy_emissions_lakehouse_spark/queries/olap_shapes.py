@@ -1,4 +1,5 @@
-"""Remaining TPC-H query shapes (Q4/Q7/Q8/Q9/Q10/Q12/Q13/Q17/Q20 analogs).
+"""Remaining TPC-H query shapes (Q4/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q17/Q20
+analogs) — with queries/core.py this completes all 22 TPC-H shapes.
 
 Completes the OLAP shape coverage started in queries/core.py (which spans
 Q1/Q2/Q3/Q5/Q6/Q14/Q15/Q18/Q19/Q21/Q22 analogs). The testdata schema has
@@ -489,4 +490,109 @@ def bulk_part_supplier_shortlist(spark, sf_dir) -> DataFrame:
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
+    )
+
+
+@register(
+    "part_value_concentration",
+    oracle=f"""
+    WITH nation_li AS (
+        SELECT l.l_partkey,
+               CAST(ROUND(({_REV}) * 100, 0) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+        SELECT l_partkey, SUM(rev_cents) AS value_cents
+        FROM nation_li GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+    FROM per_part
+    WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM per_part)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    survey="extension (subqueries): TPC-H Q11-shaped value concentration "
+    "— no partsupp table in this schema, so per-part 'inventory value' is "
+    "proxied by NATION_7-supplied revenue (shape preserved: grouped sum + "
+    "uncorrelated scalar-total threshold). The threshold compare stays in "
+    "integer cents (value*1000 > total) so it is exact in both engines; "
+    "the one-row total broadcasts, never a per-row re-aggregation",
+)
+def part_value_concentration(spark, sf_dir) -> DataFrame:
+    """Parts whose NATION_7-supplied revenue exceeds 1/1000 of that
+    nation's total (TPC-H Q11 analog)."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    rev_cents = F.round(
+        F.expr(_REV) * F.lit(100), 0
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "supplier_variety_by_part_class",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    survey="extension (anti-join distinct aggregate): TPC-H Q16-shaped "
+    "supplier variety — brand/type/size exclusion filters pushed into the "
+    "part scan, the NOT IN complaint-supplier set (negative-balance proxy; "
+    "no s_comment column in this schema) planned as a broadcast null-aware "
+    "anti join BEFORE the distinct aggregate, so excluded suppliers never "
+    "reach the shuffle; COUNT(DISTINCT) expands partial-agg-side",
+)
+def supplier_variety_by_part_class(spark, sf_dir) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) part class,
+    excluding negative-balance suppliers (TPC-H Q16 analog)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_suppliers = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_suppliers),
+            li.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )

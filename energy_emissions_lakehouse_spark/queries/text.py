@@ -837,3 +837,222 @@ def corpus_curation_pipeline(spark, sf_dir) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ------------------------------------------------- corpus quality / safety
+
+
+@register(
+    "doc_gopher_quality_filter",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok_ex AS (SELECT doc_id, unnest(toks) AS tok FROM doc_toks),
+    tok_cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok_ex
+                GROUP BY doc_id, tok),
+    top_tok AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+                FROM tok_cnt GROUP BY doc_id),
+    m AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, tk -> tk IN ({_STOP_LIST}))) AS BIGINT)
+                 AS n_stop,
+             CAST(length(regexp_replace(lower(text), '\\W+', '', 'g')) AS BIGINT)
+                 AS n_word_chars,
+             tt.top_c, tt.n_tok
+      FROM doc_toks d JOIN top_tok tt ON tt.doc_id = d.doc_id
+    ),
+    rules AS (
+      SELECT lang, source,
+             (n_tokens BETWEEN 20 AND 1000)                    AS r_len,
+             (n_word_chars BETWEEN 2 * n_tokens AND 12 * n_tokens) AS r_mean,
+             (n_stop * 50 >= n_tokens)                         AS r_stop,
+             (n_distinct * 10 >= n_tokens)                     AS r_ttr,
+             (top_c * 5 <= n_tok)                              AS r_rep
+      FROM m
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN r_len AND r_mean AND r_stop AND r_ttr
+                           AND r_rep THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN NOT r_len  THEN 1 END) AS BIGINT) AS fail_len,
+           CAST(COUNT(CASE WHEN NOT r_mean THEN 1 END) AS BIGINT) AS fail_mean_len,
+           CAST(COUNT(CASE WHEN NOT r_stop THEN 1 END) AS BIGINT) AS fail_stopword,
+           CAST(COUNT(CASE WHEN NOT r_ttr  THEN 1 END) AS BIGINT) AS fail_ttr,
+           CAST(COUNT(CASE WHEN NOT r_rep  THEN 1 END) AS BIGINT) AS fail_repetition
+    FROM rules
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    survey="extension (training pipeline): Gopher/C4-style composite "
+    "quality-filter ruleset — length, mean-word-length, stopword-presence, "
+    "lexical-diversity, and top-token-repetition rules evaluated per doc "
+    "and rolled up per (lang, source). Every rule compares in integer "
+    "space (n_stop*50 >= n_tokens etc.) so the verdicts are cross-engine "
+    "exact; the repetition rule's token mode comes from an explode + "
+    "two-level groupBy (the 100 TB path), never a per-row quadratic scan",
+)
+def doc_gopher_quality_filter(spark, sf_dir) -> DataFrame:
+    """Per-(lang, source) corpus retention report under a five-rule
+    Gopher-style quality filter."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "lang", "source",
+        tx.token_count(toks).alias("n_tokens"),
+        tx.distinct_token_count(toks).alias("n_distinct"),
+        tx.stopword_count(toks).alias("n_stop"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), r"\W+", "")
+        ).cast("long").alias("n_word_chars"),
+        toks.alias("toks"),
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    m = base.drop("toks").join(top_tok, "doc_id")
+    rules = m.select(
+        "lang", "source",
+        F.col("n_tokens").between(20, 1000).alias("r_len"),
+        F.col("n_word_chars").between(
+            2 * F.col("n_tokens"), 12 * F.col("n_tokens")
+        ).alias("r_mean"),
+        (F.col("n_stop") * 50 >= F.col("n_tokens")).alias("r_stop"),
+        (F.col("n_distinct") * 10 >= F.col("n_tokens")).alias("r_ttr"),
+        (F.col("top_c") * 5 <= F.col("n_tok")).alias("r_rep"),
+    )
+    kept = (
+        F.col("r_len") & F.col("r_mean") & F.col("r_stop")
+        & F.col("r_ttr") & F.col("r_rep")
+    )
+    return (
+        rules.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.when(~F.col("r_len"), 1)).alias("fail_len"),
+            F.count(F.when(~F.col("r_mean"), 1)).alias("fail_mean_len"),
+            F.count(F.when(~F.col("r_stop"), 1)).alias("fail_stopword"),
+            F.count(F.when(~F.col("r_ttr"), 1)).alias("fail_ttr"),
+            F.count(F.when(~F.col("r_rep"), 1)).alias("fail_repetition"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_5GRAMS = (
+    "CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform("
+    "range(1, len(toks)-3), i -> toks[i] || ' ' || toks[i+1] || ' ' || "
+    "toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) ELSE [] END"
+)
+
+
+@register(
+    "doc_contamination_overlap",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    doc_5g AS (SELECT doc_id, {_5GRAMS} AS sh FROM doc_toks),
+    bench AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_5g
+              WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_5g
+               WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.shingle) >= 2
+    ORDER BY c.doc_id
+    """,
+    survey="extension (training pipeline): benchmark-contamination check — "
+    "5-gram shingle overlap between the corpus and a held-out benchmark "
+    "set (deterministic doc_id%20 split), planned as a broadcast equi-join "
+    "on the shingle (benchmark shingle sets are tiny next to a 100 TB "
+    "corpus), then per-doc distinct-overlap counts; the decontamination "
+    "join a real pretraining pipeline runs before training",
+)
+def doc_contamination_overlap(spark, sf_dir) -> DataFrame:
+    """Corpus documents sharing >=2 distinct 5-gram shingles with the
+    pseudo-benchmark split (doc_id % 20 == 0)."""
+    docs = t(spark, sf_dir, "documents")
+    five = tx.shingles(tx.tokens(F.col("text")), n=5)
+    doc_5g = docs.select("doc_id", five.alias("sh"))
+    bench = (
+        doc_5g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("b_id"), F.explode("sh").alias("shingle"))
+    )
+    corpus = (
+        doc_5g.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("b_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= 2)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_repetition_profile",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    doc_bg AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                 range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bgs
+      FROM doc_toks
+    ),
+    bg_ex AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM doc_bg),
+    bg_cnt AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg_ex
+               GROUP BY doc_id, lang, bg),
+    per_doc AS (SELECT doc_id, lang, MAX(c) AS top_c, SUM(c) AS n_bg
+                FROM bg_cnt GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(LEAST(top_c * 10 // n_bg, 9) AS BIGINT) AS dominance_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc
+    WHERE n_bg > 0
+    GROUP BY lang, dominance_decile
+    ORDER BY lang, dominance_decile
+    """,
+    survey="extension (training pipeline): duplicate-bigram dominance "
+    "profile (Gopher repetition rule) — per-doc top-bigram share bucketed "
+    "into deciles per language; bigrams keep multiplicity "
+    "(operators/text.all_ngrams), the share bucket is computed in integer "
+    "division (top_c*10 div n_bg) so decile assignment is cross-engine "
+    "exact; explode + two-level groupBy, linear in corpus size",
+)
+def doc_repetition_profile(spark, sf_dir) -> DataFrame:
+    """Histogram of per-document top-bigram dominance deciles by language."""
+    docs = t(spark, sf_dir, "documents")
+    bgs = tx.all_ngrams(tx.tokens(F.col("text")), n=2)
+    bg_cnt = (
+        docs.select("doc_id", "lang", F.explode(bgs).alias("bg"))
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = bg_cnt.groupBy("doc_id", "lang").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    return (
+        per_doc.filter(F.col("n_bg") > 0)
+        .select(
+            "lang",
+            F.least(
+                F.expr("top_c * 10 div n_bg"), F.lit(9).cast("bigint")
+            ).alias("dominance_decile"),
+        )
+        .groupBy("lang", "dominance_decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "dominance_decile")
+    )
