@@ -47,6 +47,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def cosine_pre(a: Column, a_n: Column, b: Column, b_n: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms: per-pair work drops from one dot +
+    two norm folds to one dot. The arithmetic is the identical fold in the
+    identical order, so the double result is bit-equal to ``cosine`` —
+    norms are just computed once per vector (O(N)) instead of once per
+    candidate pair (O(pairs)), a ~3x cut on the join's hot expression."""
+    return dot(a, b) / F.nullif(a_n * b_n, F.lit(0.0))
+
+
 def lsh_bucket(vec: Column, num_hyperplanes: int = NUM_HYPERPLANES) -> Column:
     """Sign-random-projection bucket id in [0, 2^H): bit i = (v . h_i) >= 0."""
     total = None
@@ -138,12 +147,17 @@ def multiprobe_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double("embedding").alias("q_vec"),
+        norm(as_double("embedding")).alias("q_n"),
     ).select(
-        "query_id", "q_vec", F.explode(probes(F.col("q_vec"))).alias("bucket")
+        "query_id",
+        "q_vec",
+        "q_n",
+        F.explode(probes(F.col("q_vec"))).alias("bucket"),
     )
     c = candidates.select(
         F.col("vec_id").alias("cand_id"),
         as_double("embedding").alias("c_vec"),
+        norm(as_double("embedding")).alias("c_n"),
         lsh_bucket(as_double("embedding"), hp).alias("bucket"),
     )
     scored = (
@@ -152,7 +166,12 @@ def multiprobe_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("q_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
@@ -170,10 +189,14 @@ def brute_force_topk(
     6-decimal rounded similarity so ranking is total and cross-engine
     stable."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), as_double("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("q_vec"),
+        norm(as_double("embedding")).alias("q_n"),
     )
     c = candidates.select(
-        F.col("vec_id").alias("cand_id"), as_double("embedding").alias("c_vec")
+        F.col("vec_id").alias("cand_id"),
+        as_double("embedding").alias("c_vec"),
+        norm(as_double("embedding")).alias("c_n"),
     )
     scored = (
         F.broadcast(q)
@@ -182,7 +205,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("q_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
@@ -204,13 +232,24 @@ def ivf_assign(
     no shuffle of the vector side; the only shuffle is the per-vector
     argmin window, keyed by vector id (perfectly spread)."""
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col("v").alias("c_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col("v").alias("c_vec"),
+        norm(F.col("v")).alias("c_n"),
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
-        id_col,
-        "v",
-        "centroid_id",
-        F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
+    scored = (
+        vectors.withColumn("__v_n", norm(F.col("v")))
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            "v",
+            "centroid_id",
+            F.round(
+                cosine_pre(
+                    F.col("v"), F.col("__v_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("c_sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("c_sim").desc(), F.col("centroid_id")
@@ -238,11 +277,13 @@ def ivf_topk(
     q = assigned.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q_vec"),
+        norm(F.col("v")).alias("q_n"),
         "centroid_id",
     )
     c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("v").alias("c_vec"),
+        norm(F.col("v")).alias("c_n"),
         "centroid_id",
     )
     scored = (
@@ -251,7 +292,12 @@ def ivf_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("q_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
@@ -277,11 +323,13 @@ def cosine_neardup_pairs(
     a = vectors.select(
         F.col("vec_id").alias("a_id"),
         as_double("embedding").alias("a_vec"),
+        norm(as_double("embedding")).alias("a_n"),
         lsh_bucket(as_double("embedding"), num_hyperplanes).alias("bucket"),
     )
     b = vectors.select(
         F.col("vec_id").alias("b_id"),
         as_double("embedding").alias("b_vec"),
+        norm(as_double("embedding")).alias("b_n"),
         lsh_bucket(as_double("embedding"), num_hyperplanes).alias("bucket"),
     )
     return (
@@ -290,7 +338,12 @@ def cosine_neardup_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("a_vec"), F.col("a_n"), F.col("b_vec"), F.col("b_n")
+                ),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -305,11 +358,13 @@ def bucketed_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double("embedding").alias("q_vec"),
+        norm(as_double("embedding")).alias("q_n"),
         lsh_bucket(as_double("embedding")).alias("bucket"),
     )
     c = candidates.select(
         F.col("vec_id").alias("cand_id"),
         as_double("embedding").alias("c_vec"),
+        norm(as_double("embedding")).alias("c_n"),
         lsh_bucket(as_double("embedding")).alias("bucket"),
     )
     scored = (
@@ -318,7 +373,12 @@ def bucketed_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("q_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
@@ -446,15 +506,22 @@ def ivf_topk_nprobe(
     )
     c = c_home.select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("c_vec"),
+        norm(F.col("v")).alias("c_n"),
         "centroid_id",
     )
     scored = (
-        q.join(c, "centroid_id")
+        q.withColumn("q_n", norm(F.col("q_vec")))
+        .join(c, "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("q_n"), F.col("c_vec"), F.col("c_n")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -221,3 +221,34 @@ def stream_chained_window_rollup(spark, sf_dir) -> DataFrame:
     # the first watermark sentinel's own (already-closed) windows surface
     # in the sink; they are not part of the dataset
     return out.filter(F.col("event_type") != "__flush__")
+
+
+@register(
+    "stream_purchase_click_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    survey="extension (streaming): stream-stream LEFT OUTER interval join "
+    "— unmatched purchases emit with null click only after the watermark "
+    "proves no matching click can still arrive; on the bounded replay the "
+    "flush sentinels advance both sides' watermarks past every real event "
+    "(sentinels flow THROUGH the watermark nodes, are dropped only at the "
+    "sink). Result must equal the batch LEFT JOIN oracle — the strongest "
+    "check that outer-emission timing loses nothing",
+)
+def stream_purchase_click_left_join(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    out = jobs.run_to_table(jobs.purchase_click_left_join(ev), mode="append")
+    # sentinel rows (user_id = -1) were only there to advance watermarks
+    return out.filter(F.col("user_id") >= 0)

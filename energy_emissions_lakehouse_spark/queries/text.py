@@ -1056,3 +1056,107 @@ def doc_repetition_profile(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "dominance_decile")
     )
+
+
+#: PII-ish patterns in the Java-regex ∩ RE2 dialect intersection (no
+#: lookaround, no backrefs) so Spark and DuckDB match identically.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "doc_pii_redaction_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+               length(text) AS len_before,
+               length(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS len_after
+        FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN n_email + n_phone > 0 THEN 1 END) AS BIGINT)
+               AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS total_email_hits,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phone_hits,
+           CAST(SUM(len_before - len_after) AS BIGINT) AS chars_redacted_delta
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey="extension (training pipeline): PII scrubbing pass — regex "
+    "email/phone detection + redaction with per-source audit counts (the "
+    "compliance report a corpus release requires). Deterministic PII "
+    "injection (testdata has none) seeds the corpus; patterns live in the "
+    "Java-regex ∩ RE2 intersection so both engines match identically; "
+    "all JVM codegen regexp_count/regexp_replace, map-only until the "
+    "per-source rollup",
+)
+def doc_pii_redaction_stats(spark, sf_dir) -> DataFrame:
+    """Per-source PII detection/redaction audit over deterministically
+    seeded emails (doc_id%7) and phone numbers (doc_id%11)."""
+    docs = t(spark, sf_dir, "documents")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    seeded = docs.select("doc_id", "source", seeded_text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    red = seeded.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phone"),
+        F.length("text").alias("len_before"),
+        F.length(redacted).alias("len_after"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("n_email") + F.col("n_phone") > 0, 1)
+            ).alias("n_docs_with_pii"),
+            F.sum("n_email").alias("total_email_hits"),
+            F.sum("n_phone").alias("total_phone_hits"),
+            F.sum(F.col("len_before") - F.col("len_after")).cast("long").alias(
+                "chars_redacted_delta"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -476,3 +476,43 @@ def chained_window_rollup(events: DataFrame) -> DataFrame:
         .agg(F.sum("n").alias("n_events"))
         .select(F.col("d.start").alias("day"), "event_type", "n_events")
     )
+
+
+def purchase_click_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    same-user click in the preceding hour or nulls if none arrived.
+
+    Outer-join semantics are the hard streaming case: an unmatched left
+    row can only be EMITTED once the watermark proves no matching right
+    row can still arrive — so on a bounded replay the flush sentinels
+    must reach BOTH sides' watermark nodes. The side filters therefore
+    keep '__flush__' rows flowing (a filter that dropped them would be
+    pushed into the scan and starve the watermark, the round-1 lesson);
+    sentinel rows carry user_id = -1 and are dropped from the SINK output
+    by the caller, never before the watermark."""
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts < clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "click_id", "user_id"
+    )
