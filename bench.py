@@ -68,6 +68,8 @@ HEADLINE = [
     "profit_by_supp_nation_year",
     "top_returned_revenue_customers",
     "customer_order_count_distribution",
+    "part_value_concentration",
+    "supplier_variety_by_part_class",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -119,6 +121,15 @@ HEADLINE = [
     # warehouse paths
     "jdbc_star_roundtrip_q2",
     "merge_upsert_orders_partition_scoped",
+    # Spark 4 Python DataSource connector (100k generated rows)
+    "pysource_synthetic_profile",
+    # corpus quality / safety passes
+    "doc_gopher_quality_filter",
+    "doc_contamination_overlap",
+    "doc_repetition_profile",
+    "doc_pii_redaction_stats",
+    # stream-stream outer join
+    "stream_purchase_click_left_join",
 ]
 
 

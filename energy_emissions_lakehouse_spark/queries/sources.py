@@ -21,6 +21,7 @@ from energy_emissions_lakehouse_spark.medallion.silver import clean_energy
 from energy_emissions_lakehouse_spark.medallion.sql_oracle import with_pipeline
 from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.sources import files
+from energy_emissions_lakehouse_spark.sources.pydatasource import ORACLE_CTE
 
 #: Bronze energy CSV schema (S2): consumption stays a string so the dirty
 #: "N/A" literals survive to the cleaning cast (SURVEY §1.4).
@@ -185,4 +186,47 @@ def orc_roundtrip_part_stats(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("p_size").cast("long").alias("total_size"),
         scaled_sum(F.col("p_retailprice")).alias("total_retail"),
+    )
+
+
+@register(
+    "pysource_synthetic_profile",
+    oracle="WITH "
+    + ORACLE_CTE.format(n_rows=100_000)
+    + f"""
+    SELECT region, source,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           {scaled_sum_sql('consumption_mwh')} AS total_mwh,
+           CAST(SUM(quality_flag) AS BIGINT)   AS n_flagged,
+           CAST(MAX(day_offset) AS INTEGER)    AS max_day
+    FROM synth
+    GROUP BY region, source
+    ORDER BY region, source
+    """,
+    survey="extension (sources, Spark 4 Python DataSource API): custom "
+    "pluggable batch source — the reference's driver-side pandas generator "
+    "(generate_energy_emissions.py:39-124) re-expressed as a registered "
+    "format('eel_synthetic') connector: partition-parallel executor-side "
+    "generation, Arrow RecordBatch emission with numpy vectorized "
+    "arithmetic (never per-row Python), integer-derived values the DuckDB "
+    "oracle replays bit-exactly via generate_series",
+)
+def pysource_synthetic_profile(spark, sf_dir) -> DataFrame:
+    """Profile aggregate over the custom Python DataSource (100k rows in
+    4 generated partitions)."""
+    from energy_emissions_lakehouse_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    synth = spark.read.format("eel_synthetic").option("n_rows", 100_000).load()
+    return (
+        synth.groupBy("region", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            scaled_sum(F.col("consumption_mwh")).alias("total_mwh"),
+            F.sum("quality_flag").cast("long").alias("n_flagged"),
+            F.max("day_offset").alias("max_day"),
+        )
+        .orderBy("region", "source")
     )

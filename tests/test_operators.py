@@ -483,3 +483,32 @@ def test_scoped_merge_scan_uses_dynamic_partition_pruning(
     scoped.collect()
     plan = scoped._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The Spark 4 Python DataSource must split generation into chunks
+    (partition-parallel, like row groups) and re-reads must be identical
+    (values derive from the global row id only)."""
+    from energy_emissions_lakehouse_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("eel_synthetic")
+        .option("n_rows", 1000)
+        .option("rows_per_partition", 300)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # ceil(1000 / 300)
+    assert df.count() == 1000
+    a = df.agg(F.sum("row_id"), F.sum("quality_flag")).collect()[0]
+    b = (
+        spark.read.format("eel_synthetic")
+        .option("n_rows", 1000)
+        .option("rows_per_partition", 300)
+        .load()
+        .agg(F.sum("row_id"), F.sum("quality_flag")).collect()[0]
+    )
+    assert a == b
+    assert a[0] == 1000 * 999 // 2
