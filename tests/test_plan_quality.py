@@ -278,3 +278,51 @@ def test_q20_shortlist_is_semi_join_chain(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
     assert "StringStartsWith(p_name,small)" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Scale pattern: when a shuffle join's build side is selective, Spark
+    injects a runtime bloom filter (bloom_filter_agg -> might_contain on
+    the probe scan) so non-matching fact rows die before the shuffle. On a
+    cluster this triggers by itself once the probe side passes the 10 GB
+    applicationSideScanSizeThreshold; the test lowers the thresholds to
+    demonstrate the same plan shape at test scale and pins that the
+    engine's session/config keeps the optimization available."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
