@@ -104,6 +104,8 @@ HEADLINE = [
     "embedding_cosine_neardup",
     "embedding_neardup_adaptive",
     "embedding_kmeans_clusters",
+    "pq_encode_stats",
+    "pq_adc_topk",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     # structured streaming (availableNow run to completion)
@@ -128,6 +130,7 @@ HEADLINE = [
     "doc_contamination_overlap",
     "doc_repetition_profile",
     "doc_pii_redaction_stats",
+    "doc_mixture_resample",
     # stream-stream outer join
     "stream_purchase_click_left_join",
 ]

@@ -398,10 +398,13 @@ def sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_lloyd(
+def lloyd_model(
     vectors: DataFrame, k: int = 8, iters: int = 3
-) -> DataFrame:
-    """Distributed Lloyd k-means over an array<double> column ``v``.
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means over an array<double> column ``v``,
+    returning (assignments, centroids): the final assignment
+    (vec_id, v, cluster_id, d2) and the final centroid table
+    (cluster_id, c_vec).
 
     Deterministic contract (no RNG): initial centroids are the k
     lowest-id vectors; assignment ties break to the lowest centroid id —
@@ -414,7 +417,6 @@ def kmeans_lloyd(
       (k x d groups), rebuild arrays with sorted collect_list. Model state
       is k x d values — localCheckpoint'd per iteration so the lineage
       stays flat; the DATA never collects to the driver.
-    Returns (cluster_id, n_members, inertia) — k rows.
     """
     seed = (
         vectors.orderBy("vec_id")
@@ -460,10 +462,146 @@ def kmeans_lloyd(
         )
         centroids = new_cents.localCheckpoint(eager=True)
         assigned = assign(centroids)
+    return assigned, centroids
 
-    return assigned.groupBy("cluster_id").agg(
+
+def lloyd_assignments(
+    vectors: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Final Lloyd assignment (vec_id, v, cluster_id, d2); see lloyd_model."""
+    return lloyd_model(vectors, k, iters)[0]
+
+
+def kmeans_lloyd(
+    vectors: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd k-means rollup: (cluster_id, n_members, inertia) — k rows.
+    See ``lloyd_model`` for the distributed-training contract."""
+    return lloyd_assignments(vectors, k, iters).groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.sum("d2"), 6).alias("inertia"),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2
+) -> DataFrame:
+    """Product quantization: train ``m`` independent sub-codebooks (Lloyd,
+    ``ksub`` codes each) over the vector's m equal slices and encode every
+    vector as its per-subspace nearest code.
+
+    Returns (vec_id, sub, code, d2): d2 is the subspace reconstruction
+    error, so SUM(d2) over a vector's m rows is its total quantization
+    distortion. Codes are the SEED vector ids (deterministic, no RNG).
+
+    Scale notes: each subspace trains independently on a dim/m-wide slice
+    (same broadcast-assign shape as IVF training, m small constants); the
+    encoded corpus is m bytes-ish per vector instead of d floats — the
+    memory-bound ANN regime (ADC) at 100 TB. Subspace loops are Python
+    over PLANS, never over data."""
+    return pq_model(vectors, m, ksub, iters)[0]
+
+
+def pq_model(
+    vectors: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Train PQ sub-codebooks and encode the corpus.
+
+    Returns (encoded, codebooks):
+    - encoded:   (vec_id, sub, code, d2) — one row per vector per subspace;
+    - codebooks: (sub, code, c_vec)      — m x ksub centroid slices.
+    """
+    enc_parts, cb_parts = [], []
+    # EMBED_DIM is the corpus contract (embeddings table, TESTDATA.md)
+    dim = EMBED_DIM // m
+    for s in range(m):
+        sub = vectors.select(
+            "vec_id", F.slice("v", s * dim + 1, dim).alias("v")
+        )
+        assigned, cents = lloyd_model(sub, ksub, iters)
+        enc_parts.append(
+            assigned.select(
+                "vec_id",
+                F.lit(s).alias("sub"),
+                F.col("cluster_id").alias("code"),
+                "d2",
+            )
+        )
+        cb_parts.append(
+            cents.select(
+                F.lit(s).alias("sub"),
+                F.col("cluster_id").alias("code"),
+                "c_vec",
+            )
+        )
+    enc, cb = enc_parts[0], cb_parts[0]
+    for e in enc_parts[1:]:
+        enc = enc.unionByName(e)
+    for c in cb_parts[1:]:
+        cb = cb.unionByName(c)
+    return enc, cb
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_pred,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the memory-bound
+    ANN search: candidates are never touched as floats, only as m small
+    codes; per query the float work is one m x ksub distance TABLE.
+
+    Scale shape:
+    - distance tables: query slices x broadcast codebooks (Q*m*ksub tiny
+      rows, map-only);
+    - scoring: encoded corpus (N*m rows) equi-joins the BROADCAST tables
+      on (sub, code) — map-side, no corpus shuffle — then one keyed
+      aggregate per (query, candidate) sums the m partials.
+    Partial distances quantize to integer micro-units before the sum, so
+    the total and the (d, cand_id) ranking are cross-engine exact."""
+    dim = EMBED_DIM // m
+    encoded, codebooks = pq_model(vectors, m, ksub, iters)
+    q_slices = vectors.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("v", s * dim + 1, dim).alias("qv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("query_id", "e.sub", "e.qv")
+    dtab = q_slices.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        # integer micro-units: the m-way partial sum must be
+        # order-independent (exact) across engines and partitionings
+        F.round(sq_l2(F.col("qv"), F.col("c_vec")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    scored = (
+        encoded.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d_micro").alias("d_micro"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("d_micro").cast("double") / 1e6).alias("d_approx"),
+            "rank",
+        )
     )
 
 

@@ -1160,3 +1160,80 @@ def doc_pii_redaction_stats(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_TOTAL = 300  # target corpus size after mixing
+
+
+@register(
+    "doc_mixture_resample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+               sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+        FROM documents GROUP BY source
+    ),
+    quotas AS (
+        SELECT source, n_before,
+               CAST(FLOOR({_MIX_TOTAL} * w / (SELECT SUM(w) FROM counts))
+                    AS BIGINT) AS quota
+        FROM counts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY {dd.hash_id_sql("CAST(d.doc_id AS VARCHAR)")},
+                            d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT q.source, q.n_before, q.quota,
+           CAST(COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS BIGINT)
+               AS n_kept
+    FROM ranked r JOIN quotas q ON q.source = r.source
+    GROUP BY q.source, q.n_before, q.quota
+    ORDER BY q.source
+    """,
+    survey="extension (training pipeline): temperature-based source "
+    "mixing (multilingual-LM resampling, T=2 i.e. sqrt weights) — "
+    "per-source quotas proportional to sqrt(N_s) flatten the source "
+    "distribution, members chosen by deterministic md5-hash rank within "
+    "source (reproducible across engines, runs, and layouts). sqrt is "
+    "IEEE-correctly-rounded in both engines so quotas are exact; "
+    "per-source windows are hash-partitioned — the 100 TB mixing pass "
+    "before tokenization",
+)
+def doc_mixture_resample(spark, sf_dir) -> DataFrame:
+    """Per-source resampling report: sqrt-temperature quotas and the
+    deterministically chosen member counts."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w"),
+    )
+    total_w = counts.agg(F.sum("w").alias("w_sum"))
+    quotas = (
+        counts.crossJoin(F.broadcast(total_w))
+        .select(
+            "source",
+            "n_before",
+            F.floor(F.lit(_MIX_TOTAL) * F.col("w") / F.col("w_sum"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        dd.hash_id(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .groupBy("source", "n_before", "quota")
+        .agg(
+            F.count(F.when(F.col("rn") <= F.col("quota"), 1)).alias("n_kept")
+        )
+        .orderBy("source")
+    )

@@ -486,3 +486,169 @@ def ivf_topk_nprobe2(spark, sf_dir) -> DataFrame:
     return sim.ivf_topk_nprobe(
         emb, centroids, F.col("vec_id") % 100 == 0, k=3, nprobe=2
     )
+
+
+def _pq_ctes(m: int, ksub: int, iters: int) -> tuple[list, str, list]:
+    """Shared CTE builder for the PQ oracles: per subspace, seed = ksub
+    lowest ids' slices, then ``iters`` unrolled Lloyd rounds (same
+    9-dp-quantized model state as the k-means oracle). Slices are 1-based
+    inclusive (DuckDB list slicing); Spark's F.slice(v, start, length)
+    addresses the same elements.
+
+    Returns (ctes, enc_union_select, final_centroid_cte_names)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.v, s.c_vec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dim = sim.EMBED_DIM // m
+
+    def assign(cents: str, name: str, e: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, v, cluster_id, d2 FROM (
+            SELECT vec_id, v, cluster_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cluster_id) AS rn
+            FROM (SELECT e.vec_id, e.v, s.cluster_id, {d2} AS d2
+                  FROM {e} e CROSS JOIN {cents} s)
+        ) WHERE rn = 1)"""
+
+    def update(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT cluster_id, list(m ORDER BY pos) AS c_vec FROM (
+            SELECT cluster_id, pos, ROUND(AVG(val), 9) AS m FROM (
+                SELECT cluster_id, generate_subscripts(v, 1) AS pos,
+                       unnest(v) AS val FROM {assigned})
+            GROUP BY cluster_id, pos)
+        GROUP BY cluster_id)"""
+
+    ctes, finals, cent_names = [], [], []
+    for s in range(m):
+        lo, hi = s * dim + 1, (s + 1) * dim
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, ({_EMB})[{lo}:{hi}] AS v FROM embeddings)"
+        )
+        ctes.append(
+            f"seed{s} AS (SELECT vec_id AS cluster_id, v AS c_vec FROM e{s} "
+            f"ORDER BY vec_id LIMIT {ksub})"
+        )
+        ctes.append(assign(f"seed{s}", f"s{s}a0", f"e{s}"))
+        cur, cents = f"s{s}a0", f"seed{s}"
+        for i in range(1, iters + 1):
+            ctes.append(update(cur, f"s{s}c{i}"))
+            ctes.append(assign(f"s{s}c{i}", f"s{s}a{i}", f"e{s}"))
+            cur, cents = f"s{s}a{i}", f"s{s}c{i}"
+        finals.append(
+            f"SELECT {s} AS sub, cluster_id AS code, vec_id, d2 FROM {cur}"
+        )
+        cent_names.append(cents)
+    return ctes, " UNION ALL ".join(finals), cent_names
+
+
+def _pq_oracle_sql(m: int = 4, ksub: int = 16, iters: int = 2) -> str:
+    """DuckDB replay of pq_encode: (sub, code) histogram + distortion."""
+    ctes, union, _ = _pq_ctes(m, ksub, iters)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    enc AS ({union})
+    SELECT CAST(sub AS INTEGER) AS sub, code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(d2), 6) AS distortion
+    FROM enc GROUP BY sub, code
+    ORDER BY sub, code"""
+    )
+
+
+def _pq_adc_oracle_sql(
+    m: int = 4, ksub: int = 16, iters: int = 2, k: int = 3
+) -> str:
+    """DuckDB replay of pq_adc_topk: per-query distance tables against the
+    final sub-codebooks, integer-micro partial distances summed over the
+    corpus codes, (d, cand_id) ranking."""
+    ctes, union, cent_names = _pq_ctes(m, ksub, iters)
+    dq = (
+        "list_sum(list_transform(list_zip(q.v, c.c_vec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dtabs = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {s} AS sub, c.cluster_id AS code,
+               CAST(ROUND({dq} * 1000000, 0) AS BIGINT) AS d_micro
+        FROM (SELECT vec_id, v FROM e{s} WHERE vec_id % 100 = 0) q
+        CROSS JOIN {cent_names[s]} c"""
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    enc AS ({union}),
+    dtab AS ({dtabs}),
+    scored AS (
+        SELECT d.query_id, e.vec_id AS cand_id, SUM(d.d_micro) AS d_micro
+        FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id != e.vec_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, cand_id,
+           CAST(d_micro AS DOUBLE) / 1000000.0 AS d_approx, rank
+    FROM (
+        SELECT query_id, cand_id, d_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d_micro, cand_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}"""
+    )
+
+
+@register(
+    "pq_encode_stats",
+    oracle=_pq_oracle_sql(m=4, ksub=16, iters=2),
+    survey="extension (similarity, compression tier): product quantization "
+    "— 4 independent Lloyd sub-codebooks (16 codes each) over the "
+    "vector's 16-dim slices, every vector encoded as its per-subspace "
+    "argmin code; output is the (sub, code) histogram + total "
+    "reconstruction distortion. The memory-bound ANN regime at 100 TB: "
+    "m small codes per vector instead of d floats, trained and encoded "
+    "with broadcast-assign passes (the data never shuffles or collects); "
+    "DuckDB replays all 4x2 Lloyd rounds via the 9-dp quantized model "
+    "state, so the code assignment is value-exact",
+)
+def pq_encode_stats(spark, sf_dir) -> DataFrame:
+    """PQ codebook training + corpus encoding: per (subspace, code) member
+    counts and summed reconstruction error."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    enc = sim.pq_encode(emb, m=4, ksub=16, iters=2)
+    return (
+        enc.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("d2"), 6).alias("distortion"),
+        )
+        .orderBy("sub", "code")
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_adc_oracle_sql(m=4, ksub=16, iters=2, k=3),
+    survey="extension (similarity, compression tier): asymmetric-distance "
+    "(ADC) top-k over PQ codes — per query the only float work is one "
+    "m x ksub distance table (query slices x broadcast codebooks); the "
+    "corpus is scored through its codes alone via a broadcast (sub, code) "
+    "equi-join, never touched as floats. Partial distances quantize to "
+    "integer micro-units so the m-way sums and the (d, cand) ranking are "
+    "order-independent and cross-engine exact — the memory-bound ANN "
+    "regime for 100 TB corpora",
+)
+def pq_adc_topk(spark, sf_dir) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors: top-3 per query (vec_id%100)
+    by summed codebook-table distances."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    return sim.pq_adc_topk(
+        emb, query_pred=F.col("vec_id") % 100 == 0, k=3, m=4, ksub=16, iters=2
+    )

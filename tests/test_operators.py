@@ -512,3 +512,30 @@ def test_python_datasource_partitions_and_determinism(spark):
     )
     assert a == b
     assert a[0] == 1000 * 999 // 2
+
+
+def test_pq_encode_covers_corpus_and_reduces_distortion(spark, sf_dir):
+    """PQ invariants: every vector gets exactly one code per subspace, and
+    training (2 Lloyd iterations) must not increase total distortion vs
+    the seed-only codebook (Lloyd's monotonicity, per subspace summed)."""
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+    from energy_emissions_lakehouse_spark.tables import t
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    trained = sim.pq_encode(emb, m=4, ksub=16, iters=2)
+    per_sub = {
+        r["sub"]: r["cnt"]
+        for r in trained.groupBy("sub").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert per_sub == {0: n, 1: n, 2: n, 3: n}
+    d_trained = trained.agg(F.sum("d2")).collect()[0][0]
+    d_seed = (
+        sim.pq_encode(emb, m=4, ksub=16, iters=0)
+        .agg(F.sum("d2")).collect()[0][0]
+    )
+    assert d_trained <= d_seed + 1e-9
