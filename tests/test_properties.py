@@ -79,3 +79,90 @@ def test_survey_coverage_map_is_complete():
     registered = set(all_queries())
     missing = registered - documented
     assert not missing, f"queries missing from SURVEY §8: {sorted(missing)}"
+
+
+def test_observe_metrics_match_separate_aggregate(spark, sf_dir):
+    """df.observe collects DQ counters DURING the main query's execution —
+    one scan serves both the result and the audit (at 100 TB the
+    alternative is a second full pass). The observed metrics must equal an
+    independently computed aggregate."""
+    from pyspark.sql import Observation
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    result = observed.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+    expected = li.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == expected[0]
+    assert got["null_qty"] == expected[1]
+    assert got["price_cents"] == expected[2]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check of the custom as-of operator against pandas
+    merge_asof (an independent reference implementation): deterministic
+    pseudo-random left/right timelines per key, backward direction,
+    inclusive matches."""
+    import pandas as pd
+
+    from energy_emissions_lakehouse_spark.operators.asof import asof_join
+
+    rows_l, rows_r = [], []
+    for key in range(6):
+        for i in range(40):
+            # deterministic scatter; collisions and out-of-range gaps included
+            ts = (i * 37 + key * 13) % 500
+            rows_l.append((key, i, float(ts)))
+        for j in range(15):
+            ts = (j * 53 + key * 7) % 500
+            rows_r.append((key, j, float(ts), float(key * 1000 + j)))
+    left = spark.createDataFrame(rows_l, "user_id long, lid long, ts double")
+    right = spark.createDataFrame(
+        rows_r, "user_id long, rid long, ts double, payload double"
+    )
+    got = (
+        asof_join(
+            left, right, on="user_id", ts="ts",
+            payload=["payload"], right_tiebreak="rid",
+        )
+        .select("user_id", "lid", "asof_payload")
+        .toPandas()
+        .sort_values(["user_id", "lid"])
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(rows_l, columns=["user_id", "lid", "ts"]).sort_values(
+        ["ts", "lid"], kind="mergesort"
+    )
+    # merge_asof keeps the LAST right row at equal ts; emulate the
+    # operator's rid tiebreak by pre-sorting right so the highest rid wins
+    rp = pd.DataFrame(
+        rows_r, columns=["user_id", "rid", "ts", "payload"]
+    ).sort_values(["ts", "rid"], kind="mergesort")
+    want = (
+        pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values(["user_id", "lid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got["asof_payload"], want["payload"]):
+        both_nan = pd.isna(g) and pd.isna(w)
+        assert both_nan or g == w, (g, w)
