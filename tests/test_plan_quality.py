@@ -326,3 +326,43 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scan_pushdown_and_column_pruning(spark, sf_dir):
+    """Filters must reach the parquet scan (PushedFilters) and projection
+    must prune the read schema — a scan reading all 11 lineitem columns
+    for a 2-column aggregate is wrong at any scale."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    li = t(spark, sf_dir, "lineitem")
+    q = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.02)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    q.collect()  # finalize AQE so codegen spans materialize in the plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert scan, plan[:1200]
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan, plan[:1500]
+    # the pushed set must mention both filtered columns
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_returnflag", "l_quantity"):
+        assert col in read_schema, read_schema
+    # pruned: un-needed wide columns never leave the reader
+    for col in ("l_comment", "l_extendedprice", "l_orderkey"):
+        assert col not in read_schema, read_schema
+    # the aggregate itself runs inside whole-stage codegen: stages are
+    # star-annotated ("*(n) HashAggregate") in the executed-plan string
+    assert any(
+        ln.strip().startswith("+- *(") or " *(" in ln
+        for ln in plan.splitlines()
+        if "HashAggregate" in ln
+    ), plan[:1500]
