@@ -201,6 +201,21 @@ def main() -> None:
 
     _stage_events_dir(spark, sf_dir)
     read_events_stream_with_flush(spark, sf_dir)  # stages dir + sentinels
+    # Python-worker pool spin-up is per-JVM environment cost, not query
+    # work: a first Arrow-batched call pays daemon+worker fork (~2-5 s).
+    # Warm it with a tiny datasource read so the timed Python-path
+    # queries measure their pipelines, not process startup.
+    from energy_emissions_lakehouse_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    (
+        spark.read.format("eel_synthetic")
+        .option("n_rows", 1000)
+        .load()
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
