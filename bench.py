@@ -133,6 +133,8 @@ HEADLINE = [
     "doc_mixture_resample",
     # stream-stream outer join
     "stream_purchase_click_left_join",
+    # event-time-timeout stateful sessionization
+    "stream_session_timeout_close",
 ]
 
 

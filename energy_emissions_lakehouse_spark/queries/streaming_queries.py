@@ -252,3 +252,46 @@ def stream_purchase_click_left_join(spark, sf_dir) -> DataFrame:
     out = jobs.run_to_table(jobs.purchase_click_left_join(ev), mode="append")
     # sentinel rows (user_id = -1) were only there to advance watermarks
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_session_timeout_close",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL {jobs.SESSION_GAP_SECONDS} SECOND
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    )
+    SELECT user_id,
+           DATE_TRUNC('second', MIN(ts)) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    survey="extension (streaming, custom stateful operator): per-user "
+    "sessionization with EVENT-TIME TIMEOUT state eviction "
+    "(applyInPandasWithState) — sessions close on the in-stream gap OR "
+    "when the watermark passes last_ts + gap with no further events; the "
+    "bounded replay's flush sentinels fire the final timeouts. Must equal "
+    "the batch gaps-and-islands oracle exactly — the strongest check that "
+    "timeout-driven emission neither loses nor duplicates sessions",
+)
+def stream_session_timeout_close(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    out = jobs.run_to_table(jobs.stateful_session_close(ev), mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_trunc("second", F.col("session_start")).alias("session_start"),
+        "n_events",
+    )

@@ -516,3 +516,97 @@ def purchase_click_left_join(events: DataFrame) -> DataFrame:
     return purchases.join(clicks, cond, "left_outer").select(
         "purchase_id", "click_id", "user_id"
     )
+
+
+def stateful_session_close(events: DataFrame) -> DataFrame:
+    """Per-user sessionization via applyInPandasWithState with EVENT-TIME
+    TIMEOUT: a session closes either when a later event arrives past the
+    30-min gap (in-batch/cross-batch logic) or when the WATERMARK passes
+    last_ts + gap with no further events — the timeout path, which is the
+    piece built-in session_window cannot express with custom state.
+
+    Emits one row per CLOSED session. State per user is the single open
+    session (start_us, last_us, n) in integer microseconds — exact merge
+    across any batch boundary. On the bounded replay the flush sentinels
+    advance the watermark past every real event, firing the final
+    timeouts; sentinel groups (user_id < 0) are dropped by the caller
+    AFTER the sink, never before the watermark node."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def close_row(key, start_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield close_row(uid, start_us, n)
+            return
+        open_s = state.get if state.exists else None
+        closed = []
+        ts_us_all = []
+        for pdf in pdfs:
+            # int64 µs since epoch — exact arithmetic from here on
+            ts_us_all.append(
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+        if ts_us_all:
+            ts_sorted = pd.concat(ts_us_all).sort_values().to_numpy()
+            for t in ts_sorted:
+                t = int(t)
+                if open_s is None:
+                    open_s = (t, t, 1)
+                elif t - open_s[1] <= gap_us:
+                    open_s = (open_s[0], t, open_s[2] + 1)
+                else:
+                    closed.append(open_s)
+                    open_s = (t, t, 1)
+        if open_s is not None:
+            state.update(open_s)
+            # fire when the watermark passes last event + gap (ms API)
+            state.setTimeoutTimestamp(open_s[1] // 1000 + gap_us // 1000)
+        for start_us, _last, n in closed:
+            yield close_row(uid, start_us, n)
+
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -166,3 +166,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for g, w in zip(got["asof_payload"], want["payload"]):
         both_nan = pd.isna(g) and pd.isna(w)
         assert both_nan or g == w, (g, w)
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """df.stat.freqItems is a one-pass bounded-memory heavy-hitters sketch
+    (Karp/Misra-Gries family): its result must be a SUPERSET of the items
+    with true frequency above the support threshold — the sketch contract
+    that replaces a full groupBy at 100 TB when only frequent keys matter."""
+    from energy_emissions_lakehouse_spark.tables import t
+
+    orders = t(spark, sf_dir, "orders")
+    support = 0.05
+    got = set(
+        orders.stat.freqItems(["o_orderpriority"], support)
+        .collect()[0][0]
+    )
+    n = orders.count()
+    truly_frequent = {
+        r[0]
+        for r in orders.groupBy("o_orderpriority")
+        .count()
+        .filter(F.col("count") > n * support)
+        .collect()
+    }
+    assert truly_frequent <= got, (truly_frequent, got)
