@@ -633,7 +633,7 @@ def pq_encode_stats(spark, sf_dir) -> DataFrame:
 
 @register(
     "pq_adc_topk",
-    oracle=_pq_adc_oracle_sql(m=4, ksub=16, iters=2, k=3),
+    oracle=_pq_adc_oracle_sql(m=16, ksub=32, iters=2, k=3),
     survey="extension (similarity, compression tier): asymmetric-distance "
     "(ADC) top-k over PQ codes — per query the only float work is one "
     "m x ksub distance table (query slices x broadcast codebooks); the "
@@ -641,14 +641,18 @@ def pq_encode_stats(spark, sf_dir) -> DataFrame:
     "equi-join, never touched as floats. Partial distances quantize to "
     "integer micro-units so the m-way sums and the (d, cand) ranking are "
     "order-independent and cross-engine exact — the memory-bound ANN "
-    "regime for 100 TB corpora",
+    "regime for 100 TB corpora. Geometry m=16 x 32 codes: measured "
+    "recall@3 vs exact L2 = 0.73 (geometry ladder 4x16: 0.07, 8x16: "
+    "0.40, 16x32: 0.73 recorded in BASELINE.md); all m subspaces train "
+    "in ONE Lloyd pipeline (job count O(iters), not O(m*iters))",
 )
 def pq_adc_topk(spark, sf_dir) -> DataFrame:
     """PQ/ADC approximate nearest neighbors: top-3 per query (vec_id%100)
-    by summed codebook-table distances."""
+    by summed codebook-table distances (m=16 subspaces x 32 codes)."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("v")
     )
     return sim.pq_adc_topk(
-        emb, query_pred=F.col("vec_id") % 100 == 0, k=3, m=4, ksub=16, iters=2
+        emb, query_pred=F.col("vec_id") % 100 == 0, k=3, m=16, ksub=32,
+        iters=2,
     )

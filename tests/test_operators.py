@@ -539,3 +539,44 @@ def test_pq_encode_covers_corpus_and_reduces_distortion(spark, sf_dir):
         .agg(F.sum("d2")).collect()[0][0]
     )
     assert d_trained <= d_seed + 1e-9
+
+
+def test_pq_adc_recall_ladder(spark, sf_dir):
+    """ADC recall@3 vs exact L2 must climb as PQ geometry refines
+    (m=4x16 -> m=16x32), and the registered geometry must clear a recall
+    floor — the quality knob moves the right way, same contract as the
+    IVF nprobe ladder."""
+    import numpy as np
+
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+    from energy_emissions_lakehouse_spark.tables import t
+
+    pdf = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    V = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    exact = {}
+    for qi in np.where(ids % 100 == 0)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+        exact[ids[qi]] = set(
+            [ids[j] for j in order if ids[j] != ids[qi]][:3]
+        )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+
+    def recall(m, ksub):
+        adc = sim.pq_adc_topk(
+            emb, query_pred=F.col("vec_id") % 100 == 0, k=3, m=m, ksub=ksub,
+            iters=2,
+        ).toPandas()
+        per_q = [
+            len(set(g["cand_id"]) & exact[q]) / 3
+            for q, g in adc.groupby("query_id")
+        ]
+        return sum(per_q) / len(per_q)
+
+    coarse, fine = recall(4, 16), recall(16, 32)
+    assert fine > coarse, (coarse, fine)
+    assert fine >= 0.4, fine  # registered geometry floor (0.467 @ sf0.001)
