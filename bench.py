@@ -131,8 +131,9 @@ HEADLINE = [
     "doc_repetition_profile",
     "doc_pii_redaction_stats",
     "doc_mixture_resample",
-    # stream-stream outer join
+    # stream-stream outer joins
     "stream_purchase_click_left_join",
+    "stream_purchase_click_full_join",
     # event-time-timeout stateful sessionization
     "stream_session_timeout_close",
 ]

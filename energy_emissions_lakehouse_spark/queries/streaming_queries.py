@@ -295,3 +295,33 @@ def stream_session_timeout_close(spark, sf_dir) -> DataFrame:
         F.date_trunc("second", F.col("session_start")).alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "stream_purchase_click_full_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+    survey="extension (streaming): stream-stream FULL OUTER interval join "
+    "— unmatched rows from BOTH sides emit with nulls only after the "
+    "watermark passes their join window; completes the streaming join-"
+    "mode matrix (inner / left outer / full outer) against the same "
+    "batch oracle family",
+)
+def stream_purchase_click_full_join(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    out = jobs.run_to_table(jobs.purchase_click_full_join(ev), mode="append")
+    # sentinel rows (user_id = -1, incl. their self-matches) drop after
+    # the sink — they existed only to advance both watermarks
+    return out.filter(F.col("user_id") >= 0)

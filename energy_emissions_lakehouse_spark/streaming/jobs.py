@@ -610,3 +610,39 @@ def stateful_session_close(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def purchase_click_full_join(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: purchases with their
+    preceding-hour clicks, plus unmatched rows from BOTH sides emitted
+    with nulls once the watermark proves no partner can arrive. Same
+    sentinel contract as the left join (flush rows traverse both
+    watermark nodes; caller drops user_id < 0 after the sink)."""
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    cond = (
+        (purchases.purchase_user == clicks.click_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts < clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return purchases.join(clicks, cond, "full_outer").select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
+    )
