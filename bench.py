@@ -106,6 +106,7 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     "pq_encode_stats",
     "pq_adc_topk",
+    "pq_adc_rerank_topk",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     # structured streaming (availableNow run to completion)

@@ -644,6 +644,55 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_rerank_topk(
+    vectors: DataFrame,
+    query_pred,
+    k: int = 3,
+    shortlist: int = 20,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-stage ANN serving path: ADC shortlists ``shortlist`` candidates
+    per query through the codes alone, then ONLY those Q x shortlist rows
+    join back to full vectors for an exact-L2 re-rank — the standard
+    coarse-then-refine production shape. The refine stage is a keyed
+    equi-join on cand_id (fetches a bounded candidate set, never a
+    corpus scan); exact distances quantize to integer micro-units so the
+    final (d, cand_id) ranking is cross-engine total."""
+    short = pq_adc_topk(
+        vectors, query_pred, k=shortlist, m=m, ksub=ksub, iters=iters
+    ).select("query_id", "cand_id")
+    qv = vectors.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec")
+    )
+    cv = vectors.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("c_vec")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(sq_l2(F.col("q_vec"), F.col("c_vec")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("d_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("d_micro").cast("double") / 1e6).alias("d_exact"),
+            "rank",
+        )
+    )
+
+
 def ivf_topk_nprobe(
     vectors: DataFrame,
     centroids: DataFrame,

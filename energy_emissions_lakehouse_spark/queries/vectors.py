@@ -656,3 +656,89 @@ def pq_adc_topk(spark, sf_dir) -> DataFrame:
         emb, query_pred=F.col("vec_id") % 100 == 0, k=3, m=16, ksub=32,
         iters=2,
     )
+
+
+def _pq_adc_rerank_oracle_sql(
+    m: int = 16, ksub: int = 32, iters: int = 2, k: int = 3,
+    shortlist: int = 20,
+) -> str:
+    """DuckDB replay of pq_adc_rerank_topk: the ADC oracle ranked to
+    ``shortlist``, joined back to full vectors for an exact-L2 integer-
+    micro re-rank."""
+    ctes, union, cent_names = _pq_ctes(m, ksub, iters)
+    dq = (
+        "list_sum(list_transform(list_zip(q.v, c.c_vec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dtabs = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {s} AS sub, c.cluster_id AS code,
+               CAST(ROUND({dq} * 1000000, 0) AS BIGINT) AS d_micro
+        FROM (SELECT vec_id, v FROM e{s} WHERE vec_id % 100 = 0) q
+        CROSS JOIN {cent_names[s]} c"""
+        for s in range(m)
+    )
+    dx = (
+        "list_sum(list_transform(list_zip(q.v, c.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    enc AS ({union}),
+    dtab AS ({dtabs}),
+    scored AS (
+        SELECT d.query_id, e.vec_id AS cand_id, SUM(d.d_micro) AS d_micro
+        FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id != e.vec_id
+        GROUP BY d.query_id, e.vec_id
+    ),
+    short AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d_micro, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {shortlist}
+    ),
+    efull AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    exact AS (
+        SELECT s.query_id, s.cand_id,
+               CAST(ROUND({dx} * 1000000, 0) AS BIGINT) AS d_micro
+        FROM short s
+        JOIN efull q ON q.vec_id = s.query_id
+        JOIN efull c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id,
+           CAST(d_micro AS DOUBLE) / 1000000.0 AS d_exact, rank
+    FROM (
+        SELECT query_id, cand_id, d_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d_micro, cand_id) AS BIGINT) AS rank
+        FROM exact
+    ) WHERE rank <= {k}"""
+    )
+
+
+@register(
+    "pq_adc_rerank_topk",
+    oracle=_pq_adc_rerank_oracle_sql(m=16, ksub=32, iters=2, k=3,
+                                     shortlist=20),
+    survey="extension (similarity, compression tier): two-stage ANN "
+    "serving — ADC shortlists 20 candidates per query through codes "
+    "alone, then ONLY those rows join back to full vectors (keyed "
+    "equi-join, bounded fetch) for an exact-L2 integer-micro re-rank; "
+    "the coarse-then-refine production path. Measured recall@3 vs exact "
+    "brute force: 0.93 at sf0.01 (up from 0.73 ADC-only; shortlist "
+    "recall bounds final recall — re-rank makes everything inside the "
+    "shortlist exact)",
+)
+def pq_adc_rerank_topk(spark, sf_dir) -> DataFrame:
+    """ADC shortlist (20) + exact re-rank top-3 per query (vec_id%100)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    return sim.pq_adc_rerank_topk(
+        emb, query_pred=F.col("vec_id") % 100 == 0, k=3, shortlist=20,
+        m=16, ksub=32, iters=2,
+    )
