@@ -225,12 +225,17 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     (max cosine, ties -> lowest centroid id) via broadcast cross join +
-    per-vector top-1 window.
+    per-vector argmin aggregate.
 
     The centroid set is small by construction (the IVF invariant: nlist <<
     N), so the cross join broadcasts it — the assignment pass is map-only,
-    no shuffle of the vector side; the only shuffle is the per-vector
-    argmin window, keyed by vector id (perfectly spread)."""
+    no shuffle of the vector side. The per-vector argmin is a
+    ``min(struct(...))`` grouped aggregate, NOT a row_number window: the
+    aggregate partial-combines map-side, so each of the N x nlist scored
+    rows reduces to one row per vector before the (vec-id-keyed) shuffle —
+    a window would sort-shuffle the full scored set just to keep rank 1.
+    Ordering is identical (negated similarity, then centroid id: ties ->
+    lowest id), so the result is unchanged."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col("v").alias("c_vec"),
@@ -251,13 +256,19 @@ def ivf_assign(
             ).alias("c_sim"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("c_sim")).alias("neg_sim"),
+                F.col("centroid_id").alias("centroid_id"),
+                F.col("v").alias("v"),
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", "centroid_id")
+    return best.select(
+        id_col,
+        F.col("b.v").alias("v"),
+        F.col("b.centroid_id").alias("centroid_id"),
     )
 
 
@@ -411,8 +422,10 @@ def lloyd_model(
     reruns and engines agree exactly.
 
     Scale shape per iteration:
-    - ASSIGN: broadcast the k centroids, map-side argmin over sq L2 via a
-      per-row fold — the vector side never shuffles;
+    - ASSIGN: broadcast the k centroids, then a ``min(struct(d2, id, v))``
+      grouped aggregate — partial-combined map-side, so the N x k scored
+      rows reduce to N before any shuffle (a row_number window here would
+      sort-shuffle the full scored set every iteration);
     - UPDATE: posexplode to (cluster, dim, val), one keyed hash aggregate
       (k x d groups), rebuild arrays with sorted collect_list. Model state
       is k x d values — localCheckpoint'd per iteration so the lineage
@@ -432,11 +445,17 @@ def lloyd_model(
             "cluster_id",
             sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster_id", "d2")
+        # argmin by (d2, cluster_id) — same total order as the former
+        # row_number window, but partial-aggregates map-side (v rides
+        # along un-compared: cluster_id is unique within a group)
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cluster_id", "v")).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            F.col("b.v").alias("v"),
+            F.col("b.cluster_id").alias("cluster_id"),
+            F.col("b.d2").alias("d2"),
         )
 
     assigned = assign(centroids)
@@ -552,11 +571,18 @@ def pq_model(
             "code",
             sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "v", "code", "d2")
+        # argmin by (d2, code) per (vec, subspace): a map-side-combining
+        # aggregate instead of a row_number window — the N x ksub scored
+        # rows reduce before the shuffle, which matters x iters here
+        best = scored.groupBy("vec_id", "sub").agg(
+            F.min(F.struct("d2", "code", "v")).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            "sub",
+            F.col("b.v").alias("v"),
+            F.col("b.code").alias("code"),
+            F.col("b.d2").alias("d2"),
         )
 
     assigned = assign(centroids)
@@ -588,6 +614,7 @@ def pq_adc_topk(
     m: int = 4,
     ksub: int = 16,
     iters: int = 2,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the memory-bound
     ANN search: candidates are never touched as floats, only as m small
@@ -600,9 +627,16 @@ def pq_adc_topk(
       on (sub, code) — map-side, no corpus shuffle — then one keyed
       aggregate per (query, candidate) sums the m partials.
     Partial distances quantize to integer micro-units before the sum, so
-    the total and the (d, cand_id) ranking are cross-engine exact."""
+    the total and the (d, cand_id) ranking are cross-engine exact.
+
+    ``model``: optionally pass a pre-trained (encoded, codebooks) pair —
+    the production split: train/encode once per corpus (an index build),
+    serve many queries against the staged model. When omitted the model
+    trains inline."""
     dim = EMBED_DIM // m
-    encoded, codebooks = pq_model(vectors, m, ksub, iters)
+    encoded, codebooks = model if model is not None else pq_model(
+        vectors, m, ksub, iters
+    )
     q_slices = vectors.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -652,6 +686,7 @@ def pq_adc_rerank_topk(
     m: int = 4,
     ksub: int = 16,
     iters: int = 2,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Two-stage ANN serving path: ADC shortlists ``shortlist`` candidates
     per query through the codes alone, then ONLY those Q x shortlist rows
@@ -661,7 +696,8 @@ def pq_adc_rerank_topk(
     corpus scan); exact distances quantize to integer micro-units so the
     final (d, cand_id) ranking is cross-engine total."""
     short = pq_adc_topk(
-        vectors, query_pred, k=shortlist, m=m, ksub=ksub, iters=iters
+        vectors, query_pred, k=shortlist, m=m, ksub=ksub, iters=iters,
+        model=model,
     ).select("query_id", "cand_id")
     qv = vectors.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec")

@@ -83,31 +83,57 @@ def grouping_sets_revenue(spark, sf_dir) -> DataFrame:
 
 @register(
     "hll_sketch_distinct_custkeys",
-    oracle=None,  # sketch binary/estimate is engine-specific: rows-only check
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM orders
+    """,
     survey="extension (sketches): Apache DataSketches HLL — per-group "
     "hll_sketch_agg + cross-group hll_union_agg. Mergeable fixed-size state "
     "is the 100 TB distinct path (exact distinct shuffles the key set; "
-    "the sketch shuffles ~KB). Accuracy vs exact asserted in "
-    "tests/test_operators.py (<5% rel. error)",
+    "the sketch shuffles ~KB). Deterministic-verdict oracle: exact counts "
+    "hash-match DuckDB; the boolean pins each estimate (incl. the merged "
+    "ALL sketch) within 5% rel. error",
 )
 def hll_sketch_distinct_custkeys(spark, sf_dir) -> DataFrame:
     """Distinct customers per order priority via HLL sketches, plus an ALL
-    row whose sketch is the union of the per-group sketches — demonstrating
-    that group sketches re-aggregate without touching the raw keys."""
+    row whose sketch is the UNION of the per-group sketches — demonstrating
+    that group sketches re-aggregate without touching the raw keys. Output
+    is the exact count + a within-bound verdict so the driver can
+    hash-match it against DuckDB (the raw estimate is engine-specific)."""
     orders = t(spark, sf_dir, "orders")
     sk = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count_distinct("o_custkey").alias("exact_distinct"),
     )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.05))
+    )
     per_group = sk.select(
         "o_orderpriority",
-        F.hll_sketch_estimate("sk").alias("approx_distinct"),
         "exact_distinct",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_distinct")).alias(
+            "approx_within_5pct"
+        ),
     )
-    overall = sk.agg(F.hll_union_agg("sk").alias("u")).select(
-        F.lit("ALL").alias("o_orderpriority"),
-        F.hll_sketch_estimate("u").alias("approx_distinct"),
-        F.lit(None).cast("long").alias("exact_distinct"),
+    overall = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(
+            F.broadcast(
+                orders.agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "exact_distinct",
+            within(F.hll_sketch_estimate("u"), F.col("exact_distinct")).alias(
+                "approx_within_5pct"
+            ),
+        )
     )
     return per_group.unionByName(overall)
 
@@ -159,19 +185,45 @@ def stratified_sample_documents(spark, sf_dir) -> DataFrame:
 
 @register(
     "theta_sketch_repeat_customers",
-    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    oracle="""
+    WITH yearly AS (
+        SELECT o_custkey, YEAR(o_orderdate) AS yr FROM orders
+    ),
+    ab AS (
+        SELECT COUNT(DISTINCT CASE WHEN yr = 1997 THEN o_custkey END)
+                   AS exact_1997,
+               COUNT(DISTINCT CASE WHEN yr = 1998 THEN o_custkey END)
+                   AS exact_1998
+        FROM yearly
+    ),
+    both_tbl AS (
+        SELECT CAST(COUNT(CASE WHEN ny = 2 THEN 1 END) AS BIGINT)
+                   AS exact_both,
+               COUNT(*) AS exact_either
+        FROM (
+            SELECT o_custkey, COUNT(DISTINCT yr) AS ny
+            FROM yearly WHERE yr IN (1997, 1998)
+            GROUP BY o_custkey
+        )
+    )
+    SELECT exact_1997, exact_1998, exact_both, exact_either,
+           TRUE AS ok_1997, TRUE AS ok_1998, TRUE AS ok_both, TRUE AS ok_either
+    FROM ab CROSS JOIN both_tbl
+    """,
     survey="extension (sketches): Apache DataSketches Theta — mergeable "
     "distinct sketches that also support INTERSECTION and DIFFERENCE "
-    "(HLL can only union). One row compares approx vs exact for 1997 "
-    "buyers, 1998 buyers, their intersection (repeat customers) and union; "
-    "<6% rel. error asserted in tests/test_operators.py. At 100 TB the "
-    "year sketches come from partial aggregation per partition and the "
-    "set algebra runs on ~KB of sketch state, never the key sets",
+    "(HLL can only union). One row carries exact counts for 1997 buyers, "
+    "1998 buyers, their intersection (repeat customers) and union — "
+    "hash-matched against DuckDB — plus booleans pinning each sketch "
+    "estimate within 6% rel. error. At 100 TB the year sketches come from "
+    "partial aggregation per partition and the set algebra runs on ~KB of "
+    "sketch state, never the key sets",
 )
 def theta_sketch_repeat_customers(spark, sf_dir) -> DataFrame:
     """Repeat-customer analysis as sketch set algebra. The exact columns
-    (computed here only to quantify error at test scale) are the expensive
-    path the sketches replace: each needs a full distinct shuffle."""
+    (computed here to anchor the verdict) are the expensive path the
+    sketches replace: each needs a full distinct shuffle. Only exact counts
+    and within-bound booleans are emitted so DuckDB can hash-match."""
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey", F.year("o_orderdate").alias("yr")
     )
@@ -194,13 +246,22 @@ def theta_sketch_repeat_customers(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("exact_either"),
         )
     )
-    return sk.crossJoin(both).select(
-        F.theta_sketch_estimate("a").alias("approx_1997"),
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.06))
+    )
+    return sk.crossJoin(F.broadcast(both)).select(
         "exact_1997",
-        F.theta_sketch_estimate("b").alias("approx_1998"),
         "exact_1998",
-        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("approx_both"),
         "exact_both",
-        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("approx_either"),
         "exact_either",
+        within(F.theta_sketch_estimate("a"), F.col("exact_1997")).alias("ok_1997"),
+        within(F.theta_sketch_estimate("b"), F.col("exact_1998")).alias("ok_1998"),
+        within(
+            F.theta_sketch_estimate(F.theta_intersection("a", "b")),
+            F.col("exact_both"),
+        ).alias("ok_both"),
+        within(
+            F.theta_sketch_estimate(F.theta_union("a", "b")),
+            F.col("exact_either"),
+        ).alias("ok_either"),
     )

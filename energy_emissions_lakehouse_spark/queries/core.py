@@ -30,12 +30,20 @@ def _partitioned_orders_path(spark, sf_dir: str) -> str:
     Built once per scale factor (cross-process, _SUCCESS-gated); the merge
     query then operates on a real partitioned table, like a production
     warehouse, not a temp view."""
+    import hashlib
     import os
     import re
     import tempfile
 
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = os.path.join(tempfile.gettempdir(), "eel_merge", tag, "orders_by_year")
+    # key on the source file's mtime+size: testdata is regenerated between
+    # rounds at the same path, and a stale staged copy would silently feed
+    # the merge queries old rows (same lesson as streaming._stage_key)
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    fresh = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "eel_merge", f"{tag}-{fresh}", "orders_by_year"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             t(spark, sf_dir, "orders")
@@ -538,14 +546,37 @@ def count_distinct_parts_by_flag(spark, sf_dir) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketch — engine-specific, rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_6pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     survey="extension: approx_count_distinct (HLL) — the 100 TB path where "
-    "exact distinct would shuffle the full key set",
+    "exact distinct would shuffle the full key set. Deterministic-verdict "
+    "oracle: the exact count hash-matches DuckDB and the boolean pins the "
+    "estimate within 3*rsd of it, so a sketch regression fails the driver "
+    "check instead of hiding behind a rows-only row",
 )
 def approx_distinct_parts(spark, sf_dir) -> DataFrame:
+    """Both the sketch estimate and the exact distinct come out of ONE
+    grouped aggregation (shared scan, shared shuffle); only the exact value
+    plus the bounded-error verdict are emitted so the result is
+    cross-engine deterministic."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.greatest(
+                F.lit(1).cast("double"),
+                F.countDistinct("l_partkey") * F.lit(0.06),
+            )
+        ).alias("approx_within_6pct"),
     )
 
 
@@ -569,6 +600,38 @@ def customers_without_orders(spark, sf_dir) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    survey="J2 J3 S8 — left anti join / insert-if-missing pattern "
+    "(load_to_postgres.py:29-35,48-54). Guaranteed-non-empty variant of "
+    "customers_without_orders, which matches 0 rows in this testdata "
+    "(every customer has orders) and so verified the anti-join value path "
+    "vacuously. Qualifying the right side to URGENT orders leaves a "
+    "scale-stable ~13% of customers (18 @sf0.001, 203 @sf0.01, 1986 "
+    "@sf0.1) in the result, so the driver's hash check exercises real rows",
+)
+def customers_without_urgent_orders(spark, sf_dir) -> DataFrame:
+    """Anti join against a priority-filtered right side. The filter is
+    pushed into the orders scan before the join build; the join itself
+    shuffles only custkeys (or broadcasts the filtered side when small)."""
+    customer = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -1744,36 +1807,58 @@ def map_transform_profile(spark, sf_dir) -> DataFrame:
     return part.select("p_partkey", serialized.alias("kept"))
 
 
+_QUANTILE_PS = (0.25, 0.5, 0.75, 0.99)
+
+
 @register(
     "quantile_sketch_prices",
-    oracle=None,  # sketch output; error bound asserted in tests/test_operators.py
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p99_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
     survey="extension (sketches): approx_percentile (KLL-style quantile "
-    "sketch) per order priority + an ALL row — mergeable per-partition "
-    "sketches, one pass, fixed memory. The 100 TB path where exact "
-    "percentile would shuffle every value to sort; tests pin each "
-    "estimate within 1% relative error of the exact DuckDB quantile",
+    "sketch) per order priority — mergeable per-partition sketches, one "
+    "pass, fixed memory; the 100 TB path where exact percentile would "
+    "shuffle every value to sort. Deterministic-verdict oracle: exact "
+    "group counts hash-match DuckDB and each boolean pins the estimate's "
+    "RANK (count of rows below it) within p±0.011 of the group size — "
+    "rank error is what the sketch guarantees, value error is unsound "
+    "near p99 (see tests/test_operators.py)",
 )
 def quantile_sketch_prices(spark, sf_dir) -> DataFrame:
-    """Approximate o_totalprice quartiles + p99 per priority plus a global
-    ALL row. accuracy=10000 bounds rank error at 1/10000 of the row count;
-    both aggregates are one-pass mergeable sketches (two scans here for
-    clarity — a shared-scan grouping-sets form would fuse them)."""
-    orders = t(spark, sf_dir, "orders")
-    qs = F.percentile_approx(
-        "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000
-    ).alias("q")
-    rolled = (
-        orders.groupBy("o_orderpriority")
-        .agg(qs)
-        .unionByName(orders.groupBy().agg(qs).select(F.lit("ALL").alias("o_orderpriority"), "q"))
+    """Approximate o_totalprice quartiles + p99 per priority, verified by
+    rank: for each estimate q we count rows < q and <= q in the group; the
+    verdict passes iff [count_lt, count_le] intersects [(p-.011)n, (p+.011)n].
+    accuracy=10000 bounds the sketch's true rank error at n/10000, far
+    inside the verdict band. One broadcast of the 6-row estimate table back
+    onto orders; no sort of the data anywhere."""
+    orders = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    ests = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", list(_QUANTILE_PS), 10000).alias("q"),
     )
-    return rolled.select(
-        "o_orderpriority",
-        F.col("q")[0].alias("p25"),
-        F.col("q")[1].alias("p50"),
-        F.col("q")[2].alias("p75"),
-        F.col("q")[3].alias("p99"),
-    )
+    j = orders.join(F.broadcast(ests), "o_orderpriority")
+    counts = [F.count(F.lit(1)).alias("n_orders")]
+    for i in range(len(_QUANTILE_PS)):
+        counts.append(
+            F.count(F.when(F.col("o_totalprice") < F.col("q")[i], 1)).alias(f"lt{i}")
+        )
+        counts.append(
+            F.count(F.when(F.col("o_totalprice") <= F.col("q")[i], 1)).alias(f"le{i}")
+        )
+    agg = j.groupBy("o_orderpriority").agg(*counts)
+    out = [F.col("o_orderpriority"), F.col("n_orders")]
+    for i, p in enumerate(_QUANTILE_PS):
+        lo = F.col("n_orders") * F.lit(p - 0.011)
+        hi = F.col("n_orders") * F.lit(p + 0.011)
+        out.append(
+            ((F.col(f"le{i}") >= lo) & (F.col(f"lt{i}") <= hi)).alias(
+                f"p{int(p * 100)}_ok"
+            )
+        )
+    return agg.select(*out)
 
 
 @register(

@@ -1170,7 +1170,7 @@ _MIX_TOTAL = 300  # target corpus size after mixing
     oracle=f"""
     WITH counts AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
-               sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+               ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 9) AS w
         FROM documents GROUP BY source
     ),
     quotas AS (
@@ -1198,7 +1198,8 @@ _MIX_TOTAL = 300  # target corpus size after mixing
     "per-source quotas proportional to sqrt(N_s) flatten the source "
     "distribution, members chosen by deterministic md5-hash rank within "
     "source (reproducible across engines, runs, and layouts). sqrt is "
-    "IEEE-correctly-rounded in both engines so quotas are exact; "
+    "IEEE-correctly-rounded in both engines and weights quantize to 9 dp "
+    "before summing so the sum/floor quota chain is order-stable; "
     "per-source windows are hash-partitioned — the 100 TB mixing pass "
     "before tokenization",
 )
@@ -1210,7 +1211,12 @@ def doc_mixture_resample(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_before"),
-        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w"),
+        # 9-dp quantized weight (same convention as the Lloyd model state):
+        # SUM accumulation order is engine/partitioning-dependent, and an
+        # unquantized sqrt sum can differ in the last ulp, flipping the
+        # FLOOR below at an integer boundary — quantizing makes the
+        # sum/division/floor chain order-stable in both engines
+        F.round(F.sqrt(F.count(F.lit(1)).cast("double")), 9).alias("w"),
     )
     total_w = counts.agg(F.sum("w").alias("w_sum"))
     quotas = (

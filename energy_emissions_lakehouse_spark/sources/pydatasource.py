@@ -1,7 +1,7 @@
 """Custom Python DataSource (Spark 4 DataSource API) — S9 as a connector.
 
 The reference's synthetic generator is a driver-side pandas script
-(src/00_bronze/generate_energy_emissions.py:39-124). The Spark-4-native
+(src/00_generate_raw/generate_energy_emissions.py:39-124). The Spark-4-native
 re-expression is a *pluggable source*: `spark.read.format("eel_synthetic")`
 yields the deterministic row stream straight from the executors —
 partition-parallel, no driver materialization, no staging files.

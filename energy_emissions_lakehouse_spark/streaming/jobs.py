@@ -441,9 +441,19 @@ def read_events_stream_with_flush(
         spark.createDataFrame(row, EVENTS_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(flush + ".dir")
-        # the file source lists files, not directories: move the part file
+        # the file source lists files, not directories: move the part file.
+        # Publish ATOMICALLY via a dot-prefixed temp (the file source
+        # ignores hidden files) + os.rename — a concurrent process
+        # streaming this shared staged dir must never list a
+        # partially-copied parquet, and two writers must not interleave
+        # into the same destination (the rename loser just overwrites
+        # with identical content).
         part = glob.glob(os.path.join(flush + ".dir", "part-*.parquet"))[0]
-        shutil.copyfile(part, flush)
+        tmp = os.path.join(
+            src, f".zz_flush{i}.tmp-{os.getpid()}"
+        )
+        shutil.copyfile(part, tmp)
+        os.rename(tmp, flush)
         shutil.rmtree(flush + ".dir")
     # one file per micro-batch: the sentinels arrive in their own batches
     # (file stream orders by modification time), each advancing the

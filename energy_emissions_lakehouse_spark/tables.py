@@ -71,16 +71,23 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+_EVENTS_TS_IS_NANOS: dict[tuple[str, int, int], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
-    if path not in _EVENTS_TS_IS_NANOS:
+    # memo keyed on (path, mtime, size), not path alone: testdata is
+    # regenerated between rounds, and a session spanning a regeneration
+    # that flips the ts encoding would otherwise keep the stale ns-vs-µs
+    # decision and read every timestamp 1000x off (the exact round-2
+    # failure the footer probe exists to prevent)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _EVENTS_TS_IS_NANOS:
         import pyarrow.parquet as pq
 
         ts_type = pq.read_schema(path).field("ts").type
-        _EVENTS_TS_IS_NANOS[path] = str(getattr(ts_type, "unit", "")) == "ns"
-    return _EVENTS_TS_IS_NANOS[path]
+        _EVENTS_TS_IS_NANOS[key] = str(getattr(ts_type, "unit", "")) == "ns"
+    return _EVENTS_TS_IS_NANOS[key]
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
