@@ -214,6 +214,7 @@ def main() -> None:
 
     _stage_events_dir(spark, sf_dir)
     read_events_stream_with_flush(spark, sf_dir)  # stages dir + sentinels
+    read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
     # The PQ model (encoded corpus + codebooks) is an INDEX: production
     # trains it once per corpus version and serves every query against it.
     # Build the staged model here so pq_adc_* timings measure ADC serving,

@@ -104,3 +104,81 @@ def jdbc_star_roundtrip_q2(spark, sf_dir) -> DataFrame:
             "co2_per_mwh",
         )
     )
+
+
+TXN_URL = "jdbc:derby:memory:eel_txn_star;create=true"
+
+
+@register(
+    "jdbc_txn_upsert_roundtrip",
+    oracle=with_pipeline(
+        """
+    SELECT r.region_name, t.year, t.month, f.co2_per_mwh
+    FROM fact_carbon_intensity f
+    JOIN dim_region r ON r.region_id = f.region_id
+    JOIN dim_time t ON t.time_id = f.time_id
+    """
+    ),
+    survey="S5 S6 S7 + cross-table transactional load — the reference's "
+    "engine.begin() envelope (load_to_postgres.py:128): a stale warehouse "
+    "(first-year facts zeroed, one dim renamed) is repaired by ONE "
+    "transaction upserting dim_region AND fact_carbon_intensity together "
+    "via staged set-based merges (sources/jdbc.transactional_upsert_many; "
+    "Postgres dialect emits the reference's literal ON CONFLICT form). "
+    "The readback must equal the parquet-direct pipeline exactly — "
+    "updates applied, missing months inserted, nothing partially "
+    "committed; atomicity itself is pinned in tests/test_jdbc.py",
+)
+def jdbc_txn_upsert_roundtrip(spark, sf_dir) -> DataFrame:
+    """Stale-warehouse repair through one cross-table transaction, then a
+    joined readback (region_name, year, month, co2_per_mwh)."""
+    from energy_emissions_lakehouse_spark.sources.jdbc import (
+        transactional_upsert_many,
+    )
+
+    fact = layer(spark, "fact_carbon_intensity")
+    dims_r = layer(spark, "dim_region")
+    dim_t = layer(spark, "dim_time")
+    # stale warehouse: only the first 12 months, co2 zeroed; one dim wrong
+    stale_fact = fact.filter(F.col("time_id") <= 12).withColumn(
+        "co2_per_mwh", F.lit(0.0)
+    )
+    stale_dims = dims_r.withColumn(
+        "region_name",
+        F.when(F.col("region_id") == 1, F.lit("__stale__")).otherwise(
+            F.col("region_name")
+        ),
+    )
+    write_jdbc_replace(
+        stale_dims, TXN_URL, "dim_region", DERBY_PROPS,
+        column_types="region_name VARCHAR(64)",
+    )
+    write_jdbc_replace(dim_t, TXN_URL, "dim_time", DERBY_PROPS)
+    write_jdbc_replace(stale_fact, TXN_URL, "fact_carbon_intensity", DERBY_PROPS)
+    # one transaction repairs both tables together
+    transactional_upsert_many(
+        spark,
+        [
+            (dims_r, "dim_region", ["region_id"], ["region_name"]),
+            (
+                fact,
+                "fact_carbon_intensity",
+                ["region_id", "time_id"],
+                ["total_energy_mwh", "total_co2_tonnes", "co2_per_mwh"],
+            ),
+        ],
+        TXN_URL,
+        properties=DERBY_PROPS,
+    )
+    f = read_jdbc(
+        spark, TXN_URL, "fact_carbon_intensity", DERBY_PROPS,
+        partition_column="time_id", lower_bound=1, upper_bound=25,
+        num_partitions=4,
+    )
+    r = read_jdbc(spark, TXN_URL, "dim_region", DERBY_PROPS)
+    t_ = read_jdbc(spark, TXN_URL, "dim_time", DERBY_PROPS)
+    return (
+        f.join(F.broadcast(r), "region_id")
+        .join(F.broadcast(t_), "time_id")
+        .select("region_name", "year", "month", "co2_per_mwh")
+    )

@@ -248,7 +248,10 @@ def stream_chained_window_rollup(spark, sf_dir) -> DataFrame:
 def stream_purchase_click_left_join(spark, sf_dir) -> DataFrame:
     from pyspark.sql import functions as F
 
-    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    # one stateful op (the join) -> one sentinel batch; the no-data
+    # micro-batch applies the final watermark (verified equal to the
+    # 2-sentinel replay row-for-row)
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
     out = jobs.run_to_table(jobs.purchase_click_left_join(ev), mode="append")
     # sentinel rows (user_id = -1) were only there to advance watermarks
     return out.filter(F.col("user_id") >= 0)
@@ -288,8 +291,17 @@ def stream_purchase_click_left_join(spark, sf_dir) -> DataFrame:
 def stream_session_timeout_close(spark, sf_dir) -> DataFrame:
     from pyspark.sql import functions as F
 
-    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
-    out = jobs.run_to_table(jobs.stateful_session_close(ev), mode="append")
+    # ONE stateful operator -> one sentinel batch suffices (the engine's
+    # no-data micro-batch applies the final watermark); every extra
+    # sentinel batch would re-invoke the pandas state fn for all ~5k user
+    # groups at the ~1 ms/group Python floor
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    # 16 state partitions, not the run_to_table default of 8: this op does
+    # ~per-user pandas work inside each batch, so task parallelism pays for
+    # the extra per-store open/commit (measured 6.5 s vs 8.9-10 s at sf0.1)
+    out = jobs.run_to_table(
+        jobs.stateful_session_close(ev), mode="append", state_partitions=16
+    )
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.date_trunc("second", F.col("session_start")).alias("session_start"),
@@ -320,7 +332,9 @@ def stream_session_timeout_close(spark, sf_dir) -> DataFrame:
 def stream_purchase_click_full_join(spark, sf_dir) -> DataFrame:
     from pyspark.sql import functions as F
 
-    ev = jobs.read_events_stream_with_flush(spark, sf_dir)
+    # one stateful op (the join) -> one sentinel batch (same contract as
+    # the left join; verified equal to the 2-sentinel replay)
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
     out = jobs.run_to_table(jobs.purchase_click_full_join(ev), mode="append")
     # sentinel rows (user_id = -1, incl. their self-matches) drop after
     # the sink — they existed only to advance both watermarks

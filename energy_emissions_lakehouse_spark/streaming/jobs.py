@@ -407,7 +407,7 @@ def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
 
 
 def read_events_stream_with_flush(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_sentinels: int = 2
 ) -> DataFrame:
     """Like read_events_stream, but the staged directory also holds one
     far-future ``__flush__`` sentinel event (max ts + 2 days). In append
@@ -419,15 +419,20 @@ def read_events_stream_with_flush(
     reach an aggregate. The production analog: closing out a day by
     feeding the watermark a heartbeat, standard bounded-replay practice."""
     configure_runtime(spark)
-    src = _stage_events_dir(spark, sf_dir, extra="flush")
-    # Two staggered sentinels: each chained stateful operator finalizes
-    # one batch AFTER the watermark passes it, so a 2-op pipeline needs 2
+    # Staggered sentinels: each chained stateful operator finalizes one
+    # batch AFTER the watermark passes it, so a 2-op pipeline needs 2
     # trailing batches whose watermark already covers every real window.
+    # Single-stateful-op queries pass n_sentinels=1 — each sentinel batch
+    # re-invokes the stateful operator over every keyed group, so a spare
+    # one costs a full group sweep (~1 ms/group of Python for the pandas
+    # ops). The staging dir is keyed by the sentinel count: a shared dir
+    # would feed 2 sentinels to a query that wants 1.
+    src = _stage_events_dir(spark, sf_dir, extra=f"flush{n_sentinels}")
     import datetime as _dt
     import glob
     import shutil
 
-    for i, days in enumerate((2, 4)):
+    for i, days in enumerate((2, 4)[:n_sentinels]):
         flush = os.path.join(src, f"zz_flush{i}.parquet")
         if os.path.exists(flush):
             continue

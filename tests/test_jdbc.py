@@ -52,3 +52,97 @@ def test_partitioned_jdbc_read_fans_out(spark):
     )
     assert fact.rdd.getNumPartitions() == 4
     assert fact.count() == 96
+
+
+def test_upsert_sql_postgres_matches_reference_shape():
+    """The generated Postgres statement must be the reference's own
+    stage-then-ON-CONFLICT form (load_to_postgres.py:73-86)."""
+    from energy_emissions_lakehouse_spark.sources.jdbc import upsert_sql
+
+    stmt = upsert_sql(
+        "postgresql",
+        "fact_energy_monthly",
+        "stg_fact_energy",
+        ["region_id", "source_id", "time_id"],
+        ["avg_consumption_mwh", "records"],
+    )
+    assert stmt == (
+        "INSERT INTO fact_energy_monthly "
+        "(region_id, source_id, time_id, avg_consumption_mwh, records) "
+        "SELECT region_id, source_id, time_id, avg_consumption_mwh, records "
+        "FROM stg_fact_energy "
+        "ON CONFLICT (region_id, source_id, time_id) DO UPDATE SET "
+        "avg_consumption_mwh = EXCLUDED.avg_consumption_mwh, "
+        "records = EXCLUDED.records"
+    )
+
+
+def test_upsert_via_jdbc_derby_end_to_end(spark):
+    """Stage + warehouse-side MERGE against embedded Derby: updates hit
+    matched keys, inserts cover new keys, reruns are idempotent."""
+    from energy_emissions_lakehouse_spark.sources.jdbc import (
+        upsert_via_jdbc,
+        write_jdbc_replace,
+    )
+
+    url = "jdbc:derby:memory:eel_upsert;create=true"
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k BIGINT, v DOUBLE"
+    )
+    write_jdbc_replace(base, url, "tgt", DERBY_PROPS)
+    delta = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k BIGINT, v DOUBLE"
+    )
+    for _ in range(2):  # idempotent on rerun
+        upsert_via_jdbc(
+            spark, delta, url, "tgt", ["k"], ["v"], properties=DERBY_PROPS
+        )
+        got = sorted(
+            map(tuple, read_jdbc(spark, url, "tgt", DERBY_PROPS).collect())
+        )
+        assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]
+
+
+def test_transactional_upsert_all_or_nothing(spark):
+    """The cross-table load must be atomic (reference engine.begin()
+    envelope, load_to_postgres.py:128): if any table's merge fails, EVERY
+    table is left untouched — including ones whose merge already ran."""
+    import pytest
+
+    from energy_emissions_lakehouse_spark.sources.jdbc import (
+        read_jdbc,
+        transactional_upsert_many,
+        write_jdbc_replace,
+    )
+
+    url = "jdbc:derby:memory:eel_txn;create=true"
+    a = spark.createDataFrame([(1, 10.0)], "k BIGINT, v DOUBLE")
+    b = spark.createDataFrame([(1, 100.0)], "k BIGINT, v DOUBLE")
+    write_jdbc_replace(a, url, "txn_a", DERBY_PROPS)
+    write_jdbc_replace(b, url, "txn_b", DERBY_PROPS)
+
+    da = spark.createDataFrame([(1, 11.0), (2, 12.0)], "k BIGINT, v DOUBLE")
+    db = spark.createDataFrame([(2, 200.0)], "k BIGINT, v DOUBLE")
+
+    # happy path: both tables move together
+    transactional_upsert_many(
+        spark, [(da, "txn_a", ["k"], ["v"]), (db, "txn_b", ["k"], ["v"])],
+        url, properties=DERBY_PROPS,
+    )
+    got_a = sorted(map(tuple, read_jdbc(spark, url, "txn_a", DERBY_PROPS).collect()))
+    got_b = sorted(map(tuple, read_jdbc(spark, url, "txn_b", DERBY_PROPS).collect()))
+    assert got_a == [(1, 11.0), (2, 12.0)]
+    assert got_b == [(1, 100.0), (2, 200.0)]
+
+    # failure path: second merge targets a missing table -> the FIRST
+    # table's already-executed merge must roll back too
+    da2 = spark.createDataFrame([(1, 999.0)], "k BIGINT, v DOUBLE")
+    with pytest.raises(Exception):
+        transactional_upsert_many(
+            spark,
+            [(da2, "txn_a", ["k"], ["v"]),
+             (da2, "txn_missing", ["k"], ["v"])],
+            url, properties=DERBY_PROPS,
+        )
+    after = sorted(map(tuple, read_jdbc(spark, url, "txn_a", DERBY_PROPS).collect()))
+    assert after == got_a, "partial commit leaked through the transaction"

@@ -366,3 +366,30 @@ def test_scan_pushdown_and_column_pruning(spark, sf_dir):
         for ln in plan.splitlines()
         if "HashAggregate" in ln
     ), plan[:1500]
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_kmeans_clusters", "ivf_topk_nprobe1", "pq_encode_stats"]
+)
+def test_argmin_paths_use_aggregates_not_windows(spark, sf_dir, name):
+    """IVF assignment, Lloyd assignment, and PQ encoding keep only the
+    rank-1 row per key, so they must be min(struct) grouped aggregates
+    (map-side partial combine), never row_number windows that sort-shuffle
+    the full scored set. ivf_topk_nprobe1's final top-k window is over the
+    QUERY subset only — the corpus-sized assignment pass is the part that
+    must stay window-free, so nprobe1 is excluded and kmeans/pq (pure
+    assignment pipelines) assert zero Window nodes."""
+    spec = all_specs()[name]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("*+-: (0123456789)").startswith("Window ")
+    )
+    if name in ("embedding_kmeans_clusters", "pq_encode_stats"):
+        assert n_windows == 0, f"{name}: argmin regressed to a window"
+    else:
+        # top-k serving windows allowed; assignment argmin windows are not —
+        # nprobe=1 search has exactly 2 windows (query-side probe pick +
+        # final top-k), both over the small query side
+        assert n_windows <= 2, f"{name}: unexpected extra windows ({n_windows})"
