@@ -230,3 +230,92 @@ def pysource_synthetic_profile(spark, sf_dir) -> DataFrame:
         )
         .orderBy("region", "source")
     )
+
+
+@register(
+    "compact_small_files_orders",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           COUNT(*) AS n_rows,
+           {scaled_sum_sql('o_totalprice')} AS sum_price,
+           TRUE AS fragmented_ok,
+           TRUE AS compacted_ok
+    FROM orders
+    GROUP BY o_year
+    """,
+    survey="extension (table maintenance): small-file COMPACTION — the "
+    "lakehouse housekeeping pass every streaming/incremental sink needs. "
+    "A year-partitioned orders table fragmented into ~16 files per "
+    "partition is rewritten via repartition(o_year) + partitionBy so each "
+    "partition lands as ONE task's output file; the result must carry "
+    "identical content (per-year counts + integer-cent sums hash-matched "
+    "against DuckDB over the original) with file counts verified before/"
+    "after (>=8 fragments in, exactly 1 file out, emitted as booleans so "
+    "the check is layout-independent). At 100 TB this is the same job "
+    "with a target-bytes-per-file policy: one shuffle keyed by partition "
+    "value, scan-side work unchanged — compaction cost is O(data moved), "
+    "never O(files^2)",
+)
+def compact_small_files_orders(spark, sf_dir) -> DataFrame:
+    """Fragment (16-way round-robin x year partitioning), compact (one
+    file per partition), verify content + layout."""
+    import glob as _glob
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:compact".encode()
+    ).hexdigest()[:12]
+    base = _os.path.join(_IO_ROOT, "compact", key)
+    frag, tight = _os.path.join(base, "fragmented"), _os.path.join(base, "compacted")
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    if not _os.path.exists(_os.path.join(frag, "_SUCCESS")):
+        # simulate an incremental sink: 16 round-robin writers per batch
+        # -> ~16 files inside every year partition
+        orders.repartition(16).write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(frag)
+    # the compaction job itself: one shuffle keyed by the partition value,
+    # so each partition is written by exactly one task -> one file
+    fragmented = spark.read.parquet(frag)
+    if not _os.path.exists(_os.path.join(tight, "_SUCCESS")):
+        fragmented.repartition("o_year").write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(tight)
+
+    def files_per_year(root: str) -> dict[int, int]:
+        out = {}
+        for d in _glob.glob(_os.path.join(root, "o_year=*")):
+            yr = int(d.rsplit("=", 1)[1])
+            out[yr] = len(_glob.glob(_os.path.join(d, "*.parquet")))
+        return out
+
+    before, after = files_per_year(frag), files_per_year(tight)
+    layout = spark.createDataFrame(
+        [
+            (yr, before[yr], after.get(yr, 0))
+            for yr in sorted(before)
+        ],
+        "o_year BIGINT, files_before INT, files_after INT",
+    )
+    stats = (
+        spark.read.parquet(tight)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            scaled_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+    return stats.join(F.broadcast(layout), "o_year").select(
+        "o_year",
+        "n_rows",
+        "sum_price",
+        (F.col("files_before") >= 8).alias("fragmented_ok"),
+        (F.col("files_after") == 1).alias("compacted_ok"),
+    )
