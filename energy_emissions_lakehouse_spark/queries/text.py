@@ -1243,3 +1243,75 @@ def doc_mixture_resample(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    m AS (
+      SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
+             {dd.hash_id_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM doc_toks
+    ),
+    c AS (
+      SELECT lang, doc_id, tok_n,
+             SUM(tok_n) OVER (PARTITION BY lang ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    )
+    SELECT lang, CAST((cum - tok_n) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok_n) AS BIGINT) AS bin_tokens
+    FROM c
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+    survey="extension (training pipeline): SEQUENCE PACKING — greedy "
+    "contiguous binning of documents into fixed token budgets "
+    f"({_PACK_BUDGET} tokens), the batch-construction pass between "
+    "curation and tokenization in a pretraining pipeline. Documents are "
+    "ordered by deterministic md5 rank within language (reproducible "
+    "shuffle), the running token sum is a PARTITIONED window (one sort "
+    "per language shard — at 100 TB packing runs per shard by "
+    "construction since bins never span shards), and bin id is integer "
+    "arithmetic on the cumulative sum, so the packing is bit-identical "
+    "across engines, reruns, and cluster layouts",
+)
+def doc_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Per-(lang, bin) packing stats: docs per bin and filled tokens.
+    bin = floor(cum_tokens_before_doc / budget) — greedy contiguous
+    packing where a document joins the bin its prefix-sum starts in."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        "doc_id",
+        tx.token_count(tx.tokens(F.col("text"))).alias("tok_n"),
+        dd.hash_id(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.withColumn("cum", F.sum("tok_n").over(w))
+    return (
+        c.select(
+            "lang",
+            F.floor((F.col("cum") - F.col("tok_n")) / F.lit(_PACK_BUDGET))
+            .cast("long")
+            .alias("bin_id"),
+            "tok_n",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_n").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
