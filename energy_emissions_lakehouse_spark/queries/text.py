@@ -1315,3 +1315,70 @@ def doc_pack_sequences(spark, sf_dir) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+_CHUNK_TOKENS = 64   # tokens per chunk window
+_CHUNK_STRIDE = 32   # window stride (50% overlap)
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok_pos AS (
+      SELECT doc_id, lang, unnest(range(0, len(toks))) AS pos
+      FROM doc_toks
+    ),
+    fanout AS (
+      SELECT doc_id, lang, pos,
+             unnest(generate_series(
+                 CASE WHEN pos >= {_CHUNK_TOKENS}
+                      THEN (pos - {_CHUNK_TOKENS}) // {_CHUNK_STRIDE} + 1
+                      ELSE 0 END,
+                 pos // {_CHUNK_STRIDE})) AS chunk_id
+      FROM tok_pos
+    ),
+    chunks AS (
+      SELECT doc_id, lang, chunk_id, CAST(COUNT(*) AS BIGINT) AS chunk_tokens
+      FROM fanout GROUP BY doc_id, lang, chunk_id
+    )
+    SELECT lang, chunk_tokens, CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM chunks
+    GROUP BY lang, chunk_tokens
+    ORDER BY lang, chunk_tokens
+    """,
+    survey="extension (training pipeline): overlapping token-window "
+    f"CHUNKING — {_CHUNK_TOKENS}-token windows at stride {_CHUNK_STRIDE} "
+    "(50% overlap), the document-splitting pass of RAG indexing and "
+    "long-context training. Each token fans out to its covering chunk ids "
+    "by INTEGER interval arithmetic (posexplode + sequence — bounded "
+    "fan-out of chunk/stride per token, linear in corpus tokens, no "
+    "windows, no self-join), then chunk sizes roll up to a per-language "
+    "histogram. All arithmetic is non-negative integer division, so both "
+    "engines produce identical chunking at any layout",
+)
+def doc_chunk_windows(spark, sf_dir) -> DataFrame:
+    """Per-language histogram of chunk sizes after overlapping windowing:
+    full windows hold 64 tokens, document tails produce the shorter ones."""
+    docs = t(spark, sf_dir, "documents")
+    tok_pos = docs.select(
+        "doc_id", "lang", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", "lang", "pos")
+    k_min = F.when(
+        F.col("pos") >= _CHUNK_TOKENS,
+        ((F.col("pos") - _CHUNK_TOKENS) / _CHUNK_STRIDE).cast("long") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    k_max = (F.col("pos") / _CHUNK_STRIDE).cast("long")
+    fanout = tok_pos.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(k_min, k_max)).alias("chunk_id"),
+    )
+    chunks = fanout.groupBy("doc_id", "lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("chunk_tokens")
+    )
+    return (
+        chunks.groupBy("lang", "chunk_tokens")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy("lang", "chunk_tokens")
+    )
