@@ -190,3 +190,42 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
         .collect()
     }
     assert truly_frequent <= got, (truly_frequent, got)
+
+
+def test_training_structuring_ops_are_layout_invariant(spark, sf_dir):
+    """Packing, chunking, and splitting must produce IDENTICAL results at
+    any input partitioning — the property that makes them safe on a
+    cluster where partition counts differ run to run. (Cross-engine
+    equality is the oracle's job; this pins layout independence, which
+    the oracle alone cannot see.)"""
+    import os
+
+    from energy_emissions_lakehouse_spark.registry import get_query
+    from energy_emissions_lakehouse_spark.tables import t as load
+
+    for name in (
+        "doc_pack_sequences",
+        "doc_chunk_windows",
+        "doc_train_val_split",
+    ):
+        fn = get_query(name).spark
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        # same query over a deliberately different layout of the source
+        docs37 = load(spark, sf_dir, "documents").repartition(37)
+        docs37.createOrReplaceTempView("eel_prop_docs37")
+        path = os.path.join("/tmp", "eel_prop_docs37.parquet")
+        docs37.write.mode("overwrite").parquet(path)
+        # point the same registered builder at the re-laid-out copy
+        import shutil
+        import tempfile
+
+        alt_dir = tempfile.mkdtemp(prefix="eel_prop_")
+        try:
+            os.symlink(
+                path, os.path.join(alt_dir, "documents.parquet"),
+                target_is_directory=True,
+            )
+            alt = sorted(map(tuple, fn(spark, alt_dir).collect()))
+            assert alt == base, f"{name}: result depends on input layout"
+        finally:
+            shutil.rmtree(alt_dir, ignore_errors=True)
