@@ -1461,3 +1461,98 @@ def doc_train_val_split(spark, sf_dir) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_DOC_SH_CTE}, {_TIDS_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
+    exact_dup AS (
+      SELECT n.doc_id FROM documents n
+      WHERE n.doc_id % 10 >= 8 AND EXISTS (
+        SELECT 1 FROM documents h
+        WHERE h.doc_id % 10 < 8 AND md5(h.text) = md5(n.text)
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y ON {_BAND_JOIN} AND x.doc_id < y.doc_id
+      WHERE (x.doc_id % 10 < 8) <> (y.doc_id % 10 < 8)
+    ),
+    near_new AS (
+      SELECT DISTINCT CASE WHEN c.a_id % 10 >= 8 THEN c.a_id ELSE c.b_id END
+                 AS doc_id
+      FROM cand c
+      JOIN doc_sh a ON a.doc_id = c.a_id
+      JOIN doc_sh b ON b.doc_id = c.b_id
+      WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact_dup,
+           CAST(COUNT(CASE WHEN nn.doc_id IS NOT NULL AND e.doc_id IS NULL
+                           THEN 1 END) AS BIGINT) AS n_near_dup,
+           CAST(COUNT(CASE WHEN nn.doc_id IS NULL AND e.doc_id IS NULL
+                           THEN 1 END) AS BIGINT) AS n_clean
+    FROM documents d
+    LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+    LEFT JOIN near_new nn ON nn.doc_id = d.doc_id
+    WHERE d.doc_id % 10 >= 8
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    survey="extension (dedup, incremental tier): NEW-BATCH dedup against "
+    "the historical corpus — the daily-ingest reality at 100 TB, where "
+    "re-deduping the whole corpus per batch is impossible. Exact tier: "
+    "content-md5 anti/semi join of the batch against history (only the "
+    "batch's hashes move). Near tier: MinHash band join restricted to "
+    "CROSS-set pairs (band equi-join keys history and batch into the "
+    "same buckets; batch side is small, history side never self-joins), "
+    "then exact-Jaccard verification. Emits per-language batch triage: "
+    "exact dups, near dups, clean — the promote/quarantine decision of "
+    "an ingestion gate",
+)
+def dedup_incremental_batch(spark, sf_dir) -> DataFrame:
+    """Per-language triage of a simulated daily batch (doc_id%10 >= 8)
+    against the historical corpus (doc_id%10 < 8)."""
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    new_docs = docs.filter(is_new).select(
+        "doc_id", "lang", F.md5("text").alias("ck")
+    )
+    hist_keys = docs.filter(~is_new).select(F.md5("text").alias("ck"))
+    exact_ids = (
+        new_docs.join(hist_keys, "ck", "left_semi").select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    doc_sh = _doc_sh(spark, sf_dir).select("doc_id", "sh")
+    sigs = dd.minhash_signatures(doc_sh)
+    cand = dd.lsh_candidate_pairs(sigs).filter(
+        (F.col("a_id") % 10 < 8) != (F.col("b_id") % 10 < 8)
+    )
+    near_ids = (
+        dd.verified_pairs(cand, doc_sh, JACCARD_THRESHOLD)
+        .select(
+            F.when(F.col("a_id") % 10 >= 8, F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        new_docs.join(F.broadcast(exact_ids), "doc_id", "left")
+        .join(F.broadcast(near_ids), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count(F.when(F.col("is_exact"), 1)).alias("n_exact_dup"),
+            F.count(
+                F.when(F.col("is_near") & F.col("is_exact").isNull(), 1)
+            ).alias("n_near_dup"),
+            F.count(
+                F.when(F.col("is_near").isNull() & F.col("is_exact").isNull(), 1)
+            ).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
