@@ -146,3 +146,18 @@ def test_transactional_upsert_all_or_nothing(spark):
         )
     after = sorted(map(tuple, read_jdbc(spark, url, "txn_a", DERBY_PROPS).collect()))
     assert after == got_a, "partial commit leaked through the transaction"
+
+
+def test_upsert_sql_derby_merge_shape():
+    """The Derby/ANSI form must mirror Spark's JDBC writer identifier
+    behavior: table names unquoted (Derby folds them to uppercase),
+    column names quoted case-exact — the split that makes the MERGE
+    resolve against tables as the writer actually created them."""
+    from energy_emissions_lakehouse_spark.sources.jdbc import upsert_sql
+
+    stmt = upsert_sql("derby", "tgt", "tgt_stg", ["k"], ["v"])
+    assert stmt == (
+        'MERGE INTO tgt t USING tgt_stg s ON (t."k" = s."k") '
+        'WHEN MATCHED THEN UPDATE SET t."v" = s."v" '
+        'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")'
+    )
