@@ -24,8 +24,8 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from energy_emissions_lakehouse_spark.registry import (
-    driver_oracle_sql,
-    driver_queries,
+    all_oracle_sql,
+    all_queries,
 )
 
 
@@ -37,14 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, plus the
-    ``a0_``-prefixed driver-window aliases (the driver value-checks only
-    the first 50 sorted names per round; aliases steer that window onto
-    the queries that still need a hard correctness row — see
-    ``registry.DRIVER_WINDOW_PRIORITY``)."""
-    return driver_queries()
+    """One entry per implemented operator from SURVEY.md §2 — the organic
+    registry, verbatim.  No steering aliases: whatever subset the driver
+    samples, it samples from the same catalog tests and bench iterate.
+    ``scripts/drive_contract.py`` self-checks the FULL registry against the
+    DuckDB oracles for internal verification."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each SQL-expressible query."""
-    return driver_oracle_sql()
+    return all_oracle_sql()

@@ -203,27 +203,53 @@ def main() -> None:
 
     # Warm-up: JVM JIT + codegen + parquet footer reads (not counted).
     queries["pricing_summary"](spark, sf_dir).collect()
-    # One-time source staging is environment setup, not query work: the
-    # streaming file source reads a canonicalized events copy staged per
-    # (sf_dir, mtime) — build it here so stream_* timings measure the
+
+    # ---- Staging: one-time setup work that the headline timings amortize
+    # away (train-once-serve-many indexes, canonicalized stream sources,
+    # Python worker pool).  Round-3 advice: this must be REPORTED as its
+    # own timed stage so the headline metric's exclusions are visible and
+    # comparable across rounds — the cost is moved, not eliminated.
+    staging: dict[str, float] = {}
+
+    def staged(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        staging[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] staging {name}: {staging[name]}s", file=sys.stderr)
+
+    # The streaming file source reads a canonicalized events copy staged
+    # per (sf_dir, mtime) — build it here so stream_* timings measure the
     # streaming pipeline, same policy as the medallion staging dir.
     from energy_emissions_lakehouse_spark.streaming.jobs import (
         _stage_events_dir,
         read_events_stream_with_flush,
     )
 
-    _stage_events_dir(spark, sf_dir)
-    read_events_stream_with_flush(spark, sf_dir)  # stages dir + sentinels
-    read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    def _stage_streams() -> None:
+        _stage_events_dir(spark, sf_dir)
+        read_events_stream_with_flush(spark, sf_dir)  # stages dir + sentinels
+        read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+
+    staged("events_stream_source", _stage_streams)
+
     # The PQ model (encoded corpus + codebooks) is an INDEX: production
     # trains it once per corpus version and serves every query against it.
     # Build the staged model here so pq_adc_* timings measure ADC serving,
-    # not Lloyd training — same policy as the staged streaming source.
+    # not Lloyd training.  Its build cost is the "pq_index_build" staging
+    # entry below — compare serving (queries.pq_adc_*) + build (here)
+    # against rounds that timed training inline.
     from energy_emissions_lakehouse_spark.queries.vectors import (
         _pq_staged_model,
     )
 
-    _pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2)
+    # fresh=True forces a COLD rebuild so the reported build cost is the
+    # real training cost every round, never a ~0 s warm-cache hit.
+    staged(
+        "pq_index_build",
+        lambda: _pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2,
+                                 fresh=True),
+    )
+
     # Python-worker pool spin-up is per-JVM environment cost, not query
     # work: a first Arrow-batched call pays daemon+worker fork (~2-5 s).
     # Warm it with a tiny datasource read so the timed Python-path
@@ -232,13 +258,16 @@ def main() -> None:
         register_synthetic_source,
     )
 
-    register_synthetic_source(spark)
-    (
-        spark.read.format("eel_synthetic")
-        .option("n_rows", 1000)
-        .load()
-        .count()
-    )
+    def _warm_python_workers() -> None:
+        register_synthetic_source(spark)
+        (
+            spark.read.format("eel_synthetic")
+            .option("n_rows", 1000)
+            .load()
+            .count()
+        )
+
+    staged("python_worker_pool", _warm_python_workers)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -263,6 +292,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # One-time setup excluded from the headline metric, reported so
+        # the exclusion is visible: pq_index_build is a forced-cold
+        # train-once index build; events_stream_source is source
+        # canonicalization; python_worker_pool is process spin-up.
+        "staging": staging,
+        "staging_total_sec": round(sum(staging.values()), 3),
     }
     # Durable full record (incl. the stage sweep): survives even if the
     # caller's stdout capture truncates (round 1 lost its bench record to

@@ -29,11 +29,11 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from energy_emissions_lakehouse_spark.fsutil import user_staging_root
 from energy_emissions_lakehouse_spark.medallion import generate, gold, silver, star
 
 #: Layer name -> parquet subdir. Order documents the build DAG.
@@ -68,7 +68,7 @@ def _fingerprint() -> str:
 
 def staging_dir() -> str:
     root = os.environ.get(
-        "EEL_STAGING_DIR", os.path.join(tempfile.gettempdir(), "eel_staging")
+        "EEL_STAGING_DIR", os.path.join(user_staging_root(), "medallion_root")
     )
     return os.path.join(root, "medallion", _fingerprint())
 

@@ -82,19 +82,37 @@ def media_catalog(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — STUB: no imaging library ships in this
-    environment. The mapInPandas operators below use deterministic
-    byte-level features instead; swap this in when PIL is available."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+try:  # guard-import: the container ships no imaging library, real
+    # clusters usually do — the decode path activates itself when present
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - env-dependent
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Decode real image bytes -> (width, height, mode) via PIL when the
+    library is present; raises NotImplementedError otherwise.
+
+    This is the genuine decode hook: `extract_features` below stays on the
+    deterministic byte-level path REGARDLESS of PIL availability so its
+    registered query is oracle-reproducible in every environment (the
+    synthetic payloads aren't valid image bytes anyway); pipelines with
+    real image columns call this from their own mapInPandas batch
+    (see tests/test_multimodal.py::test_decode_image_with_pil, which
+    exercises the PIL branch whenever the library exists)."""
+    if not HAS_PIL:
         raise NotImplementedError(
             "image decode requires an imaging library (e.g. Pillow); "
             "not available in this environment — use extract_features' "
             "deterministic byte features instead"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when available")
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, img.mode
 
 
 def _fingerprint(payload: bytes) -> int:

@@ -235,7 +235,18 @@ def ivf_assign(
     rows reduces to one row per vector before the (vec-id-keyed) shuffle —
     a window would sort-shuffle the full scored set just to keep rank 1.
     Ordering is identical (negated similarity, then centroid id: ties ->
-    lowest id), so the result is unchanged."""
+    lowest id), so the result is unchanged.
+
+    Degenerate-input policy (round-3 advice): a zero-norm vector (or
+    centroid) makes cosine NULL via ``nullif`` — and a NULL field sorts
+    FIRST in a ``min(struct)``, silently winning the argmin, while the
+    old row_number path (desc => nulls last) ranked it dead last.  The
+    similarity is therefore normalized to a **-1.0 sentinel**
+    (coalesce∘nanvl) before the aggregate: degenerate vectors tie at the
+    worst possible similarity and deterministically take the lowest
+    centroid id, identically in both the window and aggregate plans.
+    Testdata embeddings are non-zero by construction; the sentinel makes
+    the operator total anyway."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col("v").alias("c_vec"),
@@ -248,11 +259,18 @@ def ivf_assign(
             id_col,
             "v",
             "centroid_id",
-            F.round(
-                cosine_pre(
-                    F.col("v"), F.col("__v_n"), F.col("c_vec"), F.col("c_n")
+            F.coalesce(
+                F.nanvl(
+                    F.round(
+                        cosine_pre(
+                            F.col("v"), F.col("__v_n"),
+                            F.col("c_vec"), F.col("c_n"),
+                        ),
+                        6,
+                    ),
+                    F.lit(-1.0),
                 ),
-                6,
+                F.lit(-1.0),
             ).alias("c_sim"),
         )
     )

@@ -86,7 +86,7 @@ def grouping_sets_revenue(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS exact_distinct,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_within_8pct
     FROM orders
     GROUP BY o_orderpriority
     UNION ALL
@@ -97,7 +97,9 @@ def grouping_sets_revenue(spark, sf_dir) -> DataFrame:
     "is the 100 TB distinct path (exact distinct shuffles the key set; "
     "the sketch shuffles ~KB). Deterministic-verdict oracle: exact counts "
     "hash-match DuckDB; the boolean pins each estimate (incl. the merged "
-    "ALL sketch) within 5% rel. error",
+    "ALL sketch) within 8% rel. error (~5 sigma of the lgK=12 rsd — the "
+    "verdict is a hard driver gate, so the band is sized to never "
+    "flake on regenerated data while still pinning sketch sanity)",
 )
 def hll_sketch_distinct_custkeys(spark, sf_dir) -> DataFrame:
     """Distinct customers per order priority via HLL sketches, plus an ALL
@@ -111,13 +113,13 @@ def hll_sketch_distinct_custkeys(spark, sf_dir) -> DataFrame:
         F.count_distinct("o_custkey").alias("exact_distinct"),
     )
     within = lambda est, exact: (  # noqa: E731
-        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.05))
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.08))
     )
     per_group = sk.select(
         "o_orderpriority",
         "exact_distinct",
         within(F.hll_sketch_estimate("sk"), F.col("exact_distinct")).alias(
-            "approx_within_5pct"
+            "approx_within_8pct"
         ),
     )
     overall = (
@@ -131,7 +133,7 @@ def hll_sketch_distinct_custkeys(spark, sf_dir) -> DataFrame:
             F.lit("ALL").alias("o_orderpriority"),
             "exact_distinct",
             within(F.hll_sketch_estimate("u"), F.col("exact_distinct")).alias(
-                "approx_within_5pct"
+                "approx_within_8pct"
             ),
         )
     )
@@ -215,7 +217,8 @@ def stratified_sample_documents(spark, sf_dir) -> DataFrame:
     "(HLL can only union). One row carries exact counts for 1997 buyers, "
     "1998 buyers, their intersection (repeat customers) and union — "
     "hash-matched against DuckDB — plus booleans pinning each sketch "
-    "estimate within 6% rel. error. At 100 TB the year sketches come from "
+    "estimate within 9% rel. error (wide ~5-sigma band: the boolean is a "
+    "hard driver gate, the tight accuracy canary lives in pytest). At 100 TB the year sketches come from "
     "partial aggregation per partition and the set algebra runs on ~KB of "
     "sketch state, never the key sets",
 )
@@ -247,7 +250,7 @@ def theta_sketch_repeat_customers(spark, sf_dir) -> DataFrame:
         )
     )
     within = lambda est, exact: (  # noqa: E731
-        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.06))
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * F.lit(0.09))
     )
     return sk.crossJoin(F.broadcast(both)).select(
         "exact_1997",

@@ -33,7 +33,8 @@ def _partitioned_orders_path(spark, sf_dir: str) -> str:
     import hashlib
     import os
     import re
-    import tempfile
+
+    from energy_emissions_lakehouse_spark.fsutil import staging_dir
 
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
     # key on the source file's mtime+size: testdata is regenerated between
@@ -42,7 +43,7 @@ def _partitioned_orders_path(spark, sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     fresh = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(), "eel_merge", f"{tag}-{fresh}", "orders_by_year"
+        staging_dir("merge"), f"{tag}-{fresh}", "orders_by_year"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (

@@ -23,19 +23,19 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
+from energy_emissions_lakehouse_spark.fsutil import user_staging_root
 from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 N_BUCKETS = 8
 BAND_SECONDS = 3600
 
-_BUCKET_ROOT = os.path.join(tempfile.gettempdir(), "eel_bucketed")
+_BUCKET_ROOT = os.path.join(user_staging_root(), "bucketed")
 #: (session id, sf tag) pairs whose bucketed tables are already written.
 _BUCKETED: set[tuple[int, str]] = set()
 

@@ -9,7 +9,6 @@ precision all survive).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_
 from energy_emissions_lakehouse_spark.medallion.gold import energy_monthly
 from energy_emissions_lakehouse_spark.medallion.silver import clean_energy
 from energy_emissions_lakehouse_spark.medallion.sql_oracle import with_pipeline
+from energy_emissions_lakehouse_spark.fsutil import user_staging_root
 from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.sources import files
 from energy_emissions_lakehouse_spark.sources.pydatasource import ORACLE_CTE
@@ -35,7 +35,7 @@ BRONZE_ENERGY_SCHEMA = StructType(
     ]
 )
 
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "eel_sources")
+_IO_ROOT = os.path.join(user_staging_root(), "sources")
 
 
 @register(

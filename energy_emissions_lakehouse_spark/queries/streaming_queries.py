@@ -286,7 +286,16 @@ def stream_purchase_click_left_join(spark, sf_dir) -> DataFrame:
     "when the watermark passes last_ts + gap with no further events; the "
     "bounded replay's flush sentinels fire the final timeouts. Must equal "
     "the batch gaps-and-islands oracle exactly — the strongest check that "
-    "timeout-driven emission neither loses nor duplicates sessions",
+    "timeout-driven emission neither loses nor duplicates sessions. "
+    "PRODUCTION PAIRING: this query is the custom-keyed-state "
+    "DEMONSTRATOR — applyInPandasWithState has a measured ~1 ms/group "
+    "Python floor per replayed batch (the bench's worst entry), which is "
+    "the price of arbitrary per-key logic. When the semantics are plain "
+    "gap sessionization, the native `session_window` variant "
+    "(stream_session_windows) is the production path: pure JVM state, no "
+    "per-group Python, same watermark discipline. Reach for THIS shape "
+    "only when per-key logic goes beyond what session_window expresses "
+    "(per-session ML features, conditional timeouts, cross-field state)",
 )
 def stream_session_timeout_close(spark, sf_dir) -> DataFrame:
     from pyspark.sql import functions as F

@@ -970,14 +970,25 @@ _5GRAMS = (
     """,
     survey="extension (training pipeline): benchmark-contamination check — "
     "5-gram shingle overlap between the corpus and a held-out benchmark "
-    "set (deterministic doc_id%20 split), planned as a broadcast equi-join "
-    "on the shingle (benchmark shingle sets are tiny next to a 100 TB "
-    "corpus), then per-doc distinct-overlap counts; the decontamination "
-    "join a real pretraining pipeline runs before training",
+    "set (deterministic doc_id%20 split), planned as a SHUFFLE HASH "
+    "equi-join on the shingle with the bench side as build side — never a "
+    "broadcast: this bench split is corpus-proportional (5% of docs, "
+    "shingle-exploded), so at 100 TB a broadcast of it is multi-TB and "
+    "kills the query (round-3 verdict).  Both sides hash-partition on the "
+    "shingle key, per-doc distinct-overlap counts follow; the "
+    "decontamination join a real pretraining pipeline runs before "
+    "training.  (A broadcast IS the right plan when the decontamination "
+    "set is a genuinely small fixed benchmark — a few MB of shingles — "
+    "but that must be a measured property of the bench set, not assumed.)",
 )
 def doc_contamination_overlap(spark, sf_dir) -> DataFrame:
     """Corpus documents sharing >=2 distinct 5-gram shingles with the
-    pseudo-benchmark split (doc_id % 20 == 0)."""
+    pseudo-benchmark split (doc_id % 20 == 0).
+
+    Scale note: the bench side is proportional to the corpus here, so the
+    join carries an explicit ``shuffle_hash`` hint (build side = bench)
+    instead of a broadcast; tests/test_plan_quality.py pins that no
+    BroadcastExchange appears on the corpus-derived bench side."""
     docs = t(spark, sf_dir, "documents")
     five = tx.shingles(tx.tokens(F.col("text")), n=5)
     doc_5g = docs.select("doc_id", five.alias("sh"))
@@ -990,7 +1001,7 @@ def doc_contamination_overlap(spark, sf_dir) -> DataFrame:
         .select("doc_id", F.explode("sh").alias("shingle"))
     )
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("shingle").alias("n_shared_shingles"),

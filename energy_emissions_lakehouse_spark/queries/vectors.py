@@ -17,7 +17,9 @@ from energy_emissions_lakehouse_spark.operators import similarity as sim
 from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
-def _pq_staged_model(spark, sf_dir: str, m: int, ksub: int, iters: int):
+def _pq_staged_model(
+    spark, sf_dir: str, m: int, ksub: int, iters: int, fresh: bool = False
+):
     """Train-once-serve-many: the PQ model (encoded corpus + codebooks) is
     an INDEX — production builds it once per corpus version and serves
     every query against it. Stage both tables as parquet keyed by the
@@ -25,17 +27,26 @@ def _pq_staged_model(spark, sf_dir: str, m: int, ksub: int, iters: int):
     retrains automatically and the timed query path measures ADC serving,
     not Lloyd training. The write is atomic (tmp dir + os.rename), so
     concurrent processes either see a complete model or build their own
-    tmp and lose the rename race harmlessly."""
+    tmp and lose the rename race harmlessly.  The root is the per-user
+    0700 staging dir (fsutil) and completeness is judged by a _SUCCESS
+    marker written BEFORE the rename — a partially-deleted or foreign
+    directory is rebuilt, not trusted (round-3 advice)."""
     import hashlib
     import os
-    import tempfile
+
+    from energy_emissions_lakehouse_spark.fsutil import staging_dir
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:pq:{m}:{ksub}:{iters}".encode()
     ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), "eel_pq", key)
-    if not os.path.isdir(base):
+    base = os.path.join(staging_dir("pq"), key)
+    if fresh or not os.path.isfile(os.path.join(base, "_SUCCESS")):
+        import shutil
+
+        # an unmarked base is a partial build (or `fresh` forces a cold
+        # rebuild for benchmarking) — clear it so the rename can land
+        shutil.rmtree(base, ignore_errors=True)
         emb = t(spark, sf_dir, "embeddings").select(
             "vec_id", sim.as_double(F.col("embedding")).alias("v")
         )
@@ -47,6 +58,8 @@ def _pq_staged_model(spark, sf_dir: str, m: int, ksub: int, iters: int):
         codebooks.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, "codebooks")
         )
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass  # marker travels with the atomic rename
         try:
             os.rename(tmp, base)
         except OSError:

@@ -76,114 +76,6 @@ def _load_all() -> None:
     )
 
 
-#: The grading driver value-checks only the FIRST 50 query names in sorted
-#: order (confirmed from CORRECTNESS_r01/r02: each file is exactly
-#: ``sorted(queries())[:50]``). With 170+ registered queries that leaves the
-#: rest with no hard correctness row — round 2's judge flagged the entire
-#: medallion core as driver-unchecked for exactly this reason. The fix:
-#: publish early-sorting ALIASES (``a0_<name>``, which sorts before every
-#: organic name) for the queries that most need a driver row this round.
-#: Each alias shares the base query's builder and oracle SQL verbatim, so a
-#: green alias row is a green row for the base operator. Rotate this list
-#: per round to move the checked window across the registry.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # medallion core: bronze → silver → gold → BI → analysis (§2 A1/A2/A7/O1-O5/Q3)
-    "medallion_analysis_q1",
-    "medallion_analysis_q2",
-    "medallion_analysis_q3",
-    "medallion_analysis_q4",
-    "medallion_analysis_q5",
-    "medallion_analysis_q6",
-    "medallion_analysis_q7",
-    "medallion_gold_carbon_intensity",
-    "medallion_gold_emissions_monthly",
-    "medallion_gold_energy_monthly",
-    "medallion_silver_emissions_summary",
-    "medallion_silver_energy_summary",
-    "medallion_bi_intensity_by_month",
-    "medallion_bi_intensity_by_region",
-    "medallion_bi_totals_by_month_2024",
-    "medallion_bronze_emissions_profile",
-    "medallion_bronze_energy_profile",
-    "medallion_dim_time",
-    # §2 core shapes the judge listed as driver-untested
-    "star_join_revenue",
-    "merge_upsert_orders",
-    "merge_upsert_orders_partition_scoped",
-    "median_quantity_by_flag",
-    "lineitem_null_audit",
-    "table_row_counts",
-    "monthly_revenue_1998",
-    "top_orders_per_priority",
-    "price_per_unit_by_year",
-    "quantity_range_summary",
-    "nation_presence_union",
-    "region_status_cross",
-    "parquet_roundtrip_gold_energy",
-    "partitioned_gold_prune_2024",
-    "jdbc_star_roundtrip_q2",
-    "parts_never_ordered",
-    "pricing_summary",
-    "pysource_synthetic_profile",
-    # LLM-pipeline tier: dedup family, PQ serving, multimodal, sessionization
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "pq_adc_topk",
-    "pq_adc_rerank_topk",
-    "media_feature_extract",
-    "media_frame_sample",
-    "sessionize_partitionwise",
-    # round-3 fixes: non-vacuous anti join + newly-oracled sketch verdicts
-    "customers_without_urgent_orders",
-    "approx_distinct_parts",
-    "hll_sketch_distinct_custkeys",
-    "theta_sketch_repeat_customers",
-    "quantile_sketch_prices",
-)
-
-WINDOW_ALIAS_PREFIX = "a0_"
-WINDOW_ALIAS_TAG = "window_alias"
-
-
-def driver_catalog() -> dict[str, QuerySpec]:
-    """Base registry plus the early-alphabet driver-window aliases.
-
-    Only ``__spark_entry__`` (the driver contract) consumes this; tests,
-    bench.py, and the sweep sim iterate :func:`all_specs` so each operator
-    is exercised once, not twice.
-    """
-    _load_all()
-    cat = dict(_REGISTRY)
-    for name in DRIVER_WINDOW_PRIORITY:
-        base = cat[name]  # KeyError here = typo in the window list
-        alias = WINDOW_ALIAS_PREFIX + name
-        if alias in cat:
-            raise ValueError(f"alias collides with organic query: {alias}")
-        cat[alias] = QuerySpec(
-            alias,
-            base.spark,
-            base.oracle,
-            base.survey,
-            doc=f"driver-window alias of {name} (see DRIVER_WINDOW_PRIORITY)",
-            tags=base.tags + (WINDOW_ALIAS_TAG,),
-        )
-    return dict(sorted(cat.items()))
-
-
-def driver_queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark for name, spec in driver_catalog().items()}
-
-
-def driver_oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle
-        for name, spec in driver_catalog().items()
-        if spec.oracle is not None
-    }
-
-
 def all_queries() -> dict[str, SparkQuery]:
     _load_all()
     return {name: spec.spark for name, spec in sorted(_REGISTRY.items())}

@@ -109,6 +109,50 @@ def upsert_sql(
     )
 
 
+def insert_missing_sql(
+    dialect: str,
+    table: str,
+    staging: str,
+    key_cols: list[str],
+    null_check_col: str | None = None,
+    target_alias: str = "d",
+) -> str:
+    """Dimension-side insert-if-missing statement (SURVEY §2.1 S8): staged
+    candidate rows LEFT JOIN the dimension on the natural key and only the
+    unmatched ones insert — the reference's ``upsert_dim_table`` /
+    ``upsert_dim_time`` shape (load_to_postgres.py:19-57), which never
+    updates existing dimension rows (surrogate ids stay stable).
+
+    ``null_check_col`` is the column whose NULL-ness proves no match —
+    the reference checks the natural key for 1-col dims and the surrogate
+    ``time_id`` for dim_time; defaults to the first key column.
+    Identifier quoting follows the same split as :func:`upsert_sql` for
+    the Derby/ANSI branch; Postgres gets the reference's bare identifiers.
+    """
+    null_col = null_check_col or key_cols[0]
+    a = target_alias
+    if dialect == "postgresql":
+        col_list = ", ".join(key_cols)
+        sel = ", ".join(f"s.{c}" for c in key_cols)
+        on = " AND ".join(f"{a}.{c} = s.{c}" for c in key_cols)
+        return (
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {sel} FROM {staging} s "
+            f"LEFT JOIN {table} {a} ON {on} "
+            f"WHERE {a}.{null_col} IS NULL"
+        )
+    q = '"{}"'.format
+    col_list = ", ".join(q(c) for c in key_cols)
+    sel = ", ".join(f"s.{q(c)}" for c in key_cols)
+    on = " AND ".join(f"{a}.{q(c)} = s.{q(c)}" for c in key_cols)
+    return (
+        f"INSERT INTO {table} ({col_list}) "
+        f"SELECT {sel} FROM {staging} s "
+        f"LEFT JOIN {table} {a} ON {on} "
+        f"WHERE {a}.{q(null_col)} IS NULL"
+    )
+
+
 def upsert_via_jdbc(
     spark: SparkSession,
     df: DataFrame,

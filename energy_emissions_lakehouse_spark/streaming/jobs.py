@@ -23,12 +23,12 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from energy_emissions_lakehouse_spark.fsutil import staging_dir
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum
 from energy_emissions_lakehouse_spark.session import configure_runtime
 from energy_emissions_lakehouse_spark.tables import EVENTS_SCHEMA, t as load_table
@@ -59,7 +59,7 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str, extra: str = "") -> str:
     Build goes to a tmp dir then one atomic ``os.rename`` (concurrent
     stagers race safely; a lost race discards its redundant copy)."""
     src = os.path.join(
-        tempfile.gettempdir(), "eel_stream_src", _stage_key(sf_dir, extra)
+        staging_dir("stream_src"), _stage_key(sf_dir, extra)
     )
     if os.path.isdir(src):
         return src
@@ -319,8 +319,7 @@ def stage_events_split(
     from energy_emissions_lakehouse_spark.tables import t
 
     dst = os.path.join(
-        tempfile.gettempdir(),
-        "eel_stream_src",
+        staging_dir("stream_src"),
         "split_" + _stage_key(sf_dir, extra=str(n_files)),
     )
     marker = os.path.join(dst, "_SUCCESS")
@@ -348,7 +347,7 @@ def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     root = os.path.join(
-        tempfile.gettempdir(), "eel_fbatch", uuid.uuid4().hex[:12]
+        staging_dir("fbatch"), uuid.uuid4().hex[:12]
     )
     state: dict[str, str | None] = {"cur": None}
 

@@ -1,49 +1,38 @@
-"""The grading driver value-checks only the first 50 sorted query names
-(CORRECTNESS_r01/r02 are each exactly ``sorted(queries())[:50]``). These
-tests pin the alias mechanism that steers that window: the ``a0_`` aliases
-must occupy the whole window, stay faithful mirrors of their base specs,
-and never leak into the base registry that tests/bench iterate.
+"""The driver contract surface must be the ORGANIC registry, verbatim.
+
+Rounds 2–3 published early-sorting ``a0_`` aliases to steer the driver's
+sorted-prefix sample window; round-3 advice flagged that as subverting the
+independent audit, so the mechanism was removed.  These tests pin the
+honest contract: ``__spark_entry__.queries()`` is exactly
+``registry.all_queries()``, with no alias prefixes and no extra or missing
+names, so whatever subset an external checker samples, it samples from the
+same catalog the tests and bench iterate.
 """
 
+import __spark_entry__ as entrymod
+
 from energy_emissions_lakehouse_spark.registry import (
-    DRIVER_WINDOW_PRIORITY,
-    WINDOW_ALIAS_PREFIX,
-    WINDOW_ALIAS_TAG,
+    all_oracle_sql,
+    all_queries,
     all_specs,
-    driver_catalog,
-    driver_oracle_sql,
-    driver_queries,
 )
 
-DRIVER_WINDOW_SIZE = 50
+
+def test_entry_queries_is_the_organic_registry():
+    assert list(entrymod.queries()) == list(all_queries())
 
 
-def test_window_is_exactly_the_aliases():
-    assert len(DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE
-    assert len(set(DRIVER_WINDOW_PRIORITY)) == DRIVER_WINDOW_SIZE
-    window = sorted(driver_queries())[:DRIVER_WINDOW_SIZE]
-    expected = sorted(WINDOW_ALIAS_PREFIX + n for n in DRIVER_WINDOW_PRIORITY)
-    assert window == expected
+def test_entry_oracles_match_registry():
+    assert entrymod.oracle_sql() == all_oracle_sql()
 
 
-def test_aliases_mirror_base_specs():
-    cat = driver_catalog()
-    for name in DRIVER_WINDOW_PRIORITY:
-        base = cat[name]
-        alias = cat[WINDOW_ALIAS_PREFIX + name]
-        assert alias.spark is base.spark
-        assert alias.oracle == base.oracle
-        assert alias.oracle is not None, (
-            f"{name}: a window slot spent on a rows-only check is wasted"
-        )
-        assert WINDOW_ALIAS_TAG in alias.tags
+def test_no_steering_aliases():
+    for name in all_specs():
+        assert not name.startswith("a0_"), name
+        assert "window_alias" not in all_specs()[name].tags
 
 
-def test_base_registry_has_no_aliases():
-    assert not any(n.startswith(WINDOW_ALIAS_PREFIX) for n in all_specs())
-
-
-def test_driver_oracle_sql_covers_aliases():
-    oracles = driver_oracle_sql()
-    for name in DRIVER_WINDOW_PRIORITY:
-        assert WINDOW_ALIAS_PREFIX + name in oracles
+def test_every_oracle_name_is_a_query():
+    qs = set(entrymod.queries())
+    for name in entrymod.oracle_sql():
+        assert name in qs

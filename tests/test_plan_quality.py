@@ -393,3 +393,14 @@ def test_argmin_paths_use_aggregates_not_windows(spark, sf_dir, name):
         # nprobe=1 search has exactly 2 windows (query-side probe pick +
         # final top-k), both over the small query side
         assert n_windows <= 2, f"{name}: unexpected extra windows ({n_windows})"
+
+
+def test_contamination_join_never_broadcasts_corpus_side(spark, sf_dir):
+    """doc_contamination_overlap's bench split is corpus-proportional (5%
+    of docs, shingle-exploded), so broadcasting it is a multi-TB exchange
+    at 100 TB (round-3 verdict).  The plan must be a shuffled hash join on
+    the shingle key with NO BroadcastExchange anywhere in the join tree."""
+    spec = all_specs()["doc_contamination_overlap"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan, plan[:2000]
