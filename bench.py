@@ -135,8 +135,12 @@ HEADLINE = [
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",
-    # event-time-timeout stateful sessionization
+    # event-time-timeout stateful sessionization: fine-grained per-user
+    # state (the semantics demonstrator, ~1 ms/group Python floor) vs the
+    # coarsened-bucket production shape — both in the bench so the
+    # pairing's cost gap stays measured
     "stream_session_timeout_close",
+    "stream_session_timeout_close_coarse",
 ]
 
 

@@ -1012,6 +1012,101 @@ def doc_contamination_overlap(spark, sf_dir) -> DataFrame:
     )
 
 
+#: Bloom prefilter geometry: 2^20 bits = 16,384 longs = 128 KB broadcast —
+#: a MEMORY knob, fixed regardless of benchmark size (vs. broadcasting the
+#: shingle strings themselves, which grows with the bench set). k=1 hash;
+#: false-positive rate ~= n_bench_shingles / 2^20, and false positives
+#: only cost extra rows into the exact join — never wrong answers.
+_BLOOM_BITS = 1 << 20
+
+
+@register(
+    "doc_contamination_bloom",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    doc_5g AS (SELECT doc_id, {_5GRAMS} AS sh FROM doc_toks),
+    bench AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_5g
+              WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_5g
+               WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.shingle) >= 2
+    ORDER BY c.doc_id
+    """,
+    survey="extension (training pipeline): the BLOOM-PREFILTERED "
+    "decontamination plan — the 100 TB scale path named by the round-3 "
+    "verdict. A hand-rolled declarative bloom (xxhash64 -> bit position; "
+    "bit_or-aggregated into 16K longs = 128 KB, partial-aggregable "
+    "map-side) built from the bench shingles broadcasts at FIXED size "
+    "regardless of benchmark scale; the corpus side probes it via a "
+    "word-indexed broadcast join + bitmask test, so non-candidate "
+    "shingle rows (the overwhelming majority of a 100 TB corpus) die "
+    "BEFORE the exact shuffle join. False positives only add rows to the "
+    "exact join — results are identical to doc_contamination_overlap, "
+    "which the shared oracle pins",
+)
+def doc_contamination_bloom(spark, sf_dir) -> DataFrame:
+    """Same contamination semantics as ``doc_contamination_overlap``, with
+    a bloom prefilter ahead of the exact join.
+
+    Plan shape (pinned in tests/test_plan_quality.py):
+    1. bench shingles -> bit positions -> ``bit_or`` per 64-bit word
+       (<= 16,384 rows; the bloom build is itself a partial-aggregated
+       map-side reduction, never a collect);
+    2. corpus shingles broadcast-join the word table on ``word_idx`` and
+       keep only rows whose bit is set (inner join doubles as "word has
+       any bench bit at all");
+    3. survivors flow into the exact shuffle-hash join on the shingle.
+    The only broadcast is the fixed-128 KB word table — never a
+    corpus-proportional side."""
+    docs = t(spark, sf_dir, "documents")
+    five = tx.shingles(tx.tokens(F.col("text")), n=5)
+    doc_5g = docs.select("doc_id", five.alias("sh"))
+    bench = (
+        doc_5g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("b_id"), F.explode("sh").alias("shingle"))
+    )
+    corpus = (
+        doc_5g.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+    bit = F.pmod(F.xxhash64("shingle"), F.lit(_BLOOM_BITS))
+    # shiftleft's amount must be a column here, so the mask goes through
+    # expr; `bit` is materialized as a column first
+    word_idx = F.expr("bit div 64")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+
+    bloom_words = (
+        bench.withColumn("bit", bit)
+        .select(word_idx.alias("word_idx"), mask.alias("m"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    corpus_hit = (
+        corpus.withColumn("bit", bit)
+        .withColumn("word_idx", word_idx)
+        .withColumn("m", mask)
+        .join(F.broadcast(bloom_words), "word_idx")
+        .filter(F.col("bits").bitwiseAND(F.col("m")) != 0)
+        .select("doc_id", "shingle")
+    )
+    return (
+        corpus_hit.join(bench.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("b_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= 2)
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "doc_repetition_profile",
     oracle=f"""

@@ -404,3 +404,16 @@ def test_contamination_join_never_broadcasts_corpus_side(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "ShuffledHashJoin" in plan, plan[:2000]
+
+
+def test_contamination_bloom_broadcasts_only_the_word_table(spark, sf_dir):
+    """doc_contamination_bloom may broadcast ONLY the fixed-size bloom
+    word table (<=16K longs); the shingle-level exact join must stay a
+    shuffled hash join, and no broadcast subtree may carry bench doc ids
+    (a corpus-proportional side)."""
+    spec = all_specs()["doc_contamination_bloom"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line or "BroadcastHashJoin" in line:
+            assert "b_id" not in line, line.strip()[:200]
