@@ -103,6 +103,7 @@ HEADLINE = [
     "ivf_topk_nprobe2",
     "embedding_cosine_neardup",
     "embedding_neardup_adaptive",
+    "semantic_dedup_prune",
     "embedding_kmeans_clusters",
     "pq_encode_stats",
     "pq_adc_topk",

@@ -319,3 +319,63 @@ def compact_small_files_orders(spark, sf_dir) -> DataFrame:
         (F.col("files_before") >= 8).alias("fragmented_ok"),
         (F.col("files_after") == 1).alias("compacted_ok"),
     )
+
+
+@register(
+    "udtf_calendar_dim",
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP) AS day_ts,
+           CAST(EXTRACT(year FROM d) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+           CAST(EXTRACT(day FROM d) AS BIGINT) AS day,
+           CAST(EXTRACT(isodow FROM d) AS BIGINT) >= 6 AS is_weekend
+    FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+                                        DATE '2024-12-31',
+                                        INTERVAL 1 DAY)) AS d)
+    ORDER BY day_ts
+    """,
+    survey="extension (Spark 4 surface): Python user-defined TABLE "
+    "function (@udtf) generating the 2024 calendar dimension via LATERAL "
+    "— the table-generator half of the Python API surface "
+    "(pydatasource.py covers the DataSource half). UDTFs are row-driven "
+    "Python, so the legitimate scale slot is BOUNDED table generation "
+    "(dims, specs, config expansion — this one emits 366 rows from one "
+    "input row), never per-fact-row work; the plan audit's no-Python-in-"
+    "hot-path rule stands for everything fact-sized",
+)
+def udtf_calendar_dim(spark, sf_dir) -> DataFrame:
+    """Calendar dim rows for 2024 from a one-row seed via a Python UDTF.
+
+    The UDTF yields (epoch_day, year, month, day, is_weekend) as plain
+    integers and the outer select casts epoch days to a day-truncated
+    timestamp JVM-side — DATE-typed outputs hash-mismatch the oracle
+    (python date vs numpy datetime64), same policy as the streaming
+    queries."""
+    import datetime as _dt
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="epoch_day: long, year: long, month: long, day: long,"
+          " is_weekend: boolean")
+    class CalendarRows:
+        def eval(self, start_day: int, n_days: int):
+            for i in range(n_days):
+                d = _dt.date.fromordinal(start_day + i)
+                yield (
+                    d.toordinal() - _dt.date(1970, 1, 1).toordinal(),
+                    d.year,
+                    d.month,
+                    d.day,
+                    d.isoweekday() >= 6,
+                )
+
+    start = _dt.date(2024, 1, 1)
+    n = (_dt.date(2025, 1, 1) - start).days
+    rows = CalendarRows(lit(start.toordinal()), lit(n))
+    return rows.select(
+        F.timestamp_seconds(F.col("epoch_day") * 86400).alias("day_ts"),
+        "year",
+        "month",
+        "day",
+        "is_weekend",
+    ).orderBy("day_ts")

@@ -801,3 +801,123 @@ def pq_adc_rerank_topk(spark, sf_dir) -> DataFrame:
         m=16, ksub=32, iters=2,
         model=_pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2),
     )
+
+
+_SEM_COS_XY = _COS.replace("q.", "x.").replace("c.", "y.")
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL  -- identical copies: sim 1.0 inside the same cluster
+        SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0
+        UNION ALL  -- scaled copies: sim 1.0 (norm-invariance)
+        SELECT vec_id + 200000, list_transform(v, x -> x * 2.0)
+        FROM base WHERE vec_id % 50 = 0
+    ),
+    cent AS (SELECT vec_id AS centroid_id, v AS c_vec FROM base
+             WHERE vec_id % 100 = 1),
+    scored AS (
+        SELECT a.vec_id, a.v, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_dot_product(a.v, cent.c_vec) / NULLIF(
+                       sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(cent.c_vec, cent.c_vec)),
+                       0.0), 6) DESC, cent.centroid_id) AS rn
+        FROM aug a CROSS JOIN cent
+    ),
+    member AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+    dup_pairs AS (
+        SELECT x.centroid_id, y.vec_id AS pruned_id
+        FROM member x JOIN member y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        WHERE {_SEM_COS_XY} >= 0.9
+    ),
+    pruned AS (SELECT DISTINCT centroid_id, pruned_id FROM dup_pairs)
+    SELECT m.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(p.pruned_id) AS BIGINT) AS n_pruned,
+           CAST(COUNT(*) - COUNT(p.pruned_id) AS BIGINT) AS n_kept
+    FROM member m LEFT JOIN pruned p
+      ON p.centroid_id = m.centroid_id AND p.pruned_id = m.vec_id
+    GROUP BY m.centroid_id
+    ORDER BY m.centroid_id
+    """,
+    survey="extension (dedup, embedding tier — SemDeDup, Abbas et al. "
+    "2023 arXiv:2303.09540): cluster-scoped semantic deduplication. "
+    "Vectors are coarse-assigned to deterministic seed centroids "
+    "(broadcast argmin, map-only — same pass as the IVF index), then "
+    "near-duplicate detection runs as a self-equi-join ON THE CLUSTER ID "
+    "— pairwise cosine is quadratic only within a cluster (|c|^2), never "
+    "across the corpus, which is the published algorithm's scaling "
+    "argument; prune rule keeps the lowest vec_id per duplicate pair. "
+    "Injected duplicate copies (identical + scaled) make the prune "
+    "non-vacuous on the random testdata, same policy as "
+    "embedding_cosine_neardup",
+)
+def semantic_dedup_prune(spark, sf_dir) -> DataFrame:
+    """Per-cluster membership and prune counts for SemDeDup-style
+    semantic deduplication: coarse k-partition via nearest seed centroid,
+    exact cosine near-dup pruning within each cluster only."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    scaled = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    aug = emb.unionByName(copies).unionByName(scaled)
+    centroids = emb.filter(F.col("vec_id") % 100 == 1)
+    member = sim.ivf_assign(aug, centroids)
+
+    x = member.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("x_v"),
+        sim.norm(F.col("v")).alias("x_n"),
+    )
+    y = member.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("pruned_id"),
+        F.col("v").alias("y_v"),
+        sim.norm(F.col("v")).alias("y_n"),
+    )
+    pruned = (
+        x.join(y, "centroid_id")
+        .filter(F.col("x_id") < F.col("pruned_id"))
+        .filter(
+            F.round(
+                sim.cosine_pre(
+                    F.col("x_v"), F.col("x_n"), F.col("y_v"), F.col("y_n")
+                ),
+                6,
+            )
+            >= 0.9
+        )
+        .select(
+            F.col("centroid_id").alias("p_cid"),
+            F.col("pruned_id"),
+        )
+        .distinct()
+    )
+    return (
+        member.join(
+            pruned,
+            (F.col("centroid_id") == F.col("p_cid"))
+            & (F.col("vec_id") == F.col("pruned_id")),
+            "left",
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("pruned_id").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("pruned_id")).alias("n_kept"),
+        )
+        .orderBy("centroid_id")
+    )
