@@ -116,12 +116,14 @@ HEADLINE = [
     "stream_static_enriched_counts",
     "stream_purchase_click_join",
     "stream_chained_window_rollup",
+    "stream_ingest_neardup",
     # custom operators
     "asof_last_purchase_per_click",
     "sessionize_partitionwise",
     "salted_join_revenue",
     # file-format roundtrips
     "csv_roundtrip_silver_energy",
+    "schema_evolution_merge_read",
     # warehouse paths
     "jdbc_star_roundtrip_q2",
     "merge_upsert_orders_partition_scoped",

@@ -379,3 +379,80 @@ def udtf_calendar_dim(spark, sf_dir) -> DataFrame:
         "day",
         "is_weekend",
     ).orderBy("day_ts")
+
+
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'expedite' ELSE 'standard' END AS priority_class
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS priority_class, 1996 AS v
+        FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, priority_class, 1997 AS v FROM v2
+    )
+    SELECT CAST(v AS BIGINT) AS file_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(priority_class) AS BIGINT) AS n_with_new_col,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM unioned GROUP BY v ORDER BY file_version
+    """,
+    survey="extension (sources, lakehouse schema evolution): a table whose "
+    "later files carry an ADDED column (v1: orderkey+price, v2: + "
+    "priority_class) is read as ONE dataset via mergeSchema=true — "
+    "old files surface NULL for the new column, no rewrite of historical "
+    "data. This is the additive-evolution contract every long-lived "
+    "100 TB table needs (reprocessing history on every schema change is "
+    "a non-starter); on Delta/Iceberg the same read is automatic from "
+    "the table's schema log. Spark-side note: mergeSchema costs a "
+    "footer read PER FILE at planning — on huge tables, pin the merged "
+    "schema explicitly and keep mergeSchema for discovery only",
+)
+def schema_evolution_merge_read(spark, sf_dir) -> DataFrame:
+    """Write two schema versions of an orders slice side by side, read
+    them back as one mergeSchema dataset, and profile rows/new-column
+    coverage per file version."""
+    from energy_emissions_lakehouse_spark.tables import t
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(_IO_ROOT, "schema_evolution")
+    v1 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice", F.lit(1996).cast("long").alias("v")
+    )
+    v2 = orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite"
+        )
+        .otherwise("standard")
+        .alias("priority_class"),
+        F.lit(1997).cast("long").alias("v"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v=1996"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v=1997"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "v=1996"), os.path.join(root, "v=1997"))
+    )
+    return (
+        merged.groupBy(F.col("v").alias("file_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("priority_class").alias("n_with_new_col"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("file_version")
+    )

@@ -398,3 +398,59 @@ def stream_purchase_click_full_join(spark, sf_dir) -> DataFrame:
     # sentinel rows (user_id = -1, incl. their self-matches) drop after
     # the sink — they existed only to advance both watermarks
     return out.filter(F.col("user_id") >= 0)
+
+
+def _ingest_neardup_oracle() -> str:
+    from energy_emissions_lakehouse_spark.queries.text import (
+        JACCARD_THRESHOLD,
+        _BAND_JOIN,
+        _BANDS_CTE,
+        _DOC_SH_CTE,
+        _JACCARD_SQL,
+        _SIGS_CTE,
+        _TIDS_CTE,
+    )
+
+    return f"""
+    WITH {_DOC_SH_CTE}, {_TIDS_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT
+        CASE WHEN x.doc_id % 10 >= 8 THEN x.doc_id ELSE y.doc_id END AS new_id,
+        CASE WHEN x.doc_id % 10 >= 8 THEN y.doc_id ELSE x.doc_id END AS hist_id
+      FROM bands x JOIN bands y ON {_BAND_JOIN} AND x.doc_id < y.doc_id
+      WHERE (x.doc_id % 10 >= 8) <> (y.doc_id % 10 >= 8)
+    )
+    SELECT c.new_id, c.hist_id, d.lang, {_JACCARD_SQL} AS sim
+    FROM cand c
+    JOIN doc_sh a ON a.doc_id = c.new_id
+    JOIN doc_sh b ON b.doc_id = c.hist_id
+    JOIN documents d ON d.doc_id = c.new_id
+    WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ORDER BY c.new_id, c.hist_id
+    """
+
+
+@register(
+    "stream_ingest_neardup",
+    oracle=_ingest_neardup_oracle(),
+    survey="extension (streaming x dedup — ingestion gate): arriving "
+    "documents stream through per-row shingling + ROW-WISE MinHash "
+    "(array_min over affine transforms — signature as a stateless "
+    "expression, bit-identical to the batch explode+groupBy form), band "
+    "explode, then stream-static equi-joins against the pre-built "
+    "historical LSH band index and shingle sets, with exact-Jaccard "
+    "verification in-stream. ZERO streaming state: no watermark, no "
+    "state store — dedup-at-ingest is candidate generation against a "
+    "static index, so each arriving batch shuffles only its own band "
+    "keys while the 100 TB history sits as the index. The continuous "
+    "form of dedup_incremental_batch; same band/verify math, pinned by "
+    "the batch oracle",
+)
+def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
+    """Confirmed near-duplicate (new_id, hist_id, lang, sim) pairs of the
+    simulated incoming batch (doc_id%10 >= 8) vs history, computed by a
+    stateless streaming pipeline run to completion."""
+    out = jobs.stream_ingest_neardup_pairs(spark, sf_dir)
+    return out.select("new_id", "hist_id", "lang", "sim").orderBy(
+        "new_id", "hist_id"
+    )

@@ -878,3 +878,165 @@ def purchase_click_full_join(events: DataFrame) -> DataFrame:
         "click_id",
         F.coalesce("purchase_user", "click_user").alias("user_id"),
     )
+
+
+def _stage_docs_batch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the simulated incoming document batch (doc_id % 10 >= 8) as
+    a parquet directory for the streaming file source — same keyed,
+    atomic-rename protocol as _stage_events_dir, keyed on the documents
+    file's mtime+size."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:docs_ingest".encode()
+    ).hexdigest()[:12]
+    src = os.path.join(staging_dir("stream_src"), f"docs_{key}")
+    if os.path.isdir(src):
+        return src
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{src}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(p)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
+def rowwise_minhash_cols(sh_col: str = "sh") -> list:
+    """The 16 MinHash signature values as PER-ROW expressions — no
+    explode, no groupBy, therefore legal in a STATELESS streaming select
+    (the batch implementation's explode + grouped min is a streaming
+    aggregation and would demand watermark state for no reason).
+
+    Cost shape: the md5-derived shingle id is materialized ONCE per
+    shingle (`hids`), then each hash function is a cheap affine transform
+    + array_min over those ids — without the two-step split Catalyst
+    would inline the md5 into all 16 lambdas (the documented 16x
+    transform-inlining trap). Values are bit-identical to
+    operators/dedup.minhash_signatures."""
+    from energy_emissions_lakehouse_spark.operators import dedup as dd
+
+    hids = F.transform(
+        F.col(sh_col), lambda s: dd.hash_id(s) % F.lit(dd.MINHASH_P)
+    )
+    exprs = [hids.alias("_hids")]
+    return exprs + [
+        F.array_min(
+            F.transform(
+                F.col("_hids"),
+                lambda t: (t * F.lit(A) + F.lit(B)) % F.lit(dd.MINHASH_P),
+            )
+        ).alias(f"h{i}")
+        for i, (A, B) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    ]
+
+
+def stream_ingest_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-at-ingest: a STREAM of incoming documents is checked for
+    near-duplicates against a STATIC historical MinHash/LSH index via
+    stream-static equi-joins — the continuous form of
+    dedup_incremental_batch, and the shape a 100 TB ingestion gate runs
+    (the history index is built once per index version; each arriving
+    batch only shuffles its own band keys).
+
+    Every streaming operator here is STATELESS: per-row shingling +
+    row-wise MinHash (rowwise_minhash_cols), band explode (map-only
+    fan-out of 4 rows/doc), two stream-static inner joins (band index,
+    then history shingle sets), and the exact-Jaccard filter. No
+    watermark, no state store — availableNow drains the batch in one
+    pass. Returns the confirmed (new_id, hist_id, sim, lang) pairs from
+    the sink."""
+    from energy_emissions_lakehouse_spark.operators import dedup as dd
+    from energy_emissions_lakehouse_spark.operators import text as tx
+    from energy_emissions_lakehouse_spark.queries.text import (
+        JACCARD_THRESHOLD,
+    )
+
+    # ---- static side: the historical index (built once, checkpointed)
+    hist_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    hist_sh = dd.doc_shingles(hist_docs).localCheckpoint(eager=True)
+    hist_sigs = dd.minhash_signatures(hist_sh)
+    n_bands = dd.NUM_HASHES // dd.BAND_SIZE
+    hist_bands = None
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{b * dd.BAND_SIZE + j}").alias(f"b{j}")
+            for j in range(dd.BAND_SIZE)
+        ]
+        part = hist_sigs.select(
+            F.col("doc_id").alias("hist_id"), F.lit(b).alias("band"), *cols
+        )
+        hist_bands = part if hist_bands is None else hist_bands.unionByName(part)
+    hist_bands = hist_bands.localCheckpoint(eager=True)
+    hist_sets = hist_sh.select(
+        F.col("doc_id").alias("hist_id"), F.col("sh").alias("hist_sh")
+    )
+
+    # ---- stream side: incoming docs, all stateless expressions
+    src = _stage_docs_batch_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    incoming = (
+        spark.readStream.schema(schema).parquet(src)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "lang",
+            tx.shingles(tx.tokens(F.col("text")), n=3).alias("sh"),
+        )
+        .select("new_id", "lang", "sh", *rowwise_minhash_cols("sh"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"h{b * dd.BAND_SIZE + j}").alias(f"b{j}")
+                    for j in range(dd.BAND_SIZE)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    new_bands = incoming.select(
+        "new_id", "lang", "sh", F.explode(band_structs).alias("bs")
+    ).select(
+        "new_id", "lang", "sh", "bs.band",
+        *[f"bs.b{j}" for j in range(dd.BAND_SIZE)],
+    )
+    on = ["band"] + [f"b{j}" for j in range(dd.BAND_SIZE)]
+    cand = (
+        new_bands.join(F.broadcast(hist_bands), on)
+        .select("new_id", "lang", "sh", "hist_id")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    na = F.size("sh").cast("double")
+    nb = F.size("hist_sh").cast("double")
+    verified = (
+        cand.join(F.broadcast(hist_sets), "hist_id")
+        .filter(
+            (na >= nb * JACCARD_THRESHOLD) & (nb >= na * JACCARD_THRESHOLD)
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            "lang",
+            F.round(
+                dd.jaccard(F.col("sh"), F.col("hist_sh")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= JACCARD_THRESHOLD)
+    )
+    return run_to_table(verified, mode="append")
