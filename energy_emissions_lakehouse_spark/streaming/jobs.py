@@ -880,15 +880,18 @@ def purchase_click_full_join(events: DataFrame) -> DataFrame:
     )
 
 
-def _stage_docs_batch_dir(spark: SparkSession, sf_dir: str) -> str:
+def _stage_docs_batch_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 1
+) -> str:
     """Stage the simulated incoming document batch (doc_id % 10 >= 8) as
     a parquet directory for the streaming file source — same keyed,
     atomic-rename protocol as _stage_events_dir, keyed on the documents
-    file's mtime+size."""
+    file's mtime+size.  ``n_files > 1`` splits the batch so a
+    maxFilesPerTrigger=1 stream replays it as several micro-batches."""
     p = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(p)
     key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:docs_ingest".encode()
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:docs_ingest:{n_files}".encode()
     ).hexdigest()[:12]
     src = os.path.join(staging_dir("stream_src"), f"docs_{key}")
     if os.path.isdir(src):
@@ -900,7 +903,7 @@ def _stage_docs_batch_dir(spark: SparkSession, sf_dir: str) -> str:
     (
         spark.read.parquet(p)
         .filter(F.col("doc_id") % 10 >= 8)
-        .coalesce(1)
+        .repartition(n_files)
         .write.mode("overwrite")
         .parquet(tmp)
     )
@@ -941,7 +944,7 @@ def rowwise_minhash_cols(sh_col: str = "sh") -> list:
 
 
 def stream_ingest_neardup_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_files: int = 1
 ) -> DataFrame:
     """Dedup-at-ingest: a STREAM of incoming documents is checked for
     near-duplicates against a STATIC historical MinHash/LSH index via
@@ -987,10 +990,13 @@ def stream_ingest_neardup_pairs(
     )
 
     # ---- stream side: incoming docs, all stateless expressions
-    src = _stage_docs_batch_dir(spark, sf_dir)
+    src = _stage_docs_batch_dir(spark, sf_dir, n_files=n_files)
     schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if n_files > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
     incoming = (
-        spark.readStream.schema(schema).parquet(src)
+        reader.parquet(src)
         .select(
             F.col("doc_id").alias("new_id"),
             "lang",

@@ -124,3 +124,127 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     }
     assert second == want
 
+
+
+def test_coarse_sessionize_state_splices_across_batches(spark, sf_dir, tmp_path):
+    """The coarsened-key sessionizer's cross-batch path: a session whose
+    events straddle a micro-batch boundary must SPLICE onto the bucket's
+    stored open session (the single-file replay never exercises this —
+    its one data batch starts every session fresh). Events are split into
+    two files at a boundary chosen INSIDE a known session (plus a flush
+    sentinel), streamed one file per trigger, and the closed sessions
+    must equal the batch gaps-and-islands answer exactly."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import EVENTS_SCHEMA
+
+    ev = t(spark, sf_dir, "events").select(EVENTS_SCHEMA.fieldNames())
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    # pick the boundary INSIDE a known session so the straddle is
+    # guaranteed: the 2nd event of some in-gap consecutive pair — events
+    # before it land in file 1, the rest in file 2, and that user's open
+    # session must splice across the batch boundary
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        ev.select("user_id", "ts")
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("prev").cast("timestamp").cast("long")
+                <= jobs.SESSION_GAP_SECONDS
+            )
+        )
+        .orderBy("ts")
+        .limit(1)
+        .collect()
+    )
+    assert pairs, "testdata has no in-session consecutive pair"
+    boundary = pairs[0]["ts"]
+    bounds = [boundary]
+    slices = [
+        ev.filter(F.col("ts") < boundary),
+        ev.filter(F.col("ts") >= boundary),
+    ]
+    for s in slices:  # sequential writes -> increasing mtimes -> in-order batches
+        s.coalesce(1).write.mode("append").parquet(src)
+    sentinel = [(-1, hi + dt.timedelta(days=2), -1, "__flush__", 0.0, "{}")]
+    spark.createDataFrame(sentinel, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = (
+        jobs.run_to_table(
+            jobs.stateful_session_close_coarse(stream), mode="append",
+            state_partitions=8,
+        )
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_trunc("second", "session_start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+    gap = F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts"))
+    marked = ev.select("user_id", "ts").withColumn(
+        "brk",
+        F.when(
+            gap.isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - gap.cast("timestamp").cast("long")
+                > jobs.SESSION_GAP_SECONDS
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        marked.withColumn(
+            "sid",
+            F.sum("brk").over(
+                Window.partitionBy("user_id").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = sessions.select("user_id", "session_start", "n_events")
+    _assert_same(got, want)
+    # the splice path genuinely ran: at least one oracle session straddles
+    # a batch boundary (starts before it, last event at/after it)
+    straddle = sessions.filter(
+        (F.col("session_start") < F.lit(bounds[0]))
+        & (F.col("last_ts") >= F.lit(bounds[0]))
+    )
+    assert straddle.count() > 0, "no session crossed a batch boundary"
+
+
+def test_ingest_neardup_chunked_arrival_equals_one_shot(spark, sf_dir):
+    """The stateless ingest dedup gate must produce the identical pair
+    set whether the incoming batch arrives as one micro-batch or drips
+    in as three (maxFilesPerTrigger=1) — stream-static joins re-execute
+    per batch with no cross-batch state to get wrong."""
+    one = jobs.stream_ingest_neardup_pairs(spark, sf_dir).select(
+        "new_id", "hist_id", "sim"
+    )
+    chunked = jobs.stream_ingest_neardup_pairs(spark, sf_dir, n_files=3).select(
+        "new_id", "hist_id", "sim"
+    )
+    _assert_same(chunked, one)
