@@ -135,6 +135,7 @@ HEADLINE = [
     "doc_repetition_profile",
     "doc_pii_redaction_stats",
     "doc_mixture_resample",
+    "corpus_data_card",
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",

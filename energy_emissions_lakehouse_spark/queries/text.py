@@ -1662,3 +1662,79 @@ def dedup_incremental_batch(spark, sf_dir) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    per_doc AS (
+        SELECT doc_id, source, lang, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(text) AS ck
+        FROM doc_toks
+    ),
+    dup_keys AS (
+        SELECT source, ck FROM per_doc
+        GROUP BY source, ck HAVING COUNT(*) > 1
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT p.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           MEDIAN(p.n_tokens) AS median_tokens,
+           CAST(SUM(p.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(CASE WHEN p.n_tokens BETWEEN 50 AND 100000
+                           THEN 1 END) AS BIGINT) AS n_len_pass,
+           CAST(COUNT(CASE WHEN d.ck IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_dup_docs
+    FROM per_doc p
+    LEFT JOIN dup_keys d ON d.source = p.source AND d.ck = p.ck
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+    survey="extension (training pipeline): DATASET CARD generator — the "
+    "per-source summary a data release ships (docs, language spread, "
+    "token volume, exact median length, Gopher length-rule pass count, "
+    "within-source exact-duplicate count). One scan computes every "
+    "per-doc stat; the dup count adds one (source, content-hash) "
+    "aggregate — only hashes shuffle, never text. The reporting "
+    "complement of the curation funnel: runs on the corpus as landed "
+    "and on every promoted layer for drift tracking",
+)
+def corpus_data_card(spark, sf_dir) -> DataFrame:
+    """Per-source dataset-card summary of the documents corpus."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        tx.token_count(toks).alias("n_tokens"),
+        F.md5("text").alias("ck"),
+    )
+    dup_keys = (
+        per_doc.groupBy("source", "ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("source", "ck", F.lit(True).alias("is_dup"))
+    )
+    return (
+        per_doc.join(dup_keys, ["source", "ck"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.percentile(F.col("n_tokens"), F.lit(0.5)).alias(
+                "median_tokens"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+            F.count(
+                F.when(F.col("n_tokens").between(50, 100000), 1)
+            ).alias("n_len_pass"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )

@@ -417,3 +417,70 @@ def test_contamination_bloom_broadcasts_only_the_word_table(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastExchange" in line or "BroadcastHashJoin" in line:
             assert "b_id" not in line, line.strip()[:200]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling, demonstrated live at test scale: a join
+    whose left side is 90% one key must re-plan as
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead ... skewed' on the
+    hot side — the runtime defense the engine relies on before reaching
+    for manual salting (operators/skew.py).
+
+    The negative case matters as much: when a DOWNSTREAM operator
+    requires hash distribution on the join key (e.g. groupBy(join key)),
+    AQE must NOT split the skewed partition — the split would break the
+    required co-partitioning — so the very same join plans WITHOUT the
+    skew marker. That suppressed case is exactly the niche where manual
+    salting (salted_join_revenue) remains necessary at 100 TB."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise(F.col("id") % 20)
+            .alias("k"),
+            F.rand(7).alias("x"),
+        )
+        right = spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit("d").alias("tag")
+        )
+        j = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum("x").alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln
+            for ln in plan.splitlines()
+        ), plan[:1500]
+
+        # negative: groupBy on the join key demands hash(k) downstream ->
+        # the split is suppressed and the hot partition stays whole
+        j2 = left.join(right, "k").groupBy("k").agg(
+            F.count("*").alias("n")
+        )
+        j2.collect()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2, plan2[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
