@@ -108,6 +108,7 @@ HEADLINE = [
     "pq_encode_stats",
     "pq_adc_topk",
     "pq_adc_rerank_topk",
+    "ivfpq_adc_topk",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     # structured streaming (availableNow run to completion)

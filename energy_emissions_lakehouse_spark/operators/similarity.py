@@ -811,3 +811,108 @@ def ivf_topk_nprobe(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_adc_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_pred,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    model: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ serving — the combined index (FAISS ``IVFPQ``): IVF coarse
+    cells prune WHICH candidates are scored, PQ/ADC codes decide HOW they
+    are scored. Per query, cost is O(nprobe * N/nlist) candidates x m
+    code lookups — both pruning dimensions compound, which is how
+    billion-vector serving stays sub-linear AND memory-bound.
+
+    Plan shape:
+    - one assignment pass gives every vector its home cell (broadcast
+      argmin, map-only); each query fans out to its ``nprobe`` nearest
+      cells (bounded query-side multiplication);
+    - the (query, candidate) cell join restricts the encoded corpus
+      BEFORE any distance work — a shuffle-hash equi-join on the
+      candidate id (broadcast is valid when the serving batch is small,
+      but the hint keeps the plan safe for large query batches);
+    - surviving (query, cand, sub, code) rows join the broadcast ADC
+      distance tables on (query_id, sub, code) and sum integer-micro
+      partials — same exactness contract as :func:`pq_adc_topk`.
+    """
+    dim = EMBED_DIM // m
+    encoded, codebooks = model if model is not None else pq_model(
+        vectors, m, ksub, iters
+    )
+    c_home = ivf_assign(vectors, centroids).select(
+        F.col("vec_id").alias("cand_id"), "centroid_id"
+    )
+    cents = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c_vec")
+    )
+    q_scored = (
+        vectors.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(c_home, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+
+    q_slices = vectors.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("v", s * dim + 1, dim).alias("qv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("query_id", "e.sub", "e.qv")
+    dtab = q_slices.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(sq_l2(F.col("qv"), F.col("c_vec")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    enc_cand = (
+        encoded.join(
+            cand.hint("shuffle_hash"),
+            encoded.vec_id == cand.cand_id,
+        )
+        .select("query_id", "cand_id", "sub", "code")
+    )
+    scored = enc_cand.join(F.broadcast(dtab), ["query_id", "sub", "code"]).groupBy(
+        "query_id", "cand_id"
+    ).agg(F.sum("d_micro").alias("d_micro"))
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("d_micro").cast("double") / F.lit(1e6)).alias("d_approx"),
+            "rank",
+        )
+    )

@@ -921,3 +921,103 @@ def semantic_dedup_prune(spark, sf_dir) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+def _ivfpq_oracle_sql(
+    m: int = 16, ksub: int = 32, iters: int = 2, k: int = 3, nprobe: int = 2
+) -> str:
+    """DuckDB replay of IVF-PQ serving: the _pq_ctes Lloyd replay supplies
+    the encoded corpus + final sub-codebooks; an IVF layer (deterministic
+    seed centroids vec_id%100=1, rounded-cosine argmin assignment, nprobe
+    probe cells per query) restricts WHICH (query, cand) pairs the ADC
+    sum runs over."""
+    ctes, union, cent_names = _pq_ctes(m, ksub, iters)
+    dq = (
+        "list_sum(list_transform(list_zip(q.v, c.c_vec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    dtabs = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {s} AS sub, c.cluster_id AS code,
+               CAST(ROUND({dq} * 1000000, 0) AS BIGINT) AS d_micro
+        FROM (SELECT vec_id, v FROM e{s} WHERE vec_id % 100 = 0) q
+        CROSS JOIN {cent_names[s]} c"""
+        for s in range(m)
+    )
+    ivf_cos = (
+        "ROUND(list_dot_product(e.v, cent.c_vec) / NULLIF("
+        "sqrt(list_dot_product(e.v, e.v)) "
+        "* sqrt(list_dot_product(cent.c_vec, cent.c_vec)), 0.0), 6)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    enc AS ({union}),
+    dtab AS ({dtabs}),
+    emb0 AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    ivf_cent AS (SELECT vec_id AS centroid_id, v AS c_vec FROM emb0
+                 WHERE vec_id % 100 = 1),
+    ivf_scored AS (
+        SELECT e.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {ivf_cos} DESC, cent.centroid_id) AS rn
+        FROM emb0 e CROSS JOIN ivf_cent cent
+    ),
+    home AS (SELECT vec_id AS cand_id, centroid_id FROM ivf_scored
+             WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id FROM ivf_scored
+               WHERE vec_id % 100 = 0 AND rn <= {nprobe}),
+    scored AS (
+        SELECT d.query_id, e.vec_id AS cand_id, SUM(d.d_micro) AS d_micro
+        FROM enc e
+        JOIN home h ON h.cand_id = e.vec_id
+        JOIN probes p ON p.centroid_id = h.centroid_id
+        JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+                   AND d.query_id = p.query_id
+        WHERE d.query_id != e.vec_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, cand_id,
+           CAST(d_micro AS DOUBLE) / 1000000.0 AS d_approx, rank
+    FROM (
+        SELECT query_id, cand_id, d_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d_micro, cand_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}"""
+    )
+
+
+@register(
+    "ivfpq_adc_topk",
+    oracle=_ivfpq_oracle_sql(m=16, ksub=32, iters=2, k=3, nprobe=2),
+    survey="extension (similarity, combined index — FAISS IVFPQ shape): "
+    "IVF coarse cells prune WHICH candidates are scored (nprobe x "
+    "N/nlist per query), PQ/ADC codes decide HOW (m integer-micro code "
+    "lookups, no floats) — the two pruning dimensions compound, which "
+    "is how billion-vector serving stays sub-linear AND memory-bound. "
+    "Candidate restriction is an equi-join on the cell id BEFORE any "
+    "distance work; the encoded-corpus x candidate join is shuffle-hash "
+    "(broadcast only valid for small serving batches); serves against "
+    "the staged PQ index. DuckDB replays the full Lloyd training + IVF "
+    "assignment + restricted ADC sum, value-exact",
+)
+def ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
+    """IVF-PQ combined serving: top-3 per query (vec_id%100==0), nprobe=2
+    over seed centroids (vec_id%100==1), ADC-scored through the staged
+    m=16 x 32 PQ index."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") % 100 == 1)
+    return sim.ivfpq_adc_topk(
+        emb,
+        centroids,
+        query_pred=F.col("vec_id") % 100 == 0,
+        k=3,
+        nprobe=2,
+        m=16,
+        ksub=32,
+        iters=2,
+        model=_pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2),
+    )

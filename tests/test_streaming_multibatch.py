@@ -248,3 +248,28 @@ def test_ingest_neardup_chunked_arrival_equals_one_shot(spark, sf_dir):
         "new_id", "hist_id", "sim"
     )
     _assert_same(chunked, one)
+
+
+def test_rowwise_minhash_equals_grouped_signatures(spark, sf_dir):
+    """The streaming gate's row-wise MinHash (array_min over affine
+    transforms) must be BIT-IDENTICAL to the batch explode+groupBy
+    signatures for every document — the equivalence the ingest gate's
+    band joins silently rely on (a single differing signature value
+    would desynchronize the band keys between stream and index)."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.operators import dedup as dd
+    from energy_emissions_lakehouse_spark.operators import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    doc_sh = dd.doc_shingles(docs)
+    grouped = dd.minhash_signatures(doc_sh)
+    rowwise = (
+        docs.select(
+            "doc_id", tx.shingles(tx.tokens(F.col("text")), n=3).alias("sh")
+        )
+        .select("doc_id", *jobs.rowwise_minhash_cols("sh"))
+        .filter(F.size("_hids") > 0)  # grouped form drops shingle-less docs
+        .drop("_hids")
+    )
+    _assert_same(rowwise, grouped)
