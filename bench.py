@@ -128,6 +128,7 @@ HEADLINE = [
     # warehouse paths
     "jdbc_star_roundtrip_q2",
     "merge_upsert_orders_partition_scoped",
+    "merge_changefeed_orders",
     # Spark 4 Python DataSource connector (100k generated rows)
     "pysource_synthetic_profile",
     # corpus quality / safety passes

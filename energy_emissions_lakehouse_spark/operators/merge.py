@@ -120,3 +120,38 @@ def insert_missing(target: DataFrame, source: DataFrame, keys: Sequence[str]) ->
     keys = list(keys)
     new_rows = source.join(target.select(*keys).distinct(), on=keys, how="left_anti")
     return target.unionByName(new_rows.select(*target.columns))
+
+
+def upsert_change_feed(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """The CHANGE DATA FEED of an upsert — what Delta Lake's CDF
+    (``table_changes``) emits for ``MERGE ... WHEN MATCHED UPDATE WHEN
+    NOT MATCHED INSERT``: every touched target row as an
+    ``update_preimage`` + ``update_postimage`` pair, every new key as an
+    ``insert`` row, tagged in a ``_change_type`` column.  Downstream
+    incremental consumers (sync jobs, aggregate maintenance, audit) read
+    the feed instead of diffing snapshots.
+
+    Semantics match Delta's unconditional WHEN MATCHED UPDATE: matched
+    rows emit pre/post images even when values are identical (the row
+    was touched).  A WHEN NOT MATCHED BY SOURCE DELETE clause would add
+    ``delete`` rows — the upsert shape the reference uses has none.
+
+    Scale: three key equi-joins (two semi, one anti) over the same
+    shuffle key — Catalyst reuses the exchange; the feed volume is
+    O(|source|), never O(|target|)."""
+    keys = list(keys)
+    src = _dedupe_source(source.select(*target.columns), keys)
+    src_keys = src.select(*keys).distinct()
+    tgt_keys = target.select(*keys).distinct()
+    pre = target.join(src_keys, on=keys, how="left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = src.join(tgt_keys, on=keys, how="left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    ins = src.join(tgt_keys, on=keys, how="left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    return pre.unionByName(post).unionByName(ins)

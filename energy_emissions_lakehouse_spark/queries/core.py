@@ -2667,3 +2667,89 @@ def analyze_table_stats(spark, sf_dir) -> DataFrame:
         F.col("s.n_distinct").alias("n_distinct"),
         F.col("s.approx_within_6pct").alias("approx_within_6pct"),
     )
+
+
+@register(
+    "merge_changefeed_orders",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE (o_orderkey % 10) = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'I' AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE (o_orderkey % 20) = 0
+    ),
+    pre AS (
+        SELECT o.o_orderstatus, o.o_totalprice,
+               'update_preimage' AS _change_type
+        FROM orders o WHERE EXISTS (
+            SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+    ),
+    post AS (
+        SELECT s.o_orderstatus, s.o_totalprice,
+               'update_postimage' AS _change_type
+        FROM src s WHERE EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = s.o_orderkey)
+    ),
+    ins AS (
+        SELECT s.o_orderstatus, s.o_totalprice, 'insert' AS _change_type
+        FROM src s WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = s.o_orderkey)
+    ),
+    feed AS (SELECT * FROM pre UNION ALL SELECT * FROM post
+             UNION ALL SELECT * FROM ins)
+    SELECT _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {{scaled}} AS total_price
+    FROM feed GROUP BY _change_type, o_orderstatus
+    ORDER BY _change_type, o_orderstatus
+    """.format(scaled=scaled_sum_sql("o_totalprice")),
+    survey="extension (lakehouse, change data capture): the CHANGE DATA "
+    "FEED of a MERGE — Delta CDF (`table_changes`) semantics emulated "
+    "relationally: touched rows emit update_preimage/update_postimage "
+    "pairs, new keys emit insert rows, tagged in _change_type. The "
+    "output incremental consumers (sync, aggregate maintenance, audit) "
+    "read instead of diffing table snapshots; feed volume is O(|source|) "
+    "never O(|target|), built from three equi-joins sharing one shuffle "
+    "key. On Delta this entire operator is `table_changes(t, v1, v2)`",
+)
+def merge_changefeed_orders(spark, sf_dir) -> DataFrame:
+    """Change feed of an orders upsert (10% updated, 5% new keys),
+    profiled by change type and status."""
+    from energy_emissions_lakehouse_spark.operators.merge import (
+        upsert_change_feed,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.filter((F.col("o_orderkey") % 10) == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.filter((F.col("o_orderkey") % 20) == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    feed = upsert_change_feed(
+        target=orders,
+        source=updates.unionByName(inserts),
+        keys=["o_orderkey"],
+    )
+    return (
+        feed.groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            scaled_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("_change_type", "o_orderstatus")
+    )
