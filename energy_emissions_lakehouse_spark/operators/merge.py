@@ -123,7 +123,10 @@ def insert_missing(target: DataFrame, source: DataFrame, keys: Sequence[str]) ->
 
 
 def upsert_change_feed(
-    target: DataFrame, source: DataFrame, keys: Sequence[str]
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_unmatched: bool = False,
 ) -> DataFrame:
     """The CHANGE DATA FEED of an upsert — what Delta Lake's CDF
     (``table_changes``) emits for ``MERGE ... WHEN MATCHED UPDATE WHEN
@@ -135,12 +138,16 @@ def upsert_change_feed(
 
     Semantics match Delta's unconditional WHEN MATCHED UPDATE: matched
     rows emit pre/post images even when values are identical (the row
-    was touched).  A WHEN NOT MATCHED BY SOURCE DELETE clause would add
-    ``delete`` rows — the upsert shape the reference uses has none.
+    was touched).  ``delete_unmatched=True`` adds the WHEN NOT MATCHED
+    BY SOURCE THEN DELETE clause — target keys absent from the source
+    emit ``delete`` rows, the full-snapshot-sync MERGE shape (dimension
+    reloads); the reference's upsert loads never delete, so the default
+    is False.
 
-    Scale: three key equi-joins (two semi, one anti) over the same
-    shuffle key — Catalyst reuses the exchange; the feed volume is
-    O(|source|), never O(|target|)."""
+    Scale: key equi-joins (semi/anti) over the same shuffle key —
+    Catalyst reuses the exchange; the upsert feed volume is O(|source|)
+    (with deletes it is O(|source| + |removed|), inherent to
+    full-sync)."""
     keys = list(keys)
     src = _dedupe_source(source.select(*target.columns), keys)
     src_keys = src.select(*keys).distinct()
@@ -154,4 +161,10 @@ def upsert_change_feed(
     ins = src.join(tgt_keys, on=keys, how="left_anti").withColumn(
         "_change_type", F.lit("insert")
     )
-    return pre.unionByName(post).unionByName(ins)
+    feed = pre.unionByName(post).unionByName(ins)
+    if delete_unmatched:
+        dels = target.join(src_keys, on=keys, how="left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        feed = feed.unionByName(dels)
+    return feed

@@ -2753,3 +2753,80 @@ def merge_changefeed_orders(spark, sf_dir) -> DataFrame:
         )
         .orderBy("_change_type", "o_orderstatus")
     )
+
+
+@register(
+    "merge_full_sync_customer_dim",
+    oracle="""
+    WITH snap AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY2'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    pre AS (
+        SELECT c.c_mktsegment, 'update_preimage' AS _change_type
+        FROM customer c WHERE EXISTS (
+            SELECT 1 FROM snap s WHERE s.c_custkey = c.c_custkey)
+    ),
+    post AS (
+        SELECT s.c_mktsegment, 'update_postimage' AS _change_type
+        FROM snap s WHERE EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)
+    ),
+    ins AS (
+        SELECT s.c_mktsegment, 'insert' AS _change_type
+        FROM snap s WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)
+    ),
+    dels AS (
+        SELECT c.c_mktsegment, 'delete' AS _change_type
+        FROM customer c WHERE NOT EXISTS (
+            SELECT 1 FROM snap s WHERE s.c_custkey = c.c_custkey)
+    ),
+    feed AS (SELECT * FROM pre UNION ALL SELECT * FROM post
+             UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels)
+    SELECT _change_type, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM feed GROUP BY _change_type, c_mktsegment
+    ORDER BY _change_type, c_mktsegment
+    """,
+    survey="extension (lakehouse CDC, full-sync MERGE): the WHEN NOT "
+    "MATCHED BY SOURCE THEN DELETE clause — a dimension SNAPSHOT reload "
+    "(10% of customers gone, some segments relabeled) merges against the "
+    "current dim and the change feed additionally emits delete rows for "
+    "keys absent from the snapshot. The full-snapshot-sync shape every "
+    "dim reload needs; delete detection is one more anti join on the "
+    "same shuffle key",
+)
+def merge_full_sync_customer_dim(spark, sf_dir) -> DataFrame:
+    """Full-sync dimension reload change feed: a customer snapshot
+    missing 10% of keys (and relabeling some segments) merges with
+    delete_unmatched=True; feed profiled by change type and segment."""
+    from energy_emissions_lakehouse_spark.operators.merge import (
+        upsert_change_feed,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    snap = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY2")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    feed = upsert_change_feed(
+        target=cust.select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+        ),
+        source=snap,
+        keys=["c_custkey"],
+        delete_unmatched=True,
+    )
+    return (
+        feed.groupBy("_change_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("_change_type", "c_mktsegment")
+    )
