@@ -111,6 +111,22 @@ def _doc_sh(spark, sf_dir: str) -> DataFrame:
     return _DOC_SH_MEMO[key]
 
 
+#: 5-gram shingle sets, shared by the two contamination queries (overlap
+#: + bloom) — same memo policy as _DOC_SH_MEMO: tokenize+shingle once per
+#: (session, sf), lineage-truncated so neither query re-pays the scan.
+_DOC_5G_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_5g(spark, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _DOC_5G_MEMO:
+        docs = t(spark, sf_dir, "documents")
+        _DOC_5G_MEMO[key] = docs.select(
+            "doc_id", tx.shingles(tx.tokens(F.col("text")), n=5).alias("sh")
+        ).localCheckpoint(eager=True)
+    return _DOC_5G_MEMO[key]
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -989,9 +1005,7 @@ def doc_contamination_overlap(spark, sf_dir) -> DataFrame:
     join carries an explicit ``shuffle_hash`` hint (build side = bench)
     instead of a broadcast; tests/test_plan_quality.py pins that no
     BroadcastExchange appears on the corpus-derived bench side."""
-    docs = t(spark, sf_dir, "documents")
-    five = tx.shingles(tx.tokens(F.col("text")), n=5)
-    doc_5g = docs.select("doc_id", five.alias("sh"))
+    doc_5g = _doc_5g(spark, sf_dir)
     bench = (
         doc_5g.filter(F.col("doc_id") % 20 == 0)
         .select(F.col("doc_id").alias("b_id"), F.explode("sh").alias("shingle"))
@@ -1063,9 +1077,7 @@ def doc_contamination_bloom(spark, sf_dir) -> DataFrame:
     3. survivors flow into the exact shuffle-hash join on the shingle.
     The only broadcast is the fixed-128 KB word table — never a
     corpus-proportional side."""
-    docs = t(spark, sf_dir, "documents")
-    five = tx.shingles(tx.tokens(F.col("text")), n=5)
-    doc_5g = docs.select("doc_id", five.alias("sh"))
+    doc_5g = _doc_5g(spark, sf_dir)
     bench = (
         doc_5g.filter(F.col("doc_id") % 20 == 0)
         .select(F.col("doc_id").alias("b_id"), F.explode("sh").alias("shingle"))
