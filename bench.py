@@ -138,6 +138,9 @@ HEADLINE = [
     "doc_pii_redaction_stats",
     "doc_mixture_resample",
     "corpus_data_card",
+    # retrieval + LM scoring (inverted-index probe, perplexity-style filter)
+    "bm25_keyword_topk",
+    "doc_bigram_lm_fluency_tail",
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",

@@ -1,0 +1,349 @@
+"""Retrieval + language-model scoring over ``documents`` (extension surface).
+
+Three LLM-data-pipeline primitives the reference has no analog for
+(SURVEY.md §2 covers only SQL-shaped ops; reference core has no text
+retrieval at all):
+
+- **BM25 keyword retrieval** — the inverted-index probe shape: tokenize →
+  explode → filter to the query's terms *immediately* (the explode+filter
+  pair is Spark's moral equivalent of a postings-list lookup) → per-term
+  document frequencies → score → top-k. At 100 TB the per-term statistics
+  table is bounded by |query| (constant), so broadcasting it is correct;
+  the postings themselves are never broadcast and never all-pairs.
+- **TF-IDF characteristic terms** — per-document argmax-by-weight term via
+  the ``min(struct)`` map-side aggregate (same plan shape the IVF argmin
+  uses: no row_number window, no total sort).
+- **Bigram language-model scoring** — train add-one-smoothed conditional
+  bigram probabilities on the corpus itself, score every document by mean
+  log-probability, and surface the least-fluent tail (the classic
+  perplexity-style junk filter, e.g. CCNet/Gopher pipelines). The model
+  table is corpus-derived, so the score join is a plain shuffle equi-join
+  on the bigram — deliberately NOT broadcast (a 100 TB corpus has a
+  multi-GB bigram table).
+
+Cross-engine exactness: every transcendental result (LN) is quantized to a
+scaled BIGINT immediately (``ROUND(ln(..) * 1e9)``) and all downstream
+arithmetic is integer sums + a fixed tree of IEEE-exact divisions, the same
+convention as the 9-dp Lloyd/mixture weights (queries/text.py). The LN
+*input* is always a ratio of exact integers, so both engines evaluate LN on
+bit-identical arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators import text as tx
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+#: BM25 free parameters (Robertson's defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: The benchmark query: OR-semantics keyword search.
+QUERY_TERMS: tuple[str, ...] = ("hash", "vector", "stream", "spark")
+
+_TOKS = "string_split_regex(lower(text), '\\W+')"
+_DOC_TOKS_CTE = f"doc_toks AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
+_TERM_LIST = ", ".join(f"'{s}'" for s in QUERY_TERMS)
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    dls AS (SELECT doc_id, len(toks) AS dl FROM doc_toks),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+    tok_ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+               FROM doc_toks),
+    post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok_ex WHERE term IN ({_TERM_LIST})
+             GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(LN(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+                                  + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                        * 1000000000.0, 0) AS BIGINT)
+             * CAST(ROUND((CAST(p.tf AS DOUBLE) * {BM25_K1 + 1.0})
+                          / (CAST(p.tf AS DOUBLE)
+                             + {BM25_K1} * (1.0 - {BM25_B}
+                                + {BM25_B} * (CAST(p.dl AS DOUBLE)
+                                   / (CAST(s.sum_dl AS DOUBLE)
+                                      / CAST(s.n_docs AS DOUBLE)))))
+                          * 1000000.0, 0) AS BIGINT) AS part_score
+      FROM post p
+      JOIN dfs f ON p.term = f.term
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(SUM(part_score) AS BIGINT) AS score_micro,
+           ROUND(CAST(SUM(part_score) AS DOUBLE) / 1e15, 6) AS bm25_score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+    """,
+    survey="extension (retrieval): BM25 top-k keyword search — "
+    "explode+filter postings probe, |query|-bounded broadcast stats, "
+    "integer-quantized scoring (LN quantized at 1e-9 on exact rational "
+    "inputs; all sums are BIGINT). No reference analog.",
+    tags=("retrieval",),
+)
+def bm25_keyword_topk(spark, sf_dir) -> DataFrame:
+    """Top-20 documents for an OR keyword query under BM25.
+
+    Plan shape: the corpus is tokenized and exploded ONCE, filtered to the
+    query terms before any shuffle (postings probe), then aggregated per
+    (doc, term). Corpus scalars (N, total length) and the per-term document
+    frequencies are broadcast — both are O(|query|), not O(corpus).
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    stats = toks.select(F.size("toks").cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    # dl rides along with the exploded postings so the per-doc length never
+    # needs a second corpus scan or a join back to a doc-length table.
+    post = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    # Expression trees below mirror the oracle SQL token-for-token: the LN
+    # argument is a ratio of exact integers, every divide/multiply chain is
+    # identical, and both transcendental results are quantized to BIGINT
+    # before the only order-sensitive op (the per-doc SUM).
+    n_docs_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_docs_d
+    idf_nano = F.round(
+        F.log(F.lit(1.0) + (n_docs_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)))
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    tfn_micro = F.round(
+        (tf_d * F.lit(BM25_K1 + 1.0))
+        / (tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl_d / avgdl)))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = (
+        post.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfs), "term")
+        .select("doc_id", (idf_nano * tfn_micro).alias("part_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("part_score").cast("long").alias("score_micro"))
+        .select(
+            "doc_id",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / F.lit(1e15), 6).alias(
+                "bm25_score"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_characteristic_terms",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok_ex AS (SELECT doc_id, unnest(toks) AS term FROM doc_toks),
+    tfs AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok_ex GROUP BY doc_id, term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY term),
+    weighted AS (
+      SELECT t.doc_id, t.term,
+             t.tf * CAST(ROUND(LN((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                  / (CAST(f.df AS DOUBLE) + 1.0))
+                               * 1000000000.0, 0) AS BIGINT) AS w_nano
+      FROM tfs t JOIN dfs f ON t.term = f.term CROSS JOIN n
+    ),
+    best AS (
+      SELECT doc_id, term, w_nano,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY w_nano DESC, term) AS rn
+      FROM weighted
+    )
+    SELECT term AS top_term,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(w_nano) AS BIGINT) AS max_w_nano
+    FROM best
+    WHERE rn = 1
+    GROUP BY term
+    ORDER BY top_term
+    """,
+    survey="extension (retrieval): per-document characteristic term by "
+    "TF-IDF argmax via min(struct) map-side aggregate (no window, no "
+    "sort — the IVF-argmin plan shape), then a term histogram. "
+    "No reference analog.",
+    tags=("retrieval",),
+)
+def tfidf_characteristic_terms(spark, sf_dir) -> DataFrame:
+    """Histogram of each document's highest-TF-IDF ("most characteristic")
+    term. Smoothed idf = ln((N+1)/(df+1)), quantized to BIGINT nano-units;
+    the per-doc argmax runs as ``min(struct(-w, term))`` — a partial-
+    aggregable expression, so the shuffle carries one struct per (doc)
+    group, never the full weighted postings."""
+    docs = t(spark, sf_dir, "documents")
+    tok_ex = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tfs = tok_ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w_nano = F.col("tf") * F.round(
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    weighted = (
+        tfs.join(dfs, "term")  # vocab-sized at scale: let AQE pick the join
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", w_nano.alias("w_nano"))
+    )
+    best = weighted.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("w_nano")).alias("neg_w"), F.col("term").alias("term"))).alias("b")
+    )
+    return (
+        best.groupBy(F.col("b.term").alias("top_term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max(-F.col("b.neg_w")).cast("long").alias("max_w_nano"),
+        )
+        .orderBy("top_term")
+    )
+
+
+@register(
+    "doc_bigram_lm_fluency_tail",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    doc_bg AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                 range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bgs
+      FROM doc_toks
+    ),
+    bg_occ AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM doc_bg),
+    model_c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bg_occ GROUP BY bg),
+    c1s AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c1
+            FROM model_c GROUP BY split_part(bg, ' ', 1)),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+              FROM (SELECT unnest(toks) AS term FROM doc_toks)),
+    model AS (
+      SELECT m.bg,
+             CAST(ROUND(LN((CAST(m.c AS DOUBLE) + 1.0)
+                           / (CAST(u.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+                        * 1000000000.0, 0) AS BIGINT) AS logp_nano
+      FROM model_c m
+      JOIN c1s u ON split_part(m.bg, ' ', 1) = u.w1
+      CROSS JOIN vocab
+    ),
+    scored AS (
+      SELECT o.doc_id, o.lang,
+             CAST(SUM(md.logp_nano) AS BIGINT) AS sum_nano,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bg_occ o JOIN model md ON o.bg = md.bg
+      GROUP BY o.doc_id, o.lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           ROUND((CAST(sum_nano AS DOUBLE) / 1e9)
+                 / CAST(n_bigrams AS DOUBLE), 6) AS avg_logp
+    FROM scored
+    ORDER BY (CAST(sum_nano AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE),
+             doc_id
+    LIMIT 20
+    """,
+    survey="extension (training pipeline): add-one-smoothed conditional "
+    "bigram LM trained on the corpus itself; documents scored by mean "
+    "log-probability and the 20 least-fluent surfaced (perplexity-style "
+    "junk filter, CCNet/Gopher shape). Model join is a shuffle equi-join "
+    "on the bigram — corpus-derived, deliberately NOT broadcast. "
+    "No reference analog.",
+    tags=("retrieval",),
+)
+def doc_bigram_lm_fluency_tail(spark, sf_dir) -> DataFrame:
+    """The 20 least-fluent documents under a corpus-trained bigram LM.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c1(w1) + V) with c1 summed over bigram
+    prefixes, V the unigram vocabulary size. Per-occurrence log-probs are
+    quantized to BIGINT nano-units before the per-doc SUM; the ordering
+    key is the unrounded mean — a fixed tree of IEEE-exact divisions over
+    identical integers, so both engines sort on bit-identical doubles."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tx.tokens(F.col("text")).alias("toks")
+    )
+    bg_occ = toks.select(
+        "doc_id", "lang", F.explode(tx.all_ngrams(F.col("toks"), n=2)).alias("bg")
+    )
+    model_c = bg_occ.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c1s = (
+        model_c.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c").cast("long").alias("c1"))
+    )
+    vocab = (
+        toks.select(F.explode("toks").alias("term"))
+        .agg(F.count_distinct("term").cast("long").alias("v"))
+    )
+    logp_nano = F.round(
+        F.log(
+            (F.col("c").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    model = (
+        model_c.join(
+            c1s, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1")
+        )  # prefix-vocab sized: AQE picks the strategy
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", logp_nano.alias("logp_nano"))
+    )
+    scored = (
+        bg_occ.join(model, "bg")  # corpus-sized model: shuffle equi-join
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("logp_nano").cast("long").alias("sum_nano"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+    mean = (F.col("sum_nano").cast("double") / F.lit(1e9)) / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(mean, 6).alias("avg_logp"),
+            mean.alias("_ord"),
+        )
+        .orderBy("_ord", "doc_id")
+        .limit(20)
+        .drop("_ord")
+    )

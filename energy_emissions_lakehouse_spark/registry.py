@@ -68,6 +68,7 @@ def _load_all() -> None:
         medallion,
         multimodal,
         olap_shapes,
+        retrieval,
         scale_joins,
         sources,
         streaming_queries,

@@ -484,3 +484,43 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_postings_probe_and_heap_topk(spark, sf_dir):
+    """BM25's plan must (a) read only (doc_id, text) from documents —
+    column pruning through tokenize/explode, (b) keep the corpus-sized
+    postings out of every broadcast (only the |query|-bounded term stats
+    may broadcast), and (c) take the global top-k as per-partition heaps
+    (TakeOrderedAndProject), never a range-shuffle total sort."""
+    spec = all_specs()["bm25_keyword_topk"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            assert "lang" not in line and "source" not in line, line[:160]
+
+
+def test_tfidf_argmax_is_aggregate_not_window(spark, sf_dir):
+    """The per-document characteristic-term argmax must run as a
+    min(struct) grouped aggregate (map-side partial combine) — a
+    row_number window would sort-shuffle the full weighted postings."""
+    spec = all_specs()["tfidf_characteristic_terms"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("*+-: (0123456789)").startswith("Window ")
+    )
+    assert n_windows == 0, f"argmax regressed to a window ({n_windows})"
+
+
+def test_bigram_lm_tail_is_heap_topk(spark, sf_dir):
+    """The fluency tail must surface via TakeOrderedAndProject. The
+    model-scoring join key is the bigram string; any broadcast the
+    planner picks here is AQE size-based (no static hint in the query),
+    which degrades gracefully to a shuffle join at real scale."""
+    spec = all_specs()["doc_bigram_lm_fluency_tail"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
