@@ -268,3 +268,141 @@ def theta_sketch_repeat_customers(spark, sf_dir) -> DataFrame:
             F.col("exact_either"),
         ).alias("ok_either"),
     )
+
+
+# ------------------------------------------------------------- count-min
+
+#: Count-min geometry: D independent hash rows x W counters. Error bound:
+#: est - exact <= e/W * total_occurrences with prob 1 - (1/2)^D-ish; at
+#: W=512 over this corpus the overestimate is tiny, and the structural
+#: guarantee est >= exact is EXACT (pinned as a hard boolean).
+CM_DEPTH = 4
+CM_WIDTH = 512
+_CM_P = 2_147_483_647
+#: Reuse the MinHash affine-hash constants (operators/dedup.py) — same
+#: cross-engine-exact integer family.
+from energy_emissions_lakehouse_spark.operators import dedup as _dd  # noqa: E402
+
+_CM_TOKS = "string_split_regex(lower(text), '\\W+')"
+
+
+def _cm_col_sql(d: int) -> str:
+    a, b = _dd.MINHASH_A[d], _dd.MINHASH_B[d]
+    return (
+        f"((({_dd.hash_id_sql('term')} % {_CM_P}) * {a} + {b})"
+        f" % {_CM_P}) % {CM_WIDTH}"
+    )
+
+
+@register(
+    "countmin_heavy_hitter_terms",
+    oracle=f"""
+    WITH tok_ex AS (
+      SELECT unnest({_CM_TOKS}) AS term FROM documents
+    ),
+    rows_ex AS (
+      SELECT term, d, {'CASE ' + ' '.join(f'WHEN d = {d} THEN ({_cm_col_sql(d)})' for d in range(CM_DEPTH))} END AS col
+      FROM tok_ex CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d)
+    ),
+    sketch AS (
+      SELECT d, col, CAST(COUNT(*) AS BIGINT) AS counter
+      FROM rows_ex GROUP BY d, col
+    ),
+    exact AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok_ex GROUP BY term
+    ),
+    probes AS (
+      SELECT e.term, e.exact_count, p.d,
+             {'CASE ' + ' '.join(f'WHEN p.d = {d} THEN ({_cm_col_sql(d).replace("term", "e.term")})' for d in range(CM_DEPTH))} END AS col
+      FROM exact e CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d) p
+    ),
+    est AS (
+      SELECT p.term, p.exact_count,
+             CAST(MIN(s.counter) AS BIGINT) AS cm_estimate
+      FROM probes p JOIN sketch s ON p.d = s.d AND p.col = s.col
+      GROUP BY p.term, p.exact_count
+    )
+    SELECT term, cm_estimate, exact_count,
+           cm_estimate >= exact_count AS never_underestimates
+    FROM est
+    ORDER BY cm_estimate DESC, term
+    LIMIT 10
+    """,
+    survey="extension (sketches): COUNT-MIN heavy hitters — D x W integer "
+    "counter matrix built by one map-side-combining groupBy (<= D*W "
+    "groups however large the corpus: the mergeable-summary shape), "
+    "candidate frequencies estimated as min over the D probed counters "
+    "(equi-join on (d, col), never a scan of raw occurrences), top-10 by "
+    "estimate with the est >= exact one-sided guarantee pinned as a hard "
+    "boolean. Completes the sketch family (HLL distinct, Theta set "
+    "algebra, KLL quantiles). No reference analog",
+    tags=("sketches",),
+)
+def countmin_heavy_hitter_terms(spark, sf_dir) -> DataFrame:
+    """Top-10 most frequent tokens by count-min estimate, with exact counts
+    alongside. All arithmetic is integer (md5-derived ids, affine hashes
+    mod P mod W, BIGINT counters) so Spark and DuckDB agree bit-for-bit.
+    At 100 TB the sketch build shuffles at most D*W rows after partial
+    aggregation; the estimate pass touches only candidates x D rows."""
+    from energy_emissions_lakehouse_spark.operators import text as tx
+    from energy_emissions_lakehouse_spark.tables import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    tok_ex = docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+
+    def cm_col(term, d: int):
+        a, b = _dd.MINHASH_A[d], _dd.MINHASH_B[d]
+        return (((_dd.hash_id(term) % _CM_P) * a + b) % _CM_P) % CM_WIDTH
+
+    rows_ex = tok_ex.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cm_col(F.col("term"), d).alias("col"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("dc")
+    ).select("dc.d", "dc.col")
+    sketch = rows_ex.groupBy("d", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("counter")
+    )
+    exact = tok_ex.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = exact.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cm_col(F.col("term"), d).alias("col"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("term", "exact_count", "dc.d", "dc.col")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("counter").cast("long").alias("cm_estimate"))
+    )
+    return (
+        est.select(
+            "term",
+            "cm_estimate",
+            "exact_count",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.col("cm_estimate").desc(), "term")
+        .limit(10)
+    )

@@ -456,3 +456,123 @@ def schema_evolution_merge_read(spark, sf_dir) -> DataFrame:
         )
         .orderBy("file_version")
     )
+
+
+# ---------------------------------------------------------------- z-order
+
+#: Z-order geometry: 4 bits per dimension -> 256 z-cells -> 16 files.
+Z_BITS = 4
+Z_FILES = 16
+_Z_EPOCH = "1992-01-01"
+#: Probe band for the data-skipping demonstration: a narrow l_partkey
+#: slice (quantized cells 6..7 of 16).
+Z_PROBE_LO_Q = 6
+Z_PROBE_HI_Q = 7
+
+
+@register(
+    "zorder_layout_lineitem",
+    oracle=f"""
+    WITH dims AS (
+      SELECT date_diff('day', DATE '{_Z_EPOCH}', l_shipdate) AS day_no,
+             l_partkey AS pk
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT MIN(day_no) AS d_min, MAX(day_no) AS d_max,
+             MIN(pk) AS p_min, MAX(pk) AS p_max
+      FROM dims
+    ),
+    q AS (
+      SELECT day_no, pk,
+             CAST(FLOOR((day_no - d_min) * {1 << Z_BITS}.0
+                        / (d_max - d_min + 1)) AS BIGINT) AS dq,
+             CAST(FLOOR((pk - p_min) * {1 << Z_BITS}.0
+                        / (p_max - p_min + 1)) AS BIGINT) AS pq
+      FROM dims CROSS JOIN stats
+    ),
+    z AS (
+      SELECT day_no, pk, pq,
+             ({' + '.join(f'(((dq >> {i}) & 1) << {2 * i + 1}) + (((pq >> {i}) & 1) << {2 * i})' for i in range(Z_BITS))}) AS zval
+      FROM q
+    )
+    SELECT CAST(zval >> 4 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(day_no) AS BIGINT) AS min_day,
+           CAST(MAX(day_no) AS BIGINT) AS max_day,
+           CAST(MIN(pk) AS BIGINT) AS min_pk,
+           CAST(MAX(pk) AS BIGINT) AS max_pk,
+           MAX(pq) >= {Z_PROBE_LO_Q} AND MIN(pq) <= {Z_PROBE_HI_Q}
+               AS probe_hits_file
+    FROM z
+    GROUP BY file_id
+    ORDER BY file_id
+    """,
+    survey="extension (table maintenance): Z-ORDER clustering layout — "
+    "interleave 4+4 quantized bits of (ship day, partkey) into a z-value, "
+    "assign rows to equal-width z-ranges (16 files), and emit per-file "
+    "min/max column stats plus whether a narrow partkey probe band "
+    "overlaps each file (the data-skipping decision a lakehouse scan "
+    "makes from footer stats). Multi-dimensional clustering means a "
+    "single-dim probe prunes most files — impossible under a linear "
+    "sort on the other dim. At 100 TB the assignment is map-only "
+    "integer bit math (one broadcast stats row); the physical rewrite "
+    "is the same partitionBy shuffle as compact_small_files_orders",
+    tags=("maintenance",),
+)
+def zorder_layout_lineitem(spark, sf_dir) -> DataFrame:
+    """Z-order file assignment + per-file stats + probe-pruning verdicts.
+
+    Every step is integer bit arithmetic on exact inputs (the one division
+    is a fixed tree of IEEE-exact ops, identical in both engines), so the
+    full layout hash-matches DuckDB."""
+    from energy_emissions_lakehouse_spark.tables import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit(_Z_EPOCH).cast("date")).alias(
+            "day_no"
+        ),
+        F.col("l_partkey").alias("pk"),
+    )
+    stats = li.agg(
+        F.min("day_no").alias("d_min"),
+        F.max("day_no").alias("d_max"),
+        F.min("pk").alias("p_min"),
+        F.max("pk").alias("p_max"),
+    )
+    nq = float(1 << Z_BITS)
+    q = li.crossJoin(F.broadcast(stats)).select(
+        "day_no",
+        "pk",
+        F.floor(
+            (F.col("day_no") - F.col("d_min")) * nq
+            / (F.col("d_max") - F.col("d_min") + 1)
+        ).alias("dq"),
+        F.floor(
+            (F.col("pk") - F.col("p_min")) * nq
+            / (F.col("p_max") - F.col("p_min") + 1)
+        ).alias("pq"),
+    )
+    zval = None
+    for i in range(Z_BITS):
+        bit_pair = (
+            F.shiftleft(F.shiftright(F.col("dq"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(F.col("pq"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        zval = bit_pair if zval is None else zval + bit_pair
+    z = q.select("day_no", "pk", "pq", zval.alias("zval"))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 4).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("day_no").cast("long").alias("min_day"),
+            F.max("day_no").cast("long").alias("max_day"),
+            F.min("pk").cast("long").alias("min_pk"),
+            F.max("pk").cast("long").alias("max_pk"),
+            (
+                (F.max("pq") >= F.lit(Z_PROBE_LO_Q))
+                & (F.min("pq") <= F.lit(Z_PROBE_HI_Q))
+            ).alias("probe_hits_file"),
+        )
+        .orderBy("file_id")
+    )
