@@ -141,6 +141,7 @@ HEADLINE = [
     # retrieval + LM scoring (inverted-index probe, perplexity-style filter)
     "bm25_keyword_topk",
     "doc_bigram_lm_fluency_tail",
+    "bpe_train_merges",
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",

@@ -1,6 +1,6 @@
 """Retrieval + language-model scoring over ``documents`` (extension surface).
 
-Three LLM-data-pipeline primitives the reference has no analog for
+Four LLM-data-pipeline primitives the reference has no analog for
 (SURVEY.md §2 covers only SQL-shaped ops; reference core has no text
 retrieval at all):
 
@@ -20,6 +20,10 @@ retrieval at all):
   table is corpus-derived, so the score join is a plain shuffle equi-join
   on the bigram — deliberately NOT broadcast (a 100 TB corpus has a
   multi-GB bigram table).
+- **BPE tokenizer training** — iterative merge learning over the
+  frequency-weighted word list; each round is a vocab-sized groupBy plus a
+  1-row argmax collect (the Lloyd-centroid driver-loop pattern). Only the
+  initial word count ever touches the corpus.
 
 Cross-engine exactness: every transcendental result (LN) is quantized to a
 scaled BIGINT immediately (``ROUND(ln(..) * 1e9)``) and all downstream
@@ -347,3 +351,124 @@ def doc_bigram_lm_fluency_tail(spark, sf_dir) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+#: Number of BPE merge rounds trained (unrolled in the oracle SQL).
+BPE_MERGES = 3
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled BPE iteration: weighted pair counts over the current
+    symbol strings, argmax with (count DESC, left, right) tie-break, then
+    the greedy left-to-right merge fold (append-without-delimiter trick:
+    when the accumulator's tail symbol equals the left side, appending the
+    right side bare IS the merge)."""
+    prev = f"s{k - 1}"
+    return f"""
+    p{k} AS (
+      SELECT arr[i] AS l, arr[i + 1] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (SELECT wc, string_split(s, '|') AS arr FROM {prev}),
+           UNNEST(range(1, len(arr))) AS u(i)
+      GROUP BY l, r
+    ),
+    b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{k} AS (
+      SELECT term, wc,
+             list_reduce(string_split(s, '|'),
+                         (acc, x) -> CASE WHEN split_part(acc, '|', -1) = b.l
+                                               AND x = b.r
+                                          THEN acc || x
+                                          ELSE acc || '|' || x END) AS s
+      FROM {prev} CROSS JOIN b{k} b
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      WHERE len(term) > 0
+      GROUP BY term
+    ),
+    s0 AS (
+      SELECT term, wc,
+             array_to_string(regexp_extract_all(term, '.'), '|') AS s
+      FROM words
+    ),
+    {','.join(_bpe_iter_sql(k) for k in range(1, BPE_MERGES + 1))}
+    SELECT * FROM (
+      {' UNION ALL '.join(f"SELECT CAST({k} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM b{k}" for k in range(1, BPE_MERGES + 1))}
+    ) ORDER BY rank
+    """,
+    survey="extension (training pipeline): distributed BPE tokenizer "
+    "training — iterative merge learning over the frequency-weighted "
+    "word list. Each round is one explode+groupBy for weighted pair "
+    "counts (vocab-sized, map-side combining), a 1-row argmax collect "
+    "(the same K-bounded driver loop as Lloyd k-means), and a JVM-side "
+    "fold applying the merge greedily left-to-right. Symbol sequences "
+    "ride as '|'-delimited strings; the merge IS a bare append when the "
+    "accumulator tail equals the left symbol. At 100 TB only the initial "
+    "word count touches the corpus; every round after runs on the "
+    "vocabulary. No reference analog.",
+    tags=("retrieval",),
+)
+def bpe_train_merges(spark, sf_dir) -> DataFrame:
+    """Learn the first K BPE merges from the corpus; output one row per
+    merge rank: (rank, left_sym, right_sym, merged, pair_count).
+
+    Tokens contain only word characters (tokenizer splits on ``\\W+``), so
+    '|' can never collide with a symbol. The driver holds exactly K best
+    pairs across the loop — the Lloyd-centroid pattern, never data."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    sym = words.select(
+        "term",
+        "wc",
+        F.array_join(
+            F.regexp_extract_all(F.col("term"), F.lit("."), 0), "|"
+        ).alias("s"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGES + 1):
+        arr = F.split(F.col("s"), r"\|")
+        pairs = (
+            sym.select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        arr,
+                        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .filter(F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
+        merges.append((k, best["l"], best["r"], best["cnt"]))
+        bl, br = F.lit(best["l"]), F.lit(best["r"])
+        folded = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.when(
+                (F.substring_index(acc, "|", -1) == bl) & (x == br),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        )
+        sym = sym.select("term", "wc", folded.alias("s"))
+    return spark.createDataFrame(
+        [(k, l, r, l + r, c) for k, l, r, c in merges],
+        "rank long, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("rank")
