@@ -616,3 +616,100 @@ def cogroup_user_conversion(spark, sf_dir) -> DataFrame:
         .cogroup(purchases.groupby("user_id"))
         .applyInPandas(merge, schema)
     )
+
+
+@register(
+    "events_hourly_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events
+      GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ),
+    framed AS (
+      SELECT event_type, hour_ts, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT event_type, hour_ts, cents, n,
+             (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                 AS zval
+      FROM framed
+      WHERE n >= 12
+        AND (CAST(s2 AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+    )
+    SELECT event_type, hour_ts,
+           CAST(cents AS DOUBLE) / 100.0 AS hourly_value,
+           ROUND(zval, 6) AS zscore
+    FROM z
+    WHERE ABS(zval) > 2.5
+    ORDER BY event_type, hour_ts
+    """,
+    survey="extension (time series): rolling z-score anomaly detection — "
+    "hourly value totals per event type (integer cents), trailing-24h "
+    "mean/std from windowed SUM/SUMSQ/COUNT (one pass, ROWS frame over a "
+    "unique hour ordering), anomalies flagged at |z| > 2.5 after a 12-"
+    "point warm-up. All window math is integer sums + a fixed tree of "
+    "IEEE-exact ops (sqrt is exactly rounded), so flags are cross-engine "
+    "deterministic. Partitioned per event type -> scales per key; the "
+    "hourly rollup is calendar-bounded however large the raw stream",
+)
+def events_hourly_anomaly_zscore(spark, sf_dir) -> DataFrame:
+    """Hours whose value total deviates >2.5 sigma from the trailing-24h
+    mean, per event type. The aggregation-before-window means the window
+    input is calendar-bounded (hours x types), never raw-event-sized."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    )
+    var_num = F.col("s2").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n").cast("double")
+    zval = (
+        F.col("cents").cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(var_num / F.col("n").cast("double"))
+    z = framed.filter((F.col("n") >= 12) & (var_num > 0)).select(
+        "event_type", "hour_ts", "cents", zval.alias("zval")
+    )
+    return (
+        z.filter(F.abs(F.col("zval")) > 2.5)
+        .select(
+            "event_type",
+            "hour_ts",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("hourly_value"),
+            F.round("zval", 6).alias("zscore"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
