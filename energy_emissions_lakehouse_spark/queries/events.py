@@ -713,3 +713,116 @@ def events_hourly_anomaly_zscore(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_full_funnel
+    """,
+    survey="extension (product analytics): ordered funnel conversion — "
+    "signup -> first later click -> first later purchase, one stage per "
+    "semi-join + per-user MIN (the scale-safe funnel: each stage prunes "
+    "the user set before the next scan; no per-user event sorting, no "
+    "window over raw events). Reference has no event analytics at all",
+)
+def events_funnel_conversion(spark, sf_dir) -> DataFrame:
+    """Strictly-ordered 3-stage funnel counts. Each stage is a per-user
+    MIN aggregate joined to the (already reduced) previous stage — at
+    100 TB the stage tables shrink monotonically and every join is keyed
+    on user_id."""
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_signup_click"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
+    return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00',
+                            MIN(ts)) // 7 AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00',
+                            e.ts) // 7 AS BIGINT) - f.cohort_week
+                 AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    survey="extension (product analytics): weekly retention cohorts — "
+    "first-seen week per user (one MIN aggregate), then distinct "
+    "(user, week-offset) activity counted per cohort. Two shuffles total, "
+    "both keyed on user_id (co-partitioned: the join reuses the MIN "
+    "aggregate's partitioning). Reference has no event analytics",
+)
+def events_retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Cohort x week-offset active-user matrix (the classic retention
+    triangle). Integer day/week math keeps bucketing cross-engine exact."""
+    ev = t(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    week_of = lambda ts: F.floor(  # noqa: E731
+        F.datediff(F.to_date(ts), F.to_date(epoch)) / 7
+    ).cast("long")
+    firsts = ev.groupBy("user_id").agg(week_of(F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week_of(F.col("ts")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
