@@ -454,3 +454,55 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
     return out.select("new_id", "hist_id", "lang", "sim").orderBy(
         "new_id", "hist_id"
     )
+
+
+@register(
+    "stream_trending_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY DATE_TRUNC('hour', ts), event_type
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type)
+                  AS BIGINT) AS rnk
+      FROM hourly
+    )
+    SELECT window_start, rnk, event_type, n_events
+    FROM ranked WHERE rnk <= 2
+    ORDER BY window_start, rnk
+    """,
+    survey="extension (streaming): trending top-k — the streaming job "
+    "maintains watermarked per-(window, type) counts (keyed state, "
+    "mergeable); the per-window rank runs BATCH on the sink table (<= "
+    "|event types| rows per window), the production serving-layer split: "
+    "ranking inside the stream would force a non-mergeable global view. "
+    "Window is partitioned per window_start -> bounded input",
+)
+def stream_trending_topk(spark, sf_dir) -> DataFrame:
+    """Top-2 trending event types per hour window: real streaming pre-agg
+    (readStream -> watermark -> tumbling count -> sink), then a bounded
+    rank over the serving table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream(spark, sf_dir)
+    tbl = jobs.run_to_table(jobs.hourly_tumbling(ev), mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        tbl.select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "rnk", "event_type", "n_events")
+        .orderBy("window_start", "rnk")
+    )
