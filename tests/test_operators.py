@@ -564,3 +564,78 @@ def test_pq_adc_recall_ladder(spark, sf_dir):
     coarse, fine = recall(4, 16), recall(16, 32)
     assert fine > coarse, (coarse, fine)
     assert fine >= 0.4, fine  # registered geometry floor (0.467 @ sf0.001)
+
+
+def test_bm25_results_contain_query_terms_and_rank_sanely(spark, sf_dir):
+    """Every returned doc must contain >=1 query term; scores must be
+    positive and non-increasing down the ranking."""
+    from energy_emissions_lakehouse_spark.queries.retrieval import (
+        QUERY_TERMS,
+        bm25_keyword_topk,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    top = bm25_keyword_topk(spark, sf_dir).collect()
+    assert 0 < len(top) <= 20
+    scores = [r["score_micro"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    docs = {
+        r["doc_id"]: r["text"].lower()
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in top]))
+        .collect()
+    }
+    for r in top:
+        assert any(q in docs[r["doc_id"]] for q in QUERY_TERMS), r["doc_id"]
+
+
+def test_bpe_merges_are_valid_and_weighted(spark, sf_dir):
+    """Each learned merge must (a) concatenate its two sides, (b) carry a
+    positive weighted count, and (c) never repeat an earlier merge (the
+    merged symbol replaces the pair, so its count drops after merging)."""
+    from energy_emissions_lakehouse_spark.queries.retrieval import (
+        bpe_train_merges,
+    )
+
+    rows = bpe_train_merges(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    seen = set()
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] > 0
+        assert (r["left_sym"], r["right_sym"]) not in seen
+        seen.add((r["left_sym"], r["right_sym"]))
+
+
+def test_anomaly_zscore_flags_injected_spike(spark):
+    """A flat hourly series with one 10x spike must flag exactly the spike
+    hour (after the 12-hour warm-up), and a flat series must flag nothing."""
+    import datetime as dt
+
+    from energy_emissions_lakehouse_spark.queries import events as ev_q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        v = 1000.0 if h == 40 else 100.0  # 10x spike at hour 40
+        rows.append((h, base + dt.timedelta(hours=h, minutes=5), 1, "click", v, "{}"))
+        rows.append((h + 100, base + dt.timedelta(hours=h, minutes=10), 2, "view", 100.0, "{}"))
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    # single-file parquet, like the driver testdata (tables.t probes the
+    # footer with pyarrow and expects a file, not a spark directory)
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tempfile.mkdtemp(prefix="anom")
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    # reuse the registered query body against the synthetic dir
+    out = ev_q.events_hourly_anomaly_zscore(spark, d).collect()
+    flagged = {(r["event_type"], r["hour_ts"].hour + 24 * (r["hour_ts"].day - 1)) for r in out}
+    assert ("click", 40) in flagged, out
+    assert all(t == "click" for t, _ in flagged), out
