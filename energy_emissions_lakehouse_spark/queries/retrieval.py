@@ -472,3 +472,156 @@ def bpe_train_merges(spark, sf_dir) -> DataFrame:
         "rank long, left_sym string, right_sym string, merged string, "
         "pair_count long",
     ).orderBy("rank")
+
+
+# ------------------------------------------------------ RAG chunk retrieval
+
+#: Feature-hashing embedding geometry (the "hashing trick"): token -> one of
+#: HASH_DIMS signed buckets via the shared md5-derived 60-bit id.
+HASH_DIMS = 16
+
+#: The retrieval question, embedded with the exact same hash as the chunks.
+RAG_QUERY_TOKENS: tuple[str, ...] = ("vector", "join", "stream", "hash")
+
+
+def _py_hash_id(s: str) -> int:
+    """Driver-side twin of operators/dedup.hash_id (first 15 md5 hex chars).
+    Used only to fold the constant query embedding at import time."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _rag_query_vec() -> list[int]:
+    q = [0] * HASH_DIMS
+    for tok in RAG_QUERY_TOKENS:
+        h = _py_hash_id(tok)
+        q[h % HASH_DIMS] += 1 if (h // HASH_DIMS) % 2 == 0 else -1
+    return q
+
+
+_RAG_Q = _rag_query_vec()
+_RAG_Q_NORM = sum(v * v for v in _RAG_Q) ** 0.5
+
+# Chunk geometry shared with doc_chunk_windows (queries/text.py) — imported
+# so the RAG index chunks exactly like the chunking operator.
+from energy_emissions_lakehouse_spark.queries.text import (  # noqa: E402
+    _CHUNK_STRIDE,
+    _CHUNK_TOKENS,
+)
+
+from energy_emissions_lakehouse_spark.operators import dedup as _rdd  # noqa: E402
+
+_DIM_SQL = f"{_rdd.hash_id_sql('tok')} % {HASH_DIMS}"
+_SIGN_SQL = (
+    f"CASE WHEN ({_rdd.hash_id_sql('tok')} // {HASH_DIMS}) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+_QDIM_SQL = "CASE " + " ".join(
+    f"WHEN dim = {i} THEN {v}" for i, v in enumerate(_RAG_Q)
+) + " ELSE 0 END"
+
+
+@register(
+    "rag_chunk_retrieval_topk",
+    oracle=f"""
+    WITH doc_toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok_pos AS (
+      SELECT doc_id, toks[pos + 1] AS tok, pos
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos
+            FROM doc_toks)
+    ),
+    fanout AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(
+                 CASE WHEN pos >= {_CHUNK_TOKENS}
+                      THEN (pos - {_CHUNK_TOKENS}) // {_CHUNK_STRIDE} + 1
+                      ELSE 0 END,
+                 pos // {_CHUNK_STRIDE})) AS chunk_id
+      FROM tok_pos
+    ),
+    dims AS (
+      SELECT doc_id, chunk_id, {_DIM_SQL} AS dim,
+             CAST(SUM({_SIGN_SQL}) AS BIGINT) AS s
+      FROM fanout
+      GROUP BY doc_id, chunk_id, dim
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(SUM(s * ({_QDIM_SQL})) AS BIGINT) AS dot,
+             CAST(SUM(s * s) AS BIGINT) AS n2
+      FROM dims
+      GROUP BY doc_id, chunk_id
+    )
+    SELECT doc_id, chunk_id, dot,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(n2 AS DOUBLE)) * {_RAG_Q_NORM!r}), 6)
+               AS cosine
+    FROM chunks
+    WHERE n2 > 0
+    ORDER BY CAST(dot AS DOUBLE) / (SQRT(CAST(n2 AS DOUBLE)) * {_RAG_Q_NORM!r})
+             DESC, doc_id, chunk_id
+    LIMIT 10
+    """,
+    survey="extension (retrieval): end-to-end RAG pipeline — overlapping "
+    "token-window chunking (same integer interval fan-out as "
+    "doc_chunk_windows), feature-hashed signed-count chunk embeddings "
+    "(the hashing trick: one md5-derived dim + sign per token, no "
+    "vocabulary build), constant query vector folded at plan time, "
+    "cosine top-10 chunks. Everything distributed is two map-side-"
+    "combining groupBys; the query embedding is O(1). Chunk-side "
+    "vectors never materialize as arrays — per-dim partial sums flow "
+    "straight into the dot product. No reference analog",
+    tags=("retrieval",),
+)
+def rag_chunk_retrieval_topk(spark, sf_dir) -> DataFrame:
+    """Top-10 chunks for the constant RAG query under hashed-embedding
+    cosine. Integer dot/norm (signed counts) + one exactly-rounded sqrt
+    and division — cross-engine exact; the ORDER key is the unrounded
+    cosine with (doc, chunk) tie-break."""
+    docs = t(spark, sf_dir, "documents")
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    k_min = F.when(
+        F.col("pos") >= _CHUNK_TOKENS,
+        ((F.col("pos") - _CHUNK_TOKENS) / _CHUNK_STRIDE).cast("long") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    k_max = (F.col("pos") / _CHUNK_STRIDE).cast("long")
+    h = _rdd.hash_id(F.col("tok"))
+    fanout = tok_pos.select(
+        "doc_id",
+        F.explode(F.sequence(k_min, k_max)).alias("chunk_id"),
+        (h % HASH_DIMS).alias("dim"),
+        # integer shift, not floor(h/16): the 60-bit id exceeds double
+        # precision, so a float division would corrupt the low bits
+        F.when(F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    dims = fanout.groupBy("doc_id", "chunk_id", "dim").agg(
+        F.sum("sign").cast("long").alias("s")
+    )
+    q_arr = F.array(*[F.lit(v) for v in _RAG_Q])
+    chunks = dims.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("s") * F.element_at(q_arr, F.col("dim").cast("int") + 1))
+        .cast("long")
+        .alias("dot"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("n2"),
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.lit(_RAG_Q_NORM)
+    )
+    return (
+        chunks.filter(F.col("n2") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "dot",
+            F.round(cosine, 6).alias("cosine"),
+            cosine.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "doc_id", "chunk_id")
+        .limit(10)
+        .drop("_ord")
+    )
