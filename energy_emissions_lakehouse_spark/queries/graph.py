@@ -1,0 +1,158 @@
+"""Graph analytics over the trade network (extension surface).
+
+The reference has no graph operators (SURVEY.md §2 is star-join/agg only);
+this module adds iterative propagation beyond the dedup connected
+components (queries/text.py): an integer-exact PageRank over the
+supplier-nation -> customer-nation trade graph.
+
+Why integer PageRank: float rank vectors cannot hash-match across engines
+(sum order differs), so ranks are carried as BIGINT "nano-rank" (1e9 =
+probability 1). Every step — teleport share, damped contribution, edge
+split — is integer multiply + integer floor-division, so the K-step result
+is bit-identical in Spark and DuckDB at any partitioning. Floor rounding
+leaks O(out_degree) nano per node per step; acceptable and deterministic.
+
+Scale shape: edge construction is the Q7-style star join AGGREGATED to the
+(src, dst) grain — at 100 TB the edge list is |nations|^2 here, or
+vertex-scale for user graphs; each iteration is one equi-join
+(ranks x edges, keyed on src) + one groupBy(dst), the standard Pregel-in-
+DataFrames step. The K-bounded loop lives in the driver like Lloyd/BPE;
+ranks never collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+#: PageRank parameters: damping 85/100 (integer rational), K iterations,
+#: BASE = 1e9 nano-rank units.
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_ITERS = 3
+PR_BASE = 1_000_000_000
+
+_EDGES_SQL = """
+    edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey, c_nationkey
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    """One unrolled PageRank step: contribution = (r_src * w) // wout per
+    edge (integer), summed per dst, then teleport + damped sum."""
+    prev = f"r{k - 1}"
+    return f"""
+    c{k} AS (
+      SELECT e.dst AS node,
+             CAST(SUM((p.rank_nano * e.w) // o.wout) AS BIGINT) AS incoming
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN outw o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT nodes.node,
+             CAST((CAST({PR_BASE} AS BIGINT) * {PR_DAMP_DEN - PR_DAMP_NUM})
+                  // ({PR_DAMP_DEN} * nn.n)
+                  + ({PR_DAMP_NUM} * COALESCE(c{k}.incoming, 0))
+                    // {PR_DAMP_DEN} AS BIGINT) AS rank_nano
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN c{k} ON c{k}.node = nodes.node
+    )"""
+
+
+@register(
+    "pagerank_nation_trade",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    r0 AS (SELECT node, CAST(CAST({PR_BASE} AS BIGINT) // nn.n AS BIGINT) AS rank_nano
+           FROM nodes CROSS JOIN nn),
+    {','.join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))}
+    SELECT n_name AS nation, rank_nano
+    FROM r{PR_ITERS} JOIN nodes USING (node)
+    ORDER BY rank_nano DESC, nation
+    """,
+    survey="extension (graph): integer-exact PageRank over the supplier-"
+    "nation -> customer-nation trade graph — edge weights from the "
+    "aggregated Q7-style star join, K=3 damped propagation steps, each "
+    "one ranks-x-edges equi-join + groupBy(dst) (the Pregel-in-"
+    "DataFrames shape). All rank math is BIGINT nano-units with integer "
+    "floor division, bit-identical across engines and partitionings. "
+    "Second iterative-graph op next to dedup connected components. "
+    "No reference analog",
+    tags=("graph",),
+)
+def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
+    """K-step PageRank; returns (nation, rank_nano) ordered by rank.
+
+    The driver loop holds only DataFrame lineage (no collects); at real
+    scale swap PR_ITERS for a convergence check on the rank delta."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # the edge list is small after aggregation — localCheckpoint it so the
+    # K iterations don't replay the star join K times
+    edges = edges.localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({PR_BASE}L div n AS BIGINT)").alias("rank_nano")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST((rank_nano * w) div wout AS BIGINT)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("incoming"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                # L-suffixed literals: 1e9 * 15 overflows INT32 silently in
+                # non-ANSI Spark if the literals parse as int
+                F.expr(
+                    f"CAST(({PR_BASE}L * {PR_DAMP_DEN - PR_DAMP_NUM}L)"
+                    f" div ({PR_DAMP_DEN}L * n)"
+                    f" + ({PR_DAMP_NUM}L * COALESCE(incoming, 0L))"
+                    f" div {PR_DAMP_DEN}L AS BIGINT)"
+                ).alias("rank_nano"),
+            )
+        )
+    return (
+        ranks.join(F.broadcast(nodes), "node")
+        .select(F.col("n_name").alias("nation"), "rank_nano")
+        .orderBy(F.col("rank_nano").desc(), "nation")
+    )

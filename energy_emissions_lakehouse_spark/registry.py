@@ -64,6 +64,7 @@ def _load_all() -> None:
         advanced_olap,
         core,
         events,
+        graph,
         jdbc_queries,
         medallion,
         multimodal,
