@@ -142,6 +142,12 @@ HEADLINE = [
     "bm25_keyword_topk",
     "doc_bigram_lm_fluency_tail",
     "bpe_train_merges",
+    "rag_chunk_retrieval_topk",
+    "countmin_heavy_hitter_terms",
+    # graph / time-series / layout tier
+    "pagerank_nation_trade",
+    "events_hourly_anomaly_zscore",
+    "zorder_layout_lineitem",
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",

@@ -9,8 +9,9 @@ Why integer PageRank: float rank vectors cannot hash-match across engines
 (sum order differs), so ranks are carried as BIGINT "nano-rank" (1e9 =
 probability 1). Every step — teleport share, damped contribution, edge
 split — is integer multiply + integer floor-division, so the K-step result
-is bit-identical in Spark and DuckDB at any partitioning. Floor rounding
-leaks O(out_degree) nano per node per step; acceptable and deterministic.
+is bit-identical in Spark and DuckDB at any partitioning. Dangling-node mass (no out-edges) redistributes uniformly each step — the
+standard correction; floor rounding leaks O(edges + nodes) nano per step,
+acceptable and deterministic.
 
 Scale shape: edge construction is the Q7-style star join AGGREGATED to the
 (src, dst) grain — at 100 TB the edge list is |nations|^2 here, or
@@ -64,13 +65,20 @@ def _pr_iter_sql(k: int) -> str:
       JOIN outw o ON o.src = e.src
       GROUP BY e.dst
     ),
+    d{k} AS (
+      SELECT CAST(COALESCE(SUM(p.rank_nano), 0) AS BIGINT) AS dsum
+      FROM {prev} p LEFT JOIN outw o ON o.src = p.node
+      WHERE o.src IS NULL
+    ),
     r{k} AS (
       SELECT nodes.node,
              CAST((CAST({PR_BASE} AS BIGINT) * {PR_DAMP_DEN - PR_DAMP_NUM})
                   // ({PR_DAMP_DEN} * nn.n)
                   + ({PR_DAMP_NUM} * COALESCE(c{k}.incoming, 0))
-                    // {PR_DAMP_DEN} AS BIGINT) AS rank_nano
-      FROM nodes CROSS JOIN nn
+                    // {PR_DAMP_DEN}
+                  + ({PR_DAMP_NUM} * d{k}.dsum)
+                    // ({PR_DAMP_DEN} * nn.n) AS BIGINT) AS rank_nano
+      FROM nodes CROSS JOIN nn CROSS JOIN d{k}
       LEFT JOIN c{k} ON c{k}.node = nodes.node
     )"""
 
@@ -136,8 +144,18 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("incoming"))
         )
+        # dangling-node mass (nodes with no out-edges — e.g. nations with
+        # no suppliers at small SF) redistributes uniformly, the standard
+        # PageRank correction; without it total rank decays geometrically
+        dangling = (
+            ranks.join(
+                outw.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).cast("long").alias("dsum"))
+        )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
             .join(contrib, "node", "left")
             .select(
                 "node",
@@ -147,7 +165,9 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
                     f"CAST(({PR_BASE}L * {PR_DAMP_DEN - PR_DAMP_NUM}L)"
                     f" div ({PR_DAMP_DEN}L * n)"
                     f" + ({PR_DAMP_NUM}L * COALESCE(incoming, 0L))"
-                    f" div {PR_DAMP_DEN}L AS BIGINT)"
+                    f" div {PR_DAMP_DEN}L"
+                    f" + ({PR_DAMP_NUM}L * dsum)"
+                    f" div ({PR_DAMP_DEN}L * n) AS BIGINT)"
                 ).alias("rank_nano"),
             )
         )

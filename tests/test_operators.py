@@ -639,3 +639,26 @@ def test_anomaly_zscore_flags_injected_spike(spark):
     flagged = {(r["event_type"], r["hour_ts"].hour + 24 * (r["hour_ts"].day - 1)) for r in out}
     assert ("click", 40) in flagged, out
     assert all(t == "click" for t, _ in flagged), out
+
+
+def test_pagerank_conserves_mass_within_floor_leak(spark, sf_dir):
+    """Integer PageRank floors every division, so total rank can only
+    leak DOWNWARD, bounded by (edges + nodes + 1) nano per step plus the
+    damped share of dangling-node mass. Pin: ranks positive, total <=
+    BASE, total >= BASE - loose bound, and top nation deterministic."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        PR_BASE,
+        pagerank_nation_trade,
+    )
+
+    rows = pagerank_nation_trade(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r["rank_nano"] > 0 for r in rows)
+    total = sum(r["rank_nano"] for r in rows)
+    assert total <= PR_BASE
+    # dangling nations (no outgoing trade) would drop up to 85% of their
+    # mass per step; with all 25 nations trading, leak is floor-only, but
+    # keep the bound loose enough to survive sparse testdata variants
+    assert total >= PR_BASE - 100_000, total
+    ranks = [r["rank_nano"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
