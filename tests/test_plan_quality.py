@@ -524,3 +524,33 @@ def test_bigram_lm_tail_is_heap_topk(spark, sf_dir):
     plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_countmin_sketch_is_bounded_broadcast(spark, sf_dir):
+    """The count-min estimate join may broadcast ONLY the sketch (a
+    bounded D*W counter matrix) — never term-level data. Any broadcast
+    subtree mentioning 'term' or 'exact_count' would be corpus-scale."""
+    spec = all_specs()["countmin_heavy_hitter_terms"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "term" not in line and "exact_count" not in line, (
+                line.strip()[:200]
+            )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_zorder_layout_is_single_aggregation_pass(spark, sf_dir):
+    """Z-order assignment is map-only bit math: the plan must contain
+    exactly one data-bearing hash aggregation pair (file_id rollup) over
+    the lineitem scan plus the broadcast 1-row stats — no windows, no
+    range-shuffle sort of the fact table."""
+    spec = all_specs()["zorder_layout_lineitem"]
+    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("*+-: (0123456789)").startswith("Window ")
+    )
+    assert n_windows == 0, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan or "Sort" in plan, plan[:800]
