@@ -66,6 +66,7 @@ def _load_all() -> None:
         events,
         graph,
         jdbc_queries,
+        linkage,
         medallion,
         multimodal,
         olap_shapes,
