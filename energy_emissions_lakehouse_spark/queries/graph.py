@@ -176,3 +176,181 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "rank_nano")
         .orderBy(F.col("rank_nano").desc(), "nation")
     )
+
+
+# --- Co-purchase graph: triangle census + association lift -----------------
+
+#: Minimum co-occurrence count for an edge / a reported association.
+TRI_MIN_COOC = 2
+LIFT_MIN_COOC = 3
+LIFT_TOPK = 15
+
+_PAIRS_SQL = f"""
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cocnt
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+"""
+
+
+def _order_parts(spark, sf_dir) -> DataFrame:
+    """(o, p): distinct parts per order — the basket representation."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+def _copurchase_pairs(op: DataFrame) -> DataFrame:
+    """(pa, pb, cocnt) with pa < pb: per-order pair explosion then count.
+
+    Scale shape: the self-join is keyed on the order id (one shuffle,
+    co-partitioned), and pair fan-out per order is C(k,2) with k bounded
+    by order size (<= ~13 here, 7 in TPC-H) — linear in baskets, never
+    |parts|^2. The aggregated pair list is vertex-pair-scale and small
+    relative to the fact."""
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cocnt"))
+    )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    edges AS (SELECT pa, pb FROM pairs WHERE cocnt >= {TRI_MIN_COOC}),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY node
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           n_triangles,
+           n_wedges,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                ELSE (3000000 * n_triangles) // n_wedges END AS BIGINT)
+             AS clustering_ppm
+    FROM agg CROSS JOIN tri
+    """,
+    survey="extension (graph): triangle census of the part co-purchase "
+    "graph (edges = part pairs co-ordered >= 2x). Canonical a<b<c "
+    "orientation makes the count one two-hop equi-join + one closing "
+    "equi-join over the AGGREGATED edge list — never a cartesian; "
+    "global clustering coefficient as integer ppm (3*tri/wedges). "
+    "No reference analog",
+    tags=("graph",),
+)
+def triangle_count_copurchase(spark, sf_dir) -> DataFrame:
+    """Global triangle count + clustering coefficient, one summary row.
+
+    The edge list is localCheckpoint'd so the three-way triangle join and
+    the degree scan don't replay the basket self-join."""
+    edges = (
+        _copurchase_pairs(_order_parts(spark, sf_dir))
+        .filter(F.col("cocnt") >= TRI_MIN_COOC)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 0 "
+                "ELSE (3000000 * n_triangles) div n_wedges END AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+@register(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS pcnt FROM op GROUP BY p),
+    tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op)
+    SELECT pa, pb, cocnt,
+           CAST((cocnt * n_orders * 1000000) // (ca.pcnt * cb.pcnt) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN pc ca ON ca.p = pa
+    JOIN pc cb ON cb.p = pb
+    CROSS JOIN tot
+    WHERE cocnt >= {LIFT_MIN_COOC}
+    ORDER BY lift_ppm DESC, pa, pb
+    LIMIT {LIFT_TOPK}
+    """,
+    survey="extension (graph / market basket): association lift of part "
+    "pairs co-ordered >= 3x — lift = P(a,b)/(P(a)P(b)) carried as "
+    "integer ppm so ranking is cross-engine exact. Pair generation is "
+    "the bounded per-basket explosion; per-part supports join back "
+    "broadcast. No reference analog",
+    tags=("graph",),
+)
+def part_copurchase_lift(spark, sf_dir) -> DataFrame:
+    """Top-15 part pairs by association lift (integer ppm)."""
+    op = _order_parts(spark, sf_dir)
+    pairs = _copurchase_pairs(op).filter(F.col("cocnt") >= LIFT_MIN_COOC)
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("pcnt"))
+    tot = op.agg(F.count_distinct("o").cast("long").alias("n_orders"))
+    ca = pc.select(F.col("p").alias("pa"), F.col("pcnt").alias("ca_cnt"))
+    cb = pc.select(F.col("p").alias("pb"), F.col("pcnt").alias("cb_cnt"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "cocnt",
+            F.expr(
+                "CAST((cocnt * n_orders * 1000000) div (ca_cnt * cb_cnt)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "pa", "pb")
+        .limit(LIFT_TOPK)
+    )
