@@ -826,3 +826,136 @@ def events_retention_cohorts(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 1000000)
+                // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS BIGINT) AS prob_ppm
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+    survey="extension (events / sequence analytics): first-order Markov "
+    "transition matrix of per-user event-type sequences — one lag "
+    "window keyed on user (same shuffle the sessionizer uses), one "
+    "groupBy, row-normalized as integer ppm. The sequence-model "
+    "companion to events_funnel_conversion. No reference analog",
+)
+def events_transition_matrix(spark, sf_dir) -> DataFrame:
+    """P(next event type | previous event type), integer-ppm exact.
+
+    Scale shape: the lag window partitions on user_id (millions of small
+    partitions — no skew), and the transition aggregation is |types|^2
+    rows; the row-normalizing window runs on that tiny aggregate."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("tot", F.sum("n").over(wp).cast("long"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            # integer floor-div keeps ppm exact past 2^53 (float / would not)
+            F.expr("CAST((n * 1000000) div tot AS BIGINT)").alias("prob_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+                     ORDER BY ts, event_id) AS next_s
+      FROM events WHERE value IS NOT NULL
+    ),
+    ud AS (
+      SELECT user_id, day,
+             CAST(SUM(value_cents * (next_s - ts_s)) AS BIGINT) AS wsum,
+             CAST(SUM(next_s - ts_s) AS BIGINT) AS dur_s
+      FROM seq WHERE next_s IS NOT NULL
+      GROUP BY user_id, day
+      HAVING SUM(next_s - ts_s) > 0
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(SUM(wsum // dur_s) // COUNT(*) AS BIGINT) AS avg_twap_cents
+    FROM ud GROUP BY day ORDER BY day
+    """,
+    survey="extension (events / time series): time-weighted average value "
+    "(TWAP) per user-day — each reading weighted by its holding "
+    "interval (lead(ts) - ts), the standard irregular-series average "
+    "that plain AVG gets wrong. Integer cents x integer seconds keeps "
+    "it cross-engine exact. No reference analog",
+)
+def events_time_weighted_value(spark, sf_dir) -> DataFrame:
+    """Per-day roll-up of per-user-day TWAP (integer cents).
+
+    Scale shape: one window keyed on (user, day) — same partitioning as
+    the day-level aggregate that follows, so AQE coalesces into a single
+    shuffle lineage; no collect, no skew (per-user-day groups are tiny)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_s", F.lead("ts_s").over(w)).filter(
+        F.col("next_s").isNotNull()
+    )
+    ud = (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("value_cents") * (F.col("next_s") - F.col("ts_s")))
+            .cast("long")
+            .alias("wsum"),
+            F.sum(F.col("next_s") - F.col("ts_s")).cast("long").alias("dur_s"),
+        )
+        .filter(F.col("dur_s") > 0)
+    )
+    return (
+        ud.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.sum("dur_s").cast("long").alias("total_dur_s"),
+            F.expr("CAST(SUM(wsum div dur_s) div COUNT(*) AS BIGINT)").alias(
+                "avg_twap_cents"
+            ),
+        )
+        .orderBy("day")
+    )

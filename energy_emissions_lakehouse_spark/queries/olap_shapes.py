@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from energy_emissions_lakehouse_spark.functions.exact import (
     scaled_sum,
@@ -595,4 +596,75 @@ def supplier_variety_by_part_class(spark, sf_dir) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MAX(p_size) AS BIGINT) AS msize
+      FROM part GROUP BY p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT), p_size
+    ),
+    pp AS (
+      SELECT p_brand, price_cents,
+             CAST(MAX(msize) AS BIGINT) AS msize
+      FROM pts GROUP BY p_brand, price_cents
+    ),
+    lt AS (
+      SELECT p_brand, price_cents, msize,
+             MAX(msize) OVER (PARTITION BY p_brand ORDER BY price_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m_lt
+      FROM pp
+    )
+    SELECT p.p_brand, p.price_cents, p.p_size, p.n_parts
+    FROM pts p
+    JOIN lt ON lt.p_brand = p.p_brand AND lt.price_cents = p.price_cents
+    WHERE p.p_size = lt.msize AND (lt.m_lt IS NULL OR lt.m_lt < p.p_size)
+    ORDER BY p.p_brand, p.price_cents
+    """,
+    survey="extension (OLAP shape): per-brand skyline / Pareto frontier "
+    "(minimize price, maximize size). Naive dominance is an O(n^2) "
+    "inequality self-join; this is the sort-based rewrite — collapse to "
+    "(brand, price) grain, one running-max window over the strictly-"
+    "cheaper prefix, dominance check per row. One shuffle on brand, "
+    "no range join anywhere. No reference analog",
+)
+def pareto_frontier_parts(spark, sf_dir) -> DataFrame:
+    """Parts on the (cheapest, largest) frontier of their brand.
+
+    A part survives iff it is the max size at its exact price AND every
+    strictly cheaper same-brand part is strictly smaller."""
+    part = t(spark, sf_dir, "part")
+    pts = part.groupBy(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    ).withColumn("msize", F.col("p_size"))
+    pp = pts.groupBy("p_brand", "price_cents").agg(
+        F.max("msize").cast("long").alias("msize")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = pp.select(
+        "p_brand", "price_cents", "msize", F.max("msize").over(w).alias("m_lt")
+    )
+    joined = pts.select("p_brand", "price_cents", "p_size", "n_parts").join(
+        lt, ["p_brand", "price_cents"]
+    )
+    return (
+        joined.filter(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+        )
+        .select("p_brand", "price_cents", "p_size", "n_parts")
+        .orderBy("p_brand", "price_cents")
     )
