@@ -143,10 +143,14 @@ HEADLINE = [
     "doc_bigram_lm_fluency_tail",
     "bpe_train_merges",
     "rag_chunk_retrieval_topk",
+    "mmr_diversified_topk",
     "countmin_heavy_hitter_terms",
     # graph / time-series / layout tier
     "pagerank_nation_trade",
     "events_hourly_anomaly_zscore",
+    "events_hourly_ewma",
+    "events_hourly_interpolate",
+    "events_cusum_drift",
     "zorder_layout_lineitem",
     # stream-stream outer joins
     "stream_purchase_click_left_join",

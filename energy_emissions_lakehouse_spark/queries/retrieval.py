@@ -35,9 +35,10 @@ bit-identical arguments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from energy_emissions_lakehouse_spark.operators import similarity as sim
 from energy_emissions_lakehouse_spark.operators import text as tx
 from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
@@ -624,4 +625,166 @@ def rag_chunk_retrieval_topk(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("_ord").desc(), "doc_id", "chunk_id")
         .limit(10)
         .drop("_ord")
+    )
+
+
+# ------------------------------------------------- MMR diversified re-rank
+
+#: MMR geometry: shortlist the top-N candidates by relevance, then greedily
+#: select K maximizing lambda*rel - (1-lambda)*max-sim-to-selected with
+#: lambda = 0.7 (integer form: 7*rel - 3*maxsim, same argmax).
+MMR_SHORTLIST = 32
+MMR_K = 8
+
+_QMILLI = "list_transform(embedding, x -> CAST(ROUND(x * 1000, 0) AS BIGINT))"
+
+
+def _mmr_step_sql(k: int) -> str:
+    """One unrolled greedy step: pick the argmax-MMR candidate not yet
+    selected (same unrolled-CTE pattern as the PageRank oracle)."""
+    return f"""
+    pick{k} AS MATERIALIZED (
+      SELECT s.cand_id, s.rel,
+             CAST(7 * s.rel - 3 * (
+               SELECT MAX(p.sim) FROM pairs p
+               JOIN sel{k - 1} t ON p.b = t.cand_id
+               WHERE p.a = s.cand_id) AS BIGINT) AS mmr
+      FROM shortlist s
+      WHERE s.cand_id NOT IN (SELECT cand_id FROM sel{k - 1})
+      ORDER BY 7 * s.rel - 3 * (
+               SELECT MAX(p.sim) FROM pairs p
+               JOIN sel{k - 1} t ON p.b = t.cand_id
+               WHERE p.a = s.cand_id) DESC, s.cand_id
+      LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT * FROM sel{k - 1}
+      UNION ALL SELECT cand_id, {k} AS ord, rel, mmr FROM pick{k}
+    )"""
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH qv AS (
+      SELECT {_QMILLI} AS q FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    qid AS MATERIALIZED (SELECT MIN(vec_id) AS qid FROM embeddings),
+    cands AS MATERIALIZED (
+      SELECT vec_id AS cand_id, {_QMILLI} AS v
+      FROM embeddings WHERE vec_id != (SELECT qid FROM qid)
+    ),
+    rels AS MATERIALIZED (
+      SELECT cand_id, v,
+             CAST(list_dot_product(v, (SELECT q FROM qv)) AS BIGINT) AS rel
+      FROM cands
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT cand_id, v, rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, cand_id) AS rrank
+      FROM rels QUALIFY rrank <= {MMR_SHORTLIST}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.cand_id AS a, b.cand_id AS b,
+             CAST(list_dot_product(a.v, b.v) AS BIGINT) AS sim
+      FROM shortlist a JOIN shortlist b ON a.cand_id != b.cand_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT cand_id, 1 AS ord, rel, CAST(7 * rel AS BIGINT) AS mmr
+      FROM shortlist ORDER BY rel DESC, cand_id LIMIT 1
+    ),
+    {','.join(_mmr_step_sql(k) for k in range(2, MMR_K + 1))}
+    SELECT CAST(ord AS BIGINT) AS ord, cand_id, rel, mmr
+    FROM sel{MMR_K} ORDER BY ord
+    """,
+    survey="extension (retrieval): MMR (maximal marginal relevance) "
+    "diversified re-ranking — distributed relevance scan + integer-milli "
+    "quantized dot products shortlist the top-32, then the greedy "
+    "lambda=0.7 selection runs as ONE Arrow-batched pass over the "
+    "shortlist (the per-query serving shape: with many queries each "
+    "group re-ranks in parallel). All scores are exact BIGINTs so the "
+    "argmax sequence is engine-identical; DuckDB replays the greedy "
+    "loop as 8 unrolled CTE steps (the PageRank oracle pattern). "
+    "No reference analog",
+    tags=("retrieval",),
+)
+def mmr_diversified_topk(spark, sf_dir) -> DataFrame:
+    """Greedy MMR selection of 8 diverse results from a 32-candidate
+    relevance shortlist (query = lowest vec_id's embedding).
+
+    Scale shape: candidate scoring and shortlisting are distributed
+    (broadcast 1-row query vector, top-N via one ordered limit); only the
+    O(N*K) greedy loop — 32 candidates here — runs per query group in
+    pandas, which is exactly how an MMR serving layer shards: one group
+    per query, thousands of queries in flight."""
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        sim.as_double(F.col("embedding")),
+        lambda x: F.round(x * 1000, 0).cast("long"),
+    )
+    vecs = emb.select("vec_id", milli.alias("v"))
+    qid = vecs.agg(F.min("vec_id").alias("qid"))
+    qv = (
+        vecs.join(F.broadcast(qid), vecs.vec_id == qid.qid)
+        .select(F.col("v").alias("q"))
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rels = (
+        vecs.join(F.broadcast(qid), vecs.vec_id != qid.qid)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("cand_id"), "v", idot.alias("rel"))
+    )
+    shortlist = (
+        rels.withColumn(
+            "rrank",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("cand_id"))
+            ),
+        )
+        .filter(F.col("rrank") <= MMR_SHORTLIST)
+        .drop("rrank")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = {int(r.cand_id): list(r.v) for r in pdf.itertuples()}
+        rel = {int(r.cand_id): int(r.rel) for r in pdf.itertuples()}
+        sims: dict[tuple[int, int], int] = {}
+        ids = sorted(vs)
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    sims[(a, b)] = sum(x * y for x, y in zip(vs[a], vs[b]))
+        selected: list[tuple[int, int, int, int]] = []
+        chosen: set[int] = set()
+        for step in range(1, MMR_K + 1):
+            best = None
+            for c in ids:
+                if c in chosen:
+                    continue
+                if not chosen:
+                    score = 7 * rel[c]
+                else:
+                    score = 7 * rel[c] - 3 * max(sims[(c, s)] for s in chosen)
+                # argmax with cand_id tiebreak (same as the SQL ORDER BY)
+                if best is None or score > best[0] or (
+                    score == best[0] and c < best[1]
+                ):
+                    best = (score, c)
+            chosen.add(best[1])
+            selected.append((step, best[1], rel[best[1]], best[0]))
+        return pd.DataFrame(
+            selected, columns=["ord", "cand_id", "rel", "mmr"]
+        )
+
+    return (
+        shortlist.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(greedy, "ord long, cand_id long, rel long, mmr long")
+        .orderBy("ord")
     )

@@ -75,6 +75,7 @@ def _load_all() -> None:
         sources,
         streaming_queries,
         text,
+        timeseries,
         vectors,
     )
 
