@@ -129,6 +129,8 @@ HEADLINE = [
     "jdbc_star_roundtrip_q2",
     "merge_upsert_orders_partition_scoped",
     "merge_changefeed_orders",
+    "incremental_agg_maintenance",
+    "snapshot_diff_buckets",
     # Spark 4 Python DataSource connector (100k generated rows)
     "pysource_synthetic_profile",
     # corpus quality / safety passes

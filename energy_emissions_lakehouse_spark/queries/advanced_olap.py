@@ -21,7 +21,7 @@ no sketches, and only one unkeyed Bernoulli sample — SURVEY.md §2.6/§2.10):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum_sql
@@ -406,3 +406,170 @@ def countmin_heavy_hitter_terms(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("cm_estimate").desc(), "term")
         .limit(10)
     )
+
+
+# ------------------------------------------- weighted reservoir sampling
+
+#: Per-stratum draw count for the weighted sample.
+WSAMPLE_K = 3
+#: 48-bit uniform from the stable key: u = (h48 + 1) / 2^48 in (0, 1].
+_WS_U_SQL = (
+    "((('0x' || SUBSTR(MD5(CAST(p_partkey AS VARCHAR)), 1, 12))::BIGINT + 1)"
+    " / 281474976710656.0)"
+)
+
+
+@register(
+    "weighted_sample_parts",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+             CAST(ROUND(-LN({_WS_U_SQL}) * 1000000000.0, 0) AS BIGINT)
+                 AS exp_nano
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_brand, p_partkey, p_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand
+               ORDER BY CAST(exp_nano AS DOUBLE) / CAST(p_size AS DOUBLE),
+                        p_partkey) AS draw_rank
+      FROM keyed
+    )
+    SELECT p_brand, CAST(draw_rank AS BIGINT) AS draw_rank, p_partkey, p_size
+    FROM ranked WHERE draw_rank <= {WSAMPLE_K}
+    ORDER BY p_brand, draw_rank
+    """,
+    survey="extension (training pipeline): weighted sampling without "
+    "replacement per stratum (Efraimidis-Skerivanos exponential-clocks "
+    "form: priority = Exp(1)/weight, keep the K smallest per group) — "
+    "the draw is a DETERMINISTIC function of the stable key (md5-derived "
+    "48-bit uniform -> -ln(u), quantized to nano like the BM25 LN "
+    "policy), so the sample is reproducible across engines, reruns, and "
+    "cluster layouts, and selection probability is proportional to "
+    "weight. Map-only priority computation + per-stratum top-K window; "
+    "no reference analog (R1 is one unweighted Bernoulli sample)",
+)
+def weighted_sample_parts(spark, sf_dir) -> DataFrame:
+    """Draw 3 parts per brand with probability proportional to p_size.
+
+    Exponential-clocks weighted sampling: u~U(0,1] from a 48-bit hash of
+    the key (48 bits so the int->double conversion is exact), priority =
+    -ln(u)/w, keep the K smallest per stratum. At scale this is a
+    map-side expression + grouped top-K (no total sort; partial
+    aggregation prunes before the shuffle)."""
+    part = t(spark, sf_dir, "part")
+    h48 = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(281474976710656.0)
+    exp_nano = F.round(-F.log(u) * F.lit(1e9), 0).cast("long")
+    keyed = part.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        exp_nano.alias("exp_nano"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("exp_nano").cast("double") / F.col("p_size").cast("double"),
+        F.col("p_partkey"),
+    )
+    return (
+        keyed.select(
+            "p_brand",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+            "p_partkey",
+            "p_size",
+        )
+        .filter(F.col("draw_rank") <= WSAMPLE_K)
+        .orderBy("p_brand", "draw_rank")
+    )
+
+
+# --------------------------------------- rolling distinct via HLL merging
+
+#: Trailing window width in days for the rolling-distinct rollup.
+ROLLING_DAYS = 7
+
+
+@register(
+    "rolling_distinct_users_hll",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day_ts FROM events
+    ),
+    user_days AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day_ts, user_id FROM events
+    ),
+    exact AS (
+      SELECT d.day_ts, COUNT(DISTINCT u.user_id) AS exact_users
+      FROM days d JOIN user_days u
+        ON u.day_ts BETWEEN d.day_ts - INTERVAL {ROLLING_DAYS - 1} DAY
+                        AND d.day_ts
+      GROUP BY d.day_ts
+    )
+    SELECT day_ts, exact_users, TRUE AS approx_within_8pct
+    FROM exact ORDER BY day_ts
+    """,
+    survey="extension (sketches): trailing-7-day rolling distinct users "
+    "via HLL sketch merging — ONE pass builds a KB-sized sketch per day, "
+    "then each day's window unions 7 daily sketches (map-side offset "
+    "fan-out + hll_union_agg equi-join group), so the raw user keys are "
+    "scanned exactly once however wide the window. The exact recompute "
+    "(for the verdict) re-touches every (day, user) pair per window — "
+    "the cost the sketch path avoids at 100 TB. Estimate pinned within "
+    "8% as a hard verdict, same policy as hll_sketch_distinct_custkeys",
+)
+def rolling_distinct_users_hll(spark, sf_dir) -> DataFrame:
+    """Rolling 7-day distinct users per day: HLL estimate vs exact.
+
+    The sketch path scans events once (daily sketches, ~KB each),
+    fans each day out to the <=7 window ends it contributes to (integer
+    offset explode — an equi-join, not a range join), and merges with
+    hll_union_agg. Output is the exact count + within-band verdict so
+    the driver hash-compares engine-neutral values."""
+    ev = t(spark, sf_dir, "events")
+    daily_sk = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    fan = daily_sk.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))
+        ).alias("off"),
+        "day_ts",
+        "sk",
+    ).select(
+        F.expr("day_ts + make_interval(0, 0, 0, off)").alias("win_end"),
+        "sk",
+    )
+    merged = fan.groupBy("win_end").agg(F.hll_union_agg("sk").alias("u"))
+
+    user_days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"), "user_id"
+    ).distinct()
+    days = user_days.select("day_ts").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            user_days.alias("u"),
+            (F.col("u.day_ts") <= F.col("d.day_ts"))
+            & (
+                F.col("u.day_ts")
+                >= F.col("d.day_ts")
+                - F.expr(f"INTERVAL {ROLLING_DAYS - 1} DAY")
+            ),
+        )
+        .groupBy(F.col("d.day_ts").alias("day_ts"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    out = exact.join(
+        merged, exact.day_ts == merged.win_end, "inner"
+    ).select(
+        "day_ts",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("u") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.08))
+        ).alias("approx_within_8pct"),
+    )
+    return out.orderBy("day_ts")

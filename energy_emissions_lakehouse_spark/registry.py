@@ -67,6 +67,7 @@ def _load_all() -> None:
         graph,
         jdbc_queries,
         linkage,
+        maintenance,
         medallion,
         multimodal,
         olap_shapes,
