@@ -144,11 +144,14 @@ HEADLINE = [
     "bm25_keyword_topk",
     "doc_bigram_lm_fluency_tail",
     "bpe_train_merges",
+    "bpe_encode_vocab_profile",
     "rag_chunk_retrieval_topk",
     "mmr_diversified_topk",
     "countmin_heavy_hitter_terms",
     # graph / time-series / layout tier
     "pagerank_nation_trade",
+    "lpa_communities_copurchase",
+    "poisson_bootstrap_ci_revenue",
     "events_hourly_anomaly_zscore",
     "events_hourly_ewma",
     "events_hourly_interpolate",

@@ -573,3 +573,148 @@ def rolling_distinct_users_hll(spark, sf_dir) -> DataFrame:
         ).alias("approx_within_8pct"),
     )
     return out.orderBy("day_ts")
+
+
+# --------------------------------------------------- Poisson bootstrap CI
+
+#: Bootstrap replicate count.
+BOOT_B = 32
+#: Poisson(1) inverse-CDF thresholds on the 48-bit uniform scale:
+#: k = #{thresholds below h48}, capped at len(thresholds).
+import math as _math
+
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(_acc)
+POIS_THRESH = tuple(int(c * 281474976710656.0) for c in _POIS_CDF)
+
+
+def _pois_k_sql(h: str) -> str:
+    """Poisson(1) draw as a CASE ladder over the 48-bit hash."""
+    clauses = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POIS_THRESH)
+    )
+    return f"CASE {clauses} ELSE {len(POIS_THRESH)} END"
+
+
+_BOOT_H = (
+    "(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    " CAST(b AS VARCHAR)), 1, 12))::BIGINT)"
+)
+
+
+@register(
+    "poisson_bootstrap_ci_revenue",
+    oracle=f"""
+    WITH rows_w AS (
+      SELECT b, {_pois_k_sql(_BOOT_H)} AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b)
+    ),
+    reps AS (
+      SELECT b,
+             CAST(SUM(k * cents) AS BIGINT) AS wsum,
+             CAST(SUM(k) AS BIGINT) AS wn
+      FROM rows_w GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS m
+      FROM reps WHERE wn > 0
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS point_mean
+      FROM orders
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           ROUND(point_mean, 6) AS point_mean,
+           ROUND(QUANTILE_CONT(m, 0.05), 6) AS ci_lo,
+           ROUND(QUANTILE_CONT(m, 0.95), 6) AS ci_hi,
+           QUANTILE_CONT(m, 0.05) <= point_mean
+             AND point_mean <= QUANTILE_CONT(m, 0.95) AS point_in_ci
+    FROM means CROSS JOIN point
+    GROUP BY point_mean
+    """,
+    survey="extension (statistics): Poisson bootstrap confidence interval "
+    "for mean order value — the distributed bootstrap: per (row, "
+    "replicate) weight k ~ Poisson(1) drawn DETERMINISTICALLY from an "
+    "md5 48-bit uniform via an integer inverse-CDF ladder, so replicates "
+    "are reproducible across engines/layouts and no resampled copy of "
+    "the data ever materializes (one scan, B weighted partial sums). "
+    "Replicate means are exact-integer ratios; the 5/95 CI is exact "
+    "QUANTILE_CONT over the B means. No reference analog",
+)
+def poisson_bootstrap_ci_revenue(spark, sf_dir) -> DataFrame:
+    """90% bootstrap CI for the mean order price, B=32 replicates.
+
+    Scale shape: the replicate fan-out is map-side (explode of 32 ints);
+    everything reduces through ONE map-side-combining groupBy(b) into 32
+    rows — the classic one-pass Poisson bootstrap (each row's weight in
+    replicate b is an independent-ish Poisson(1), giving the same
+    asymptotics as multinomial resampling without coordination)."""
+    orders = t(spark, sf_dir, "orders")
+    rows_w = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+        "o_orderkey",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = F.lit(len(POIS_THRESH))
+    for kk in range(len(POIS_THRESH) - 1, -1, -1):
+        k = F.when(h < POIS_THRESH[kk], F.lit(kk)).otherwise(k)
+    reps = (
+        rows_w.select("b", (k * F.col("cents")).alias("wc"), k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum("wc").cast("long").alias("wsum"),
+            F.sum("k").cast("long").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            (
+                F.col("wsum").cast("double")
+                / F.col("wn").cast("double")
+                / F.lit(100.0)
+            ).alias("m")
+        )
+    )
+    point = orders.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("point_mean")
+    )
+    ci = reps.agg(
+        F.percentile(F.col("m"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("m"), F.lit(0.95)).alias("hi"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        F.round("point_mean", 6).alias("point_mean"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+        (
+            (F.col("lo") <= F.col("point_mean"))
+            & (F.col("point_mean") <= F.col("hi"))
+        ).alias("point_in_ci"),
+    )

@@ -354,3 +354,97 @@ def part_copurchase_lift(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "pa", "pb")
         .limit(LIFT_TOPK)
     )
+
+
+# --- Label propagation communities ----------------------------------------
+
+#: Synchronous label-propagation rounds (unrolled in the oracle).
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f"""
+    cnt{k} AS (
+      SELECT e.d AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM und e JOIN lp{k - 1} l ON l.node = e.s
+      GROUP BY e.d, l.label
+    ),
+    lp{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM cnt{k}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "lpa_communities_copurchase",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    edges AS (SELECT pa, pb FROM pairs WHERE cocnt >= {TRI_MIN_COOC}),
+    und AS (SELECT pa AS s, pb AS d FROM edges
+            UNION ALL SELECT pb, pa FROM edges),
+    lp0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+    {','.join(_lpa_round_sql(k) for k in range(1, LPA_ROUNDS + 1))}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_member
+    FROM lp{LPA_ROUNDS}
+    GROUP BY label
+    HAVING COUNT(*) >= 2
+    ORDER BY n_members DESC, community
+    """,
+    survey="extension (graph): synchronous label-propagation communities "
+    "over the thresholded co-purchase graph — K=3 rounds, each ONE "
+    "labels-x-edges equi-join + per-node argmax of neighbor-label "
+    "counts via min(struct) (no window, no total sort); deterministic "
+    "tie-break (count DESC, label ASC) makes the propagation engine-"
+    "identical. Third iterative-graph op next to connected components "
+    "and PageRank; the Pregel-in-DataFrames shape again. No reference "
+    "analog",
+    tags=("graph",),
+)
+def lpa_communities_copurchase(spark, sf_dir) -> DataFrame:
+    """Communities (size >= 2) after K synchronous LPA rounds; one row per
+    surviving label with member count and smallest member id.
+
+    The per-round state is (node, label) — vertex-scale; edges are
+    localCheckpoint'd once so K rounds never replay the basket self-join."""
+    op = _order_parts(spark, sf_dir)
+    edges = _copurchase_pairs(op).filter(F.col("cocnt") >= TRI_MIN_COOC)
+    und = (
+        edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+        .unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            und.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("lb")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lb").alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), "community")
+    )

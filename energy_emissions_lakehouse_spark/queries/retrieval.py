@@ -424,6 +424,17 @@ def bpe_train_merges(spark, sf_dir) -> DataFrame:
     Tokens contain only word characters (tokenizer splits on ``\\W+``), so
     '|' can never collide with a symbol. The driver holds exactly K best
     pairs across the loop — the Lloyd-centroid pattern, never data."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(k, l, r, l + r, c) for k, l, r, c in merges],
+        "rank long, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_trained(spark, sf_dir) -> tuple[list, DataFrame]:
+    """Shared BPE training loop: returns (merge list, final per-word symbol
+    frame ``(term, wc, s)`` with the K merges applied)."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
@@ -468,11 +479,7 @@ def bpe_train_merges(spark, sf_dir) -> DataFrame:
             ).otherwise(F.concat(acc, F.lit("|"), x)),
         )
         sym = sym.select("term", "wc", folded.alias("s"))
-    return spark.createDataFrame(
-        [(k, l, r, l + r, c) for k, l, r, c in merges],
-        "rank long, left_sym string, right_sym string, merged string, "
-        "pair_count long",
-    ).orderBy("rank")
+    return merges, sym
 
 
 # ------------------------------------------------------ RAG chunk retrieval
@@ -787,4 +794,65 @@ def mmr_diversified_topk(spark, sf_dir) -> DataFrame:
         .groupBy("g")
         .applyInPandas(greedy, "ord long, cand_id long, rel long, mmr long")
         .orderBy("ord")
+    )
+
+
+# -------------------------------------------------- BPE tokenizer APPLY
+
+#: Post-encoding vocabulary profile size.
+BPE_VOCAB_TOPK = 20
+
+
+@register(
+    "bpe_encode_vocab_profile",
+    oracle=f"""
+    WITH words AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      WHERE len(term) > 0
+      GROUP BY term
+    ),
+    s0 AS (
+      SELECT term, wc,
+             array_to_string(regexp_extract_all(term, '.'), '|') AS s
+      FROM words
+    ),
+    {','.join(_bpe_iter_sql(k) for k in range(1, BPE_MERGES + 1))}
+    SELECT sym,
+           CAST(SUM(wc) AS BIGINT) AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types
+    FROM (SELECT wc, unnest(string_split(s, '|')) AS sym
+          FROM s{BPE_MERGES})
+    GROUP BY sym
+    ORDER BY occurrences DESC, sym
+    LIMIT {BPE_VOCAB_TOPK}
+    """,
+    survey="extension (training pipeline): BPE tokenizer APPLICATION — "
+    "encode the corpus with the K trained merges and profile the "
+    "resulting subword vocabulary (top-20 units by weighted frequency). "
+    "Encoding runs on the VOCABULARY (distinct words), never per "
+    "occurrence: word counts carry the corpus weight, so a 100 TB corpus "
+    "re-tokenizes at the cost of its distinct-word table. The merge fold "
+    "is the same greedy left-to-right JVM fold as training; DuckDB "
+    "replays train + apply through the shared unrolled CTEs. Completes "
+    "the tokenizer story: bpe_train_merges learns, this encodes",
+    tags=("retrieval",),
+)
+def bpe_encode_vocab_profile(spark, sf_dir) -> DataFrame:
+    """Subword vocabulary profile after applying the trained BPE merges.
+
+    `occurrences` weights each word type by its corpus frequency;
+    `n_word_types` counts how many distinct words contain the unit. The
+    encode pass reuses the trained symbol frame — the apply cost at
+    scale is one explode + map-side-combining groupBy over the vocab."""
+    _, sym = _bpe_trained(spark, sf_dir)
+    return (
+        sym.select("wc", F.explode(F.split(F.col("s"), r"\|")).alias("sym"))
+        .groupBy("sym")
+        .agg(
+            F.sum("wc").cast("long").alias("occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.col("occurrences").desc(), "sym")
+        .limit(BPE_VOCAB_TOPK)
     )
