@@ -131,6 +131,9 @@ HEADLINE = [
     "merge_changefeed_orders",
     "incremental_agg_maintenance",
     "snapshot_diff_buckets",
+    "scd2_point_in_time_join",
+    "fk_containment_audit",
+    "customer_rfm_segments",
     # Spark 4 Python DataSource connector (100k generated rows)
     "pysource_synthetic_profile",
     # corpus quality / safety passes

@@ -259,3 +259,195 @@ def snapshot_diff_buckets(spark, sf_dir) -> DataFrame:
         .filter(~F.col("in_sync"))
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------- SCD2 point-in-time fact join
+
+#: SCD2 version cutover for the synthesized customer-dimension history.
+SCD2_CUTOVER = "1996-01-01"
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, 1 AS version_id,
+             DATE '1992-01-01' AS valid_from, DATE '{SCD2_CUTOVER}' AS valid_to,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             DATE '{SCD2_CUTOVER}', DATE '9999-12-31',
+             CAST(ROUND(c_acctbal * 110, 0) AS BIGINT)
+      FROM customer
+    )
+    SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(d.version_id AS BIGINT) AS version_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(SUM(d.bal_cents) AS BIGINT) AS bal_cents_at_order
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    GROUP BY YEAR(o.o_orderdate), d.version_id
+    ORDER BY order_year, version_id
+    """,
+    survey="extension (warehouse): SCD2 point-in-time fact join — each "
+    "fact row joins the dimension VERSION that was valid at its event "
+    "date: equi-join on the business key + validity-interval predicate. "
+    "The equi-join carries the shuffle (hash on custkey); the interval "
+    "check filters the O(versions-per-key) candidates post-match, so "
+    "the plan is a plain hash join however long the history grows — "
+    "never a range join. Dim versions synthesized in-plan (both "
+    "engines identically); pairs with scd2_user_event_type_history, "
+    "which BUILDS such intervals",
+    tags=("maintenance",),
+)
+def scd2_point_in_time_join(spark, sf_dir) -> DataFrame:
+    """Orders joined to their point-in-time customer-dimension version;
+    yearly rollup proves every fact matched exactly one version.
+
+    `bal_cents_at_order` totals the version-correct attribute — the
+    number that silently goes wrong when a warehouse joins facts to
+    is_current dimensions instead of PIT versions."""
+    cust = t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("version_id"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(SCD2_CUTOVER).cast("date").alias("valid_to"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("version_id"),
+        F.lit(SCD2_CUTOVER).cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.round(F.col("c_acctbal") * 110, 0).cast("long").alias("bal_cents"),
+    )
+    dim = v1.unionAll(v2)
+    orders = t(spark, sf_dir, "orders")
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("version_id").cast("long").alias("version_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.sum("bal_cents").cast("long").alias("bal_cents_at_order"),
+        )
+        .orderBy("order_year", "version_id")
+    )
+
+
+# -------------------------------------------- join-key containment audit
+
+#: A candidate passes the FK sniff test above this containment (ppm).
+FK_PPM_THRESHOLD = 990_000
+
+
+@register(
+    "fk_containment_audit",
+    oracle=f"""
+    WITH cands AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM
+                (SELECT DISTINCT l_orderkey FROM lineitem) c
+                JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                  ON c.l_orderkey = p.o_orderkey) AS n_contained
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(*) FROM
+                (SELECT DISTINCT o_custkey FROM orders) c
+                JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                  ON c.o_custkey = p.c_custkey)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->nation.n_nationkey',
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+             (SELECT COUNT(*) FROM
+                (SELECT DISTINCT l_suppkey FROM lineitem) c
+                JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+                  ON c.l_suppkey = p.n_nationkey)
+    )
+    SELECT candidate,
+           CAST(n_child AS BIGINT) AS n_child_keys,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST((n_contained * 1000000) // n_child AS BIGINT)
+               AS containment_ppm,
+           (n_contained * 1000000) // n_child >= {FK_PPM_THRESHOLD}
+               AS is_fk_like
+    FROM cands
+    ORDER BY candidate
+    """,
+    survey="extension (profiling): foreign-key containment audit — for "
+    "each candidate (child.col -> parent.col) pair, containment = "
+    "|distinct child ∩ distinct parent| / |distinct child| in integer "
+    "ppm, computed on DISTINCT key sets (aggregate-before-join: the "
+    "join input is key-cardinality, not fact-cardinality). The "
+    "schema-inference pass that discovers joinable keys in an "
+    "un-documented lake; verdict flags containment >= 99%. True FKs "
+    "score 1e6 ppm, the deliberate negative control scores low",
+    tags=("maintenance",),
+)
+def fk_containment_audit(spark, sf_dir) -> DataFrame:
+    """Containment profile of three candidate FK relationships (two real,
+    one negative control)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+
+    def containment(name: str, child, parent) -> DataFrame:
+        c = child.distinct()
+        p = parent.distinct()
+        c_col, p_col = c.columns[0], p.columns[0]
+        n_child = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_keys"))
+        n_cont = (
+            c.join(p, F.col(c_col) == F.col(p_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contained"))
+        )
+        return (
+            n_child.crossJoin(n_cont)
+            .select(
+                F.lit(name).alias("candidate"),
+                "n_child_keys",
+                "n_contained",
+                F.expr("CAST((n_contained * 1000000) div n_child_keys AS BIGINT)")
+                .alias("containment_ppm"),
+            )
+            .withColumn(
+                "is_fk_like", F.col("containment_ppm") >= FK_PPM_THRESHOLD
+            )
+        )
+
+    out = containment(
+        "lineitem.l_orderkey->orders.o_orderkey",
+        li.select("l_orderkey"),
+        orders.select("o_orderkey"),
+    ).unionAll(
+        containment(
+            "orders.o_custkey->customer.c_custkey",
+            orders.select("o_custkey"),
+            cust.select("c_custkey"),
+        )
+    ).unionAll(
+        containment(
+            "lineitem.l_suppkey->nation.n_nationkey",
+            li.select("l_suppkey"),
+            nation.select("n_nationkey"),
+        )
+    )
+    return out.orderBy("candidate")
