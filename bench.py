@@ -154,6 +154,7 @@ HEADLINE = [
     # graph / time-series / layout tier
     "pagerank_nation_trade",
     "lpa_communities_copurchase",
+    "recursive_cte_reachability",
     "poisson_bootstrap_ci_revenue",
     "events_hourly_anomaly_zscore",
     "events_hourly_ewma",

@@ -35,7 +35,7 @@ bit-identical arguments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.operators import similarity as sim
@@ -747,15 +747,10 @@ def mmr_diversified_topk(spark, sf_dir) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(F.col("vec_id").alias("cand_id"), "v", idot.alias("rel"))
     )
-    shortlist = (
-        rels.withColumn(
-            "rrank",
-            F.row_number().over(
-                Window.orderBy(F.col("rel").desc(), F.col("cand_id"))
-            ),
-        )
-        .filter(F.col("rrank") <= MMR_SHORTLIST)
-        .drop("rrank")
+    # heap top-N (TakeOrderedAndProject): per-partition heaps + a 32-row
+    # merge on the driver — never a global sort or single-partition window
+    shortlist = rels.orderBy(F.col("rel").desc(), F.col("cand_id")).limit(
+        MMR_SHORTLIST
     )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -554,3 +554,85 @@ def test_zorder_layout_is_single_aggregation_pass(spark, sf_dir):
     )
     assert n_windows == 0, plan[:1500]
     assert "Exchange rangepartitioning" not in plan or "Sort" in plan, plan[:800]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pit_join_is_equi_hash_join(spark, sf_dir):
+    """SCD2 point-in-time join must extract the business-key equi-join
+    (hash join, interval predicate as residual) — never a nested loop:
+    at 100 TB the history join degenerating to NLJ is the classic PIT
+    performance bug."""
+    from energy_emissions_lakehouse_spark.queries.maintenance import (
+        scd2_point_in_time_join,
+    )
+
+    s = _plan(scd2_point_in_time_join(spark, sf_dir))
+    assert "HashJoin" in s
+    assert "NestedLoop" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_recursive_cte_runs_as_union_loop(spark, sf_dir):
+    """Spark 4 executes WITH RECURSIVE natively (UnionLoop operator); if
+    this ever silently falls back to something else, the bounded-depth
+    guarantee needs re-review."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        recursive_cte_reachability,
+    )
+
+    s = _plan(recursive_cte_reachability(spark, sf_dir))
+    assert "UnionLoop" in s
+
+
+def test_mmr_shortlist_is_heap_topk(spark, sf_dir):
+    """The MMR relevance shortlist must be TakeOrderedAndProject
+    (per-partition heaps), not a global-window rank: the input is
+    corpus-sized."""
+    from energy_emissions_lakehouse_spark.queries.retrieval import (
+        mmr_diversified_topk,
+    )
+
+    s = _plan(mmr_diversified_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
+    assert "Window" not in s
+
+
+def test_weighted_sample_window_is_partitioned(spark, sf_dir):
+    """The per-stratum top-K window must hash-partition on the stratum —
+    a single-partition window here would serialize the whole table."""
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        weighted_sample_parts,
+    )
+
+    s = _plan(weighted_sample_parts(spark, sf_dir))
+    assert "hashpartitioning(p_brand" in s
+
+
+def test_ewma_taps_share_one_window_pass(spark, sf_dir):
+    """All 16 EWMA lag taps (and their 16 presence twins) must compile
+    into ONE Window node over one sort — 32 separate window passes would
+    re-sort the grid 32 times."""
+    from energy_emissions_lakehouse_spark.queries.timeseries import (
+        events_hourly_ewma,
+    )
+
+    s = _plan(events_hourly_ewma(spark, sf_dir))
+    assert s.count("Window [") == 1
+
+
+def test_rolling_hll_sketch_path_scans_events_once(spark, sf_dir):
+    """The sketch branch must touch raw events exactly once (daily
+    sketches), with window widening done by sketch-merge fan-out. The
+    exact branch scans again by design (it exists to verify the sketch);
+    total event scans are therefore exactly 3 (sketch + days + user_days
+    distinct), never proportional to the window width."""
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        rolling_distinct_users_hll,
+    )
+
+    s = _plan(rolling_distinct_users_hll(spark, sf_dir))
+    assert "hll_union_agg" in s or "hll_union" in s
+    assert s.count("events.parquet") <= 3
