@@ -70,6 +70,7 @@ HEADLINE = [
     "customer_order_count_distribution",
     "part_value_concentration",
     "supplier_variety_by_part_class",
+    "abc_classification_parts",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",

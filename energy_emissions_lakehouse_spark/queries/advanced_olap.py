@@ -849,3 +849,99 @@ def customer_rfm_segments(spark, sf_dir) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ------------------------------------------------------ ABC classification
+
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+                                 * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    ),
+    ranked AS (
+      SELECT p_brand, l_partkey, cents,
+             CAST(SUM(cents) OVER (PARTITION BY p_brand
+                                   ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS run_cents,
+             CAST(SUM(cents) OVER (PARTITION BY p_brand) AS BIGINT)
+                 AS brand_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT p_brand, l_partkey, cents,
+             CASE WHEN run_cents * 10 <= brand_cents * 8 THEN 'A'
+                  WHEN run_cents * 20 <= brand_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT p_brand, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed
+    GROUP BY p_brand, abc_class
+    ORDER BY p_brand, abc_class
+    """,
+    survey="extension (OLAP): ABC (80/95 cumulative-share) inventory "
+    "classification — per-brand part revenue ranked by a PARTITIONED "
+    "running-sum window, class cut by exact integer cross-"
+    "multiplication (run*10 <= total*8), censused per class. The "
+    "Pareto-principle slicing every supply-chain mart ships; windows "
+    "stay per-brand so no global sort exists at any scale",
+)
+def abc_classification_parts(spark, sf_dir) -> DataFrame:
+    """Per-brand ABC census: class A = parts inside the first 80% of
+    cumulative revenue, B to 95%, C the tail. Integer cross-multiplied
+    thresholds — no float shares anywhere."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    run_w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(run_w).cast("long").alias("run_cents"),
+        F.sum("cents").over(tot_w).cast("long").alias("brand_cents"),
+    )
+    abc = (
+        F.when(F.col("run_cents") * 10 <= F.col("brand_cents") * 8, "A")
+        .when(F.col("run_cents") * 20 <= F.col("brand_cents") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("p_brand", "cents", abc.alias("abc_class"))
+        .groupBy("p_brand", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+        )
+        .orderBy("p_brand", "abc_class")
+    )

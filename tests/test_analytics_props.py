@@ -1,0 +1,169 @@
+"""Semantic invariants of the round-4 analytics additions (sampling,
+bootstrap, maintenance, graph, classification) beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_weighted_sample_draws_exactly_k_per_stratum(spark, sf_dir):
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        WSAMPLE_K,
+        weighted_sample_parts,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    draws = weighted_sample_parts(spark, sf_dir)
+    per_brand = draws.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.max("draw_rank").alias("maxr")
+    )
+    avail = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    bad = (
+        per_brand.join(avail, "p_brand")
+        .filter(
+            (F.col("n") != F.least(F.lit(WSAMPLE_K), F.col("n_parts")))
+            | (F.col("maxr") != F.col("n"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        poisson_bootstrap_ci_revenue,
+    )
+
+    row = poisson_bootstrap_ci_revenue(spark, sf_dir).collect()[0]
+    assert row.ci_lo <= row.ci_hi
+    assert bool(row.point_in_ci)
+    # the CI must be a non-degenerate interval around a plausible mean
+    assert row.ci_lo > 0
+    assert row.ci_hi < 2 * row.point_mean
+
+
+def test_ivm_merge_always_matches_full_rebuild(spark, sf_dir):
+    from energy_emissions_lakehouse_spark.queries.maintenance import (
+        incremental_agg_maintenance,
+    )
+
+    df = incremental_agg_maintenance(spark, sf_dir)
+    assert df.filter(~F.col("matches_full_rebuild")).count() == 0
+
+
+def test_snapshot_diff_localizes_all_divergence(spark, sf_dir):
+    """Every bucket containing a touched or dropped key must be reported;
+    buckets without divergence must not be."""
+    from energy_emissions_lakehouse_spark.queries.maintenance import (
+        DIFF_BUCKETS,
+        DIFF_DROP_MOD,
+        DIFF_TOUCH_MOD,
+        snapshot_diff_buckets,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    reported = {
+        r.bucket for r in snapshot_diff_buckets(spark, sf_dir).collect()
+    }
+    touched = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % DIFF_TOUCH_MOD == 0)
+            | (F.col("o_orderkey") % DIFF_DROP_MOD == 0)
+        )
+        .select((F.col("o_orderkey") % DIFF_BUCKETS).alias("bucket"))
+        .distinct()
+    )
+    expected = {r.bucket for r in touched.collect()}
+    assert reported == expected
+
+
+def test_fk_audit_flags_real_fks_and_rejects_control(spark, sf_dir):
+    from energy_emissions_lakehouse_spark.queries.maintenance import (
+        fk_containment_audit,
+    )
+
+    rows = {r.candidate: r for r in fk_containment_audit(spark, sf_dir).collect()}
+    assert rows["lineitem.l_orderkey->orders.o_orderkey"].is_fk_like
+    assert rows["orders.o_custkey->customer.c_custkey"].is_fk_like
+    assert not rows["orders.o_orderkey->customer.c_custkey"].is_fk_like
+
+
+def test_lpa_labels_are_members_of_their_community_graph(spark, sf_dir):
+    """Every surviving community label must itself be a node of the graph
+    (labels only ever propagate existing node ids)."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        TRI_MIN_COOC,
+        _copurchase_pairs,
+        _order_parts,
+        lpa_communities_copurchase,
+    )
+
+    comm = lpa_communities_copurchase(spark, sf_dir)
+    edges = _copurchase_pairs(_order_parts(spark, sf_dir)).filter(
+        F.col("cocnt") >= TRI_MIN_COOC
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .distinct()
+    )
+    orphan = comm.join(
+        nodes, comm.community == nodes.n, "left_anti"
+    ).count()
+    assert orphan == 0
+
+
+def test_bfs_depths_are_sound(spark, sf_dir):
+    """BFS sanity: the seed is at depth 0, and depths never exceed the
+    bound."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        BFS_MAX_DEPTH,
+        recursive_cte_reachability,
+    )
+
+    df = recursive_cte_reachability(spark, sf_dir).cache()
+    assert df.filter("min_depth = 0").count() == 1
+    assert df.filter(f"min_depth > {BFS_MAX_DEPTH}").count() == 0
+    df.unpersist()
+
+
+def test_abc_classes_partition_each_brand(spark, sf_dir):
+    """Per brand, the class census must cover every revenue-bearing part
+    exactly once, and class A can never out-count the full brand."""
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        abc_classification_parts,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    census = abc_classification_parts(spark, sf_dir)
+    per_brand = census.groupBy("p_brand").agg(
+        F.sum("n_parts").alias("n"), F.sum("class_cents").alias("cents")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    truth = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_partkey").alias("tn"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("long")
+            ).alias("tc"),
+        )
+    )
+    bad = (
+        per_brand.join(truth, "p_brand")
+        .filter((F.col("n") != F.col("tn")) | (F.col("cents") != F.col("tc")))
+        .count()
+    )
+    assert bad == 0
