@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_purchase_click_join",
     "stream_chained_window_rollup",
     "stream_ingest_neardup",
+    "stream_rolling_distinct_users",
     # custom operators
     "asof_last_purchase_per_click",
     "sessionize_partitionwise",
@@ -137,6 +138,7 @@ HEADLINE = [
     "customer_rfm_segments",
     # Spark 4 Python DataSource connector (100k generated rows)
     "pysource_synthetic_profile",
+    "pysource_writer_roundtrip",
     # corpus quality / safety passes
     "doc_gopher_quality_filter",
     "doc_contamination_overlap",

@@ -576,3 +576,65 @@ def zorder_layout_lineitem(spark, sf_dir) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@register(
+    "pysource_writer_roundtrip",
+    oracle="WITH "
+    + ORACLE_CTE.format(n_rows=50_000)
+    + """
+    SELECT region, source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(consumption_mwh * 10, 0) AS BIGINT)) AS BIGINT)
+               AS sum_deci_mwh
+    FROM synth
+    GROUP BY region, source
+    ORDER BY region, source
+    """,
+    survey="extension (sources, Spark 4 Python DataSource API — writer "
+    "side): df.write.format('eel_synthetic') drives a custom "
+    "DataSourceWriter through the task-commit protocol: each task "
+    "writes one uniquely-named JSONL file and returns a commit message; "
+    "driver-side commit() publishes a _MANIFEST of committed files "
+    "(readers trust only the manifest), abort() removes orphans — the "
+    "same attempt/commit contract as Spark's file sinks. The roundtrip "
+    "re-reads ONLY manifested files and must reproduce the generated "
+    "content exactly. Completes the connector story: the reader half is "
+    "pysource_synthetic_profile",
+    tags=("sources",),
+)
+def pysource_writer_roundtrip(spark, sf_dir) -> DataFrame:
+    """Generate 50k rows via the custom reader, write them through the
+    custom writer (JSONL + manifest commit), read the manifested files
+    back, and profile — written content must equal generated content."""
+    import json
+    import os
+    import shutil
+
+    from energy_emissions_lakehouse_spark.fsutil import staging_dir
+    from energy_emissions_lakehouse_spark.sources.pydatasource import (
+        SCHEMA,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    out = os.path.join(staging_dir("pysink"), "writer_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    synth = spark.read.format("eel_synthetic").option("n_rows", 50_000).load()
+    synth.write.format("eel_synthetic").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out, f) for f in manifest["files"]]
+    back = spark.read.schema(SCHEMA).json(files)
+    return (
+        back.groupBy("region", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("consumption_mwh") * 10, 0).cast("long"))
+            .cast("long")
+            .alias("sum_deci_mwh"),
+        )
+        .orderBy("region", "source")
+    )

@@ -506,3 +506,84 @@ def stream_trending_topk(spark, sf_dir) -> DataFrame:
         .select("window_start", "rnk", "event_type", "n_events")
         .orderBy("window_start", "rnk")
     )
+
+
+@register(
+    "stream_rolling_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day_ts FROM events
+    ),
+    user_days AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day_ts, user_id FROM events
+    ),
+    exact AS (
+      SELECT d.day_ts, COUNT(DISTINCT u.user_id) AS exact_users
+      FROM days d JOIN user_days u
+        ON u.day_ts BETWEEN d.day_ts - INTERVAL 6 DAY AND d.day_ts
+      GROUP BY d.day_ts
+    )
+    SELECT day_ts, exact_users, TRUE AS approx_within_8pct
+    FROM exact ORDER BY day_ts
+    """,
+    survey="extension (streaming + sketches): rolling 7-day distinct "
+    "users where the DAILY sketches are built by a watermarked streaming "
+    "window aggregate (state per window = one fixed-size HLL, evicted on "
+    "watermark passage; raw user ids never persist) and the trailing-"
+    "window union runs in the serving layer over the streamed sketch "
+    "table. The streaming twin of rolling_distinct_users_hll: the "
+    "lambda-architecture shape where stream state stays KB-bounded and "
+    "window widening is a batch-side sketch merge. Exact verdict "
+    "pinned within 8%",
+)
+def stream_rolling_distinct_users(spark, sf_dir) -> DataFrame:
+    """Streaming daily HLL sketches -> batch trailing-7-day sketch union,
+    verdict-checked against the exact recompute."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    # the flush sentinel (max ts + 2 days) advances the final watermark
+    # past the last real day — plain bounded replay withholds the trailing
+    # windows forever in append mode (observed: 28/30 days without it)
+    ev_stream = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    daily_sk = jobs.run_to_table(
+        jobs.daily_user_sketches(ev_stream), mode="append"
+    )
+    fan = daily_sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day_ts",
+        "sk",
+    ).select(
+        F.expr("day_ts + make_interval(0, 0, 0, off)").alias("win_end"),
+        "sk",
+    )
+    merged = fan.groupBy("win_end").agg(F.hll_union_agg("sk").alias("u"))
+
+    ev = t(spark, sf_dir, "events")
+    user_days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"), "user_id"
+    ).distinct()
+    days = user_days.select("day_ts").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            user_days.alias("u"),
+            (F.col("u.day_ts") <= F.col("d.day_ts"))
+            & (F.col("u.day_ts") >= F.col("d.day_ts") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy(F.col("d.day_ts").alias("day_ts"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(merged, exact.day_ts == merged.win_end)
+        .select(
+            "day_ts",
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("u") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.08))
+            ).alias("approx_within_8pct"),
+        )
+        .orderBy("day_ts")
+    )

@@ -1046,3 +1046,16 @@ def stream_ingest_neardup_pairs(
         .filter(F.col("sim") >= JACCARD_THRESHOLD)
     )
     return run_to_table(verified, mode="append")
+
+
+def daily_user_sketches(events: DataFrame) -> DataFrame:
+    """Watermarked daily tumbling windows aggregating an HLL sketch of the
+    user ids seen that day — the streaming half of the rolling-distinct
+    pattern: state per window is ONE fixed-size sketch, evicted when the
+    1-day watermark passes; raw user ids never persist in state."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.col("w.start").alias("day_ts"), "sk")
+    )

@@ -167,3 +167,23 @@ def test_abc_classes_partition_each_brand(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_daily_sketches_cover_every_day(spark, sf_dir):
+    """The flush sentinel must finalize the trailing daily windows — a
+    plain bounded replay withholds the last ~2 days' sketches (append-mode
+    watermark), which silently undercounts the rolling distinct."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.streaming import jobs
+    from energy_emissions_lakehouse_spark.tables import t
+
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    sk = jobs.run_to_table(jobs.daily_user_sketches(ev), mode="append")
+    n_days = (
+        t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sk.count() == n_days
