@@ -106,6 +106,7 @@ HEADLINE = [
     "embedding_neardup_adaptive",
     "semantic_dedup_prune",
     "embedding_kmeans_clusters",
+    "embedding_dim_profile",
     "pq_encode_stats",
     "pq_adc_topk",
     "pq_adc_rerank_topk",
@@ -145,6 +146,7 @@ HEADLINE = [
     "doc_repetition_profile",
     "doc_pii_redaction_stats",
     "doc_mixture_resample",
+    "doc_psi_drift",
     "corpus_data_card",
     # retrieval + LM scoring (inverted-index probe, perplexity-style filter)
     "bm25_keyword_topk",
@@ -159,8 +161,10 @@ HEADLINE = [
     "lpa_communities_copurchase",
     "recursive_cte_reachability",
     "poisson_bootstrap_ci_revenue",
+    "ab_test_proportions_ztest",
     "events_hourly_anomaly_zscore",
     "events_hourly_ewma",
+    "events_hourly_ohlc",
     "events_hourly_interpolate",
     "events_cusum_drift",
     "zorder_layout_lineitem",

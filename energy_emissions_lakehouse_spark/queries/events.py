@@ -959,3 +959,120 @@ def events_time_weighted_value(spark, sf_dir) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ab_test_proportions_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2
+                 AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 14
+    ),
+    cells AS (
+      SELECT a.arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN n_converted END) AS x0,
+             MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN n_converted END) AS x1
+      FROM cells
+    )
+    SELECT n0, x0, n1, x1,
+           ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+           ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+           ROUND((CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(x0 + x1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))), 6) AS zscore,
+           ABS((CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(x0 + x1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE)
+                         + 1.0 / CAST(n1 AS DOUBLE)))) > 1.96
+               AS significant_95
+    FROM wide
+    """,
+    survey="extension (experimentation): two-proportion z-test over a "
+    "hash-deterministic A/B user split (conversion = heavy purchaser, a "
+    "non-saturating definition at every SF) — pooled-variance z on exact "
+    "integer cell counts (one distinct-user pass + one semi-join-shaped "
+    "LEFT JOIN to converters), fixed IEEE expression tree both engines, "
+    "|z|>1.96 significance verdict. The experiment readout every "
+    "product-analytics stack computes; hash assignment makes the split "
+    "reproducible across engines and reruns. No reference analog",
+)
+def ab_test_proportions_ztest(spark, sf_dir) -> DataFrame:
+    """A/B conversion readout: md5-parity arms, purchase conversion,
+    pooled two-proportion z-score and 95% significance flag."""
+    ev = t(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    # "converted" = a heavy purchaser (>= 14 purchases): per-user purchase
+    # counts are scale-invariant in this data (~13 median at every SF), so
+    # the split stays near 50/50 instead of saturating at "everyone
+    # purchased at least once"
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("npur"))
+        .filter(F.col("npur") >= 14)
+        .select("user_id")
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("x1"),
+    )
+    n0d = F.col("n0").cast("double")
+    x0d = F.col("x0").cast("double")
+    n1d = F.col("n1").cast("double")
+    x1d = F.col("x1").cast("double")
+    pool = (x0d + x1d) / (n0d + n1d)
+    z = (x0d / n0d - x1d / n1d) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0d + F.lit(1.0) / n1d)
+    )
+    return wide.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(x0d / n0d, 6).alias("rate0"),
+        F.round(x1d / n1d, 6).alias("rate1"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

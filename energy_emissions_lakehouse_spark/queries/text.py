@@ -1750,3 +1750,97 @@ def corpus_data_card(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ PSI distribution drift
+
+#: PSI binning: fixed-width n_chars bins (width 100, capped at bin 9) —
+#: fixed bin edges are the production choice (quantile edges drift with
+#: the data and wreck comparability between snapshots).
+PSI_BIN_WIDTH = 100
+PSI_MAX_BIN = 9
+
+
+@register(
+    "doc_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(n_chars // {PSI_BIN_WIDTH}, {PSI_MAX_BIN}) AS bin,
+             doc_id % 2 AS snap
+      FROM documents
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(COUNT(CASE WHEN snap = 0 THEN 1 END) AS BIGINT) AS c1,
+             CAST(COUNT(CASE WHEN snap = 1 THEN 1 END) AS BIGINT) AS c2
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM counts
+    ),
+    contrib AS (
+      SELECT bin, c1, c2,
+             CAST(ROUND((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + k AS DOUBLE)
+                         - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + k AS DOUBLE))
+                        * LN((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + k AS DOUBLE))
+                             / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + k AS DOUBLE)))
+                        * 1000000000.0, 0) AS BIGINT) AS psi_nano
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, c1 AS v1_docs, c2 AS v2_docs, psi_nano
+    FROM contrib
+    ORDER BY bin
+    """,
+    survey="extension (model monitoring): PSI (population stability "
+    "index) drift between two corpus snapshots — fixed-width feature "
+    "bins, Laplace-smoothed shares, per-bin (p-q)*ln(p/q) contribution "
+    "nano-quantized (LN on exact rational inputs, the BM25 policy). One "
+    "conditional-count groupBy per snapshot pair — the distribution-"
+    "shift gate a training pipeline runs between corpus versions before "
+    "retraining. No reference analog",
+    tags=("text",),
+)
+def doc_psi_drift(spark, sf_dir) -> DataFrame:
+    """Per-bin PSI contributions between the even/odd doc_id snapshots.
+
+    Total PSI = sum(psi_nano)/1e9; per-bin rows localize WHICH feature
+    range drifted (the actionable part). Snapshots here are an in-plan
+    split so the query is self-contained; in production they are two
+    table versions."""
+    docs = t(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.least(
+            (F.col("n_chars") / PSI_BIN_WIDTH).cast("long"),
+            F.lit(PSI_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("snap") == 1, 1)).cast("long").alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("k")).cast(
+        "double"
+    )
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("k")).cast(
+        "double"
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("c1").alias("v1_docs"),
+            F.col("c2").alias("v2_docs"),
+            F.round((p - q) * F.log(p / q) * F.lit(1e9), 0)
+            .cast("long")
+            .alias("psi_nano"),
+        )
+        .orderBy("bin")
+    )

@@ -370,3 +370,59 @@ def events_cusum_drift(spark, sf_dir) -> DataFrame:
         .filter(F.col("peak_rank") <= CUSUM_TOPK)
         .orderBy("event_type", "peak_rank")
     )
+
+
+@register(
+    "events_hourly_ohlc",
+    oracle="""
+    WITH pricey AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    )
+    SELECT event_type, hour_ts,
+           MIN(struct_pack(es := es, eid := event_id, cents := cents)).cents
+               AS open_cents,
+           MAX(struct_pack(es := es, eid := event_id, cents := cents)).cents
+               AS close_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM pricey
+    GROUP BY event_type, hour_ts
+    ORDER BY event_type, hour_ts
+    """,
+    survey="extension (time series): hourly OHLC candles — open/close via "
+    "min/max over (time, id, value) structs (the argmin-as-aggregate "
+    "plan again: ONE map-side-combining groupBy, no window, no sort), "
+    "high/low/count alongside in the same pass. Tie-safe: the struct "
+    "ordering includes the unique event id. The financial-rollup shape "
+    "for any tick stream. No reference analog",
+    tags=("timeseries",),
+)
+def events_hourly_ohlc(spark, sf_dir) -> DataFrame:
+    """One aggregation pass computes the whole candle: first/last tick
+    value (struct-ordered argmin/argmax), high, low, tick count."""
+    ev = t(spark, sf_dir, "events")
+    pricey = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    )
+    tick = F.struct(
+        F.col("es"), F.col("event_id"), F.col("cents").alias("cents")
+    )
+    return (
+        pricey.groupBy("event_type", "hour_ts")
+        .agg(
+            F.min(tick).getField("cents").alias("open_cents"),
+            F.max(tick).getField("cents").alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

@@ -1021,3 +1021,69 @@ def ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
         iters=2,
         model=_pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2),
     )
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH comp AS (
+      SELECT i - 1 AS dim,
+             CAST(ROUND(embedding[i] * 1000, 0) AS BIGINT) AS milli
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    prof AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(milli) AS BIGINT) AS s,
+             CAST(SUM(milli * milli) AS BIGINT) AS s2,
+             CAST(MIN(milli) AS BIGINT) AS mn,
+             CAST(MAX(milli) AS BIGINT) AS mx
+      FROM comp GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n, mn AS min_milli, mx AS max_milli,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_milli,
+           ROUND(SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+               AS std_milli,
+           (mx = mn) AS is_dead_dim
+    FROM prof ORDER BY dim
+    """,
+    survey="extension (embedding QA): per-dimension embedding profile — "
+    "posexplode to (dim, milli-component), one map-side-combining groupBy "
+    "for n/sum/sumsq/min/max per dimension (64 groups at any corpus "
+    "size), mean/std from integer sums via a fixed IEEE tree, dead-"
+    "dimension flag (min == max). The vector-column health check a "
+    "training pipeline runs before ANN indexing or model ingest — "
+    "collapsed or constant dimensions silently break cosine geometry. "
+    "No reference analog",
+    tags=("vectors",),
+)
+def embedding_dim_profile(spark, sf_dir) -> DataFrame:
+    """Per-dimension stats over the embedding corpus: range, mean, std,
+    dead-dim flag. Output is dimension-count-sized regardless of corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(sim.as_double(F.col("embedding"))).alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x") * 1000, 0).cast("long").alias("milli"),
+    )
+    prof = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("milli").cast("long").alias("s"),
+        F.sum(F.col("milli") * F.col("milli")).cast("long").alias("s2"),
+        F.min("milli").alias("min_milli"),
+        F.max("milli").alias("max_milli"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    var = (F.col("s2").cast("double") - s_d * s_d / n_d) / n_d
+    return prof.select(
+        "dim",
+        "n",
+        "min_milli",
+        "max_milli",
+        F.round(s_d / n_d, 6).alias("mean_milli"),
+        F.round(F.sqrt(var), 6).alias("std_milli"),
+        (F.col("max_milli") == F.col("min_milli")).alias("is_dead_dim"),
+    ).orderBy("dim")
