@@ -113,6 +113,7 @@ HEADLINE = [
     "ivfpq_adc_topk",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
+    "media_phash_neardup",
     # structured streaming (availableNow run to completion)
     "stream_hourly_tumbling",
     "stream_stateful_user_stats",

@@ -171,3 +171,100 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+PHASH_BITS = 32
+PHASH_BANDS = 4  # 4 x 8-bit bands: pigeonhole-exact for hamming <= 3
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash32(media: DataFrame) -> DataFrame:
+    """Block-average perceptual hash (aHash) over the raw payload bytes:
+    the payload splits into 32 byte segments; bit i is set when segment
+    i's byte-sum strictly exceeds the per-segment mean. Small payload
+    edits perturb few segment sums, so near-duplicate payloads land at
+    small hamming distance — the image-dedup primitive (on decoded
+    pixels in production; on raw bytes here, same dataflow).
+
+    Arrow-batched mapInPandas; numpy bincount does the segment sums, no
+    per-byte Python."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    out.append((int(mid), 0))
+                    continue
+                seg = (np.arange(n, dtype=np.int64) * PHASH_BITS) // n
+                sums = np.bincount(
+                    seg, weights=b, minlength=PHASH_BITS
+                ).astype(np.int64)
+                total = int(sums.sum())
+                ph = 0
+                for i in range(PHASH_BITS):
+                    # integer cross-multiplication: sum_i > mean <=>
+                    # sum_i * 32 > total (exact, no float mean)
+                    if int(sums[i]) * PHASH_BITS > total:
+                        ph |= 1 << (PHASH_BITS - 1 - i)
+                out.append((int(mid), ph))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded equi-join on 8-bit phash bands + popcount
+    verify. With 4 bands, any pair at hamming <= 3 shares at least one
+    band (pigeonhole), so the banded candidate set is EXACT for the
+    threshold — the same argument as the SimHash tier, at image scale:
+    candidates come from bucket joins, never all-pairs."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(
+                            F.col("phash"), (PHASH_BANDS - 1 - j) * 8
+                        )
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.band"), F.col("b.val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("long")
+    return cands.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -60,3 +60,62 @@ def media_feature_extract(spark, sf_dir) -> DataFrame:
 def media_frame_sample(spark, sf_dir) -> DataFrame:
     media = mm.media_catalog(t(spark, sf_dir, "documents"))
     return mm.frame_sample(media)
+
+
+@register(
+    "media_phash_neardup",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    ),
+    bytes AS (
+      SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INT) + 1, 1)) AS bv
+      FROM lens, UNNEST(range(n)) AS u(i)
+    ),
+    segs AS (
+      SELECT doc_id, (i * {mm.PHASH_BITS}) // n AS s,
+             CAST(SUM(bv) AS BIGINT) AS ssum
+      FROM bytes GROUP BY doc_id, (i * {mm.PHASH_BITS}) // n
+    ),
+    tots AS (
+      SELECT doc_id, CAST(SUM(ssum) AS BIGINT) AS total FROM segs
+      GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT s.doc_id,
+             CAST(SUM(CASE WHEN s.ssum * {mm.PHASH_BITS} > t.total
+                           THEN 1::BIGINT << (({mm.PHASH_BITS} - 1 - s.s)::INT)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM segs s JOIN tots t USING (doc_id)
+      GROUP BY s.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    survey="extension (multimodal, dedup): perceptual-hash near-duplicate "
+    "detection over binary payloads — 32-bit block-average aHash computed "
+    "Arrow-batched (numpy bincount segment sums, integer cross-"
+    "multiplied bits), candidate pairs from 8-bit band equi-joins "
+    "(pigeonhole-EXACT for hamming <= 3 with 4 bands — proven by the "
+    "oracle being the brute-force all-pairs scan), popcount verify. The "
+    "image-dedup primitive of a multimodal training pipeline; in "
+    "production the same dataflow hashes decoded pixel blocks",
+    tags=("multimodal",),
+)
+def media_phash_neardup(spark, sf_dir) -> DataFrame:
+    """Near-dup media pairs at hamming <= 3 over the 32-bit block aHash.
+
+    Spark generates candidates via band buckets (never all-pairs); the
+    DuckDB oracle brute-forces every pair — result equality IS the
+    pigeonhole-exactness check."""
+    media = mm.media_catalog(
+        t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    hashes = mm.phash32(media)
+    return mm.phash_neardup_pairs(hashes, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
