@@ -579,8 +579,8 @@ def rolling_distinct_users_hll(spark, sf_dir) -> DataFrame:
 
 #: Bootstrap replicate count.
 BOOT_B = 32
-#: Poisson(1) inverse-CDF thresholds on the 48-bit uniform scale:
-#: k = #{thresholds below h48}, capped at len(thresholds).
+#: Poisson(1) inverse-CDF thresholds on the LCG's 2^31-1 uniform scale:
+#: k = #{thresholds below u}, capped at len(thresholds).
 import math as _math
 
 _POIS_CDF = []
@@ -588,28 +588,34 @@ _acc = 0.0
 for _k in range(6):
     _acc += _math.exp(-1.0) / _math.factorial(_k)
     _POIS_CDF.append(_acc)
-POIS_THRESH = tuple(int(c * 281474976710656.0) for c in _POIS_CDF)
+_LCG_M = 2147483647
+POIS_THRESH = tuple(int(c * _LCG_M) for c in _POIS_CDF)
+
+#: Two-step LCG uniform from the (row, replicate) key — the same
+#: overflow-safe integer generator the synthetic medallion source uses
+#: (medallion/generate.py): products stay < 2^62, so Spark (non-ANSI)
+#: and DuckDB both evaluate it exactly. An md5 per (row, replicate) was
+#: the first implementation and dominated the query at 4.8M hashes
+#: (14.4 s at sf0.1); the LCG is pure integer codegen (~1 s).
+_BOOT_U = (
+    f"((((o_orderkey * {BOOT_B} + b) * 1103515245 + 12345) % {_LCG_M})"
+    f" * 1103515245 + 12345) % {_LCG_M}"
+)
 
 
-def _pois_k_sql(h: str) -> str:
-    """Poisson(1) draw as a CASE ladder over the 48-bit hash."""
+def _pois_k_sql(u: str) -> str:
+    """Poisson(1) draw as a CASE ladder over the LCG uniform."""
     clauses = " ".join(
-        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POIS_THRESH)
+        f"WHEN ({u}) < {t} THEN {k}" for k, t in enumerate(POIS_THRESH)
     )
     return f"CASE {clauses} ELSE {len(POIS_THRESH)} END"
-
-
-_BOOT_H = (
-    "(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-    " CAST(b AS VARCHAR)), 1, 12))::BIGINT)"
-)
 
 
 @register(
     "poisson_bootstrap_ci_revenue",
     oracle=f"""
     WITH rows_w AS (
-      SELECT b, {_pois_k_sql(_BOOT_H)} AS k,
+      SELECT b, {_pois_k_sql(_BOOT_U)} AS k,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
       FROM orders
       CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b)
@@ -641,8 +647,9 @@ _BOOT_H = (
     """,
     survey="extension (statistics): Poisson bootstrap confidence interval "
     "for mean order value — the distributed bootstrap: per (row, "
-    "replicate) weight k ~ Poisson(1) drawn DETERMINISTICALLY from an "
-    "md5 48-bit uniform via an integer inverse-CDF ladder, so replicates "
+    "replicate) weight k ~ Poisson(1) drawn DETERMINISTICALLY from a "
+    "two-step integer LCG uniform via an inverse-CDF ladder (pure "
+    "codegen arithmetic — no per-row hashing), so replicates "
     "are reproducible across engines/layouts and no resampled copy of "
     "the data ever materializes (one scan, B weighted partial sums). "
     "Replicate means are exact-integer ratios; the 5/95 CI is exact "
@@ -662,24 +669,12 @@ def poisson_bootstrap_ci_revenue(spark, sf_dir) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
         "o_orderkey",
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
+    x = F.col("o_orderkey") * F.lit(BOOT_B) + F.col("b")
+    h1 = (x * F.lit(1103515245) + F.lit(12345)) % F.lit(_LCG_M)
+    u = (h1 * F.lit(1103515245) + F.lit(12345)) % F.lit(_LCG_M)
     k = F.lit(len(POIS_THRESH))
     for kk in range(len(POIS_THRESH) - 1, -1, -1):
-        k = F.when(h < POIS_THRESH[kk], F.lit(kk)).otherwise(k)
+        k = F.when(u < POIS_THRESH[kk], F.lit(kk)).otherwise(k)
     reps = (
         rows_w.select("b", (k * F.col("cents")).alias("wc"), k.alias("k"))
         .groupBy("b")
