@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_chained_window_rollup",
     "stream_ingest_neardup",
     "stream_rolling_distinct_users",
+    "stream_hourly_ohlc",
     # custom operators
     "asof_last_purchase_per_click",
     "sessionize_partitionwise",

@@ -587,3 +587,43 @@ def stream_rolling_distinct_users(spark, sf_dir) -> DataFrame:
         )
         .orderBy("day_ts")
     )
+
+
+@register(
+    "stream_hourly_ohlc",
+    oracle="""
+    WITH pricey AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    )
+    SELECT event_type, hour_ts,
+           MIN(struct_pack(es := es, eid := event_id, cents := cents)).cents
+               AS open_cents,
+           MAX(struct_pack(es := es, eid := event_id, cents := cents)).cents
+               AS close_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM pricey
+    GROUP BY event_type, hour_ts
+    ORDER BY event_type, hour_ts
+    """,
+    survey="extension (streaming + time series): hourly OHLC candles "
+    "computed IN the watermarked streaming window aggregate — per-window "
+    "state is one constant-size candle (struct argmin/argmax + extrema), "
+    "evicted on watermark passage; the flush sentinel closes the "
+    "trailing hour. Streaming twin of events_hourly_ohlc, value-equal "
+    "to the batch oracle — the tick-rollup pipeline shape",
+)
+def stream_hourly_ohlc(spark, sf_dir) -> DataFrame:
+    """Streaming candle build, append mode + flush sentinel; result must
+    equal the batch OHLC rollup exactly."""
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    out = jobs.run_to_table(jobs.hourly_ohlc(ev), mode="append")
+    from pyspark.sql import functions as F
+
+    return out.filter(F.col("event_type") != "__flush__").orderBy(
+        "event_type", "hour_ts"
+    )

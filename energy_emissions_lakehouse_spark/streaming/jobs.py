@@ -1059,3 +1059,40 @@ def daily_user_sketches(events: DataFrame) -> DataFrame:
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         .select(F.col("w.start").alias("day_ts"), "sk")
     )
+
+
+def hourly_ohlc(events: DataFrame) -> DataFrame:
+    """Watermarked hourly OHLC candles: open/close as min/max over
+    (time, id, value) structs INSIDE the streaming window aggregate —
+    the same single-pass argmin/argmax shape as the batch query, with
+    per-window state = one candle struct (constant size per key)."""
+    pricey = events.select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    )
+    tick = F.struct(
+        F.col("es"), F.col("event_id"), F.col("cents").alias("cents")
+    )
+    return (
+        pricey.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(tick).getField("cents").alias("open_cents"),
+            F.max(tick).getField("cents").alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("hour_ts"),
+            "open_cents",
+            "close_cents",
+            "high_cents",
+            "low_cents",
+            "n_ticks",
+        )
+    )

@@ -636,3 +636,39 @@ def test_rolling_hll_sketch_path_scans_events_once(spark, sf_dir):
     s = _plan(rolling_distinct_users_hll(spark, sf_dir))
     assert "hll_union_agg" in s or "hll_union" in s
     assert s.count("events.parquet") <= 3
+
+
+def test_ohlc_is_one_aggregation_pass(spark, sf_dir):
+    """The whole candle (open/close argmin-argmax + high/low/count) must
+    come from ONE groupBy — no window, no sort, no self-join."""
+    from energy_emissions_lakehouse_spark.queries.timeseries import (
+        events_hourly_ohlc,
+    )
+
+    s = _plan(events_hourly_ohlc(spark, sf_dir))
+    assert "Window" not in s
+    assert "Join" not in s
+
+
+def test_phash_candidates_come_from_band_equi_join(spark, sf_dir):
+    """Perceptual-hash near-dup candidates must be generated by the band
+    equi-join — never a cartesian/NLJ pair enumeration."""
+    from energy_emissions_lakehouse_spark.queries.multimodal import (
+        media_phash_neardup,
+    )
+
+    s = _plan(media_phash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bootstrap_has_no_hash_expressions(spark, sf_dir):
+    """The bootstrap's replicate weights must come from the LCG (integer
+    codegen); an md5/conv in this plan means the 14s-per-run hashing
+    regression came back."""
+    from energy_emissions_lakehouse_spark.queries.advanced_olap import (
+        poisson_bootstrap_ci_revenue,
+    )
+
+    s = _plan(poisson_bootstrap_ci_revenue(spark, sf_dir))
+    assert "md5" not in s.lower()
