@@ -71,6 +71,7 @@ HEADLINE = [
     "part_value_concentration",
     "supplier_variety_by_part_class",
     "abc_classification_parts",
+    "sampled_revenue_estimate",
     # medallion pipeline (generator -> silver -> gold -> analysis)
     "medallion_gold_carbon_intensity",
     "medallion_analysis_q3",
@@ -173,6 +174,7 @@ HEADLINE = [
     # stream-stream outer joins
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",
+    "stream_purchase_click_semi_join",
     # event-time-timeout stateful sessionization: fine-grained per-user
     # state (the semantics demonstrator, ~1 ms/group Python floor) vs the
     # coarsened-bucket production shape — both in the bench so the

@@ -940,3 +940,80 @@ def abc_classification_parts(spark, sf_dir) -> DataFrame:
         )
         .orderBy("p_brand", "abc_class")
     )
+
+
+# ----------------------------------------------- sampled estimate (AQP)
+
+#: Deterministic sample rate in permille for the AQP estimate. 200 (20%)
+#: keeps the within-10%% verdict >= 3 sigma from flipping even at the
+#: smallest test SF (~1.5k orders -> ~300 sampled, rel. err ~3%%); a 5%%
+#: rate was ~1.7 sigma there — a flaky hard gate.
+AQP_PERMILLE = 200
+
+
+@register(
+    "sampled_revenue_estimate",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                 % 1000 < {AQP_PERMILLE} AS in_sample
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(cents) AS BIGINT) AS exact_cents,
+             CAST(COUNT(CASE WHEN in_sample THEN 1 END) AS BIGINT)
+                 AS n_sampled,
+             CAST(SUM(CASE WHEN in_sample THEN cents END) AS BIGINT)
+                 AS sample_cents
+      FROM tagged
+    )
+    SELECT n_total, n_sampled, exact_cents,
+           CAST(sample_cents * 1000 // {AQP_PERMILLE} AS BIGINT)
+               AS estimated_cents,
+           ABS(CAST(sample_cents * 1000 // {AQP_PERMILLE} AS DOUBLE)
+               - CAST(exact_cents AS DOUBLE))
+             <= CAST(exact_cents AS DOUBLE) * 0.10 AS within_10pct
+    FROM agg
+    """,
+    survey="extension (approximate query processing): sampled SUM "
+    "estimate — a deterministic 20% hash sample scaled by the inverse "
+    "rate, with the exact total computed alongside and the relative "
+    "error pinned within 10% as a hard verdict. The AQP trade every "
+    "interactive 100 TB dashboard makes: the sampled scan reads a fixed "
+    "fraction of "
+    "the data for a statistically-controlled estimate; hash selection "
+    "keeps the sample identical across engines, layouts, and reruns",
+)
+def sampled_revenue_estimate(spark, sf_dir) -> DataFrame:
+    """Total-revenue estimate from a 20% deterministic sample vs the exact
+    total, with a within-10% verdict. In production the exact branch is
+    absent — it exists here as the oracle's measuring stick."""
+    orders = t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    tagged = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        ((h % 1000) < AQP_PERMILLE).alias("in_sample"),
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("cents").cast("long").alias("exact_cents"),
+        F.count(F.when(F.col("in_sample"), 1)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")))
+        .cast("long")
+        .alias("sample_cents"),
+    )
+    est = F.expr(f"CAST(sample_cents * 1000 div {AQP_PERMILLE} AS BIGINT)")
+    return agg.select(
+        "n_total",
+        "n_sampled",
+        "exact_cents",
+        est.alias("estimated_cents"),
+        (
+            F.abs(est.cast("double") - F.col("exact_cents").cast("double"))
+            <= F.col("exact_cents").cast("double") * F.lit(0.10)
+        ).alias("within_10pct"),
+    )

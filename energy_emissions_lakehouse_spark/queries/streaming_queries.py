@@ -627,3 +627,31 @@ def stream_hourly_ohlc(spark, sf_dir) -> DataFrame:
     return out.filter(F.col("event_type") != "__flush__").orderBy(
         "event_type", "hour_ts"
     )
+
+
+@register(
+    "stream_purchase_click_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           DATE_TRUNC('second', p.ts) AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND p.ts >= c.ts
+          AND p.ts < c.ts + INTERVAL 1 HOUR
+      )
+    """,
+    survey="extension (streaming): stream-stream LEFT SEMI interval join "
+    "— purchases with at least one same-user click in the trailing hour, "
+    "emitted exactly once with no right-side columns (the EXISTS shape "
+    "as a stream). Completes the streaming join-mode matrix "
+    "(inner/left/full/semi); same two-sided time bound drives state "
+    "eviction. Result equals the batch EXISTS oracle",
+)
+def stream_purchase_click_semi_join(spark, sf_dir) -> DataFrame:
+    ev = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_to_table(jobs.purchase_click_semi_join(ev), mode="append")

@@ -1096,3 +1096,38 @@ def hourly_ohlc(events: DataFrame) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+def purchase_click_semi_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: purchases that had a click
+    from the same user in the preceding hour — emitted once, no click
+    columns. Semi completes the join-mode matrix (inner/left/full/semi);
+    state eviction follows the same two-sided time bound."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts < clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return purchases.join(clicks, cond, "left_semi").select(
+        "purchase_id",
+        "user_id",
+        F.date_trunc("second", F.col("purchase_ts")).alias("purchase_ts"),
+    )
