@@ -115,6 +115,7 @@ HEADLINE = [
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     "media_phash_neardup",
+    "media_feature_extract_arrow",
     # structured streaming (availableNow run to completion)
     "stream_hourly_tumbling",
     "stream_stateful_user_stats",

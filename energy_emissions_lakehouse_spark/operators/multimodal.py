@@ -268,3 +268,48 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cands.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """`mapInArrow` twin of extract_features: the batches arrive and leave
+    as pyarrow RecordBatches with NO pandas conversion in between — the
+    zero-copy path for binary-heavy columns (a pandas round-trip copies
+    every payload into Python objects; Arrow keeps them as buffers).
+    Same output contract as extract_features, pinned equal in tests."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            payloads = rb.column(rb.schema.get_field_index("payload"))
+            meta = rb.column(rb.schema.get_field_index("meta"))
+            fps = pa.array(
+                [_fingerprint(p) for p in payloads.to_pylist()],
+                type=pa.int64(),
+            )
+            n_bytes = pa.compute.binary_length(payloads).cast(pa.int64())
+            thumb_w = pa.compute.min_element_wise(
+                meta.field("declared_w"), pa.scalar(THUMB_MAX, pa.int32())
+            )
+            thumb_h = pa.compute.min_element_wise(
+                meta.field("declared_h"), pa.scalar(THUMB_MAX, pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("media_id")),
+                    rb.column(rb.schema.get_field_index("media_type")),
+                    n_bytes,
+                    fps,
+                    thumb_w,
+                    thumb_h,
+                ],
+                names=[
+                    "media_id",
+                    "media_type",
+                    "n_bytes",
+                    "fingerprint",
+                    "thumb_w",
+                    "thumb_h",
+                ],
+            )
+
+    return media.mapInArrow(batches, schema=FEATURE_SCHEMA)

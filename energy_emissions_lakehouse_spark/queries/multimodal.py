@@ -119,3 +119,29 @@ def media_phash_neardup(spark, sf_dir) -> DataFrame:
     return mm.phash_neardup_pairs(hashes, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "media_feature_extract_arrow",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_MTYPE} AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           {_FPRINT} AS fingerprint,
+           CAST(LEAST(16 + (doc_id % 5) * 8, {mm.THUMB_MAX}) AS INT) AS thumb_w,
+           CAST(LEAST(16 + (doc_id % 7) * 8, {mm.THUMB_MAX}) AS INT) AS thumb_h
+    FROM documents
+    """,
+    survey="extension (multimodal, Spark 4 Arrow surface): mapInArrow "
+    "feature extraction — identical semantics to media_feature_extract "
+    "but batches stay pyarrow RecordBatches end-to-end (no pandas "
+    "conversion: binary payloads remain Arrow buffers instead of being "
+    "copied into Python bytes objects per row). Completes the Python "
+    "execution-surface tier: mapInPandas / applyInPandas / cogroup / "
+    "applyInPandasWithState / UDTF / DataSource reader+writer / "
+    "mapInArrow",
+    tags=("multimodal",),
+)
+def media_feature_extract_arrow(spark, sf_dir) -> DataFrame:
+    media = mm.media_catalog(t(spark, sf_dir, "documents"))
+    return mm.extract_features_arrow(media)

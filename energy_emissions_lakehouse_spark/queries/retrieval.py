@@ -448,7 +448,7 @@ def _bpe_trained(spark, sf_dir) -> tuple[list, DataFrame]:
         F.array_join(
             F.regexp_extract_all(F.col("term"), F.lit("."), 0), "|"
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, BPE_MERGES + 1):
         arr = F.split(F.col("s"), r"\|")
@@ -478,7 +478,13 @@ def _bpe_trained(spark, sf_dir) -> tuple[list, DataFrame]:
                 F.concat(acc, x),
             ).otherwise(F.concat(acc, F.lit("|"), x)),
         )
-        sym = sym.select("term", "wc", folded.alias("s"))
+        # checkpoint each round's fold: the vocab is tiny, but WITHOUT
+        # this, round k's argmax collect replays rounds 1..k-1's folds
+        # from scratch (quadratic lineage — bpe_train measured 4-7 s at
+        # sf0.1; linear after)
+        sym = sym.select("term", "wc", folded.alias("s")).localCheckpoint(
+            eager=True
+        )
     return merges, sym
 
 

@@ -44,3 +44,16 @@ def test_extract_features_is_deterministic_bytes_path(spark, sf_dir):
     for r in feats:
         assert r.thumb_w <= mm.THUMB_MAX and r.thumb_h <= mm.THUMB_MAX
         assert r.n_bytes > 0 and r.fingerprint > 0
+
+
+def test_arrow_and_pandas_feature_paths_agree(spark, sf_dir):
+    """mapInArrow and mapInPandas implementations of feature extraction
+    must be row-identical — same operator, two Python execution paths."""
+    from energy_emissions_lakehouse_spark.operators import multimodal as mm
+    from energy_emissions_lakehouse_spark.tables import t
+
+    media = mm.media_catalog(t(spark, sf_dir, "documents"))
+    a = mm.extract_features(media)
+    b = mm.extract_features_arrow(media)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
