@@ -125,6 +125,7 @@ HEADLINE = [
     "stream_ingest_neardup",
     "stream_rolling_distinct_users",
     "stream_hourly_ohlc",
+    "stream_cusum_drift",
     # custom operators
     "asof_last_purchase_per_click",
     "sessionize_partitionwise",

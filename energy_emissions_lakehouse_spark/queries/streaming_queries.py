@@ -655,3 +655,98 @@ def stream_hourly_ohlc(spark, sf_dir) -> DataFrame:
 def stream_purchase_click_semi_join(spark, sf_dir) -> DataFrame:
     ev = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_to_table(jobs.purchase_click_semi_join(ev), mode="append")
+
+
+@register(
+    "stream_cusum_drift",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ),
+    params AS (
+      SELECT event_type, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS target
+      FROM hourly GROUP BY event_type
+    ),
+    seq AS (
+      SELECT h.event_type, h.hour_ts, h.cents, p.target,
+             p.target // 8 AS slack,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                ORDER BY h.hour_ts) AS rn
+      FROM hourly h JOIN params p USING (event_type)
+    ),
+    rec AS (
+      SELECT event_type, hour_ts, cents, target, slack, rn,
+             GREATEST(CAST(0 AS BIGINT), cents - target - slack) AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.hour_ts, q.cents, q.target, q.slack, q.rn,
+             GREATEST(CAST(0 AS BIGINT), r.s + q.cents - q.target - q.slack)
+                 AS s
+      FROM seq q JOIN rec r
+        ON r.event_type = q.event_type AND q.rn = r.rn + 1
+    )
+    SELECT event_type, hour_ts, cents, s AS cusum
+    FROM rec ORDER BY event_type, hour_ts
+    """,
+    survey="extension (streaming, chained custom state): CUSUM drift "
+    "detection as a STREAM — watermarked hourly rollup (stateful window "
+    "op) feeds a stream-static join against batch-computed control "
+    "parameters (target/slack per key), then applyInPandasWithState "
+    "folds the s = max(0, s + x - target - slack) recursion across "
+    "micro-batches (the scalar accumulator is the ONLY custom state; "
+    "hour windows finalize in event-time order, so per-batch hour-"
+    "sorted folding over the carried s reproduces the sequential "
+    "recursion exactly). The two stages hop through a parquet file sink "
+    "(applyInPandasWithState cannot consume an in-query streaming "
+    "aggregate — the storage hop IS the production pipeline shape). "
+    "Streaming twin of events_cusum_drift; full series value-equal to "
+    "the recursive-CTE oracle",
+)
+def stream_cusum_drift(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.tables import t
+
+    ev_batch = t(spark, sf_dir, "events")
+    hourly_batch = ev_batch.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    targets = hourly_batch.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("target")
+    ).select(
+        "event_type",
+        "target",
+        F.expr("CAST(target div 8 AS BIGINT)").alias("slack"),
+    )
+    import os
+    import shutil
+
+    from energy_emissions_lakehouse_spark.fsutil import staging_dir
+
+    # stage 1: watermarked hourly rollup -> parquet file sink (the
+    # storage hop; one flush sentinel closes the trailing hour)
+    hop = os.path.join(staging_dir("cusum_hop"), "hourly")
+    shutil.rmtree(hop, ignore_errors=True)
+    shutil.rmtree(hop + ".ckpt", ignore_errors=True)
+    ev = jobs.read_events_stream_with_flush(spark, sf_dir, n_sentinels=1)
+    jobs.run_aggregate_to_dir(jobs.hourly_cents_by_type(ev), hop)
+
+    # stage 2: stream the finalized hourly rows into the stateful fold
+    hourly_stream = spark.readStream.schema(
+        "event_type string, hour_ts timestamp, cents long"
+    ).parquet(hop)
+    out = jobs.run_to_table(
+        jobs.cusum_fold(hourly_stream, targets),
+        mode="update",
+        state_partitions=16,
+    )
+    return out.filter(F.col("event_type") != "__flush__").orderBy(
+        "event_type", "hour_ts"
+    )

@@ -1131,3 +1131,103 @@ def purchase_click_semi_join(events: DataFrame) -> DataFrame:
         "user_id",
         F.date_trunc("second", F.col("purchase_ts")).alias("purchase_ts"),
     )
+
+
+def hourly_cents_by_type(events: DataFrame) -> DataFrame:
+    """Watermarked hourly value-cents rollup per event type (stateful
+    window op #1 of the streaming-CUSUM chain)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "event_type", F.col("w.start").alias("hour_ts"), "cents"
+        )
+    )
+
+
+def run_aggregate_to_dir(
+    stream: DataFrame, out_dir: str, state_partitions: int = 8
+) -> None:
+    """Run a watermarked streaming aggregate to a parquet FILE sink
+    (availableNow, append mode) — the storage hop between two streaming
+    stages. applyInPandasWithState cannot consume an in-query streaming
+    aggregate (Spark restriction); the production pipeline shape is
+    stage-1 -> files/Kafka -> stage-2, and this helper is that hop."""
+    import os
+    import uuid as _uuid
+
+    # same state-store pinning as run_to_table: the store count freezes
+    # from this conf at query start; a driver-default 200 costs ~25 s of
+    # per-batch store open/commit on a bounded replay
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = os.path.join(out_dir + ".ckpt", _uuid.uuid4().hex[:8])
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+
+def cusum_fold(hourly: DataFrame, targets: DataFrame) -> DataFrame:
+    """Stage-2 stateful op: per-key CUSUM recursion s = max(0, s + x -
+    target - slack) folded across micro-batches in explicit GroupState.
+
+    ``hourly`` is a plain (non-aggregated) stream of finalized hourly
+    rows (the stage-1 file sink); ``targets`` is a STATIC frame
+    (event_type, target, slack) — the stream-static join attaches the
+    control parameters statelessly; only the scalar CUSUM accumulator
+    lives in state. Finalized hours arrive in event-time order (the
+    stage-1 watermark is monotone), so folding each batch's rows
+    hour-sorted on top of the carried s reproduces the sequential
+    recursion exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import TimestampType
+
+    joined = hourly.join(F.broadcast(targets), "event_type")
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("hour_ts", TimestampType()),
+            StructField("cents", LongType()),
+            StructField("cusum", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        (s,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("hour_ts").reset_index(drop=True)
+        out = []
+        for _, row in pdf.iterrows():
+            s = max(0, s + int(row.cents) - int(row.target) - int(row.slack))
+            out.append((key[0], row.hour_ts, int(row.cents), s))
+        state.update((s,))
+        yield pd.DataFrame(
+            out, columns=["event_type", "hour_ts", "cents", "cusum"]
+        )
+
+    return joined.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
