@@ -132,6 +132,7 @@ HEADLINE = [
     "salted_join_revenue",
     # file-format roundtrips
     "csv_roundtrip_silver_energy",
+    "csv_corrupt_record_audit",
     "schema_evolution_merge_read",
     # warehouse paths
     "jdbc_star_roundtrip_q2",

@@ -638,3 +638,79 @@ def pysource_writer_roundtrip(spark, sf_dir) -> DataFrame:
         )
         .orderBy("region", "source")
     )
+
+
+#: Every CORRUPT_MOD-th orders key becomes an unparseable CSV line.
+CORRUPT_MOD = 50
+
+
+@register(
+    "csv_corrupt_record_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % {CORRUPT_MOD} != 0 THEN 1 END)
+                AS BIGINT) AS n_parsed,
+           CAST(COUNT(CASE WHEN o_orderkey % {CORRUPT_MOD} = 0 THEN 1 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % {CORRUPT_MOD} != 0
+                         THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    END) AS BIGINT) AS parsed_cents
+    FROM orders
+    """,
+    survey="extension (sources, robustness): CSV malformed-row handling — "
+    "a deterministically-dirtied CSV (every 50th row unparseable) read "
+    "in PERMISSIVE mode with columnNameOfCorruptRecord: parsed rows "
+    "aggregate normally, corrupt rows are counted from the quarantine "
+    "column (the dead-letter pattern), and the audit totals must equal "
+    "the clean-source oracle. DROPMALFORMED/FAILFAST semantics for the "
+    "same file are pinned in pytest. Completes the dirty-ingest story "
+    "the reference only covers for 'N/A' cells (bronze_to_silver.py)",
+    tags=("sources",),
+)
+def csv_corrupt_record_audit(spark, sf_dir) -> DataFrame:
+    """PERMISSIVE read of a corrupt-line CSV: (n_parsed, n_corrupt,
+    parsed_cents). The corrupt lines fail the BIGINT parse of the first
+    column, land whole in the _corrupt_record column, and leave the
+    typed columns null — nothing is silently dropped."""
+    from energy_emissions_lakehouse_spark.tables import t
+
+    orders = t(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % CORRUPT_MOD == 0,
+        F.concat(F.lit("X"), F.col("o_orderkey").cast("string"),
+                 F.lit(",not_a_number,corrupt")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    path = os.path.join(_IO_ROOT, "orders_corrupt_csv")
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "o_orderkey bigint, cents bigint, status string, "
+        "_corrupt_record string"
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # cache before splitting on _corrupt_record: Spark's CSV reader
+    # re-parses per column subset otherwise, and the corrupt column is
+    # only populated when referenced together with the parsed ones
+    read = read.cache()
+    return read.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_parsed"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("cents")))
+        .cast("long")
+        .alias("parsed_cents"),
+    )

@@ -187,3 +187,35 @@ def test_stream_daily_sketches_cover_every_day(spark, sf_dir):
         .count()
     )
     assert sk.count() == n_days
+
+
+def test_csv_malformed_modes(spark, sf_dir):
+    """The three CSV parse modes over the SAME dirtied file: PERMISSIVE
+    quarantines (pinned by the registered audit query), DROPMALFORMED
+    silently keeps only clean rows, FAILFAST refuses the file."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.queries.sources import (
+        _IO_ROOT,
+        csv_corrupt_record_audit,
+    )
+
+    audit = csv_corrupt_record_audit(spark, sf_dir).collect()[0]
+    assert audit.n_corrupt > 0
+    path = os.path.join(_IO_ROOT, "orders_corrupt_csv")
+    schema = "o_orderkey bigint, cents bigint, status string"
+    dropped = (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+    )
+    # malformed-row detection only happens for the columns actually
+    # parsed: both a bare count() (CSV count pushdown parses nothing)
+    # and a single-column aggregate (pruned parse sees a convertible
+    # subset) report 1500 — materialize EVERY schema column to get the
+    # dropping behavior the mode promises
+    assert len(dropped.collect()) == audit.n_parsed
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        # same pruning caveat: collect() so every column really parses
+        spark.read.schema(schema).option("mode", "FAILFAST").csv(path).collect()
