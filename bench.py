@@ -41,6 +41,7 @@ HEADLINE = [
     "correlated_above_nation_avg",
     "window_analytic_functions",
     "top100_orders_global",
+    "keyset_pagination_orders",
     "most_common_type_per_brand",
     "latest_order_per_customer",
     "try_arithmetic_profile",
@@ -165,6 +166,7 @@ HEADLINE = [
     # graph / time-series / layout tier
     "pagerank_nation_trade",
     "lpa_communities_copurchase",
+    "kcore_copurchase",
     "recursive_cte_reachability",
     "poisson_bootstrap_ci_revenue",
     "ab_test_proportions_ztest",

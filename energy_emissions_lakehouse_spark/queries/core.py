@@ -2830,3 +2830,73 @@ def merge_full_sync_customer_dim(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("_change_type", "c_mktsegment")
     )
+
+
+#: Keyset-pagination geometry: page size and the last key of "page 2"
+#: (deterministic: derived from the sorted order at any SF by taking the
+#: boundary via a subquery, so the query text is self-contained).
+PAGE_SIZE = 25
+
+
+@register(
+    "keyset_pagination_orders",
+    oracle=f"""
+    WITH boundary AS (
+      SELECT o_orderdate AS b_date, o_orderkey AS b_key
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET {2 * PAGE_SIZE - 1}
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(CAST(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                      AS DOUBLE) / 100.0, 2) AS total_price
+    FROM orders o CROSS JOIN boundary
+    WHERE (o.o_orderdate, o.o_orderkey) > (b_date, b_key)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT {PAGE_SIZE}
+    """,
+    survey="extension (serving): keyset (seek) pagination — page 3 of the "
+    "date-ordered orders fetched by a composite-key range predicate + "
+    "top-K, NOT by OFFSET: the predicate pushes into the scan and the "
+    "LIMIT runs as per-partition heaps (TakeOrderedAndProject), so page "
+    "N costs the same as page 1. OFFSET pagination at 100 TB scans and "
+    "sorts everything before the page — the classic API-serving trap. "
+    "The boundary row is resolved in-plan so the query is "
+    "self-contained; a real API passes it as the page token",
+)
+def keyset_pagination_orders(spark, sf_dir) -> DataFrame:
+    """Page 3 (rows 51-75) of orders ordered by (date, key), fetched via
+    the keyset predicate (date, key) > (boundary) instead of OFFSET 50."""
+    orders = t(spark, sf_dir, "orders")
+    boundary = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(2 * PAGE_SIZE)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("b_date"),
+            F.col("o_orderkey").alias("b_key"),
+        )
+    )
+    page = (
+        orders.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("o_orderdate") > F.col("b_date"))
+            | (
+                (F.col("o_orderdate") == F.col("b_date"))
+                & (F.col("o_orderkey") > F.col("b_key"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )
+    return page.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.round(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("total_price"),
+    )

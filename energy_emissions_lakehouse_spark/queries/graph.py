@@ -538,3 +538,99 @@ def recursive_cte_reachability(spark, sf_dir) -> DataFrame:
         ORDER BY min_depth, node
         """
     )
+
+
+# --- k-core decomposition (bounded peeling) -------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f"""
+    deg{i} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT s AS node FROM e{i - 1}
+            UNION ALL SELECT d FROM e{i - 1})
+      GROUP BY node
+    ),
+    keep{i} AS (SELECT node FROM deg{i} WHERE d >= {KCORE_K}),
+    e{i} AS (
+      SELECT e.s, e.d FROM e{i - 1} e
+      JOIN keep{i} a ON a.node = e.s
+      JOIN keep{i} b ON b.node = e.d
+    )"""
+
+
+@register(
+    "kcore_copurchase",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    e0 AS (SELECT pa AS s, pb AS d FROM pairs WHERE cocnt >= {TRI_MIN_COOC}),
+    {','.join(_kcore_round_sql(i) for i in range(1, KCORE_ROUNDS + 1))},
+    final_deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM e{KCORE_ROUNDS}
+            UNION ALL SELECT d FROM e{KCORE_ROUNDS})
+      GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM final_deg
+    GROUP BY degree
+    ORDER BY degree
+    """,
+    survey="extension (graph): k-core decomposition by bounded iterative "
+    "peeling — each round drops nodes of degree < k and the edges they "
+    "carry (one degree groupBy + two semi-join-shaped filters per "
+    "round), identical unrolled rounds in the oracle. The dense-"
+    "subgraph extraction pass (spam/fraud rings, community cores); "
+    "per-round state is the shrinking edge list, never anything "
+    "quadratic. Fourth iterative-graph op",
+    tags=("graph",),
+)
+def kcore_copurchase(spark, sf_dir) -> DataFrame:
+    """Degree census of the subgraph surviving 3 rounds of k=2 peeling
+    over the co-purchase graph (undirected edges counted once per
+    direction endpoint)."""
+    op = _order_parts(spark, sf_dir)
+    edges = (
+        _copurchase_pairs(op)
+        .filter(F.col("cocnt") >= TRI_MIN_COOC)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("s").alias("node"))
+            .unionAll(e.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
+        # checkpoint the shrinking edge list per round: the peeling DAG
+        # otherwise stacks 3 shuffles per round into one 9-shuffle plan
+        # whose every stage inherits the session's shuffle-partition
+        # count (10.6 s under the driver's 200-partition default; ~3 s
+        # checkpointed)
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        final_deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("degree")
+    )
