@@ -219,3 +219,40 @@ def test_csv_malformed_modes(spark, sf_dir):
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         # same pruning caveat: collect() so every column really parses
         spark.read.schema(schema).option("mode", "FAILFAST").csv(path).collect()
+
+
+def test_kcore_survivors_meet_the_degree_floor(spark, sf_dir):
+    """Every degree in the peeled subgraph's census must be >= k — the
+    defining k-core property after the bounded peeling rounds."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        KCORE_K,
+        kcore_copurchase,
+    )
+
+    census = kcore_copurchase(spark, sf_dir)
+    assert census.filter(f"degree < {KCORE_K}").count() == 0
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """The keyset-predicate page must be row-identical to the OFFSET
+    formulation it replaces (same order, same page window)."""
+    from pyspark.sql import functions as F
+
+    from energy_emissions_lakehouse_spark.queries.core import (
+        PAGE_SIZE,
+        keyset_pagination_orders,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    keyset = keyset_pagination_orders(spark, sf_dir)
+    offset_page = (
+        t(spark, sf_dir, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(3 * PAGE_SIZE)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(PAGE_SIZE)
+        .select("o_orderkey")
+    )
+    assert {r.o_orderkey for r in keyset.collect()} == {
+        r.o_orderkey for r in offset_page.collect()
+    }
