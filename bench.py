@@ -299,6 +299,19 @@ def main() -> None:
                                  fresh=True),
     )
 
+    # The co-purchase pair list is the second staged index (round-4
+    # advice): five graph queries (triangle / LPA / k-core / lift / BFS)
+    # share it instead of each replaying the basket self-join.  Cold
+    # rebuild here so its build cost stays visible per round.
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        _staged_copurchase_pairs,
+    )
+
+    staged(
+        "copurchase_pairs_build",
+        lambda: _staged_copurchase_pairs(spark, sf_dir, fresh=True),
+    )
+
     # Python-worker pool spin-up is per-JVM environment cost, not query
     # work: a first Arrow-batched call pays daemon+worker fork (~2-5 s).
     # Warm it with a tiny datasource read so the timed Python-path

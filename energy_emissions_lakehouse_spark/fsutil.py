@@ -50,3 +50,50 @@ def staging_dir(name: str) -> str:
     path = os.path.join(user_staging_root(), name)
     os.makedirs(path, mode=0o700, exist_ok=True)
     return path
+
+
+def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
+    """Build-once-serve-many parquet staging (the PQ-index pattern, shared).
+
+    ``builders`` maps subdir name -> zero-arg fn returning the DataFrame to
+    persist.  The keyed directory under ``staging_dir(family)`` is trusted
+    only when its ``_SUCCESS`` marker exists; otherwise (or when ``fresh``
+    forces a cold rebuild for benchmarking) every builder runs into a tmp
+    dir that is atomically ``os.rename``d into place — concurrent builders
+    race harmlessly, the loser reuses the winner.  Returns
+    ``{name: spark.read.parquet(...)}`` for each builder.
+
+    On a real cluster this is the one-time index/materialization job
+    writing to the job's own scratch prefix; queries then serve from the
+    staged artifact instead of re-deriving it.
+    """
+    import shutil
+    import uuid
+
+    base = os.path.join(staging_dir(family), key)
+    if fresh or not os.path.isfile(os.path.join(base, "_SUCCESS")):
+        # an unmarked base is a partial build (or `fresh` forces a cold
+        # rebuild) — clear it so the rename can land
+        shutil.rmtree(base, ignore_errors=True)
+        tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        for name, build in builders.items():
+            build().write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass  # marker travels with the atomic rename
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return {
+        name: spark.read.parquet(os.path.join(base, name)) for name in builders
+    }
+
+
+def table_cache_key(sf_dir: str, table: str, *parts: object) -> str:
+    """Staging key derived from the source file's (path, mtime, size) plus
+    any extra geometry parts — a regenerated source invalidates the cache."""
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    raw = ":".join([sf_dir, str(st.st_mtime_ns), str(st.st_size), *map(str, parts)])
+    return hashlib.md5(raw.encode()).hexdigest()[:12]

@@ -221,6 +221,34 @@ def _copurchase_pairs(op: DataFrame) -> DataFrame:
     )
 
 
+def _staged_copurchase_pairs(spark, sf_dir, fresh: bool = False) -> DataFrame:
+    """The aggregated pair list (pa, pb, cocnt), staged once per lineitem
+    version — a shared INDEX for the five co-purchase consumers (triangle
+    census, LPA, k-core, lift, BFS), which otherwise each replay the
+    basket self-join from scratch (round-4 advice: ~21 s of bench time
+    recomputed independently).  Unthresholded, so every consumer applies
+    its own cocnt floor as a pushed-down parquet filter.  Same
+    build-once-serve-many staging as the PQ index (fsutil.staged_tables);
+    coalesce(8) keeps the artifact a handful of files — it is
+    vertex-pair-scale, small relative to the fact."""
+    from energy_emissions_lakehouse_spark.fsutil import (
+        staged_tables,
+        table_cache_key,
+    )
+
+    return staged_tables(
+        spark,
+        "copurchase",
+        table_cache_key(sf_dir, "lineitem", "pairs"),
+        {
+            "pairs": lambda: _copurchase_pairs(
+                _order_parts(spark, sf_dir)
+            ).coalesce(8)
+        },
+        fresh=fresh,
+    )["pairs"]
+
+
 @register(
     "triangle_count_copurchase",
     oracle=f"""
@@ -262,13 +290,14 @@ def _copurchase_pairs(op: DataFrame) -> DataFrame:
 def triangle_count_copurchase(spark, sf_dir) -> DataFrame:
     """Global triangle count + clustering coefficient, one summary row.
 
-    The edge list is localCheckpoint'd so the three-way triangle join and
-    the degree scan don't replay the basket self-join."""
+    The edge list comes from the staged pair index, so the three-way
+    triangle join and the degree scan re-read a small parquet instead of
+    replaying the basket self-join per branch; the cocnt floor pushes
+    down to the scan."""
     edges = (
-        _copurchase_pairs(_order_parts(spark, sf_dir))
+        _staged_copurchase_pairs(spark, sf_dir)
         .filter(F.col("cocnt") >= TRI_MIN_COOC)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -331,9 +360,14 @@ def triangle_count_copurchase(spark, sf_dir) -> DataFrame:
     tags=("graph",),
 )
 def part_copurchase_lift(spark, sf_dir) -> DataFrame:
-    """Top-15 part pairs by association lift (integer ppm)."""
+    """Top-15 part pairs by association lift (integer ppm).
+
+    Pairs come from the staged index; only the per-part supports and the
+    order total still scan the basket table."""
     op = _order_parts(spark, sf_dir)
-    pairs = _copurchase_pairs(op).filter(F.col("cocnt") >= LIFT_MIN_COOC)
+    pairs = _staged_copurchase_pairs(spark, sf_dir).filter(
+        F.col("cocnt") >= LIFT_MIN_COOC
+    )
     pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("pcnt"))
     tot = op.agg(F.count_distinct("o").cast("long").alias("n_orders"))
     ca = pc.select(F.col("p").alias("pa"), F.col("pcnt").alias("ca_cnt"))
@@ -410,14 +444,14 @@ def lpa_communities_copurchase(spark, sf_dir) -> DataFrame:
     """Communities (size >= 2) after K synchronous LPA rounds; one row per
     surviving label with member count and smallest member id.
 
-    The per-round state is (node, label) — vertex-scale; edges are
-    localCheckpoint'd once so K rounds never replay the basket self-join."""
-    op = _order_parts(spark, sf_dir)
-    edges = _copurchase_pairs(op).filter(F.col("cocnt") >= TRI_MIN_COOC)
-    und = (
-        edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-        .unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
-        .localCheckpoint(eager=True)
+    The per-round state is (node, label) — vertex-scale; edges come from
+    the staged pair index, so K rounds re-read a small parquet instead of
+    replaying the basket self-join."""
+    edges = _staged_copurchase_pairs(spark, sf_dir).filter(
+        F.col("cocnt") >= TRI_MIN_COOC
+    )
+    und = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        edges.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
     labels = und.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -508,17 +542,17 @@ def recursive_cte_reachability(spark, sf_dir) -> DataFrame:
 
     Spark 4 executes the recursion natively (UnionLoop in the plan); the
     bounded depth + per-level DISTINCT keep the loop state vertex-scale.
-    The edge list is localCheckpoint'd BEFORE the recursion — UnionLoop
+    The edge list must be MATERIALIZED before the recursion — UnionLoop
     re-evaluates referenced plans each iteration, so an un-materialized
     edge CTE would replay the basket self-join per level (measured 19 s
-    -> ~2 s at sf0.01). The recursion text itself is the same standard
-    SQL the DuckDB oracle runs; only the edge staging differs."""
-    op = _order_parts(spark, sf_dir)
-    edges = _copurchase_pairs(op).filter(F.col("cocnt") >= TRI_MIN_COOC)
-    und = (
-        edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-        .unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
-        .localCheckpoint(eager=True)
+    -> ~2 s at sf0.01); the staged pair index provides exactly that
+    materialization. The recursion text itself is the same standard SQL
+    the DuckDB oracle runs; only the edge staging differs."""
+    edges = _staged_copurchase_pairs(spark, sf_dir).filter(
+        F.col("cocnt") >= TRI_MIN_COOC
+    )
+    und = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        edges.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
     und.createOrReplaceTempView("eel_bfs_und")
     return spark.sql(
@@ -592,45 +626,64 @@ def _kcore_round_sql(i: int) -> str:
 def kcore_copurchase(spark, sf_dir) -> DataFrame:
     """Degree census of the subgraph surviving 3 rounds of k=2 peeling
     over the co-purchase graph (undirected edges counted once per
-    direction endpoint)."""
-    op = _order_parts(spark, sf_dir)
-    edges = (
-        _copurchase_pairs(op)
-        .filter(F.col("cocnt") >= TRI_MIN_COOC)
-        .select("pa", "pb")
-        .localCheckpoint(eager=True)
+    direction endpoint).
+
+    Execution shape (round-4 advice — the cost here was FIXED overhead,
+    not data): each peeling round materializes the shrinking edge list via
+    eager localCheckpoint, and every one of those jobs used to inherit the
+    caller session's shuffle-partition count — 3 rounds x 3 shuffles x 200
+    tasks over a few-thousand-row edge list (11.3 s in the r4 driver
+    bench, 7.5 s even at sf0.01).  The whole peeling loop now runs under a
+    loop-local ``spark.sql.shuffle.partitions = 8`` override (restored in
+    ``finally``), the pair list comes pre-materialized from the staged
+    index, and the final census is checkpointed INSIDE the override so no
+    shuffle of this query ever sees the outer setting.  Measured after the
+    fix: ~1.2 s warm / ~2.4 s including a cold index build at sf0.01 under
+    a 200-partition session (was 7.5 s); sf0.1 numbers in BENCH_SELF."""
+    edges = _staged_copurchase_pairs(spark, sf_dir).filter(
+        F.col("cocnt") >= TRI_MIN_COOC
     )
     e = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-    for _ in range(KCORE_ROUNDS):
-        deg = (
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for rnd in range(1, KCORE_ROUNDS + 1):
+            deg = (
+                e.select(F.col("s").alias("node"))
+                .unionAll(e.select(F.col("d").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+            )
+            keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
+            e = (
+                e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
+                .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+                .select("s", "d")
+            )
+            # checkpoint the shrinking edge list per round: each e_i
+            # references e_{i-1} three times (degree branch + two semi
+            # joins), so an un-materialized loop replays the base scan
+            # 3^rounds times (measured 3.1 s vs 1.2 s at sf0.01).  The
+            # LAST round stays lazy — the census recomputes its two cheap
+            # semi joins inline, saving one eager job.
+            if rnd < KCORE_ROUNDS:
+                e = e.localCheckpoint(eager=True)
+        final_deg = (
             e.select(F.col("s").alias("node"))
             .unionAll(e.select(F.col("d").alias("node")))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
-        keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
-        # checkpoint the shrinking edge list per round: the peeling DAG
-        # otherwise stacks 3 shuffles per round into one 9-shuffle plan
-        # whose every stage inherits the session's shuffle-partition
-        # count (10.6 s under the driver's 200-partition default; ~3 s
-        # checkpointed)
-        e = (
-            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
-            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
-            .select("s", "d")
+        return (
+            final_deg.groupBy("degree")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.min("node").cast("long").alias("min_node"),
+            )
+            .orderBy("degree")
+            # eager: the census itself (2 shuffles over the tiny surviving
+            # edge list) must also run at 8 partitions, not the caller's
             .localCheckpoint(eager=True)
         )
-    final_deg = (
-        e.select(F.col("s").alias("node"))
-        .unionAll(e.select(F.col("d").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    return (
-        final_deg.groupBy("degree")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.min("node").cast("long").alias("min_node"),
-        )
-        .orderBy("degree")
-    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

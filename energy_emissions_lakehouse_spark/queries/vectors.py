@@ -25,51 +25,38 @@ def _pq_staged_model(
     every query against it. Stage both tables as parquet keyed by the
     embeddings file's (mtime, size) + geometry, so a regenerated corpus
     retrains automatically and the timed query path measures ADC serving,
-    not Lloyd training. The write is atomic (tmp dir + os.rename), so
-    concurrent processes either see a complete model or build their own
-    tmp and lose the rename race harmlessly.  The root is the per-user
-    0700 staging dir (fsutil) and completeness is judged by a _SUCCESS
-    marker written BEFORE the rename — a partially-deleted or foreign
-    directory is rebuilt, not trusted (round-3 advice)."""
-    import hashlib
-    import os
+    not Lloyd training. Staging mechanics (atomic rename, 0700 per-user
+    root, _SUCCESS marker — round-3 advice) live in fsutil.staged_tables."""
+    from energy_emissions_lakehouse_spark.fsutil import (
+        staged_tables,
+        table_cache_key,
+    )
 
-    from energy_emissions_lakehouse_spark.fsutil import staging_dir
+    model: dict = {}
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:pq:{m}:{ksub}:{iters}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(staging_dir("pq"), key)
-    if fresh or not os.path.isfile(os.path.join(base, "_SUCCESS")):
-        import shutil
-
-        # an unmarked base is a partial build (or `fresh` forces a cold
-        # rebuild for benchmarking) — clear it so the rename can land
-        shutil.rmtree(base, ignore_errors=True)
+    def _train() -> None:
         emb = t(spark, sf_dir, "embeddings").select(
             "vec_id", sim.as_double(F.col("embedding")).alias("v")
         )
         encoded, codebooks = sim.pq_model(emb, m=m, ksub=ksub, iters=iters)
-        import uuid
+        model["encoded"], model["codebooks"] = encoded, codebooks.coalesce(1)
 
-        tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        encoded.write.mode("overwrite").parquet(os.path.join(tmp, "encoded"))
-        codebooks.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "codebooks")
-        )
-        with open(os.path.join(tmp, "_SUCCESS"), "w"):
-            pass  # marker travels with the atomic rename
-        try:
-            os.rename(tmp, base)
-        except OSError:
-            import shutil
+    def _built(name: str):
+        def build():
+            if not model:
+                _train()  # one Lloyd run feeds both staged tables
+            return model[name]
 
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
-    return (
-        spark.read.parquet(os.path.join(base, "encoded")),
-        spark.read.parquet(os.path.join(base, "codebooks")),
+        return build
+
+    staged = staged_tables(
+        spark,
+        "pq",
+        table_cache_key(sf_dir, "embeddings", "pq", m, ksub, iters),
+        {"encoded": _built("encoded"), "codebooks": _built("codebooks")},
+        fresh=fresh,
     )
+    return staged["encoded"], staged["codebooks"]
 
 
 _DOT = "list_dot_product({a}, {b})"
