@@ -1,0 +1,133 @@
+"""Behavior pins for the shared build-once staging layer (fsutil) and
+its two consumers added/refactored in round 5: the co-purchase pair
+index and the PQ model.
+
+The staging contract: a keyed directory is trusted only with its
+_SUCCESS marker; warm hits never re-run builders; `fresh` forces a cold
+rebuild; queries that override session conf must restore it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.fsutil import (
+    staged_tables,
+    staging_dir,
+    table_cache_key,
+)
+
+
+def _family() -> str:
+    return f"testfam-{uuid.uuid4().hex[:8]}"
+
+
+def test_staged_tables_cold_build_then_warm_reuse(spark):
+    fam = _family()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).select(F.col("id").alias("v"))
+
+    try:
+        out1 = staged_tables(spark, fam, "k1", {"t": build})["t"]
+        assert sorted(r.v for r in out1.collect()) == [0, 1, 2, 3, 4]
+        assert calls["n"] == 1
+        # warm: the marker exists, so the builder must NOT run again
+        out2 = staged_tables(spark, fam, "k1", {"t": build})["t"]
+        assert sorted(r.v for r in out2.collect()) == [0, 1, 2, 3, 4]
+        assert calls["n"] == 1
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_staged_tables_fresh_forces_rebuild(spark):
+    fam = _family()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3)
+
+    try:
+        staged_tables(spark, fam, "k1", {"t": build})
+        staged_tables(spark, fam, "k1", {"t": build}, fresh=True)
+        assert calls["n"] == 2
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_staged_tables_distrusts_unmarked_directory(spark):
+    """A keyed dir without _SUCCESS is a partial build (crashed writer,
+    squatter) — it must be rebuilt, never trusted."""
+    fam = _family()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(2)
+
+    try:
+        base = os.path.join(staging_dir(fam), "k1")
+        os.makedirs(os.path.join(base, "t"))  # partial: no marker
+        out = staged_tables(spark, fam, "k1", {"t": build})["t"]
+        assert calls["n"] == 1
+        assert out.count() == 2
+        assert os.path.isfile(os.path.join(base, "_SUCCESS"))
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_table_cache_key_is_stable_and_part_sensitive(sf_dir):
+    k1 = table_cache_key(sf_dir, "lineitem", "pairs")
+    k2 = table_cache_key(sf_dir, "lineitem", "pairs")
+    k3 = table_cache_key(sf_dir, "lineitem", "other")
+    assert k1 == k2
+    assert k1 != k3
+
+
+def test_staged_copurchase_pairs_match_direct_computation(spark, sf_dir):
+    """The staged index must be value-identical to the on-the-fly pair
+    aggregation it replaces (same (pa, pb, cocnt) multiset)."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        _copurchase_pairs,
+        _order_parts,
+        _staged_copurchase_pairs,
+    )
+
+    staged = sorted(
+        (r.pa, r.pb, r.cocnt)
+        for r in _staged_copurchase_pairs(spark, sf_dir).collect()
+    )
+    direct = sorted(
+        (r.pa, r.pb, r.cocnt)
+        for r in _copurchase_pairs(_order_parts(spark, sf_dir)).collect()
+    )
+    assert staged == direct
+    assert len(staged) > 0
+
+
+def test_kcore_restores_shuffle_partitions(spark, sf_dir):
+    """kcore_copurchase runs its peeling loop under a loop-local
+    shuffle-partitions override; the caller's setting must survive."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        kcore_copurchase,
+    )
+
+    sentinel = "57"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", sentinel)
+    try:
+        df = kcore_copurchase(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
+        # the returned census is already materialized (checkpointed inside
+        # the override) — collecting it must not depend on session conf
+        assert df.count() >= 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
