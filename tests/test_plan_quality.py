@@ -672,3 +672,32 @@ def test_bootstrap_has_no_hash_expressions(spark, sf_dir):
 
     s = _plan(poisson_bootstrap_ci_revenue(spark, sf_dir))
     assert "md5" not in s.lower()
+
+
+def test_copurchase_consumers_read_the_staged_index(spark, sf_dir):
+    """Triangle census / lift must serve from the staged pair index (the
+    cocnt floor pushed to the parquet scan), never replay the basket
+    self-join: the pre-r5 shape recomputed the (pa, pb) aggregation
+    independently in 5 queries (~21 s of bench time)."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        part_copurchase_lift,
+        triangle_count_copurchase,
+    )
+
+    def formatted(df) -> str:
+        jvm = spark._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    tri = formatted(triangle_count_copurchase(spark, sf_dir))
+    assert "copurchase" in tri  # staged-index location in the scan
+    assert "GreaterThanOrEqual(cocnt,2)" in tri  # floor pushed down
+    # the basket table never appears: no lineitem scan, no o==o self-join
+    assert "lineitem" not in tri
+
+    lift = formatted(part_copurchase_lift(spark, sf_dir))
+    assert "copurchase" in lift
+    assert "GreaterThanOrEqual(cocnt,3)" in lift
