@@ -701,3 +701,25 @@ def test_copurchase_consumers_read_the_staged_index(spark, sf_dir):
     lift = formatted(part_copurchase_lift(spark, sf_dir))
     assert "copurchase" in lift
     assert "GreaterThanOrEqual(cocnt,3)" in lift
+
+
+def test_lpa_serves_from_staged_index_with_pushdown(spark, sf_dir):
+    """LPA's per-round joins must bottom out at the staged-index parquet
+    scan with the edge floor pushed down — K rounds re-read a small
+    staged file, never replay the basket self-join."""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        lpa_communities_copurchase,
+    )
+
+    s = (
+        lpa_communities_copurchase(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "copurchase" in s
+    assert "GreaterThanOrEqual(cocnt,2)" in s
+    assert "lineitem" not in s
