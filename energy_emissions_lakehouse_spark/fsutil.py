@@ -76,10 +76,16 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
         # rebuild) — clear it so the rename can land
         shutil.rmtree(base, ignore_errors=True)
         tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        for name, build in builders.items():
-            build().write.mode("overwrite").parquet(os.path.join(tmp, name))
-        with open(os.path.join(tmp, "_SUCCESS"), "w"):
-            pass  # marker travels with the atomic rename
+        try:
+            for name, build in builders.items():
+                build().write.mode("overwrite").parquet(os.path.join(tmp, name))
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass  # marker travels with the atomic rename
+        except BaseException:
+            # a failed builder must not litter half-written tmp dirs; the
+            # base stays unmarked so the next caller rebuilds
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, base)
         except OSError:

@@ -1015,7 +1015,13 @@ def ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
     oracle="""
     WITH comp AS (
       SELECT i - 1 AS dim,
-             CAST(ROUND(embedding[i] * 1000, 0) AS BIGINT) AS milli
+             -- the DOUBLE cast is load-bearing: raw embedding[i] is FLOAT
+             -- and DuckDB keeps FLOAT*1000 in float32, whose product can
+             -- cross a rounding boundary the double product doesn't (one
+             -- component at sf0.1 did — found by the round-5 sf0.1 sweep);
+             -- Spark quantizes the double cast, so the oracle must too
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT)
+                 AS milli
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
     ),
     prof AS (

@@ -131,3 +131,30 @@ def test_kcore_restores_shuffle_partitions(spark, sf_dir):
         assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_staged_tables_failed_builder_leaves_no_litter(spark):
+    """A builder that raises must clean its tmp dir and leave the keyed
+    dir unmarked, so the next call rebuilds from scratch."""
+    import glob
+
+    import pytest
+
+    fam = _family()
+
+    def boom():
+        raise RuntimeError("builder failed")
+
+    try:
+        root = staging_dir(fam)
+        with pytest.raises(RuntimeError, match="builder failed"):
+            staged_tables(spark, fam, "k1", {"t": boom})
+        assert glob.glob(os.path.join(root, "k1.tmp-*")) == []
+        assert not os.path.isfile(os.path.join(root, "k1", "_SUCCESS"))
+        # recovery: a working builder now succeeds under the same key
+        out = staged_tables(
+            spark, fam, "k1", {"t": lambda: spark.range(4)}
+        )["t"]
+        assert out.count() == 4
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
