@@ -186,8 +186,9 @@ LIFT_MIN_COOC = 3
 LIFT_TOPK = 15
 
 _PAIRS_SQL = f"""
-    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pairs AS (
+    op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cocnt
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
       GROUP BY a.p, b.p
@@ -581,15 +582,19 @@ KCORE_ROUNDS = 3
 
 
 def _kcore_round_sql(i: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # e{{i}} references e{{i-1}} four times (degree union twice + two join
+    # probes) -- inlined, the pairs self-join re-evaluates 4^rounds times
+    # (measured 205 s at sf0.1; ~1 s materialized). Value-neutral.
     return f"""
-    deg{i} AS (
+    deg{i} AS MATERIALIZED (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT s AS node FROM e{i - 1}
             UNION ALL SELECT d FROM e{i - 1})
       GROUP BY node
     ),
-    keep{i} AS (SELECT node FROM deg{i} WHERE d >= {KCORE_K}),
-    e{i} AS (
+    keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE d >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
       SELECT e.s, e.d FROM e{i - 1} e
       JOIN keep{i} a ON a.node = e.s
       JOIN keep{i} b ON b.node = e.d
@@ -600,7 +605,8 @@ def _kcore_round_sql(i: int) -> str:
     "kcore_copurchase",
     oracle=f"""
     WITH {_PAIRS_SQL},
-    e0 AS (SELECT pa AS s, pb AS d FROM pairs WHERE cocnt >= {TRI_MIN_COOC}),
+    e0 AS MATERIALIZED (
+      SELECT pa AS s, pb AS d FROM pairs WHERE cocnt >= {TRI_MIN_COOC}),
     {','.join(_kcore_round_sql(i) for i in range(1, KCORE_ROUNDS + 1))},
     final_deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS degree

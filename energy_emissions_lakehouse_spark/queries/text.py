@@ -471,22 +471,27 @@ def doc_bpe_token_stats(spark, sf_dir) -> DataFrame:
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE {_DOC_SH_CTE},
-    pairs AS (
+    -- AS MATERIALIZED is load-bearing: the recursive reach term joins
+    -- sym once per fixpoint iteration, and DuckDB inlines plain CTEs --
+    -- inlined, the quadratic jaccard pair scan re-evaluates every
+    -- iteration (measured ~860 s at sf0.1; ~20 s materialized)
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
     ),
-    copies AS (
+    copies AS MATERIALIZED (
         SELECT doc_id AS a_id, doc_id + 1000000 AS b_id
         FROM documents WHERE doc_id % 20 = 0
     ),
-    all_edges AS (SELECT * FROM pairs UNION ALL SELECT * FROM copies),
-    sym AS (
+    all_edges AS MATERIALIZED (
+        SELECT * FROM pairs UNION ALL SELECT * FROM copies),
+    sym AS MATERIALIZED (
         SELECT a_id AS a, b_id AS b FROM all_edges
         UNION
         SELECT b_id AS a, a_id AS b FROM all_edges
     ),
-    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
     reach AS (
         SELECT node, node AS label FROM nodes
         UNION
