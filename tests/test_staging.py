@@ -158,3 +158,27 @@ def test_staged_tables_failed_builder_leaves_no_litter(spark):
         assert out.count() == 4
     finally:
         shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_oracle_float_columns_always_cast_to_double():
+    """Exactness-policy tripwire (round-5 lesson): DuckDB keeps
+    FLOAT * k in float32, whose product can cross a rounding boundary the
+    double product doesn't — embeddings.embedding is the testdata's only
+    float32 column, so every oracle element access on it must be wrapped
+    in CAST(... AS DOUBLE) (or access the DOUBLE[]-cast array)."""
+    from energy_emissions_lakehouse_spark.registry import all_oracle_sql
+
+    offenders = []
+    for name, raw in all_oracle_sql().items():
+        sql = "\n".join(
+            ln for ln in raw.splitlines() if not ln.lstrip().startswith("--")
+        )
+        idx = 0
+        while True:
+            idx = sql.find("embedding[", idx)
+            if idx < 0:
+                break
+            if sql[max(0, idx - 5):idx] != "CAST(":
+                offenders.append(name)
+            idx += 1
+    assert offenders == []
