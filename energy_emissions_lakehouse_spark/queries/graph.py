@@ -645,7 +645,8 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
     index, and the final census is checkpointed INSIDE the override so no
     shuffle of this query ever sees the outer setting.  Measured after the
     fix: ~1.2 s warm / ~2.4 s including a cold index build at sf0.01 under
-    a 200-partition session (was 7.5 s); sf0.1 numbers in BENCH_SELF."""
+    a 200-partition session (was 7.5 s); sf0.1: 1.50 s in the headlined
+    local[32] bench (BENCH_HEADLINE_r05.json)."""
     edges = _staged_copurchase_pairs(spark, sf_dir).filter(
         F.col("cocnt") >= TRI_MIN_COOC
     )
