@@ -222,15 +222,54 @@ def test_csv_malformed_modes(spark, sf_dir):
 
 
 def test_kcore_survivors_meet_the_degree_floor(spark, sf_dir):
-    """Every degree in the peeled subgraph's census must be >= k — the
-    defining k-core property after the bounded peeling rounds."""
+    """The defining k-core property (every census degree >= k) holds IF
+    the bounded peeling has converged at this SF — i.e. a 4th round would
+    drop nothing. The registered query is explicitly BOUNDED (3 rounds,
+    unrolled identically in the oracle), so on graphs where 3 rounds
+    don't reach the fixpoint (seen at sf0.1) sub-floor degrees in the
+    census are correct output, and the property to pin is convergence-
+    conditional; exact value parity at every SF is the oracle's job."""
+    from pyspark.sql import functions as F
+
     from energy_emissions_lakehouse_spark.queries.graph import (
         KCORE_K,
+        TRI_MIN_COOC,
+        _staged_copurchase_pairs,
         kcore_copurchase,
     )
 
     census = kcore_copurchase(spark, sf_dir)
-    assert census.filter(f"degree < {KCORE_K}").count() == 0
+    below_floor = census.filter(f"degree < {KCORE_K}").count()
+
+    # replay the 3 bounded rounds + probe a 4th to test convergence
+    edges = _staged_copurchase_pairs(spark, sf_dir).filter(
+        F.col("cocnt") >= TRI_MIN_COOC
+    )
+    e = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+    counts = []
+    for _ in range(4):
+        deg = (
+            e.select(F.col("s").alias("node"))
+            .unionAll(e.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(e.count())
+    converged = counts[3] == counts[2]
+    if converged:
+        assert below_floor == 0, below_floor
+    else:
+        # non-converged: sub-floor degrees are expected, and the 4th
+        # round must still be shrinking (peeling is monotone)
+        assert below_floor > 0
+        assert counts[3] < counts[2]
 
 
 def test_keyset_page_equals_offset_page(spark, sf_dir):
