@@ -660,17 +660,19 @@ def stream_purchase_click_semi_join(spark, sf_dir) -> DataFrame:
 @register(
     "stream_cusum_drift",
     oracle="""
-    WITH RECURSIVE hourly AS (
+    WITH RECURSIVE hourly AS MATERIALIZED (
       SELECT event_type, DATE_TRUNC('hour', ts) AS hour_ts,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                  AS cents
       FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
     ),
-    params AS (
+    params AS MATERIALIZED (
       SELECT event_type, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS target
       FROM hourly GROUP BY event_type
     ),
-    seq AS (
+    -- seq MATERIALIZED: the recursive rec term joins seq once per
+    -- fixpoint iteration, and DuckDB re-evaluates inlined CTEs each time
+    seq AS MATERIALIZED (
       SELECT h.event_type, h.hour_ts, h.cents, p.target,
              p.target // 8 AS slack,
              ROW_NUMBER() OVER (PARTITION BY h.event_type

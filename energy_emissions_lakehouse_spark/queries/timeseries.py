@@ -284,13 +284,15 @@ CUSUM_SLACK_DIV = 8
 @register(
     "events_cusum_drift",
     oracle=f"""
-    WITH RECURSIVE hourly AS ({_HOURLY_CENTS_SQL}),
-    params AS (
+    WITH RECURSIVE hourly AS MATERIALIZED ({_HOURLY_CENTS_SQL}),
+    params AS MATERIALIZED (
       SELECT event_type,
              CAST(SUM(cents) // COUNT(*) AS BIGINT) AS target
       FROM hourly GROUP BY event_type
     ),
-    seq AS (
+    -- seq MATERIALIZED: the recursive rec term joins seq once per
+    -- fixpoint iteration, and DuckDB re-evaluates inlined CTEs each time
+    seq AS MATERIALIZED (
       SELECT h.event_type, h.hour_ts, h.cents, p.target,
              p.target // {CUSUM_SLACK_DIV} AS slack,
              ROW_NUMBER() OVER (PARTITION BY h.event_type
