@@ -370,6 +370,45 @@ _cte(
 
 
 def with_pipeline(final_select: str) -> str:
-    """Compose the full pipeline WITH chain + a final SELECT."""
-    ctes = ",\n".join(f"{name} AS ({body})" for name, body in _CTES)
+    """Compose the full pipeline WITH chain + a final SELECT.
+
+    CTEs that the final SELECT actually reaches AND that are referenced
+    more than once (from other reachable bodies or the final SELECT) are
+    emitted ``AS MATERIALIZED``: DuckDB inlines plain CTEs, so a
+    multi-referenced gold table re-derives the whole generate->silver->
+    gold chain per reference (medallion_analysis_q1 measured 4.6 s at
+    sf0.01 from exactly this). Materialization must be REACHABILITY-
+    gated — DuckDB does NOT prune unused MATERIALIZED CTEs (measured:
+    an unreferenced one still evaluates), so blanket marking would force
+    every query to pay the full pipeline. Value-neutral either way;
+    single-referenced and unreachable CTEs stay plain (inlined / pruned
+    free, as before)."""
+    import re
+
+    def refs(text: str, name: str) -> int:
+        return len(re.findall(rf"\b{re.escape(name)}\b", text))
+
+    # reachability: walk upstream from the final SELECT (bodies only ever
+    # reference earlier CTEs, so one reverse pass converges)
+    reachable: set[str] = set()
+    bodies = dict(_CTES)
+    frontier = [final_select]
+    while frontier:
+        text = frontier.pop()
+        for name in bodies:
+            if name not in reachable and refs(text, name):
+                reachable.add(name)
+                frontier.append(bodies[name])
+    # reference counts from reachable consumers only
+    counts = {name: refs(final_select, name) for name in reachable}
+    for consumer in reachable:
+        for name in reachable:
+            if name != consumer:
+                counts[name] += refs(bodies[consumer], name)
+    ctes = ",\n".join(
+        f"{name} AS MATERIALIZED ({body})"
+        if name in reachable and counts[name] > 1
+        else f"{name} AS ({body})"
+        for name, body in _CTES
+    )
     return f"WITH {ctes}\n{final_select}"
