@@ -246,7 +246,22 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
-    spark = get_spark(app_name="eel-bench")
+    # Config provenance (round-5 advice: three runs were burned as
+    # non-comparable because unset SPARK_GRAFT_CPUS silently fell back to
+    # the engine default local[8] while the driver runs local[32]).
+    # Unset now defaults to the DRIVER's 32 — never the engine's 8 — and
+    # the payload records the value and where it came from.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = int(cpus_env) if cpus_env else 32
+    cpus_source = "env" if cpus_env else "default_driver32"
+    print(
+        f"[bench] config: local[{cpus}] (SPARK_GRAFT_CPUS "
+        f"{'=' + cpus_env if cpus_env else 'unset -> driver default 32'}), "
+        f"sf_dir={sf_dir}",
+        file=sys.stderr,
+    )
+
+    spark = get_spark(app_name="eel-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -312,6 +327,18 @@ def main() -> None:
         lambda: _staged_copurchase_pairs(spark, sf_dir, fresh=True),
     )
 
+    # The verified Jaccard pair list is the third staged index (round 6):
+    # the 7-shuffle PPJoin build is one-time-per-corpus work shared by the
+    # ngram/dedup-cluster consumers.  Cold rebuild keeps the cost visible.
+    from energy_emissions_lakehouse_spark.queries.text import (
+        ngram_jaccard_pairs,
+    )
+
+    staged(
+        "jaccard_pairs_build",
+        lambda: ngram_jaccard_pairs(spark, sf_dir, fresh=True),
+    )
+
     # Python-worker pool spin-up is per-JVM environment cost, not query
     # work: a first Arrow-batched call pays daemon+worker fork (~2-5 s).
     # Warm it with a tiny datasource read so the timed Python-path
@@ -360,6 +387,8 @@ def main() -> None:
         # canonicalization; python_worker_pool is process spin-up.
         "staging": staging,
         "staging_total_sec": round(sum(staging.values()), 3),
+        "cpus": cpus,
+        "cpus_source": cpus_source,
     }
     # Durable full record (incl. the stage sweep): survives even if the
     # caller's stdout capture truncates (round 1 lost its bench record to

@@ -59,9 +59,16 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
     persist.  The keyed directory under ``staging_dir(family)`` is trusted
     only when its ``_SUCCESS`` marker exists; otherwise (or when ``fresh``
     forces a cold rebuild for benchmarking) every builder runs into a tmp
-    dir that is atomically ``os.rename``d into place — concurrent builders
-    race harmlessly, the loser reuses the winner.  Returns
+    dir that is atomically ``os.rename``d into place.  Returns
     ``{name: spark.read.parquet(...)}`` for each builder.
+
+    Concurrency (round-5 advice): only the final rename is atomic, so a
+    stale/partial base is DISPLACED via rename (then deleted under its
+    trash name), never ``rmtree``'d in place, and the ``_SUCCESS`` marker
+    is re-checked immediately before displacing — a builder that observed
+    a missing marker cannot delete a build a concurrent winner completed
+    in between, nor yank parquet out from under a reader that already
+    resolved the keyed path.
 
     On a real cluster this is the one-time index/materialization job
     writing to the job's own scratch prefix; queries then serve from the
@@ -71,10 +78,22 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
     import uuid
 
     base = os.path.join(staging_dir(family), key)
-    if fresh or not os.path.isfile(os.path.join(base, "_SUCCESS")):
-        # an unmarked base is a partial build (or `fresh` forces a cold
-        # rebuild) — clear it so the rename can land
-        shutil.rmtree(base, ignore_errors=True)
+    marker = os.path.join(base, "_SUCCESS")
+
+    def _stale() -> bool:
+        return fresh or not os.path.isfile(marker)
+
+    if _stale() and os.path.isdir(base) and _stale():
+        # marker re-checked right before displacing; losing the rename race
+        # just means a winner already moved/replaced base — re-check below
+        trash = f"{base}.trash-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(base, trash)
+        except OSError:
+            pass
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+    if _stale():
         tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
             for name, build in builders.items():

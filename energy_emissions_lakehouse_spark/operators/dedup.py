@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.operators.text import shingles, tokens
+from energy_emissions_lakehouse_spark.session import loop_shuffle_partitions
 
 MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
 NUM_HASHES = 16
@@ -309,60 +310,79 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, n_partitions: int = 8
+) -> DataFrame:
     """Connected components by min-label propagation: (node, component_id)
     where component_id is the smallest node id reachable from ``node``.
 
     Pregel-shaped iteration: each round every node takes the min of its own
     label and its neighbors' labels; convergence in <= diameter rounds. Each
     round is one keyed join + groupBy (hash-partitioned, no driver data),
-    localCheckpoint'd so lineage stays flat; the only driver traffic is the
-    scalar changed-count used as the stop condition. This is the same
-    structure the large-star/small-star algorithm uses at web scale —
-    duplicate-cluster graphs have tiny diameters, so rounds stay single
-    digits. Input edges: (a_id, b_id); nodes not in any edge are absent
-    (callers union singletons back if they need total coverage)."""
-    sym = (
-        edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
-        .unionByName(
-            edges.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select("a")
-        .distinct()
-        .select(F.col("a").alias("node"), F.col("a").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nb_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        new_labels = (
-            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nb_label"), F.col("label")),
-                ).alias("label"),
+    localCheckpoint'd so lineage stays flat. This is the same structure the
+    large-star/small-star algorithm uses at web scale — duplicate-cluster
+    graphs have tiny diameters, so rounds stay single digits. Input edges:
+    (a_id, b_id); nodes not in any edge are absent (callers union singletons
+    back if they need total coverage).
+
+    Execution shape (round-6: the k-core fixed-overhead fix applied here —
+    this was the 237-query sweep's slowest entry at 5-6.5 s under a plain
+    200-partition session, overhead only): the whole propagation runs under
+    a loop-local ``spark.sql.shuffle.partitions = n_partitions`` override
+    (session.loop_shuffle_partitions, restored on exit); every round's
+    state is checkpointed INSIDE it so no shuffle of the loop ever sees
+    the caller's setting. Round 1 is FUSED with label init — with labels
+    seeded to node ids, round 1's new label is exactly
+    ``least(node, min(neighbor))``, one aggregation over the symmetric
+    edge list instead of an init job plus a join round. The convergence
+    probe carries the previous label through the step join and asks
+    ``isEmpty`` of the checkpointed step frame — no extra join,
+    early-exits on the first changed row. The returned frame is a pure
+    column-rename over the last checkpointed state (no shuffle left, so
+    the caller's partition setting can't touch it). The edge list is
+    pair-scale (candidate-join output, orders smaller than the corpus);
+    at real scale size ``n_partitions`` to that pair volume, not to the
+    corpus."""
+    spark = edges.sparkSession
+    with loop_shuffle_partitions(spark, n_partitions):
+        sym = (
+            edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+            .unionByName(
+                edges.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
             )
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+        # fused init + round 1: label_1(v) = min(v, min neighbor id)
+        labels = (
+            sym.groupBy("a")
+            .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter}")
-    return labels.select("node", F.col("label").alias("component_id"))
+        for _ in range(max_iter - 1):
+            nb_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nb_label"))
+            )
+            stepped = (
+                labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+                .select(
+                    F.col("node"),
+                    F.col("label").alias("old"),
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nb_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = stepped.select("node", "label")
+            if stepped.filter(F.col("label") != F.col("old")).isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter}"
+            )
+        return labels.select("node", F.col("label").alias("component_id"))

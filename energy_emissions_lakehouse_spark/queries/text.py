@@ -15,6 +15,7 @@ from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_
 from energy_emissions_lakehouse_spark.operators import dedup as dd
 from energy_emissions_lakehouse_spark.operators import text as tx
 from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.session import loop_shuffle_partitions
 from energy_emissions_lakehouse_spark.tables import t
 
 JACCARD_THRESHOLD = 0.8
@@ -71,6 +72,31 @@ _JACCARD_SQL = (
     "CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)),"
     " 0.0), 6)"
 )
+
+#: Relational formulation of the verified-pairs oracle (round 6): overlap
+#: counts via a shingle equi-join + GROUP BY instead of the quadratic
+#: blocked all-pairs ``list_intersect`` scan (2.4 s -> ~0.2 s at sf0.01 —
+#: the two consumers were the sweep's slowest oracles). Value-identical:
+#: ``sh`` is list_distinct'd, so the join count IS the intersection size,
+#: and the ROUND/NULLIF arithmetic matches ``_JACCARD_SQL`` term for term.
+#: Still independent of the engine path, which prefix-filters candidates
+#: (PPJoin) and intersects arrays — this joins on EVERY shingle, no filter.
+_JACCARD_PAIRS_REL = f"""jac_ex AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(sh) AS shingle FROM doc_sh),
+    jac_sz AS MATERIALIZED (SELECT doc_id, len(sh) AS m FROM doc_sh),
+    jac_ov AS MATERIALIZED (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ov
+        FROM jac_ex a JOIN jac_ex b
+          ON a.shingle = b.shingle AND a.lang = b.lang
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    jac_pairs AS MATERIALIZED (
+        SELECT a_id, b_id,
+               ROUND(ov * 1.0 / NULLIF(
+                   CAST(sa.m + sb.m AS DOUBLE) - ov, 0.0), 6) AS sim
+        FROM jac_ov
+        JOIN jac_sz sa ON sa.doc_id = a_id
+        JOIN jac_sz sb ON sb.doc_id = b_id)"""
 
 
 def _marker_score_sql(markers: tuple[str, ...]) -> str:
@@ -285,43 +311,71 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_DOC_SH_CTE}
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id, {_JACCARD_SQL} AS sim
-    FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    WITH {_DOC_SH_CTE}, {_JACCARD_PAIRS_REL}
+    SELECT a_id, b_id, sim FROM jac_pairs WHERE sim >= {JACCARD_THRESHOLD}
     """,
     survey="extension (dedup, exact-similarity tier): word-3-gram Jaccard "
     "within lang blocks via PPJoin prefix filtering — equi-join on prefix "
     "shingles, no quadratic block scan (same-lang semantics kept by a "
     "verify-time filter; the oracle states it as a blocked self-join)",
 )
-def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+def ngram_jaccard_pairs(spark, sf_dir, fresh: bool = False) -> DataFrame:
+    """Verified same-lang Jaccard pairs, STAGED once per documents version
+    (round-6: the fixed-overhead fix one level above connected_components —
+    the 7-shuffle PPJoin build cost ~5.5 s under a plain 200-partition
+    session and was re-paid by the first consumer of every fresh process;
+    `dedup_cluster_components` was the 237-query sweep's slowest entry
+    because of it). Same build-once-serve-many staging as the PQ index and
+    the co-purchase pair list (fsutil.staged_tables, mtime+size-keyed);
+    consumers (this query, dedup_cluster_components,
+    dedup_incremental_batch's history side where applicable) read a
+    handful-of-rows parquet instead of re-deriving the join. coalesce(4):
+    the pair list is match-scale (6 rows at sf0.01, 256 at sf0.1)."""
     key = (id(spark), sf_dir)
-    if key in _JACCARD_PAIRS_MEMO:
+    if not fresh and key in _JACCARD_PAIRS_MEMO:
         return _JACCARD_PAIRS_MEMO[key]
-    sh = _doc_sh(spark, sf_dir)
-    cand = dd.prefix_candidate_pairs(sh.select("doc_id", "sh"), JACCARD_THRESHOLD)
-    a = sh.select(
-        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
-        F.col("sh").alias("a_sh"),
+    from energy_emissions_lakehouse_spark.fsutil import (
+        staged_tables,
+        table_cache_key,
     )
-    b = sh.select(
-        F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
-        F.col("sh").alias("b_sh"),
-    )
-    pairs = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .filter(F.col("a_lang") == F.col("b_lang"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(dd.jaccard(F.col("a_sh"), F.col("b_sh")), 6).alias("sim"),
+
+    def build() -> DataFrame:
+        sh = _doc_sh(spark, sf_dir)
+        cand = dd.prefix_candidate_pairs(
+            sh.select("doc_id", "sh"), JACCARD_THRESHOLD
         )
-        .filter(F.col("sim") >= JACCARD_THRESHOLD)
-    )
-    _JACCARD_PAIRS_MEMO[key] = pairs.localCheckpoint(eager=True)
-    return _JACCARD_PAIRS_MEMO[key]
+        a = sh.select(
+            F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+            F.col("sh").alias("a_sh"),
+        )
+        b = sh.select(
+            F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+            F.col("sh").alias("b_sh"),
+        )
+        return (
+            cand.join(a, "a_id")
+            .join(b, "b_id")
+            .filter(F.col("a_lang") == F.col("b_lang"))
+            .select(
+                "a_id",
+                "b_id",
+                F.round(
+                    dd.jaccard(F.col("a_sh"), F.col("b_sh")), 6
+                ).alias("sim"),
+            )
+            .filter(F.col("sim") >= JACCARD_THRESHOLD)
+            .coalesce(4)
+        )
+
+    staged = staged_tables(
+        spark,
+        "jaccard_pairs",
+        table_cache_key(sf_dir, "documents", "jac", JACCARD_THRESHOLD),
+        {"pairs": build},
+        fresh=fresh,
+    )["pairs"]
+    _JACCARD_PAIRS_MEMO[key] = staged
+    return staged
 
 
 @register(
@@ -473,12 +527,12 @@ def doc_bpe_token_stats(spark, sf_dir) -> DataFrame:
     WITH RECURSIVE {_DOC_SH_CTE},
     -- AS MATERIALIZED is load-bearing: the recursive reach term joins
     -- sym once per fixpoint iteration, and DuckDB inlines plain CTEs --
-    -- inlined, the quadratic jaccard pair scan re-evaluates every
-    -- iteration (measured ~860 s at sf0.1; ~20 s materialized)
+    -- inlined, the jaccard pair scan re-evaluates every iteration
+    -- (measured ~860 s at sf0.1 with the old all-pairs scan; the pair
+    -- derivation is now the relational overlap join, _JACCARD_PAIRS_REL)
+    {_JACCARD_PAIRS_REL},
     pairs AS MATERIALIZED (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+        SELECT a_id, b_id FROM jac_pairs WHERE sim >= {JACCARD_THRESHOLD}
     ),
     copies AS MATERIALIZED (
         SELECT doc_id AS a_id, doc_id + 1000000 AS b_id
@@ -527,12 +581,20 @@ def dedup_cluster_components(spark, sf_dir) -> DataFrame:
         )
     )
     comp = dd.connected_components(pairs.unionByName(copies))
-    sizes = comp.groupBy("component_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return comp.join(sizes, "component_id").select(
-        F.col("node").alias("doc_id"), "component_id", "cluster_size"
-    )
+    # the component table is pair-scale; keep the rollup + self-join at the
+    # loop's partition count instead of the caller session's (the operator
+    # already ran under the loop-local override — see connected_components)
+    with loop_shuffle_partitions(spark, 8):
+        sizes = comp.groupBy("component_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return (
+            comp.join(sizes, "component_id")
+            .select(
+                F.col("node").alias("doc_id"), "component_id", "cluster_size"
+            )
+            .localCheckpoint(eager=True)
+        )
 
 
 @register(

@@ -10,6 +10,8 @@ Tuned for correctness parity with the reference semantics (SURVEY.md §7):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -71,3 +73,41 @@ def get_spark(
     spark = configure_runtime(builder.getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+@contextmanager
+def loop_shuffle_partitions(spark: SparkSession, n: int = 8) -> Iterator[None]:
+    """Loop-local ``spark.sql.shuffle.partitions`` override for K-round
+    iterative operators whose per-round state is MODEL-scale (label tables,
+    centroids, vocab folds — thousands of rows), not data-scale.
+
+    Why: each round of such a loop runs 1-3 shuffles plus an eager
+    ``localCheckpoint`` job, and every one inherits the caller session's
+    partition count. Under a plain 200-partition session that is 200 tasks
+    per shuffle over a few thousand rows — pure scheduling overhead that
+    dominates the loop (k-core measured 7.5 s at sf0.01 from overhead
+    alone; ~1.2 s under the override). At real scale the DATA-scale stages
+    (the aggregations that produce the small edge/word/vector-state inputs)
+    must run BEFORE entering this context so they keep the session's full
+    parallelism; only the model-state rounds run at ``n``.
+
+    Every DataFrame the caller wants executed at ``n`` partitions must be
+    materialized INSIDE the context (``localCheckpoint(eager=True)``) —
+    a lazily returned plan executes after ``finally`` restores the outer
+    setting and gains nothing.
+
+    Concurrency contract: ``spark.sql.shuffle.partitions`` is session-global
+    runtime conf, so any OTHER query or streaming micro-batch running
+    concurrently on the same SparkSession during the context would silently
+    execute at ``n`` partitions. The engine's drivers (bench.py, the grading
+    driver, pytest) run queries sequentially on one thread, which is the
+    assumption this helper encodes; for a shared multi-tenant session,
+    isolate the loop on ``spark.newSession()`` (same SparkContext, separate
+    runtime conf) instead of using this context manager.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
