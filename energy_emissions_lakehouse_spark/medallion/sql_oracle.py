@@ -385,8 +385,16 @@ def with_pipeline(final_select: str) -> str:
     free, as before)."""
     import re
 
+    def strip_noise(text: str) -> str:
+        # a CTE name inside a string literal or a '--' comment is not a
+        # reference (round-5 advice): an accidental match would force a
+        # needless MATERIALIZED evaluation (value-neutral, perf-only).
+        # Order matters: literals first so a quoted '--' can't eat a line.
+        text = re.sub(r"'(?:[^']|'')*'", "''", text)
+        return re.sub(r"--[^\n]*", "", text)
+
     def refs(text: str, name: str) -> int:
-        return len(re.findall(rf"\b{re.escape(name)}\b", text))
+        return len(re.findall(rf"\b{re.escape(name)}\b", strip_noise(text)))
 
     # reachability: walk upstream from the final SELECT (bodies only ever
     # reference earlier CTEs, so one reverse pass converges)

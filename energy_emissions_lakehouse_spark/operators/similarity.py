@@ -428,7 +428,10 @@ def sq_l2(a: Column, b: Column) -> Column:
 
 
 def lloyd_model(
-    vectors: DataFrame, k: int = 8, iters: int = 3
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    n_partitions: int | None = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd k-means over an array<double> column ``v``,
     returning (assignments, centroids): the final assignment
@@ -448,7 +451,34 @@ def lloyd_model(
       (k x d groups), rebuild arrays with sorted collect_list. Model state
       is k x d values — localCheckpoint'd per iteration so the lineage
       stays flat; the DATA never collects to the driver.
+
+    ``n_partitions``: the per-iteration checkpoint jobs otherwise inherit
+    the caller session's shuffle-partition count, which is pure scheduling
+    overhead at test scale (round-6 loop audit); the default runs the
+    training loop under the loop-local override. NOTE the UPDATE shuffle
+    is corpus x dim-scale, so at real data volumes pass a count sized to
+    the corpus (or ``None`` to inherit the session setting) — 8 is the
+    local-bench geometry, not a 100 TB constant.
     """
+    from energy_emissions_lakehouse_spark.session import (
+        loop_shuffle_partitions,
+    )
+    from contextlib import nullcontext
+
+    ctx = (
+        loop_shuffle_partitions(vectors.sparkSession, n_partitions)
+        if n_partitions is not None
+        else nullcontext()
+    )
+    with ctx:
+        return _lloyd_rounds(vectors, k, iters)
+
+
+def _lloyd_rounds(
+    vectors: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Body of ``lloyd_model`` (factored so the whole training loop sits
+    inside the caller's shuffle-partition override)."""
     seed = (
         vectors.orderBy("vec_id")
         .limit(k)
@@ -556,7 +586,11 @@ def _explode_subspaces(vectors: DataFrame, m: int, dim: int) -> DataFrame:
 
 
 def pq_model(
-    vectors: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    n_partitions: int | None = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Train PQ sub-codebooks and encode the corpus.
 
@@ -572,7 +606,31 @@ def pq_model(
     m=16/sf0.01). Per-subspace math is unchanged: seeds are the ksub
     lowest-id vectors' slices, ties break to the lowest code, model state
     quantizes to 9 dp per iteration — the DuckDB oracle replays each
-    subspace independently and matches value-exactly."""
+    subspace independently and matches value-exactly.
+
+    ``n_partitions``: same loop-local override contract as ``lloyd_model``
+    — the per-iteration model-state checkpoints otherwise inherit the
+    caller's shuffle-partition count; size it to the corpus (or pass
+    ``None``) at real data volumes."""
+    from energy_emissions_lakehouse_spark.session import (
+        loop_shuffle_partitions,
+    )
+    from contextlib import nullcontext
+
+    ctx = (
+        loop_shuffle_partitions(vectors.sparkSession, n_partitions)
+        if n_partitions is not None
+        else nullcontext()
+    )
+    with ctx:
+        return _pq_rounds(vectors, m, ksub, iters)
+
+
+def _pq_rounds(
+    vectors: DataFrame, m: int, ksub: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Body of ``pq_model`` (factored so the one-Lloyd-pipeline training
+    loop sits inside the caller's shuffle-partition override)."""
     # EMBED_DIM is the corpus contract (embeddings table, TESTDATA.md)
     dim = EMBED_DIM // m
     sub_rows = _explode_subspaces(vectors, m, dim)

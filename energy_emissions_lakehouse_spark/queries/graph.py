@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.session import loop_shuffle_partitions
 from energy_emissions_lakehouse_spark.tables import t
 
 #: PageRank parameters: damping 85/100 (integer rational), K iterations,
@@ -130,6 +131,18 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
+    # Round-6 loop audit: the rank-state iteration is nation-scale (25
+    # rows/round); only the star join above (data-scale, checkpointed at
+    # the session's parallelism) stays outside the override. The final
+    # ordered result is checkpointed INSIDE so none of the loop's K
+    # contrib/dangling shuffles execute at the caller's partition count.
+    with loop_shuffle_partitions(spark, 8):
+        return _pagerank_rounds(nodes, edges, outw, nn)
+
+
+def _pagerank_rounds(nodes, edges, outw, nn) -> DataFrame:
+    """The K damped-propagation rounds of ``pagerank_nation_trade`` (runs
+    entirely inside the caller's loop-local shuffle-partition override)."""
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"CAST({PR_BASE}L div n AS BIGINT)").alias("rank_nano")
     )
@@ -175,6 +188,9 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
         ranks.join(F.broadcast(nodes), "node")
         .select(F.col("n_name").alias("nation"), "rank_nano")
         .orderBy(F.col("rank_nano").desc(), "nation")
+        # eager: the K rounds' shuffles must run at the loop-local
+        # partition count, not the caller's (see pagerank_nation_trade)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -447,7 +463,22 @@ def lpa_communities_copurchase(spark, sf_dir) -> DataFrame:
 
     The per-round state is (node, label) — vertex-scale; edges come from
     the staged pair index, so K rounds re-read a small parquet instead of
-    replaying the basket self-join."""
+    replaying the basket self-join.
+
+    Round-6 loop audit: the K rounds are vertex-scale (2 keyed shuffles
+    each) over the staged pair index — run them, and the final census,
+    under the loop-local override with the result checkpointed inside
+    (the lazy loop otherwise executes every round's shuffle at the
+    caller session's partition count when the driver collects). The lazy
+    plan is ``_lpa_frame`` so the staged-index pushdown stays
+    plan-inspectable (the checkpoint opaques the returned frame)."""
+    with loop_shuffle_partitions(spark, 8):
+        return _lpa_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _lpa_frame(spark, sf_dir) -> DataFrame:
+    """Lazy LPA plan (staged-index scan -> K rounds -> community census);
+    see ``lpa_communities_copurchase`` for the execution wrapper."""
     edges = _staged_copurchase_pairs(spark, sf_dir).filter(
         F.col("cocnt") >= TRI_MIN_COOC
     )
@@ -651,9 +682,10 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
         F.col("cocnt") >= TRI_MIN_COOC
     )
     e = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # loop-local override via the shared context manager (round-6: the
+    # concurrency contract — single-threaded session during the loop —
+    # is documented once on session.loop_shuffle_partitions)
+    with loop_shuffle_partitions(spark, 8):
         for rnd in range(1, KCORE_ROUNDS + 1):
             deg = (
                 e.select(F.col("s").alias("node"))
@@ -675,6 +707,7 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
             # semi joins inline, saving one eager job.
             if rnd < KCORE_ROUNDS:
                 e = e.localCheckpoint(eager=True)
+
         final_deg = (
             e.select(F.col("s").alias("node"))
             .unionAll(e.select(F.col("d").alias("node")))
@@ -692,5 +725,3 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
             # edge list) must also run at 8 partitions, not the caller's
             .localCheckpoint(eager=True)
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

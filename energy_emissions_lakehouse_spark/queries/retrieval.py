@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from energy_emissions_lakehouse_spark.operators import similarity as sim
 from energy_emissions_lakehouse_spark.operators import text as tx
 from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.session import loop_shuffle_partitions
 from energy_emissions_lakehouse_spark.tables import t
 
 #: BM25 free parameters (Robertson's defaults).
@@ -434,7 +435,14 @@ def bpe_train_merges(spark, sf_dir) -> DataFrame:
 
 def _bpe_trained(spark, sf_dir) -> tuple[list, DataFrame]:
     """Shared BPE training loop: returns (merge list, final per-word symbol
-    frame ``(term, wc, s)`` with the K merges applied)."""
+    frame ``(term, wc, s)`` with the K merges applied).
+
+    Round-6 loop audit: the vocab aggregation (corpus-scale — runs at the
+    session's parallelism) checkpoints BEFORE the override; the K merge
+    rounds (vocab-scale: one pair-count shuffle + argmax collect + fold
+    checkpoint each) run under the loop-local shuffle-partition override —
+    under a plain 200-partition session they were pure fixed overhead
+    (4.9 s at sf0.01 driver conditions; ~2 s after)."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
@@ -450,6 +458,13 @@ def _bpe_trained(spark, sf_dir) -> tuple[list, DataFrame]:
         ).alias("s"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    with loop_shuffle_partitions(spark, 8):
+        return _bpe_merge_rounds(sym, merges)
+
+
+def _bpe_merge_rounds(sym: DataFrame, merges: list) -> tuple[list, DataFrame]:
+    """The K merge rounds of ``_bpe_trained`` (factored so the whole loop
+    body sits inside the caller's shuffle-partition override)."""
     for k in range(1, BPE_MERGES + 1):
         arr = F.split(F.col("s"), r"\|")
         pairs = (

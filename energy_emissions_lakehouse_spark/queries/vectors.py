@@ -470,6 +470,22 @@ def embedding_kmeans_clusters(spark, sf_dir) -> DataFrame:
     """8-way k-means over the embedding corpus, 3 Lloyd iterations.
     Returns (cluster_id, n_members, inertia) — the training half of the
     IVF index pipeline."""
+    # round-6 loop audit: the final assign + k-row census would otherwise
+    # execute at the caller session's partition count when the driver
+    # collects; materialize inside the same override the trainer uses.
+    # The lazy plan lives in _kmeans_frame so the window-free argmin pin
+    # stays inspectable (the checkpoint opaques the returned frame).
+    from energy_emissions_lakehouse_spark.session import (
+        loop_shuffle_partitions,
+    )
+
+    with loop_shuffle_partitions(spark, 8):
+        return _kmeans_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _kmeans_frame(spark, sf_dir) -> DataFrame:
+    """Lazy Lloyd plan for ``embedding_kmeans_clusters`` (see the
+    execution wrapper there)."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("v")
     )

@@ -378,9 +378,21 @@ def test_argmin_paths_use_aggregates_not_windows(spark, sf_dir, name):
     the full scored set. ivf_topk_nprobe1's final top-k window is over the
     QUERY subset only — the corpus-sized assignment pass is the part that
     must stay window-free, so nprobe1 is excluded and kmeans/pq (pure
-    assignment pipelines) assert zero Window nodes."""
-    spec = all_specs()[name]
-    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assignment pipelines) assert zero Window nodes.
+
+    embedding_kmeans_clusters eagerly checkpoints inside its loop-local
+    shuffle override (round 6), which would make this pin vacuous (the
+    returned plan is just the checkpoint RDD scan) — inspect its LAZY
+    plan (_kmeans_frame) instead."""
+    if name == "embedding_kmeans_clusters":
+        from energy_emissions_lakehouse_spark.queries.vectors import (
+            _kmeans_frame,
+        )
+
+        df = _kmeans_frame(spark, sf_dir)
+    else:
+        df = all_specs()[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     n_windows = sum(
         1
         for line in plan.splitlines()
@@ -706,13 +718,14 @@ def test_copurchase_consumers_read_the_staged_index(spark, sf_dir):
 def test_lpa_serves_from_staged_index_with_pushdown(spark, sf_dir):
     """LPA's per-round joins must bottom out at the staged-index parquet
     scan with the edge floor pushed down — K rounds re-read a small
-    staged file, never replay the basket self-join."""
-    from energy_emissions_lakehouse_spark.queries.graph import (
-        lpa_communities_copurchase,
-    )
+    staged file, never replay the basket self-join. Inspect the LAZY
+    plan (_lpa_frame): the registered query eagerly checkpoints inside
+    its loop-local shuffle override (round 6), which opaques the
+    returned frame's plan behind the checkpoint RDD scan."""
+    from energy_emissions_lakehouse_spark.queries.graph import _lpa_frame
 
     s = (
-        lpa_communities_copurchase(spark, sf_dir)
+        _lpa_frame(spark, sf_dir)
         ._jdf.queryExecution()
         .explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

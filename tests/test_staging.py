@@ -166,19 +166,24 @@ def test_oracle_float_columns_always_cast_to_double():
     double product doesn't — embeddings.embedding is the testdata's only
     float32 column, so every oracle element access on it must be wrapped
     in CAST(... AS DOUBLE) (or access the DOUBLE[]-cast array)."""
+    import re
+
     from energy_emissions_lakehouse_spark.registry import all_oracle_sql
 
+    # every element access must be the cast TARGET, i.e. wrapped as
+    # CAST(embedding[i] AS DOUBLE) — a prefix check alone would accept
+    # CAST(embedding[i] AS FLOAT) and reject a compliant 'CAST( ' spacing
+    # (round-5 advice)
+    compliant = re.compile(
+        r"(?i)CAST\(\s*embedding\[[^\]]*\]\s+AS\s+DOUBLE\s*\)"
+    )
     offenders = []
     for name, raw in all_oracle_sql().items():
         sql = "\n".join(
             ln for ln in raw.splitlines() if not ln.lstrip().startswith("--")
         )
-        idx = 0
-        while True:
-            idx = sql.find("embedding[", idx)
-            if idx < 0:
-                break
-            if sql[max(0, idx - 5):idx] != "CAST(":
-                offenders.append(name)
-            idx += 1
+        n_access = len(re.findall(r"embedding\[", sql))
+        n_compliant = len(compliant.findall(sql))
+        if n_access != n_compliant:
+            offenders.append((name, n_access, n_compliant))
     assert offenders == []
