@@ -569,6 +569,48 @@ def pq_encode(
     return pq_model(vectors, m, ksub, iters)[0]
 
 
+def pq_encode_frozen(
+    vectors: DataFrame, codebooks: DataFrame, m: int
+) -> DataFrame:
+    """Encode vectors against FROZEN sub-codebooks — the incremental
+    index-maintenance primitive: a new ingest batch is assigned into an
+    existing PQ index with ZERO training work and without touching the
+    historical encoded corpus.
+
+    Same math as the final assignment pass of ``pq_model`` (argmin by
+    (d2, code) per (vec, subspace) via a map-side min(struct) aggregate,
+    broadcast codebooks), so for any vector the frozen encode is
+    bit-identical to what a full rebuild would assign — the property that
+    makes incremental maintenance exact rather than approximate.
+
+    Returns (vec_id, sub, code, d2) — the same schema ``pq_model`` stages,
+    so ``history.unionByName(pq_encode_frozen(batch, ...))`` IS the
+    merged index.
+
+    Scale shape: one broadcast join (codebooks are m x ksub rows) + one
+    map-side-combining aggregate over the batch — linear in the batch,
+    zero cost on the historical corpus."""
+    dim = EMBED_DIM // m
+    sub_rows = _explode_subspaces(vectors, m, dim)
+    scored = sub_rows.join(
+        F.broadcast(codebooks.select("sub", "code", "c_vec")), "sub"
+    ).select(
+        "vec_id",
+        "sub",
+        sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
+        "code",
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d2", "code")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("b.code").alias("code"),
+        F.col("b.d2").alias("d2"),
+    )
+
+
 def _explode_subspaces(vectors: DataFrame, m: int, dim: int) -> DataFrame:
     """(vec_id, sub, v): every vector split into its m dim-wide slices."""
     return vectors.select(

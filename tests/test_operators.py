@@ -572,6 +572,57 @@ def test_pq_adc_recall_ladder(spark, sf_dir):
         assert fine >= 0.4, fine
 
 
+def test_pq_incremental_assign_is_exact_and_batch_only(spark, sf_dir):
+    """Incremental PQ index maintenance must be EXACT: (a) the frozen-
+    codebook encode reproduces the codes a full rebuild assigns to the
+    batch (n_code_drift identically 0), (b) cell counts are consistent
+    and cover the whole corpus (m rows per vector), and (c) ADC serving
+    over the merged (history + incrementally-encoded batch) index is
+    row-identical to serving over the staged full index — recall is
+    unchanged by construction, not within a tolerance."""
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        _pq_staged_model,
+        pq_incremental_assign,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    out = pq_incremental_assign(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert sum(r["n_code_drift"] for r in out) == 0
+    assert all(r["n_history"] + r["n_batch"] == r["n_merged"] for r in out)
+    n_vecs = t(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_merged"] for r in out) == 16 * n_vecs
+    assert sum(r["n_batch"] for r in out) > 0  # the batch is non-empty
+
+    encoded, codebooks = _pq_staged_model(
+        spark, sf_dir, m=16, ksub=32, iters=2
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    merged = encoded.filter(~is_batch).unionByName(
+        sim.pq_encode_frozen(emb.filter(is_batch), codebooks, m=16)
+    )
+
+    def serve(model):
+        return sorted(
+            tuple(r)
+            for r in sim.pq_adc_topk(
+                emb,
+                query_pred=F.col("vec_id") % 100 == 0,
+                k=3,
+                m=16,
+                ksub=32,
+                iters=2,
+                model=model,
+            ).collect()
+        )
+
+    assert serve((merged, codebooks)) == serve((encoded, codebooks))
+
+
 def test_bm25_results_contain_query_terms_and_rank_sanely(spark, sf_dir):
     """Every returned doc must contain >=1 query term; scores must be
     positive and non-increasing down the ranking."""

@@ -736,3 +736,37 @@ def test_lpa_serves_from_staged_index_with_pushdown(spark, sf_dir):
     assert "copurchase" in s
     assert "GreaterThanOrEqual(cocnt,2)" in s
     assert "lineitem" not in s
+
+
+def test_pq_incremental_never_reencodes_history(spark, sf_dir):
+    """Incremental ANN index maintenance must be O(batch), not O(corpus):
+    the plan reads history codes from the STAGED pq parquet (encoded +
+    codebooks locations), scans raw embeddings EXACTLY ONCE (the batch
+    side — a second scan would mean the batch-encode subplan has two
+    consumers and runs twice), and contains zero Lloyd training work
+    (no posexplode centroid updates, no iterative checkpoint scans)."""
+    import re
+
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        pq_incremental_assign,
+    )
+
+    s = (
+        pq_incremental_assign(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    locations = [ln for ln in s.splitlines() if "Location" in ln]
+    emb_scans = [ln for ln in locations if "embeddings.parquet" in ln]
+    staged = [ln for ln in locations if re.search(r"/pq/[0-9a-f]+/", ln)]
+    assert len(emb_scans) == 1, locations
+    # history codes + codebooks come from the staged index (the encoded
+    # location appears once per consumer: history rows + staged batch codes)
+    assert any("/encoded" in ln for ln in staged), locations
+    assert any("/codebooks" in ln for ln in staged), locations
+    # no training: the Lloyd update's posexplode never appears
+    assert "posexplode" not in s
