@@ -187,3 +187,28 @@ def test_oracle_float_columns_always_cast_to_double():
         if n_access != n_compliant:
             offenders.append((name, n_access, n_compliant))
     assert offenders == []
+
+
+def test_loop_shuffle_partitions_restores_on_exit_and_error(spark):
+    """The loop-local override must restore the caller's setting on normal
+    exit, on exception, and when nested — a leaked override would silently
+    run every later query at loop geometry."""
+    import pytest
+
+    from energy_emissions_lakehouse_spark.session import (
+        loop_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with loop_shuffle_partitions(spark, 8):
+        assert spark.conf.get(key) == "8"
+        with loop_shuffle_partitions(spark, 4):
+            assert spark.conf.get(key) == "4"
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with loop_shuffle_partitions(spark, 8):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
