@@ -836,7 +836,9 @@ _QUALITY_SQL = (
                {_QUALITY_SQL} AS q, {_LANG_SCORES_SQL}
         FROM doc_toks
     ),
-    kept AS (
+    -- MATERIALIZED: referenced by both sides of the exact-dedup window
+    -- (the per-doc quality/lang scoring would otherwise run twice)
+    kept AS MATERIALIZED (
         SELECT doc_id, lang, source, text, toks, n_tokens FROM scored
         WHERE q >= {_CURATION_Q_MIN} AND n_tokens >= {_CURATION_MIN_TOKENS}
           AND ({_PRED_SQL}) = lang
@@ -845,11 +847,32 @@ _QUALITY_SQL = (
         SELECT * FROM kept k
         WHERE doc_id = (SELECT MIN(doc_id) FROM kept k2 WHERE k2.text = k.text)
     ),
-    sh AS (SELECT doc_id, lang, source, n_tokens, {_SHINGLES} AS sh
-           FROM exact),
+    -- MATERIALIZED: 3 consumers (shingle explode, sizes, final census)
+    sh AS MATERIALIZED (
+        SELECT doc_id, lang, source, n_tokens, {_SHINGLES} AS sh
+        FROM exact),
+    -- relational near-dup (round 6): shingle equi-join overlap counts
+    -- instead of the quadratic all-pairs list_intersect scan (the same
+    -- value-identical rewrite as _JACCARD_PAIRS_REL, but CROSS-lang —
+    -- this funnel near-dups the whole exact-deduped corpus, matching the
+    -- engine's unblocked PPJoin here; sh is list_distinct'd so the join
+    -- count IS the intersection size, and pairs with zero overlap can
+    -- never reach the threshold). 12.2 s -> sub-second at sf0.1.
+    n_ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    n_sz AS MATERIALIZED (SELECT doc_id, len(sh) AS m FROM sh),
+    n_ov AS MATERIALIZED (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ov
+        FROM n_ex a JOIN n_ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
     near_drop AS (
-        SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+        SELECT DISTINCT b_id AS doc_id
+        FROM n_ov
+        JOIN n_sz sa ON sa.doc_id = a_id
+        JOIN n_sz sb ON sb.doc_id = b_id
+        WHERE ROUND(ov * 1.0 / NULLIF(
+                  CAST(sa.m + sb.m AS DOUBLE) - ov, 0.0), 6)
+              >= {JACCARD_THRESHOLD}
     ),
     curated AS (
         SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
