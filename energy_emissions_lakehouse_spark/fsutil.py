@@ -62,13 +62,19 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
     dir that is atomically ``os.rename``d into place.  Returns
     ``{name: spark.read.parquet(...)}`` for each builder.
 
-    Concurrency (round-5 advice): only the final rename is atomic, so a
-    stale/partial base is DISPLACED via rename (then deleted under its
-    trash name), never ``rmtree``'d in place, and the ``_SUCCESS`` marker
-    is re-checked immediately before displacing — a builder that observed
-    a missing marker cannot delete a build a concurrent winner completed
-    in between, nor yank parquet out from under a reader that already
-    resolved the keyed path.
+    Concurrency (round-5 advice, scoped honestly): only the final rename
+    is atomic. On the NON-fresh path a stale/partial base is DISPLACED
+    via rename (then deleted under its trash name) with the ``_SUCCESS``
+    marker re-checked immediately before displacing, so a builder that
+    observed a missing marker cannot delete a build a concurrent winner
+    completed in between; and the post-rename marker check below means a
+    lost race (or a failed displace) can never silently serve a stale
+    UNMARKED base. What this does NOT protect: ``fresh=True`` bypasses
+    the marker guard BY DESIGN (forced cold rebuild — the bench's
+    single-process use), and displacing a directory breaks any reader
+    that already resolved file paths under the old base (the rename
+    itself moves them) — concurrent readers during a rebuild are outside
+    the contract; the drivers here run single-process.
 
     On a real cluster this is the one-time index/materialization job
     writing to the job's own scratch prefix; queries then serve from the
@@ -109,6 +115,14 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
             os.rename(tmp, base)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    if not os.path.isfile(marker):
+        # a lost rename race must land on a WINNER's marked build; reaching
+        # here means the displace failed (e.g. non-ENOENT rename error left
+        # a stale unmarked base) and the tmp rename then bounced off it —
+        # never serve that silently
+        raise RuntimeError(
+            f"staged_tables: {base} has no _SUCCESS marker after build"
+        )
     return {
         name: spark.read.parquet(os.path.join(base, name)) for name in builders
     }

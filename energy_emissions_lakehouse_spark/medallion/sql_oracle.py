@@ -389,30 +389,40 @@ def with_pipeline(final_select: str) -> str:
         # a CTE name inside a string literal or a '--' comment is not a
         # reference (round-5 advice): an accidental match would force a
         # needless MATERIALIZED evaluation (value-neutral, perf-only).
-        # Order matters: literals first so a quoted '--' can't eat a line.
-        text = re.sub(r"'(?:[^']|'')*'", "''", text)
-        return re.sub(r"--[^\n]*", "", text)
+        # ONE alternation pass so whichever construct starts first wins:
+        # sequential passes mis-lex both orders (a quoted '--' eats a
+        # line comment-first; an apostrophe in a comment like "don't"
+        # opens a phantom literal that swallows real SQL literal-first).
+        return re.sub(
+            r"'(?:[^']|'')*'|--[^\n]*",
+            lambda m: "''" if m.group(0).startswith("'") else "",
+            text,
+        )
 
-    def refs(text: str, name: str) -> int:
-        return len(re.findall(rf"\b{re.escape(name)}\b", strip_noise(text)))
+    def refs(stripped: str, name: str) -> int:
+        return len(re.findall(rf"\b{re.escape(name)}\b", stripped))
 
+    # strip each body exactly once (refs() is called O(CTEs) times per
+    # consumer below — re-stripping per call was quadratic regex work)
+    bodies = dict(_CTES)
+    stripped = {name: strip_noise(body) for name, body in _CTES}
+    stripped_final = strip_noise(final_select)
     # reachability: walk upstream from the final SELECT (bodies only ever
     # reference earlier CTEs, so one reverse pass converges)
     reachable: set[str] = set()
-    bodies = dict(_CTES)
-    frontier = [final_select]
+    frontier = [stripped_final]
     while frontier:
         text = frontier.pop()
         for name in bodies:
             if name not in reachable and refs(text, name):
                 reachable.add(name)
-                frontier.append(bodies[name])
+                frontier.append(stripped[name])
     # reference counts from reachable consumers only
-    counts = {name: refs(final_select, name) for name in reachable}
+    counts = {name: refs(stripped_final, name) for name in reachable}
     for consumer in reachable:
         for name in reachable:
             if name != consumer:
-                counts[name] += refs(bodies[consumer], name)
+                counts[name] += refs(stripped[consumer], name)
     ctes = ",\n".join(
         f"{name} AS MATERIALIZED ({body})"
         if name in reachable and counts[name] > 1

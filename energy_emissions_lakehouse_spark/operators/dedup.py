@@ -311,7 +311,7 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, n_partitions: int = 8
+    edges: DataFrame, max_iter: int = 25, n_partitions: int | None = 8
 ) -> DataFrame:
     """Connected components by min-label propagation: (node, component_id)
     where component_id is the smallest node id reachable from ``node``.
@@ -360,6 +360,13 @@ def connected_components(
             .select(F.col("a").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+        # round 1 converged iff it left every label at its init value (the
+        # node id) — probe it so max_iter=1 keeps its old contract of
+        # succeeding on already-converged (e.g. edgeless) inputs instead
+        # of falling through to the no-fixpoint raise. One isEmpty over
+        # the checkpointed vertex-scale frame.
+        if labels.filter(F.col("label") != F.col("node")).isEmpty():
+            return labels.select("node", F.col("label").alias("component_id"))
         for _ in range(max_iter - 1):
             nb_min = (
                 sym.join(labels, sym["b"] == labels["node"])

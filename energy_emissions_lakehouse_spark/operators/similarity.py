@@ -463,14 +463,9 @@ def lloyd_model(
     from energy_emissions_lakehouse_spark.session import (
         loop_shuffle_partitions,
     )
-    from contextlib import nullcontext
 
-    ctx = (
-        loop_shuffle_partitions(vectors.sparkSession, n_partitions)
-        if n_partitions is not None
-        else nullcontext()
-    )
-    with ctx:
+    # n_partitions=None is handled by the context manager (no-op)
+    with loop_shuffle_partitions(vectors.sparkSession, n_partitions):
         return _lloyd_rounds(vectors, k, iters)
 
 
@@ -657,14 +652,9 @@ def pq_model(
     from energy_emissions_lakehouse_spark.session import (
         loop_shuffle_partitions,
     )
-    from contextlib import nullcontext
 
-    ctx = (
-        loop_shuffle_partitions(vectors.sparkSession, n_partitions)
-        if n_partitions is not None
-        else nullcontext()
-    )
-    with ctx:
+    # n_partitions=None is handled by the context manager (no-op)
+    with loop_shuffle_partitions(vectors.sparkSession, n_partitions):
         return _pq_rounds(vectors, m, ksub, iters)
 
 

@@ -110,6 +110,22 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
 
     The driver loop holds only DataFrame lineage (no collects); at real
     scale swap PR_ITERS for a convergence check on the rank delta."""
+    # Round-6 loop audit: the rank-state iteration is nation-scale (25
+    # rows/round); only the star-join edge build (data-scale, checkpointed
+    # at the session's parallelism inside _pagerank_inputs) stays outside
+    # the override. The final ordered result is checkpointed INSIDE so
+    # none of the loop's K contrib/dangling shuffles execute at the
+    # caller's partition count; the lazy rounds plan is _pagerank_frame
+    # so the plan audit can still inspect it.
+    inputs = _pagerank_inputs(spark, sf_dir)
+    with loop_shuffle_partitions(spark, 8):
+        return _pagerank_rounds(*inputs).localCheckpoint(eager=True)
+
+
+def _pagerank_inputs(spark, sf_dir):
+    """(nodes, edges, outw, nn) for the rank iteration; the star-join edge
+    build eagerly checkpoints HERE, at the caller's parallelism (it is
+    data-scale — keep it outside any loop-local override)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -130,19 +146,19 @@ def pagerank_nation_trade(spark, sf_dir) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return nodes, edges, outw, nn
 
-    # Round-6 loop audit: the rank-state iteration is nation-scale (25
-    # rows/round); only the star join above (data-scale, checkpointed at
-    # the session's parallelism) stays outside the override. The final
-    # ordered result is checkpointed INSIDE so none of the loop's K
-    # contrib/dangling shuffles execute at the caller's partition count.
-    with loop_shuffle_partitions(spark, 8):
-        return _pagerank_rounds(nodes, edges, outw, nn)
+
+def _pagerank_frame(spark, sf_dir) -> DataFrame:
+    """Lazy K-round rank plan (for the plan audit; see the execution
+    wrapper ``pagerank_nation_trade``)."""
+    return _pagerank_rounds(*_pagerank_inputs(spark, sf_dir))
 
 
 def _pagerank_rounds(nodes, edges, outw, nn) -> DataFrame:
-    """The K damped-propagation rounds of ``pagerank_nation_trade`` (runs
-    entirely inside the caller's loop-local shuffle-partition override)."""
+    """The K damped-propagation rounds of ``pagerank_nation_trade``
+    (lazy; the registered query materializes the result inside its
+    loop-local shuffle-partition override)."""
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"CAST({PR_BASE}L div n AS BIGINT)").alias("rank_nano")
     )
@@ -188,9 +204,6 @@ def _pagerank_rounds(nodes, edges, outw, nn) -> DataFrame:
         ranks.join(F.broadcast(nodes), "node")
         .select(F.col("n_name").alias("nation"), "rank_nano")
         .orderBy(F.col("rank_nano").desc(), "nation")
-        # eager: the K rounds' shuffles must run at the loop-local
-        # partition count, not the caller's (see pagerank_nation_trade)
-        .localCheckpoint(eager=True)
     )
 
 
@@ -671,57 +684,67 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
     caller session's shuffle-partition count — 3 rounds x 3 shuffles x 200
     tasks over a few-thousand-row edge list (11.3 s in the r4 driver
     bench, 7.5 s even at sf0.01).  The whole peeling loop now runs under a
-    loop-local ``spark.sql.shuffle.partitions = 8`` override (restored in
-    ``finally``), the pair list comes pre-materialized from the staged
+    loop-local ``spark.sql.shuffle.partitions = 8`` override (the shared
+    ``session.loop_shuffle_partitions`` context manager, which restores
+    the caller's setting on exit and owns the single-threaded-session
+    concurrency contract), the pair list comes pre-materialized from the staged
     index, and the final census is checkpointed INSIDE the override so no
     shuffle of this query ever sees the outer setting.  Measured after the
     fix: ~1.2 s warm / ~2.4 s including a cold index build at sf0.01 under
     a 200-partition session (was 7.5 s); sf0.1: 1.50 s in the headlined
     local[32] bench (BENCH_HEADLINE_r05.json)."""
+    # loop-local override via the shared context manager (round-6: the
+    # concurrency contract — single-threaded session during the loop —
+    # is documented once on session.loop_shuffle_partitions); the LAZY
+    # final-census plan is _kcore_frame so the plan audit can inspect it
+    with loop_shuffle_partitions(spark, 8):
+        # eager: the census itself (2 shuffles over the tiny surviving
+        # edge list) must also run at 8 partitions, not the caller's
+        return _kcore_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _kcore_frame(spark, sf_dir) -> DataFrame:
+    """Runs the peeling rounds (eager per-round checkpoints — REQUIRED,
+    see the in-loop comment) and returns the LAZY degree census over the
+    surviving edge list; the registered query materializes it inside the
+    loop-local override."""
     edges = _staged_copurchase_pairs(spark, sf_dir).filter(
         F.col("cocnt") >= TRI_MIN_COOC
     )
     e = edges.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-    # loop-local override via the shared context manager (round-6: the
-    # concurrency contract — single-threaded session during the loop —
-    # is documented once on session.loop_shuffle_partitions)
-    with loop_shuffle_partitions(spark, 8):
-        for rnd in range(1, KCORE_ROUNDS + 1):
-            deg = (
-                e.select(F.col("s").alias("node"))
-                .unionAll(e.select(F.col("d").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).cast("long").alias("dg"))
-            )
-            keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
-            e = (
-                e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
-                .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
-                .select("s", "d")
-            )
-            # checkpoint the shrinking edge list per round: each e_i
-            # references e_{i-1} three times (degree branch + two semi
-            # joins), so an un-materialized loop replays the base scan
-            # 3^rounds times (measured 3.1 s vs 1.2 s at sf0.01).  The
-            # LAST round stays lazy — the census recomputes its two cheap
-            # semi joins inline, saving one eager job.
-            if rnd < KCORE_ROUNDS:
-                e = e.localCheckpoint(eager=True)
-
-        final_deg = (
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
             e.select(F.col("s").alias("node"))
             .unionAll(e.select(F.col("d").alias("node")))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .agg(F.count(F.lit(1)).cast("long").alias("dg"))
         )
-        return (
-            final_deg.groupBy("degree")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_nodes"),
-                F.min("node").cast("long").alias("min_node"),
-            )
-            .orderBy("degree")
-            # eager: the census itself (2 shuffles over the tiny surviving
-            # edge list) must also run at 8 partitions, not the caller's
-            .localCheckpoint(eager=True)
+        keep = deg.filter(F.col("dg") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
         )
+        # checkpoint the shrinking edge list per round: each e_i
+        # references e_{i-1} three times (degree branch + two semi
+        # joins), so an un-materialized loop replays the base scan
+        # 3^rounds times (measured 3.1 s vs 1.2 s at sf0.01).  The
+        # LAST round stays lazy — the census recomputes its two cheap
+        # semi joins inline, saving one eager job.
+        if rnd < KCORE_ROUNDS:
+            e = e.localCheckpoint(eager=True)
+
+    final_deg = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        final_deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("degree")
+    )

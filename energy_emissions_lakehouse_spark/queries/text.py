@@ -571,6 +571,18 @@ def dedup_cluster_components(spark, sf_dir) -> DataFrame:
     """Dedup clusters: every doc that has at least one (near-)duplicate is
     mapped to its component (labeled by the component's min doc_id) plus the
     cluster size. Downstream curation keeps component_id == doc_id rows."""
+    # the component table is pair-scale; keep the rollup + self-join at the
+    # loop's partition count instead of the caller session's (the operator
+    # already ran under the loop-local override — see connected_components).
+    # The lazy census plan is _dedup_cluster_frame for the plan audit.
+    with loop_shuffle_partitions(spark, 8):
+        return _dedup_cluster_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _dedup_cluster_frame(spark, sf_dir) -> DataFrame:
+    """Runs min-label propagation (eager per-round checkpoints inside
+    connected_components) and returns the LAZY cluster-size census; the
+    registered query materializes it inside the loop-local override."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
     copies = (
         t(spark, sf_dir, "documents")
@@ -581,20 +593,12 @@ def dedup_cluster_components(spark, sf_dir) -> DataFrame:
         )
     )
     comp = dd.connected_components(pairs.unionByName(copies))
-    # the component table is pair-scale; keep the rollup + self-join at the
-    # loop's partition count instead of the caller session's (the operator
-    # already ran under the loop-local override — see connected_components)
-    with loop_shuffle_partitions(spark, 8):
-        sizes = comp.groupBy("component_id").agg(
-            F.count(F.lit(1)).alias("cluster_size")
-        )
-        return (
-            comp.join(sizes, "component_id")
-            .select(
-                F.col("node").alias("doc_id"), "component_id", "cluster_size"
-            )
-            .localCheckpoint(eager=True)
-        )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        F.col("node").alias("doc_id"), "component_id", "cluster_size"
+    )
 
 
 @register(

@@ -76,10 +76,17 @@ def get_spark(
 
 
 @contextmanager
-def loop_shuffle_partitions(spark: SparkSession, n: int = 8) -> Iterator[None]:
+def loop_shuffle_partitions(
+    spark: SparkSession, n: int | None = 8
+) -> Iterator[None]:
     """Loop-local ``spark.sql.shuffle.partitions`` override for K-round
     iterative operators whose per-round state is MODEL-scale (label tables,
     centroids, vocab folds — thousands of rows), not data-scale.
+
+    ``n=None`` is a no-op (inherit the session setting) — the
+    "size-to-the-corpus at real data volumes" escape hatch the trainer
+    operators expose, handled here so call sites don't each need a
+    nullcontext dance.
 
     Why: each round of such a loop runs 1-3 shuffles plus an eager
     ``localCheckpoint`` job, and every one inherits the caller session's
@@ -105,6 +112,9 @@ def loop_shuffle_partitions(spark: SparkSession, n: int = 8) -> Iterator[None]:
     isolate the loop on ``spark.newSession()`` (same SparkContext, separate
     runtime conf) instead of using this context manager.
     """
+    if n is None:
+        yield
+        return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

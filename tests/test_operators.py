@@ -719,3 +719,39 @@ def test_pagerank_conserves_mass_within_floor_leak(spark, sf_dir):
     assert total >= PR_BASE - 100_000, total
     ranks = [r["rank_nano"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_connected_components_contract(spark):
+    """Pins the operator contract directly: correct min-labels on a path
+    graph, max_iter=1 SUCCEEDS on an already-converged input (the fused
+    init/round-1 must not skip straight to the no-fixpoint raise — round-6
+    review finding), and a genuinely unconverged budget raises."""
+    import pytest as _pytest
+
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: path 1-2-3-4 and edge 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    out = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # already-converged after the fused round: every node's min neighbor
+    # is its own label source... an edgeless symmetric self-pair graph
+    conv = spark.createDataFrame([(5, 5)], "a_id long, b_id long")
+    out1 = {
+        r["node"]: r["component_id"]
+        for r in connected_components(conv, max_iter=1).collect()
+    }
+    assert out1 == {5: 5}
+
+    # a 4-path needs 2+ propagation rounds; max_iter=1 must raise, not
+    # silently return unconverged labels
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)

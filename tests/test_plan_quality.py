@@ -62,10 +62,60 @@ def _batch_names() -> list[str]:
     return [n for n in all_specs() if not n.startswith("stream_")]
 
 
+def _lazy_frame_builders():
+    """Queries that eagerly localCheckpoint their result inside a
+    loop-local shuffle override (round 6) return an opaque checkpoint-RDD
+    scan — auditing THAT plan would be vacuous. Each exposes its lazy
+    final plan under a _frame builder; audit that instead. (For the
+    iterative ones the per-round interiors still execute eagerly during
+    construction — inherent to checkpointed loops — but the final
+    census/rounds segment, where a regression would land, stays
+    inspectable.)"""
+    from energy_emissions_lakehouse_spark.queries.graph import (
+        _kcore_frame,
+        _lpa_frame,
+        _pagerank_frame,
+    )
+    from energy_emissions_lakehouse_spark.queries.text import (
+        _dedup_cluster_frame,
+    )
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        _kmeans_frame,
+    )
+
+    return {
+        "pagerank_nation_trade": _pagerank_frame,
+        "lpa_communities_copurchase": _lpa_frame,
+        "kcore_copurchase": _kcore_frame,
+        "dedup_cluster_components": _dedup_cluster_frame,
+        "embedding_kmeans_clusters": _kmeans_frame,
+    }
+
+
+#: Queries whose RESULT is legitimately a tiny driver-built local table
+#: (model-state outputs of driver-looped trainers — the documented 1-row
+#: argmax collects), so a small ExistingRDD scan is their true plan, not
+#: an opaque checkpoint hiding auditable work.
+DRIVER_LOCAL_RESULTS: dict[str, str] = {
+    "bpe_train_merges": "K merge rows live in the driver by design "
+    "(1-row argmax collect per round); createDataFrame output",
+}
+
+
 @pytest.mark.parametrize("name", _batch_names())
 def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
-    spec = all_specs()[name]
-    plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    builder = _lazy_frame_builders().get(name) or all_specs()[name].spark
+    df = builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if (
+        "Scan ExistingRDD" in plan
+        and len(plan.splitlines()) < 8
+        and name not in DRIVER_LOCAL_RESULTS
+    ):
+        raise AssertionError(
+            f"{name}: audited plan is an opaque checkpoint scan — "
+            f"register its lazy builder in _lazy_frame_builders"
+        )
 
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     # row-at-a-time scalar Python UDFs are banned; BatchEvalPythonUDTF is a
