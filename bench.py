@@ -181,12 +181,21 @@ HEADLINE = [
     "stream_purchase_click_left_join",
     "stream_purchase_click_full_join",
     "stream_purchase_click_semi_join",
-    # event-time-timeout stateful sessionization: fine-grained per-user
-    # state (the semantics demonstrator, ~1 ms/group Python floor) vs the
-    # coarsened-bucket production shape — both in the bench so the
-    # pairing's cost gap stays measured
-    "stream_session_timeout_close",
+    # event-time-timeout stateful sessionization: the coarsened-bucket
+    # PRODUCTION shape stays headline; its fine-grained demonstrator
+    # twin is timed in the separate `demonstrators` block below
     "stream_session_timeout_close_coarse",
+]
+
+# Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their
+# semantics exposition whose cost is a documented floor, not a design —
+# timed and reported in their own block (like staging) so the headline
+# metric carries only production-shaped paths.  stream_session_timeout_close
+# is per-user fine-grained applyInPandasWithState (~1 ms/group Python
+# floor, streaming/jobs.py docstring); its registered production
+# alternatives (stream_session_windows, the _coarse variant) are headline.
+DEMONSTRATORS = [
+    "stream_session_timeout_close",
 ]
 
 
@@ -253,8 +262,18 @@ def main() -> None:
     # Unset now defaults to the DRIVER's 32 — never the engine's 8 — and
     # the payload records the value and where it came from.
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
-    cpus = int(cpus_env) if cpus_env else 32
-    cpus_source = "env" if cpus_env else "default_driver32"
+    if cpus_env and cpus_env.strip():
+        try:
+            cpus = int(cpus_env.strip())
+        except ValueError:
+            raise SystemExit(
+                f"bench.py: SPARK_GRAFT_CPUS must be an integer core count, "
+                f"got {cpus_env!r}"
+            )
+        cpus_source = "env"
+    else:
+        # round-7 advice: whitespace-only counts as unset, same as empty
+        cpus, cpus_source = 32, "default_driver32"
     print(
         f"[bench] config: local[{cpus}] (SPARK_GRAFT_CPUS "
         f"{'=' + cpus_env if cpus_env else 'unset -> driver default 32'}), "
@@ -367,6 +386,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    # Labeled demonstrators: still run and reported every round (their
+    # cost stays measured and auditable), excluded from the headline sum.
+    demonstrators: dict[str, float] = {}
+    for name in DEMONSTRATORS:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        demonstrators[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] demonstrator {name}: {demonstrators[name]}s",
+              file=sys.stderr)
+
     # Scale-sweep evidence (not counted in the headline total): dedup-tier
     # stage rows/timings at sf0.01 and the bench SF (10x document count).
     sweep_dirs = [os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")]
@@ -388,6 +418,10 @@ def main() -> None:
         # canonicalization; python_worker_pool is process spin-up.
         "staging": staging,
         "staging_total_sec": round(sum(staging.values()), 3),
+        # Labeled known-floor semantics demonstrators (see DEMONSTRATORS):
+        # timed, reported, excluded from the headline sum by policy.
+        "demonstrators": demonstrators,
+        "demonstrators_total_sec": round(sum(demonstrators.values()), 3),
         "cpus": cpus,
         "cpus_source": cpus_source,
     }

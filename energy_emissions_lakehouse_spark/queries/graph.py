@@ -484,7 +484,11 @@ def lpa_communities_copurchase(spark, sf_dir) -> DataFrame:
     (the lazy loop otherwise executes every round's shuffle at the
     caller session's partition count when the driver collects). The lazy
     plan is ``_lpa_frame`` so the staged-index pushdown stays
-    plan-inspectable (the checkpoint opaques the returned frame)."""
+    plan-inspectable (the checkpoint opaques the returned frame).
+
+    Round-7 advice: the staged pair index is resolved before the
+    override so a cold data-scale build keeps the caller's parallelism."""
+    _staged_copurchase_pairs(spark, sf_dir)
     with loop_shuffle_partitions(spark, 8):
         return _lpa_frame(spark, sf_dir).localCheckpoint(eager=True)
 
@@ -696,7 +700,11 @@ def kcore_copurchase(spark, sf_dir) -> DataFrame:
     # loop-local override via the shared context manager (round-6: the
     # concurrency contract — single-threaded session during the loop —
     # is documented once on session.loop_shuffle_partitions); the LAZY
-    # final-census plan is _kcore_frame so the plan audit can inspect it
+    # final-census plan is _kcore_frame so the plan audit can inspect it.
+    # Round-7 advice: resolve the staged pair index BEFORE entering the
+    # override — a cold build is data-scale (basket self-join) and must
+    # run at the caller session's parallelism, not the loop's 8.
+    _staged_copurchase_pairs(spark, sf_dir)
     with loop_shuffle_partitions(spark, 8):
         # eager: the census itself (2 shuffles over the tiny surviving
         # edge list) must also run at 8 partitions, not the caller's

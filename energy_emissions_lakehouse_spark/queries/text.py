@@ -124,7 +124,7 @@ _PRED_SQL = (
 _DOC_SH_MEMO: dict[tuple[int, str], DataFrame] = {}
 #: Verified jaccard pairs are an input to both the pair listing and the
 #: connected-components clustering — checkpoint once per session/sf.
-_JACCARD_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_PAIRS_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _doc_sh(spark, sf_dir: str) -> DataFrame:
@@ -331,13 +331,19 @@ def ngram_jaccard_pairs(spark, sf_dir, fresh: bool = False) -> DataFrame:
     dedup_incremental_batch's history side where applicable) read a
     handful-of-rows parquet instead of re-deriving the join. coalesce(4):
     the pair list is match-scale (6 rows at sf0.01, 256 at sf0.1)."""
-    key = (id(spark), sf_dir)
-    if not fresh and key in _JACCARD_PAIRS_MEMO:
-        return _JACCARD_PAIRS_MEMO[key]
     from energy_emissions_lakehouse_spark.fsutil import (
         staged_tables,
         table_cache_key,
     )
+
+    # Round-7 advice: the memo fronts an mtime/size-keyed staged parquet,
+    # so the memo key must carry the same cache key — a regenerated
+    # documents.parquet mid-process must MISS the memo and re-resolve the
+    # staged path, not keep serving the stale pair frame.
+    cache_key = table_cache_key(sf_dir, "documents", "jac", JACCARD_THRESHOLD)
+    key = (id(spark), sf_dir, cache_key)
+    if not fresh and key in _JACCARD_PAIRS_MEMO:
+        return _JACCARD_PAIRS_MEMO[key]
 
     def build() -> DataFrame:
         sh = _doc_sh(spark, sf_dir)
@@ -370,7 +376,7 @@ def ngram_jaccard_pairs(spark, sf_dir, fresh: bool = False) -> DataFrame:
     staged = staged_tables(
         spark,
         "jaccard_pairs",
-        table_cache_key(sf_dir, "documents", "jac", JACCARD_THRESHOLD),
+        cache_key,
         {"pairs": build},
         fresh=fresh,
     )["pairs"]
@@ -575,6 +581,10 @@ def dedup_cluster_components(spark, sf_dir) -> DataFrame:
     # loop's partition count instead of the caller session's (the operator
     # already ran under the loop-local override — see connected_components).
     # The lazy census plan is _dedup_cluster_frame for the plan audit.
+    # Round-7 advice: resolve the staged jaccard-pair index BEFORE the
+    # override — a cold build is the corpus-scale 7-shuffle PPJoin and
+    # must run at the caller session's parallelism, not the loop's 8.
+    ngram_jaccard_pairs(spark, sf_dir)
     with loop_shuffle_partitions(spark, 8):
         return _dedup_cluster_frame(spark, sf_dir).localCheckpoint(eager=True)
 

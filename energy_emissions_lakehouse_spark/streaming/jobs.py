@@ -1231,3 +1231,133 @@ def cusum_fold(hourly: DataFrame, targets: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Stream-side incremental ANN index maintenance -------------------------
+
+
+def _stage_emb_batch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the simulated incoming embedding batch (vec_id % 10 == 0 —
+    the same daily-ingest gate as ``pq_incremental_assign``) as a parquet
+    directory for the streaming file source; same keyed atomic-rename
+    protocol as ``_stage_docs_batch_dir``, keyed on the embeddings file's
+    mtime+size."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:emb_ingest".encode()
+    ).hexdigest()[:12]
+    src = os.path.join(staging_dir("stream_src"), f"emb_{key}")
+    if os.path.isdir(src):
+        return src
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{src}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(p)
+        .filter(F.col("vec_id") % 10 == 0)
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
+def rowwise_pq_code_cols(codebook_rows, m: int, dim: int) -> list:
+    """The m frozen-codebook PQ code assignments as PER-ROW expressions —
+    no join, no groupBy, therefore legal in a STATELESS streaming select
+    (the batch ``pq_encode_frozen``'s broadcast-join + min-struct
+    aggregate is a streaming aggregation and would demand watermark state
+    for no reason — the same batch-vs-stream split as
+    ``rowwise_minhash_cols``).
+
+    ``codebook_rows``: the collected (sub, code, c_vec) rows — INDEX
+    MODEL STATE (m x ksub tiny rows), the only thing that crosses the
+    driver, exactly like the BPE merge table.  Returned expressions are
+    ``struct(sub, code)`` per subspace; values are bit-identical to
+    ``pq_encode_frozen`` — same slice boundaries, same ``sq_l2``
+    left-to-right fold over the same staged-parquet doubles, same
+    (d2, code) min-struct tie-break (array_min == min over structs).
+    """
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+
+    by_sub: dict[int, list] = {}
+    for r in codebook_rows:
+        by_sub.setdefault(int(r.sub), []).append((int(r.code), list(r.c_vec)))
+    for s in by_sub:
+        by_sub[s].sort()
+
+    def code_expr(s: int):
+        slice_col = F.col(f"_s{s}")
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sim.sq_l2(
+                            slice_col,
+                            F.array(*[F.lit(float(x)) for x in c_vec]),
+                        ).alias("d2"),
+                        F.lit(code).alias("code"),
+                    )
+                    for code, c_vec in by_sub[s]
+                ]
+            )
+        ).getField("code")
+
+    # slices materialize as their own projection first (`_s{s}`) so each
+    # is computed once per row, not inlined into all ksub candidate folds
+    # (the documented transform-inlining trap)
+    slices = [
+        F.slice("v", s * dim + 1, dim).alias(f"_s{s}") for s in range(m)
+    ]
+    codes = [
+        F.struct(F.lit(s).alias("sub"), code_expr(s).alias("code")).alias(
+            f"_c{s}"
+        )
+        for s in range(m)
+    ]
+    return slices, codes
+
+
+def stream_pq_encode_batch(
+    spark: SparkSession, sf_dir: str, codebooks: DataFrame, m: int = 16
+) -> DataFrame:
+    """Arriving embeddings encoded against the FROZEN staged PQ codebooks
+    inside a streaming micro-batch — the stream-side form of
+    ``pq_incremental_assign``'s batch encode, and the shape a 100 TB
+    ingestion path runs: the index stays a staged artifact, each arriving
+    micro-batch pays one map-only pass (per-row argmin against literal
+    codebooks), history is never touched.
+
+    Every streaming operator is STATELESS (select + explode): no
+    watermark, no state store — append mode would REJECT the plan
+    otherwise, so the successful run itself certifies zero streaming
+    state.  Returns the sink contents: (vec_id, sub, code), one row per
+    arriving vector per subspace."""
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+
+    dim = sim.EMBED_DIM // m
+    cb_rows = codebooks.select("sub", "code", "c_vec").collect()
+    slices, codes = rowwise_pq_code_cols(cb_rows, m, dim)
+    src = _stage_emb_batch_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    enc = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", *slices)
+        .select("vec_id", *codes)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[F.col(f"_c{s}") for s in range(m)])
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"))
+    )
+    return run_to_table(enc, mode="append")

@@ -212,3 +212,90 @@ def test_loop_shuffle_partitions_restores_on_exit_and_error(spark):
         with loop_shuffle_partitions(spark, 8):
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_displace_restores_concurrent_winners_marked_build(spark, monkeypatch):
+    """Round-7 advice: between the pre-displace marker re-check and the
+    rename there is still a TOCTOU window — a concurrent winner's MARKED
+    build landing in it used to be displaced and deleted.  Simulate the
+    winner completing inside the window (via a racing os.rename shim) and
+    pin that the displaced marked build is renamed BACK and served, not
+    rebuilt."""
+    fam = _family()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(4)
+
+    try:
+        base = os.path.join(staging_dir(fam), "k1")
+        staged_tables(spark, fam, "k1", {"t": build})  # seed a real build
+        os.remove(os.path.join(base, "_SUCCESS"))  # looks stale at check time
+        real_rename = os.rename
+
+        def racing_rename(src, dst):
+            if src == base and ".trash-" in dst:
+                # the concurrent winner marks the build inside the window
+                with open(os.path.join(base, "_SUCCESS"), "w"):
+                    pass
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", racing_rename)
+        out = staged_tables(spark, fam, "k1", {"t": build})["t"]
+        assert calls["n"] == 1  # winner's build restored — no rebuild
+        assert out.count() == 4
+        assert os.path.isfile(os.path.join(base, "_SUCCESS"))
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_staging_init_sweeps_dead_pid_scratch(spark):
+    """Round-6 verdict item 7: `*.trash-*` / `*.tmp-*` scratch stranded by
+    a CRASHED process is swept on staged_tables init; live bases and this
+    process's own scratch are untouched."""
+    import subprocess
+    import sys
+
+    fam = _family()
+    try:
+        fd = staging_dir(fam)
+        proc = subprocess.Popen([sys.executable, "-c", ""])
+        proc.wait()  # reaped: its pid is guaranteed dead
+        stale_trash = os.path.join(fd, f"k9.trash-{proc.pid}-deadbeef")
+        stale_tmp = os.path.join(fd, f"k9.tmp-{proc.pid}-deadbeef")
+        mine = os.path.join(fd, f"k9.trash-{os.getpid()}-deadbeef")
+        for d in (stale_trash, stale_tmp, mine):
+            os.makedirs(d)
+        out = staged_tables(spark, fam, "k1", {"t": lambda: spark.range(2)})["t"]
+        assert out.count() == 2
+        assert not os.path.exists(stale_trash)
+        assert not os.path.exists(stale_tmp)
+        assert os.path.isdir(mine)  # own-pid scratch is never swept
+        assert os.path.isdir(os.path.join(fd, "k1"))  # live base untouched
+    finally:
+        shutil.rmtree(staging_dir(fam), ignore_errors=True)
+
+
+def test_jaccard_memo_misses_when_corpus_regenerated(spark, sf_dir, tmp_path):
+    """Round-7 advice: the jaccard-pairs memo key must carry the staged
+    cache key (mtime+size) — regenerating documents.parquet mid-process
+    must MISS the memo instead of serving the stale pair frame."""
+    import shutil as _sh
+
+    from energy_emissions_lakehouse_spark.queries import text as text_q
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _sh.copy(os.path.join(sf_dir, "documents.parquet"),
+             corpus / "documents.parquet")
+    sdir = str(corpus)
+    text_q.ngram_jaccard_pairs(spark, sdir)
+    n_keys = len(text_q._JACCARD_PAIRS_MEMO)
+    # same corpus version: warm hit, no new memo entry
+    text_q.ngram_jaccard_pairs(spark, sdir)
+    assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys
+    # "regenerate" the corpus (mtime change == new table_cache_key)
+    os.utime(corpus / "documents.parquet", ns=(1, 1))
+    text_q.ngram_jaccard_pairs(spark, sdir)
+    assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys + 1
