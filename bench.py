@@ -114,6 +114,7 @@ HEADLINE = [
     "pq_adc_rerank_topk",
     "ivfpq_adc_topk",
     "pq_incremental_assign",
+    "stream_pq_incremental_assign",
     # multimodal (Arrow-batched mapInPandas)
     "media_feature_extract",
     "media_phash_neardup",

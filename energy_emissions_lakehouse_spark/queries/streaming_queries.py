@@ -752,3 +752,42 @@ def stream_cusum_drift(spark, sf_dir) -> DataFrame:
     return out.filter(F.col("event_type") != "__flush__").orderBy(
         "event_type", "hour_ts"
     )
+
+
+def _stream_pq_oracle() -> str:
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        _pq_incremental_oracle_sql,
+    )
+
+    return _pq_incremental_oracle_sql(m=16, ksub=32, iters=2)
+
+
+@register(
+    "stream_pq_incremental_assign",
+    oracle=_stream_pq_oracle(),
+    survey="extension (streaming x similarity — stream-side incremental "
+    "ANN index maintenance): arriving embeddings (the vec_id%10 ingest "
+    "gate) are encoded against the FROZEN staged PQ codebooks inside a "
+    "streaming micro-batch — per-row argmin over literal codebook "
+    "tables (streaming/jobs.rowwise_pq_code_cols; bit-identical to the "
+    "batch pq_encode_frozen, pinned by test), then the sink's codes "
+    "merge with the staged history census + drift exactly like "
+    "pq_incremental_assign. ZERO streaming state (stateless select/"
+    "explode; append mode would reject any stateful plan) and history "
+    "is never re-encoded — the continuous form of index maintenance a "
+    "100 TB ingest path runs. Same oracle as the batch twin: the "
+    "streaming hop must not change a single value",
+)
+def stream_pq_incremental_assign(spark, sf_dir) -> DataFrame:
+    """Merged-index cell census + drift (always 0) where the ingest
+    batch's PQ codes were computed by a stateless streaming pipeline
+    against the frozen staged codebooks; history codes come from the
+    staged parquet and are never re-encoded."""
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        _merged_cell_census,
+        _pq_staged_model,
+    )
+
+    encoded, codebooks = _pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2)
+    batch_enc = jobs.stream_pq_encode_batch(spark, sf_dir, codebooks, m=16)
+    return _merged_cell_census(encoded, batch_enc)

@@ -1139,12 +1139,21 @@ def pq_incremental_assign(spark, sf_dir) -> DataFrame:
         .filter(is_batch)
         .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
     )
+    # batch_enc has a SINGLE consumer inside _merged_cell_census, so the
+    # batch is encoded exactly once (a second consumer would re-execute
+    # the whole encode subplan; plan-pinned as one embeddings scan)
     batch_enc = sim.pq_encode_frozen(batch_raw, codebooks, m=16)
-    # one pass: history rows carry (is_batch=0, drift=0); batch rows join
-    # the staged codes once to compute their drift flag — batch_enc has a
-    # SINGLE consumer, so the batch is encoded exactly once (a second
-    # consumer would re-execute the whole encode subplan; plan-pinned as
-    # one embeddings scan)
+    return _merged_cell_census(encoded, batch_enc)
+
+
+def _merged_cell_census(encoded: DataFrame, batch_enc: DataFrame) -> DataFrame:
+    """Shared merge/census/drift tail of the incremental-maintenance pair
+    (batch ``pq_incremental_assign``, streaming
+    ``stream_pq_incremental_assign``): one pass — history rows from the
+    staged index carry (is_batch=0, drift=0); freshly-encoded batch rows
+    (vec_id, sub, code) join the staged batch codes once to compute their
+    drift flag; then a single grouped census per (sub, code) cell."""
+    is_batch = F.col("vec_id") % 10 == 0
     hist_rows = encoded.filter(~is_batch).select(
         "sub",
         "code",

@@ -1278,12 +1278,24 @@ def rowwise_pq_code_cols(codebook_rows, m: int, dim: int) -> list:
 
     ``codebook_rows``: the collected (sub, code, c_vec) rows — INDEX
     MODEL STATE (m x ksub tiny rows), the only thing that crosses the
-    driver, exactly like the BPE merge table.  Returned expressions are
-    ``struct(sub, code)`` per subspace; values are bit-identical to
-    ``pq_encode_frozen`` — same slice boundaries, same ``sq_l2``
+    driver, exactly like the BPE merge table.  Values are bit-identical
+    to ``pq_encode_frozen`` — same slice boundaries, same ``sq_l2``
     left-to-right fold over the same staged-parquet doubles, same
-    (d2, code) min-struct tie-break (array_min == min over structs).
-    """
+    (d2, code) tie-break (``array_position`` takes the FIRST minimum and
+    the matrix rows are sorted by code, so ties resolve to the lowest
+    code exactly like min-struct).
+
+    Expression-size note (the first formulation's 19 s lesson): ksub
+    separate per-candidate fold expressions made a tree Catalyst spent
+    ~13 s analyzing/compiling per process for 50 rows.  Each subspace is
+    instead ONE ``transform`` over a literal ksub x dim matrix — the
+    ``sq_l2`` lambda appears once per subspace, the matrix is data not
+    operators, and the per-row distance vector materializes as its own
+    projection (``_d{s}``) so the argmin's two references don't inline
+    the transform twice.
+
+    Returns (slices, dists, codes): three projection stages to apply in
+    order, each referencing only the previous stage's columns."""
     from energy_emissions_lakehouse_spark.operators import similarity as sim
 
     by_sub: dict[int, list] = {}
@@ -1292,36 +1304,42 @@ def rowwise_pq_code_cols(codebook_rows, m: int, dim: int) -> list:
     for s in by_sub:
         by_sub[s].sort()
 
-    def code_expr(s: int):
-        slice_col = F.col(f"_s{s}")
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sim.sq_l2(
-                            slice_col,
-                            F.array(*[F.lit(float(x)) for x in c_vec]),
-                        ).alias("d2"),
-                        F.lit(code).alias("code"),
-                    )
-                    for code, c_vec in by_sub[s]
-                ]
-            )
-        ).getField("code")
-
-    # slices materialize as their own projection first (`_s{s}`) so each
-    # is computed once per row, not inlined into all ksub candidate folds
-    # (the documented transform-inlining trap)
+    mats = {
+        s: F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c_vec])
+                for _code, c_vec in by_sub[s]
+            ]
+        )
+        for s in by_sub
+    }
+    code_arrs = {
+        s: F.array(*[F.lit(code) for code, _ in by_sub[s]]) for s in by_sub
+    }
     slices = [
         F.slice("v", s * dim + 1, dim).alias(f"_s{s}") for s in range(m)
     ]
+    def _dist_expr(s: int):
+        # NB: a 2-arg lambda would make F.transform pass the array INDEX
+        # as the second argument — close over s via a factory instead
+        return F.transform(
+            mats[s], lambda c: sim.sq_l2(F.col(f"_s{s}"), c)
+        ).alias(f"_d{s}")
+
+    dists = [_dist_expr(s) for s in range(m)]
     codes = [
-        F.struct(F.lit(s).alias("sub"), code_expr(s).alias("code")).alias(
-            f"_c{s}"
-        )
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.element_at(
+                code_arrs[s],
+                F.array_position(
+                    F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))
+                ).cast("int"),
+            ).alias("code"),
+        ).alias(f"_c{s}")
         for s in range(m)
     ]
-    return slices, codes
+    return slices, dists, codes
 
 
 def stream_pq_encode_batch(
@@ -1343,7 +1361,7 @@ def stream_pq_encode_batch(
 
     dim = sim.EMBED_DIM // m
     cb_rows = codebooks.select("sub", "code", "c_vec").collect()
-    slices, codes = rowwise_pq_code_cols(cb_rows, m, dim)
+    slices, dists, codes = rowwise_pq_code_cols(cb_rows, m, dim)
     src = _stage_emb_batch_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     enc = (
@@ -1351,6 +1369,7 @@ def stream_pq_encode_batch(
         .parquet(src)
         .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
         .select("vec_id", *slices)
+        .select("vec_id", *dists)
         .select("vec_id", *codes)
         .select(
             "vec_id",
