@@ -263,7 +263,8 @@ def main() -> None:
     # Unset now defaults to the DRIVER's 32 — never the engine's 8 — and
     # the payload records the value and where it came from.
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus_env and cpus_env.strip():
+    env_set = bool(cpus_env and cpus_env.strip())
+    if env_set:
         try:
             cpus = int(cpus_env.strip())
         except ValueError:
@@ -271,13 +272,19 @@ def main() -> None:
                 f"bench.py: SPARK_GRAFT_CPUS must be an integer core count, "
                 f"got {cpus_env!r}"
             )
+        if cpus < 1:
+            # local[0]/local[-4] would die deep in JVM init with an
+            # unrelated-looking error — fail loud and clear here instead
+            raise SystemExit(
+                f"bench.py: SPARK_GRAFT_CPUS must be >= 1, got {cpus}"
+            )
         cpus_source = "env"
     else:
         # round-7 advice: whitespace-only counts as unset, same as empty
         cpus, cpus_source = 32, "default_driver32"
     print(
         f"[bench] config: local[{cpus}] (SPARK_GRAFT_CPUS "
-        f"{'=' + cpus_env if cpus_env else 'unset -> driver default 32'}), "
+        f"{'=' + cpus_env if env_set else 'unset -> driver default 32'}), "
         f"sf_dir={sf_dir}",
         file=sys.stderr,
     )

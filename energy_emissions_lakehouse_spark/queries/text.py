@@ -121,14 +121,27 @@ _PRED_SQL = (
 #: the corpus per branch. At production scale this materialization is the
 #: standard "staging" parquet write between pipeline passes; here
 #: localCheckpoint keeps it in executor storage.
-_DOC_SH_MEMO: dict[tuple[int, str], DataFrame] = {}
+_DOC_SH_MEMO: dict[tuple, DataFrame] = {}
 #: Verified jaccard pairs are an input to both the pair listing and the
 #: connected-components clustering — checkpoint once per session/sf.
 _JACCARD_PAIRS_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _doc_version(sf_dir: str) -> tuple[int, int]:
+    """(mtime_ns, size) of documents.parquet — every memo of state DERIVED
+    from the corpus keys on this, so a regenerated corpus misses the memo
+    instead of serving stale checkpointed shingles (round-7 self-review:
+    the jaccard memo fix was otherwise defeated by this layer — a rebuild
+    sourced from a stale _DOC_SH_MEMO would PERSIST old-corpus pairs under
+    the fresh staging key)."""
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
 def _doc_sh(spark, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, _doc_version(sf_dir))
     if key not in _DOC_SH_MEMO:
         docs = t(spark, sf_dir, "documents")
         _DOC_SH_MEMO[key] = docs.select(
@@ -139,12 +152,13 @@ def _doc_sh(spark, sf_dir: str) -> DataFrame:
 
 #: 5-gram shingle sets, shared by the two contamination queries (overlap
 #: + bloom) — same memo policy as _DOC_SH_MEMO: tokenize+shingle once per
-#: (session, sf), lineage-truncated so neither query re-pays the scan.
-_DOC_5G_MEMO: dict[tuple[int, str], DataFrame] = {}
+#: (session, sf, corpus version), lineage-truncated so neither query
+#: re-pays the scan.
+_DOC_5G_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _doc_5g(spark, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, _doc_version(sf_dir))
     if key not in _DOC_5G_MEMO:
         docs = t(spark, sf_dir, "documents")
         _DOC_5G_MEMO[key] = docs.select(

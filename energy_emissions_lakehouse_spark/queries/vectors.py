@@ -728,10 +728,40 @@ def pq_adc_topk(spark, sf_dir) -> DataFrame:
 PQ_SHORTLIST_FLOOR = 20
 PQ_SHORTLIST_DIVISOR = 25
 
+#: Incremental-ingest gate: vec_id % PQ_BATCH_MOD == 0 rows simulate the
+#: arriving batch (the vector analog of dedup_incremental_batch's daily
+#: gate).  Load-bearing in THREE places that must agree — the census
+#: split (`pq_ingest_batch_pred`), the batch-twin oracle SQL, and the
+#: streaming source staging (jobs._stage_emb_batch_dir); a divergence
+#: silently double-counts vectors as history AND batch.
+PQ_BATCH_MOD = 10
+
+
+def pq_ingest_batch_pred():
+    """The shared is-this-row-in-the-ingest-batch predicate."""
+    return F.col("vec_id") % PQ_BATCH_MOD == 0
+
 
 def pq_shortlist_for(corpus_size: int) -> int:
     """Scale-aware ADC re-rank shortlist: max(floor, N // divisor)."""
     return max(PQ_SHORTLIST_FLOOR, corpus_size // PQ_SHORTLIST_DIVISOR)
+
+
+_EMB_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def _emb_corpus_count(spark, sf_dir: str) -> int:
+    """Corpus size for index sizing — index-build metadata, counted ONCE
+    per (session, corpus version) instead of per query call (round-7
+    self-review: the per-call count() was an extra full-scan job on
+    every bench/sweep invocation)."""
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _EMB_COUNT_MEMO:
+        _EMB_COUNT_MEMO[key] = t(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_MEMO[key]
 
 
 def _pq_adc_rerank_oracle_sql(
@@ -826,7 +856,7 @@ def pq_adc_rerank_topk(spark, sf_dir) -> DataFrame:
     )
     return sim.pq_adc_rerank_topk(
         emb, query_pred=F.col("vec_id") % 100 == 0, k=3,
-        shortlist=pq_shortlist_for(emb.count()),
+        shortlist=pq_shortlist_for(_emb_corpus_count(spark, sf_dir)),
         m=16, ksub=32, iters=2,
         model=_pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2),
     )
@@ -1072,7 +1102,8 @@ def _pq_incremental_oracle_sql(
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY d2, cluster_id) AS rn
             FROM (SELECT e.vec_id, s.cluster_id, {d2} AS d2
-                  FROM (SELECT vec_id, v FROM e{s} WHERE vec_id % 10 = 0) e
+                  FROM (SELECT vec_id, v FROM e{s}
+                        WHERE vec_id % {PQ_BATCH_MOD} = 0) e
                   CROSS JOIN {cent_names[s]} s)
         ) WHERE rn = 1"""
         for s in range(m)
@@ -1091,10 +1122,10 @@ def _pq_incremental_oracle_sql(
         GROUP BY r.sub, r.code),
     cells AS (
         SELECT sub, code,
-               CAST(COUNT(*) FILTER (WHERE vec_id % 10 != 0) AS BIGINT)
-                   AS n_history,
-               CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT)
-                   AS n_batch,
+               CAST(COUNT(*) FILTER (WHERE vec_id % {PQ_BATCH_MOD} != 0)
+                    AS BIGINT) AS n_history,
+               CAST(COUNT(*) FILTER (WHERE vec_id % {PQ_BATCH_MOD} = 0)
+                    AS BIGINT) AS n_batch,
                CAST(COUNT(*) AS BIGINT) AS n_merged
         FROM enc GROUP BY sub, code)
     SELECT CAST(c.sub AS INTEGER) AS sub, c.code, c.n_history, c.n_batch,
@@ -1133,7 +1164,7 @@ def pq_incremental_assign(spark, sf_dir) -> DataFrame:
     the historical encoded corpus is a parquet read, the codebooks a
     broadcast; nothing retrains and recall is unchanged by construction."""
     encoded, codebooks = _pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2)
-    is_batch = F.col("vec_id") % 10 == 0
+    is_batch = pq_ingest_batch_pred()
     batch_raw = (
         t(spark, sf_dir, "embeddings")
         .filter(is_batch)
@@ -1153,7 +1184,7 @@ def _merged_cell_census(encoded: DataFrame, batch_enc: DataFrame) -> DataFrame:
     staged index carry (is_batch=0, drift=0); freshly-encoded batch rows
     (vec_id, sub, code) join the staged batch codes once to compute their
     drift flag; then a single grouped census per (sub, code) cell."""
-    is_batch = F.col("vec_id") % 10 == 0
+    is_batch = pq_ingest_batch_pred()
     hist_rows = encoded.filter(~is_batch).select(
         "sub",
         "code",

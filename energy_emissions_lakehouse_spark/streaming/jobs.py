@@ -880,20 +880,27 @@ def purchase_click_full_join(events: DataFrame) -> DataFrame:
     )
 
 
-def _stage_docs_batch_dir(
-    spark: SparkSession, sf_dir: str, n_files: int = 1
+def _stage_batch_source_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    pred,
+    tag: str,
+    n_files: int = 1,
 ) -> str:
-    """Stage the simulated incoming document batch (doc_id % 10 >= 8) as
-    a parquet directory for the streaming file source — same keyed,
-    atomic-rename protocol as _stage_events_dir, keyed on the documents
-    file's mtime+size.  ``n_files > 1`` splits the batch so a
-    maxFilesPerTrigger=1 stream replays it as several micro-batches."""
-    p = os.path.join(sf_dir, "documents.parquet")
+    """Shared keyed atomic-rename staging for simulated ingest-batch
+    streaming file sources (round-7 self-review: the docs and embeddings
+    variants were line-for-line copies of this protocol — one
+    implementation so a future protocol fix lands everywhere).  Keyed on
+    the source file's mtime+size plus ``tag``/``n_files``; ``n_files > 1``
+    splits the batch so a maxFilesPerTrigger=1 stream replays it as
+    several micro-batches."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(p)
     key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:docs_ingest:{n_files}".encode()
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{tag}:{n_files}".encode()
     ).hexdigest()[:12]
-    src = os.path.join(staging_dir("stream_src"), f"docs_{key}")
+    src = os.path.join(staging_dir("stream_src"), f"{tag}_{key}")
     if os.path.isdir(src):
         return src
     import shutil
@@ -902,7 +909,7 @@ def _stage_docs_batch_dir(
     tmp = f"{src}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
     (
         spark.read.parquet(p)
-        .filter(F.col("doc_id") % 10 >= 8)
+        .filter(pred)
         .repartition(n_files)
         .write.mode("overwrite")
         .parquet(tmp)
@@ -912,6 +919,21 @@ def _stage_docs_batch_dir(
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return src
+
+
+def _stage_docs_batch_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 1
+) -> str:
+    """Stage the simulated incoming document batch (doc_id % 10 >= 8) as
+    a parquet directory for the streaming file source."""
+    return _stage_batch_source_dir(
+        spark,
+        sf_dir,
+        "documents",
+        F.col("doc_id") % 10 >= 8,
+        "docs_ingest",
+        n_files=n_files,
+    )
 
 
 def rowwise_minhash_cols(sh_col: str = "sh") -> list:
@@ -1237,35 +1259,17 @@ def cusum_fold(hourly: DataFrame, targets: DataFrame) -> DataFrame:
 
 
 def _stage_emb_batch_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the simulated incoming embedding batch (vec_id % 10 == 0 —
-    the same daily-ingest gate as ``pq_incremental_assign``) as a parquet
-    directory for the streaming file source; same keyed atomic-rename
-    protocol as ``_stage_docs_batch_dir``, keyed on the embeddings file's
-    mtime+size."""
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(p)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:emb_ingest".encode()
-    ).hexdigest()[:12]
-    src = os.path.join(staging_dir("stream_src"), f"emb_{key}")
-    if os.path.isdir(src):
-        return src
-    import shutil
-    import uuid as _uuid
-
-    tmp = f"{src}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
-    (
-        spark.read.parquet(p)
-        .filter(F.col("vec_id") % 10 == 0)
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
+    """Stage the simulated incoming embedding batch (the shared
+    ``pq_ingest_batch_pred`` gate — MUST match the census split in
+    queries/vectors._merged_cell_census) as a parquet directory for the
+    streaming file source."""
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        pq_ingest_batch_pred,
     )
-    try:
-        os.rename(tmp, src)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return src
+
+    return _stage_batch_source_dir(
+        spark, sf_dir, "embeddings", pq_ingest_batch_pred(), "emb_ingest"
+    )
 
 
 def rowwise_pq_code_cols(codebook_rows, m: int, dim: int) -> list:

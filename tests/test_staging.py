@@ -278,24 +278,70 @@ def test_staging_init_sweeps_dead_pid_scratch(spark):
 
 
 def test_jaccard_memo_misses_when_corpus_regenerated(spark, sf_dir, tmp_path):
-    """Round-7 advice: the jaccard-pairs memo key must carry the staged
-    cache key (mtime+size) — regenerating documents.parquet mid-process
-    must MISS the memo instead of serving the stale pair frame."""
+    """Round-7 advice (+ self-review hardening): regenerating
+    documents.parquet mid-process must make BOTH the jaccard-pairs memo
+    AND the underlying shingle memo (_DOC_SH_MEMO) miss, so the rebuilt
+    staged pairs reflect the NEW corpus content — not merely churn the
+    memo key while serving pairs derived from stale checkpointed
+    shingles (which would persist wrong pairs on disk under the fresh
+    staging key)."""
     import shutil as _sh
 
+    import duckdb
+
+    from energy_emissions_lakehouse_spark.fsutil import (
+        staging_dir as _staging_dir,
+        table_cache_key,
+    )
     from energy_emissions_lakehouse_spark.queries import text as text_q
 
     corpus = tmp_path / "corpus"
     corpus.mkdir()
-    _sh.copy(os.path.join(sf_dir, "documents.parquet"),
-             corpus / "documents.parquet")
+    doc_path = str(corpus / "documents.parquet")
+    _sh.copy(os.path.join(sf_dir, "documents.parquet"), doc_path)
     sdir = str(corpus)
-    text_q.ngram_jaccard_pairs(spark, sdir)
-    n_keys = len(text_q._JACCARD_PAIRS_MEMO)
-    # same corpus version: warm hit, no new memo entry
-    text_q.ngram_jaccard_pairs(spark, sdir)
-    assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys
-    # "regenerate" the corpus (mtime change == new table_cache_key)
-    os.utime(corpus / "documents.parquet", ns=(1, 1))
-    text_q.ngram_jaccard_pairs(spark, sdir)
-    assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys + 1
+    keys = [table_cache_key(sdir, "documents", "jac",
+                            text_q.JACCARD_THRESHOLD)]
+    try:
+        pairs_v1 = {
+            (r.a_id, r.b_id)
+            for r in text_q.ngram_jaccard_pairs(spark, sdir).collect()
+        }
+        assert (1, 2) not in pairs_v1  # random texts: not near-dups
+        n_keys = len(text_q._JACCARD_PAIRS_MEMO)
+        # same corpus version: warm hit, no new memo entry
+        text_q.ngram_jaccard_pairs(spark, sdir)
+        assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys
+        # REGENERATE the corpus with different content: docs 1 and 2
+        # become identical same-lang texts -> a guaranteed sim-1.0 pair
+        dup = "alpha beta gamma delta epsilon zeta eta theta"
+        duckdb.execute(
+            f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE WHEN doc_id IN (1, 2) THEN '{dup}' ELSE text END
+                        AS text,
+                    CASE WHEN doc_id IN (1, 2) THEN 'en' ELSE lang END
+                        AS lang)
+                FROM read_parquet('{doc_path}')
+            ) TO '{doc_path}' (FORMAT PARQUET)
+            """
+        )
+        keys.append(table_cache_key(sdir, "documents", "jac",
+                                    text_q.JACCARD_THRESHOLD))
+        assert keys[1] != keys[0]
+        pairs_v2 = {
+            (r.a_id, r.b_id)
+            for r in text_q.ngram_jaccard_pairs(spark, sdir).collect()
+        }
+        assert len(text_q._JACCARD_PAIRS_MEMO) == n_keys + 1
+        # the DATA freshness pin: the rebuilt pairs see the new content
+        assert (1, 2) in pairs_v2
+    finally:
+        for k in keys:
+            _sh.rmtree(os.path.join(_staging_dir("jaccard_pairs"), k),
+                       ignore_errors=True)
+        for memo in (text_q._JACCARD_PAIRS_MEMO, text_q._DOC_SH_MEMO,
+                     text_q._DOC_5G_MEMO):
+            for k in [k for k in memo if sdir in str(k)]:
+                memo.pop(k, None)
