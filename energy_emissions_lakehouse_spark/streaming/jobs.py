@@ -895,12 +895,16 @@ def _stage_batch_source_dir(
     the source file's mtime+size plus ``tag``/``n_files``; ``n_files > 1``
     splits the batch so a maxFilesPerTrigger=1 stream replays it as
     several micro-batches."""
+    from energy_emissions_lakehouse_spark.fsutil import _sweep_stale_scratch
+
     p = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(p)
     key = hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{tag}:{n_files}".encode()
     ).hexdigest()[:12]
-    src = os.path.join(staging_dir("stream_src"), f"{tag}_{key}")
+    root = staging_dir("stream_src")
+    _sweep_stale_scratch(root)  # dead-pid *.tmp- leftovers strand forever
+    src = os.path.join(root, f"{tag}_{key}")
     if os.path.isdir(src):
         return src
     import shutil
