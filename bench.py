@@ -186,6 +186,11 @@ HEADLINE = [
     # PRODUCTION shape stays headline; its fine-grained demonstrator
     # twin is timed in the separate `demonstrators` block below
     "stream_session_timeout_close_coarse",
+    # versioned-table (commit-log) serving reads; the one-time 5-commit
+    # history build is the vtable_history_build staging entry
+    "vtable_time_travel_read",
+    "vtable_change_feed_orders",
+    "vtable_compaction_content_identity",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their
@@ -382,6 +387,20 @@ def main() -> None:
     staged(
         "jaccard_pairs_build",
         lambda: ngram_jaccard_pairs(spark, sf_dir, fresh=True),
+    )
+
+    # The versioned-table 5-commit history (create/append/merge/delete/
+    # compact) is build-once staged state like the indexes above: the
+    # vtable_* queries measure log-replay READS (time travel, CDF,
+    # post-compaction serving), not the one-time write workload.  Cold
+    # rebuild keeps the write-path cost visible per round.
+    from energy_emissions_lakehouse_spark.queries.versioned import (
+        staged_vtable,
+    )
+
+    staged(
+        "vtable_history_build",
+        lambda: staged_vtable(spark, sf_dir, fresh=True),
     )
 
     # Python-worker pool spin-up is per-JVM environment cost, not query

@@ -85,15 +85,14 @@ def _sweep_stale_scratch(family_dir: str) -> None:
             continue  # pid exists but isn't ours (EPERM) — leave it
 
 
-def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
-    """Build-once-serve-many parquet staging (the PQ-index pattern, shared).
+def staged_artifact(family: str, key: str, populate, fresh: bool = False) -> str:
+    """Build-once-serve-many staging for an ARBITRARY directory payload.
 
-    ``builders`` maps subdir name -> zero-arg fn returning the DataFrame to
-    persist.  The keyed directory under ``staging_dir(family)`` is trusted
-    only when its ``_SUCCESS`` marker exists; otherwise (or when ``fresh``
-    forces a cold rebuild for benchmarking) every builder runs into a tmp
-    dir that is atomically ``os.rename``d into place.  Returns
-    ``{name: spark.read.parquet(...)}`` for each builder.
+    Generalization of :func:`staged_tables` (which is now a thin wrapper):
+    ``populate(tmp_dir)`` fills a scratch directory with any tree — parquet
+    subdirs, a versioned-table commit log, model files — and the whole tree
+    is atomically ``os.rename``d into the keyed slot with the ``_SUCCESS``
+    marker travelling inside it.  Returns the trusted base path.
 
     Concurrency (round-5 advice, scoped honestly): only the final rename
     is atomic. On the NON-fresh path a stale/partial base is DISPLACED
@@ -151,8 +150,8 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
     if _stale():
         tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
-            for name, build in builders.items():
-                build().write.mode("overwrite").parquet(os.path.join(tmp, name))
+            os.makedirs(tmp, mode=0o700, exist_ok=True)
+            populate(tmp)
             with open(os.path.join(tmp, "_SUCCESS"), "w"):
                 pass  # marker travels with the atomic rename
         except BaseException:
@@ -170,8 +169,29 @@ def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
         # a stale unmarked base) and the tmp rename then bounced off it —
         # never serve that silently
         raise RuntimeError(
-            f"staged_tables: {base} has no _SUCCESS marker after build"
+            f"staged_artifact: {base} has no _SUCCESS marker after build"
         )
+    return base
+
+
+def staged_tables(spark, family: str, key: str, builders, fresh: bool = False):
+    """Build-once-serve-many parquet staging (the PQ-index pattern, shared).
+
+    ``builders`` maps subdir name -> zero-arg fn returning the DataFrame to
+    persist; each is written as parquet into the keyed slot via
+    :func:`staged_artifact` (which owns the marker/displace/atomic-rename
+    contract).  Returns ``{name: spark.read.parquet(...)}`` for each builder.
+
+    On a real cluster this is the one-time index/materialization job
+    writing to the job's own scratch prefix; queries then serve from the
+    staged artifact instead of re-deriving it.
+    """
+
+    def _populate(tmp: str) -> None:
+        for name, build in builders.items():
+            build().write.mode("overwrite").parquet(os.path.join(tmp, name))
+
+    base = staged_artifact(family, key, _populate, fresh=fresh)
     return {
         name: spark.read.parquet(os.path.join(base, name)) for name in builders
     }

@@ -1,0 +1,392 @@
+"""Versioned parquet tables: a minimal ACID commit-log layer ("vtable").
+
+The sandbox has no Delta/Iceberg/Avro jars (README "Blocked table
+formats"), so the warehouse-load surface of the reference
+(/root/reference/src/30_load/load_to_postgres.py:73-117 — transactional
+replace + upsert into Postgres) has so far been oracle-verified over
+plain parquet WITHOUT commit atomicity, snapshot isolation, time travel
+or a change feed.  This module closes that gap natively, following the
+publicly documented Delta Lake transaction-log protocol
+(github.com/delta-io/delta PROTOCOL.md) and the Iceberg snapshot model,
+re-expressed in ~pure PySpark + stdlib:
+
+- ``<root>/data/<version>-<uuid>/``: immutable parquet segments, written
+  once by a distributed Spark job and NEVER mutated.  A segment is
+  invisible until a commit references it, so a crashed writer strands an
+  orphan (swept by ``vacuum``), never a torn table.
+- ``<root>/_log/<v020>.json``: one JSON commit per version holding the
+  ``add``/``remove`` segment lists, the operation, and the schema.  A
+  commit is claimed atomically: the payload is fully written to a
+  scratch file, then ``os.link``ed to its final name — POSIX ``link``
+  fails with EEXIST if the version is taken, so exactly one writer wins
+  and readers can never observe a half-written commit.  This is the
+  single-node analogue of Delta's conditional-put / rename-commit on
+  object stores.
+- ``<root>/_log/<v020>.checkpoint.json``: every CHECKPOINT_EVERY commits
+  the full live-segment set is checkpointed, so snapshot resolution
+  replays only the tail instead of the whole log (Delta's parquet
+  checkpoints, simplified to JSON — the payload is segment PATHS, i.e.
+  O(files) metadata, not data).
+
+Concurrency contract (optimistic, Delta-style): writers read a snapshot,
+write new segments, then attempt the ``snapshot_version + 1`` commit.  A
+losing writer gets :class:`ConcurrentCommitError` and must re-read and
+retry against the new snapshot (its orphaned segments are vacuumable).
+Readers resolve a version's segment list eagerly, so a DataFrame handle
+is pinned to its snapshot — immutable segments make reads repeatable
+regardless of later commits (snapshot isolation by construction).
+
+Scale notes (100 TB): data operations are ordinary distributed Spark
+jobs over parquet; only O(#segments) path metadata ever crosses the
+driver, exactly like Delta's log.  ``merge_upsert``/``delete_where``
+here are copy-on-write FULL rewrites — the registered partition-scoped
+merge (queries/core.py merge_upsert_orders_partition_scoped) shows the
+pruned-rewrite shape; a production vtable would keep per-segment min/max
+key stats in the commit (Iceberg manifests) and rewrite only touched
+segments.  On a real cluster the log lives on an object store with
+conditional-put (or a log store service) instead of POSIX ``link``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+#: Checkpoint the full live-segment set every N commits (bounds replay).
+CHECKPOINT_EVERY = 8
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first.  Optimistic-concurrency
+    contract: re-read the latest snapshot, re-derive the operation against
+    it, and retry at the new version (the Delta PROTOCOL.md loop)."""
+
+
+def _fmt_version(version: int) -> str:
+    return f"{version:020d}"
+
+
+class VersionedTable:
+    """Handle on a vtable root.  All mutating ops append ONE commit."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log_dir = os.path.join(root, LOG_DIR)
+        if not os.path.isdir(self._log_dir):
+            raise FileNotFoundError(
+                f"not a versioned table (no {LOG_DIR}/): {root}"
+            )
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame
+    ) -> "VersionedTable":
+        """Initialize ``root`` with version 0 = ``df``.  Fails if a log
+        already exists (use :meth:`overwrite` to replace content)."""
+        log_dir = os.path.join(root, LOG_DIR)
+        if os.path.isdir(log_dir):
+            raise FileExistsError(f"versioned table already exists: {root}")
+        os.makedirs(log_dir, mode=0o700)
+        os.makedirs(os.path.join(root, DATA_DIR), mode=0o700, exist_ok=True)
+        table = cls(spark, root)
+        add = [table._write_segment(df, 0)]
+        table._commit(0, "create", add=add, remove=[], schema=df.schema)
+        return table
+
+    # ------------------------------------------------------------- log layer
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, _fmt_version(version) + ".json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self._log_dir, _fmt_version(version) + ".checkpoint.json"
+        )
+
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._log_dir):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                stem = name[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"empty commit log: {self._log_dir}")
+        return versions[-1]
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        add: list[str],
+        remove: list[str],
+        schema: StructType,
+        extra: dict | None = None,
+    ) -> None:
+        """Atomically claim ``version``.  Full payload lands in a scratch
+        file first; ``os.link`` to the final name either wins (EEXIST-free)
+        or raises :class:`ConcurrentCommitError` — a reader can never see a
+        partially written commit under its final name."""
+        payload = {
+            "version": version,
+            "op": op,
+            "add": sorted(add),
+            "remove": sorted(remove),
+            "schema": json.loads(schema.json()),
+            "ts": time.time(),
+            **(extra or {}),
+        }
+        final = self._commit_path(version)
+        scratch = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(scratch, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(scratch, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of {self.root} was committed by another "
+                f"writer — re-read the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(scratch)
+        if version > 0 and version % CHECKPOINT_EVERY == 0:
+            # Best-effort: a lost/failed checkpoint only means a longer
+            # tail replay, never a wrong snapshot.
+            live = self._resolve_live(version, use_checkpoint=False)
+            ckpt = {"version": version, "live": sorted(live)}
+            cpath = self._checkpoint_path(version)
+            cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(cscratch, "w") as fh:
+                json.dump(ckpt, fh)
+            try:
+                os.rename(cscratch, cpath)
+            except OSError:
+                try:
+                    os.unlink(cscratch)
+                except OSError:
+                    pass
+
+    def _resolve_live(
+        self, version: int, use_checkpoint: bool = True
+    ) -> set[str]:
+        """Fold add/remove from the nearest checkpoint <= version (or from
+        genesis) up to ``version``.  O(tail) driver-side metadata."""
+        start = 0
+        live: set[str] = set()
+        if use_checkpoint:
+            ckpts = sorted(
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self._log_dir)
+                if n.endswith(".checkpoint.json")
+                and n[: -len(".checkpoint.json")].isdigit()
+            )
+            usable = [v for v in ckpts if v <= version]
+            if usable:
+                with open(self._checkpoint_path(usable[-1])) as fh:
+                    ckpt = json.load(fh)
+                live = set(ckpt["live"])
+                start = usable[-1] + 1
+        for v in range(start, version + 1):
+            entry = self._read_commit(v)
+            live -= set(entry["remove"])
+            live |= set(entry["add"])
+        return live
+
+    def _snapshot(self, version: int | None) -> tuple[int, list[str], dict]:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"empty commit log: {self._log_dir}")
+        if version is None:
+            version = versions[-1]
+        if version not in set(versions):
+            raise ValueError(
+                f"unknown version {version} (have {versions[0]}..{versions[-1]})"
+            )
+        live = sorted(self._resolve_live(version))
+        return version, live, self._read_commit(version)
+
+    def history(self) -> list[dict]:
+        """All commits, oldest first (the DESCRIBE HISTORY surface)."""
+        return [self._read_commit(v) for v in self._versions()]
+
+    # ------------------------------------------------------------ data layer
+    def _write_segment(self, df: DataFrame, version_hint: int) -> str:
+        """Write one immutable parquet segment; returns its log-relative
+        path.  Invisible until some commit references it."""
+        rel = os.path.join(
+            DATA_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("error").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read.  The segment list is resolved EAGERLY, so the
+        returned (lazy) DataFrame stays pinned to this snapshot no matter
+        what is committed afterwards — that, plus segment immutability, is
+        the snapshot-isolation guarantee."""
+        version, live, entry = self._snapshot(version)
+        schema = StructType.fromJson(entry["schema"])
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        missing = [p for p in live if not os.path.isdir(os.path.join(self.root, p))]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} references vacuumed segments: {missing[:3]}"
+            )
+        return self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.root, p) for p in live)
+        )
+
+    # ------------------------------------------------------------- mutations
+    def _require_schema(self, df: DataFrame, op: str) -> None:
+        """Schema-on-write enforcement (Delta semantics): mixed-type
+        segments under one log would poison every later read, so an
+        incompatible batch is rejected AT WRITE TIME.  Nullability is
+        ignored (parquet does not round-trip it strictly); ``overwrite``
+        is exempt — it replaces the whole live set, so it MAY evolve the
+        schema (Delta's overwriteSchema)."""
+        current = StructType.fromJson(
+            self._read_commit(self.latest_version())["schema"]
+        )
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        want = [(f.name, f.dataType) for f in current.fields]
+        if got != want:
+            raise ValueError(
+                f"{op}: schema-on-write violation — table has {want}, "
+                f"batch has {got}; use overwrite() to evolve the schema"
+            )
+
+    def append(self, df: DataFrame) -> int:
+        self._require_schema(df, "append")
+        v = self.latest_version()
+        add = [self._write_segment(df, v + 1)]
+        self._commit(v + 1, "append", add=add, remove=[], schema=df.schema)
+        return v + 1
+
+    def overwrite(self, df: DataFrame) -> int:
+        v, live, _ = self._snapshot(None)
+        add = [self._write_segment(df, v + 1)]
+        self._commit(v + 1, "overwrite", add=add, remove=live, schema=df.schema)
+        return v + 1
+
+    def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (source wins on key match) as copy-on-write: read the
+        snapshot, merge relationally (operators/merge.py upsert — the same
+        engine the plain-parquet queries pin), write the merged segment,
+        commit swapping the whole live set.  See the module docstring for
+        the pruned-rewrite scale path."""
+        from energy_emissions_lakehouse_spark.operators.merge import upsert
+
+        self._require_schema(source, "merge_upsert")
+        v, live, _ = self._snapshot(None)
+        merged = upsert(target=self.read(v), source=source, keys=keys)
+        add = [self._write_segment(merged, v + 1)]
+        self._commit(
+            v + 1, "merge", add=add, remove=live,
+            schema=merged.schema, extra={"keys": keys},
+        )
+        return v + 1
+
+    def delete_where(self, condition: Column | str) -> int:
+        """SQL DELETE semantics: rows where the predicate is TRUE are
+        removed; FALSE and NULL rows are kept (hence the coalesce)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, _ = self._snapshot(None)
+        kept = self.read(v).where(~F.coalesce(cond, F.lit(False)))
+        add = [self._write_segment(kept, v + 1)]
+        self._commit(
+            v + 1, "delete", add=add, remove=live,
+            schema=kept.schema, extra={"condition": str(condition)},
+        )
+        return v + 1
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Bin-pack the live segments into ``target_partitions`` files.
+        Content-identical by construction (pure coalesce rewrite) — the
+        OPTIMIZE surface of Delta/Iceberg."""
+        v, live, _ = self._snapshot(None)
+        df = self.read(v).coalesce(target_partitions)
+        add = [self._write_segment(df, v + 1)]
+        self._commit(v + 1, "compact", add=add, remove=live, schema=df.schema)
+        return v + 1
+
+    # ------------------------------------------------------------ change feed
+    def change_feed(
+        self,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CDF between two snapshots: FULL OUTER join on ``keys``
+        → ``insert`` (new key), ``delete`` (gone key), ``update`` (key in
+        both, any ``compare_cols`` differs via null-safe inequality);
+        unchanged rows are dropped.  Output: keys + ``change_type`` +
+        ``<col>_pre``/``<col>_post`` images.  Fully distributed — one
+        shuffle on the join keys, no driver materialization."""
+        pre = self.read(v_from).alias("pre")
+        post = self.read(v_to).alias("post")
+        if compare_cols is None:
+            compare_cols = [c for c in post.columns if c not in keys]
+        on = [pre[k].eqNullSafe(post[k]) for k in keys]
+        joined = pre.join(post, on, "full_outer")
+        is_insert = pre[keys[0]].isNull()
+        is_delete = post[keys[0]].isNull()
+        differs: Column = F.lit(False)
+        for c in compare_cols:
+            differs = differs | ~pre[c].eqNullSafe(post[c])
+        change = (
+            F.when(is_insert, F.lit("insert"))
+            .when(is_delete, F.lit("delete"))
+            .when(differs, F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(post[k], pre[k]).alias(k) for k in keys
+        ] + [change.alias("change_type")]
+        for c in compare_cols:
+            out_cols.append(pre[c].alias(f"{c}_pre"))
+            out_cols.append(post[c].alias(f"{c}_post"))
+        return joined.select(*out_cols).where(F.col("change_type").isNotNull())
+
+    # ---------------------------------------------------------------- vacuum
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Delete data segments referenced by NO retained version (the last
+        ``retain_last`` commits are retained).  Also sweeps orphan segments
+        no commit ever referenced (crashed writers).  Returns the deleted
+        log-relative paths.  Time travel to vacuumed versions then fails
+        loudly in :meth:`read` (missing-segment check)."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._versions()
+        retained = versions[-retain_last:]
+        keep: set[str] = set()
+        for v in retained:
+            keep |= self._resolve_live(v)
+        data_root = os.path.join(self.root, DATA_DIR)
+        deleted = []
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(DATA_DIR, name)
+            if rel not in keep:
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+                deleted.append(rel)
+        return deleted

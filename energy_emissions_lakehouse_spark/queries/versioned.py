@@ -1,0 +1,235 @@
+"""Versioned-table (vtable) queries: ACID commit log, time travel,
+change feed, compaction — the native replacement for the blocked
+Delta/Iceberg jars (README "Blocked table formats").
+
+Reference analog: the warehouse load
+(/root/reference/src/30_load/load_to_postgres.py:73-117) runs
+full-replace + upsert inside one Postgres transaction.  The vtable
+layer (operators/vtable.py) gives the same commit atomicity and
+snapshot isolation over plain parquet via a Delta-protocol-style JSON
+commit log, which these queries exercise end to end.
+
+A deterministic 5-version history is staged ONCE per corpus version
+(fsutil.staged_artifact — build-once-serve-many, keyed on the orders
+parquet's mtime+size so a regenerated corpus rebuilds it):
+
+  v0 create   orders WHERE o_orderkey % 7 <> 0        (partial load)
+  v1 append   orders WHERE o_orderkey % 7 = 0         (backfill → full)
+  v2 merge    upsert: keys % 10 = 0 → status 'U', price * 1.1
+  v3 delete   WHERE o_orderkey % 13 = 0
+  v4 compact  (content-identical bin-pack)
+
+Every operation is a pure function of the orders table, so each
+version's state is reconstructible in ANSI SQL — the DuckDB oracles
+below rebuild the exact state the commit-log replay must produce.
+Queries read through the REAL log-replay path (checkpointed snapshot
+resolution, immutable segments), so a wrong add/remove fold, a torn
+commit, or a content-changing compaction all break value parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.fsutil import (
+    staged_artifact,
+    table_cache_key,
+)
+from energy_emissions_lakehouse_spark.functions.exact import (
+    scaled_sum,
+    scaled_sum_sql,
+)
+from energy_emissions_lakehouse_spark.registry import register
+from energy_emissions_lakehouse_spark.tables import t
+
+#: Bump to invalidate staged histories when the build recipe changes.
+_HISTORY_REV = 1
+
+#: Memoized staged roots, keyed on the SOURCE's version via
+#: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
+#: artifact must itself key on the source version, or a regenerated
+#: corpus keeps serving the stale history for the rest of the process).
+_VT_MEMO: dict[tuple[int, str, str], str] = {}
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+#: The v2 merge source, shared by the Spark build and (inlined) the oracles.
+_UPDATES_SQL = """
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE (o_orderkey % 10) = 0
+"""
+
+#: Post-merge (v2) state: orders with the % 10 keys replaced by updates.
+_V2_SQL = f"""
+    updates AS ({_UPDATES_SQL}),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM updates
+    )
+"""
+
+
+def _build_history(spark: SparkSession, sf_dir: str, root: str) -> None:
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    key = F.col("o_orderkey")
+    vt = VersionedTable.create(spark, root, orders.filter(key % 7 != 0))
+    vt.append(orders.filter(key % 7 == 0))
+    updates = orders.filter(key % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    vt.merge_upsert(updates, keys=["o_orderkey"])
+    vt.delete_where("o_orderkey % 13 = 0")
+    vt.compact()
+
+
+def staged_vtable(spark: SparkSession, sf_dir: str, fresh: bool = False):
+    """The staged 5-version orders vtable (build once, serve many)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    key = table_cache_key(sf_dir, "orders", "vtable", _HISTORY_REV)
+    memo_key = (id(spark), sf_dir, key)
+    if not fresh and memo_key in _VT_MEMO:
+        return VersionedTable(spark, _VT_MEMO[memo_key])
+
+    def _populate(tmp: str) -> None:
+        _build_history(spark, sf_dir, os.path.join(tmp, "table"))
+
+    base = staged_artifact("vtable", key, _populate, fresh=fresh)
+    root = os.path.join(base, "table")
+    _VT_MEMO[memo_key] = root
+    return VersionedTable(spark, root)
+
+
+@register(
+    "vtable_time_travel_read",
+    oracle=f"""
+    WITH {_V2_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM v2
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V1 — time travel: read committed version 2 (post-merge) "
+    "through commit-log replay; ACID analog of load_to_postgres.py:73-117 "
+    "(on Delta: SELECT ... VERSION AS OF 2)",
+)
+def vtable_time_travel_read(spark, sf_dir) -> DataFrame:
+    """Read the PINNED post-merge snapshot (v2) while the log has moved
+    on to v4 — the replayed add/remove fold must reproduce exactly the
+    relational merge the oracle computes directly."""
+    vt = staged_vtable(spark, sf_dir)
+    return vt.read(2).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_change_feed_orders",
+    oracle=f"""
+    WITH {_V2_SQL},
+    v3 AS (SELECT * FROM v2 WHERE (o_orderkey % 13) <> 0),
+    v0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE (o_orderkey % 7) <> 0),
+    joined AS (
+        SELECT a.o_orderkey AS pre_key, b.o_orderkey AS post_key,
+               a.o_orderstatus AS pre_status, b.o_orderstatus AS post_status,
+               a.o_totalprice AS pre_price, b.o_totalprice AS post_price
+        FROM v0 a
+        FULL OUTER JOIN
+             (SELECT o_orderkey, o_orderstatus, o_totalprice FROM v3) b
+        ON a.o_orderkey = b.o_orderkey
+    ),
+    cdf AS (
+        SELECT CASE WHEN pre_key IS NULL THEN 'insert'
+                    WHEN post_key IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               COALESCE(post_price, pre_price) AS image_price
+        FROM joined
+        WHERE pre_key IS NULL OR post_key IS NULL
+           OR (pre_status IS DISTINCT FROM post_status)
+           OR (pre_price IS DISTINCT FROM post_price)
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {scaled_sum_sql('image_price')} AS image_price
+    FROM cdf
+    GROUP BY change_type
+    """,
+    survey="S7 V2 — change data feed: row-level insert/update/delete diff "
+    "between committed snapshots v0 and v3 (Delta CDF / Iceberg "
+    "changelog); one shuffle on the join key, no driver materialization",
+)
+def vtable_change_feed_orders(spark, sf_dir) -> DataFrame:
+    """CDF between the initial partial load (v0) and the post-delete
+    state (v3): backfilled keys surface as inserts, merge-touched
+    survivors as updates, the % 13 removals as deletes; untouched rows
+    must NOT appear."""
+    vt = staged_vtable(spark, sf_dir)
+    cdf = vt.change_feed(
+        0, 3, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return cdf.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(
+            F.coalesce(F.col("o_totalprice_post"), F.col("o_totalprice_pre"))
+        ).alias("image_price"),
+    )
+
+
+@register(
+    "vtable_compaction_content_identity",
+    oracle=f"""
+    WITH {_V2_SQL},
+    v4 AS (SELECT * FROM v2 WHERE (o_orderkey % 13) <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM v4
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V3 — compaction (OPTIMIZE): v4 bin-packs the live segments; "
+    "reading it must be value-identical to the pre-compaction v3 state "
+    "(the oracle rebuilds v3 relationally — any content drift in the "
+    "rewrite breaks the hash)",
+)
+def vtable_compaction_content_identity(spark, sf_dir) -> DataFrame:
+    """Fingerprint the POST-compaction snapshot (v4): per-status counts,
+    an o_orderkey checksum, and the exact price sum.  The segment count
+    collapse itself is pinned file-level in tests/test_vtable.py."""
+    vt = staged_vtable(spark, sf_dir)
+    return vt.read(4).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )

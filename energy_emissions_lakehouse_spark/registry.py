@@ -78,6 +78,7 @@ def _load_all() -> None:
         text,
         timeseries,
         vectors,
+        versioned,
     )
 
 
