@@ -191,6 +191,9 @@ HEADLINE = [
     "vtable_time_travel_read",
     "vtable_change_feed_orders",
     "vtable_compaction_content_identity",
+    "vtable_stats_pruned_read",
+    "vtable_merge_pruned_rewrite",
+    "stream_vtable_exactly_once_ingest",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

@@ -150,6 +150,9 @@ class VersionedTable:
             "op": op,
             "add": sorted(add),
             "remove": sorted(remove),
+            # per-added-segment min/max column stats from the parquet
+            # footers (Iceberg-manifest analog) — the pruning index
+            "stats": {rel: self._segment_stats(rel) for rel in add},
             "schema": json.loads(schema.json()),
             "ts": time.time(),
             **(extra or {}),
@@ -239,6 +242,45 @@ class VersionedTable:
         df.write.mode("error").parquet(os.path.join(self.root, rel))
         return rel
 
+    def _segment_stats(self, rel: str) -> dict[str, list]:
+        """Per-segment min/max column stats folded from the parquet
+        FOOTERS the write already produced — O(part files) driver-side
+        metadata reads, no extra Spark job (the Iceberg-manifest /
+        Delta-stats analog).  Only JSON-safe scalar stats (int/float/str)
+        are kept; a column with any unstated row group is dropped so
+        pruning can never be optimistic."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        folded: dict[str, list] = {}
+        dropped: set[str] = set()
+        for part in _glob.glob(
+            os.path.join(self.root, rel, "part-*.parquet")
+        ):
+            md = pq.ParquetFile(part).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str))
+                        or not isinstance(st.max, (int, float, str))
+                        or isinstance(st.min, bool)
+                    ):
+                        dropped.add(name)
+                        continue
+                    if name in folded:
+                        folded[name][0] = min(folded[name][0], st.min)
+                        folded[name][1] = max(folded[name][1], st.max)
+                    else:
+                        folded[name] = [st.min, st.max]
+        return {k: v for k, v in folded.items() if k not in dropped}
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read.  The segment list is resolved EAGERLY, so the
         returned (lazy) DataFrame stays pinned to this snapshot no matter
@@ -283,6 +325,35 @@ class VersionedTable:
         self._commit(v + 1, "append", add=add, remove=[], schema=df.schema)
         return v + 1
 
+    def idempotent_append(
+        self, df: DataFrame, source_id: str, batch_id: int
+    ) -> int:
+        """Exactly-once sink commit (Delta's ``txn`` action): every commit
+        records its (source_id, batch_id); a REPLAYED batch — Spark
+        re-running foreachBatch after a failure — finds its transaction
+        already in the log and becomes a no-op instead of double-writing.
+        This is what makes ``foreachBatch`` into a vtable exactly-once:
+        the data write and the batch-id record land in ONE atomic commit.
+        Single-writer-per-source contract (the structured-streaming
+        model); concurrent DIFFERENT sources interleave safely through
+        the optimistic commit loop."""
+        for entry in self.history():
+            txn = entry.get("txn")
+            if (
+                txn
+                and txn.get("source") == source_id
+                and txn.get("batch") == batch_id
+            ):
+                return entry["version"]  # replay: already committed
+        self._require_schema(df, "idempotent_append")
+        v = self.latest_version()
+        add = [self._write_segment(df, v + 1)]
+        self._commit(
+            v + 1, "append", add=add, remove=[], schema=df.schema,
+            extra={"txn": {"source": source_id, "batch": batch_id}},
+        )
+        return v + 1
+
     def overwrite(self, df: DataFrame) -> int:
         v, live, _ = self._snapshot(None)
         add = [self._write_segment(df, v + 1)]
@@ -304,6 +375,77 @@ class VersionedTable:
         self._commit(
             v + 1, "merge", add=add, remove=live,
             schema=merged.schema, extra={"keys": keys},
+        )
+        return v + 1
+
+    def touched_segments(
+        self, source: DataFrame, key: str, version: int
+    ) -> tuple[list[str], list[str]]:
+        """Delta's touched-file discovery: which live segments CAN contain
+        a key present in the merge source?  ONE small job joins the
+        source's distinct keys against the broadcast per-segment
+        [min,max] ranges (O(files) rows — driver metadata scale); a
+        segment lacking stats for the key is conservatively touched.
+        Returns (touched, untouched), both sorted."""
+        stats = self._live_segment_stats(version)
+        touched = {r for r, s in stats.items() if s.get(key) is None}
+        ranged = [
+            (r, stats[r][key][0], stats[r][key][1])
+            for r in sorted(stats)
+            if stats[r].get(key) is not None
+        ]
+        if ranged:
+            rng = self.spark.createDataFrame(ranged, ["_rel", "_mn", "_mx"])
+            hits = (
+                source.select(F.col(key).alias("_k"))
+                .distinct()
+                .join(
+                    F.broadcast(rng),
+                    (F.col("_k") >= F.col("_mn"))
+                    & (F.col("_k") <= F.col("_mx")),
+                )
+                .select("_rel")
+                .distinct()
+                .collect()
+            )
+            touched |= {row._rel for row in hits}
+        untouched = [r for r in sorted(stats) if r not in touched]
+        return sorted(touched), untouched
+
+    def merge_upsert_pruned(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE with file-level pruned rewrite — the shape Delta/Iceberg
+        actually execute at scale: only segments whose key range overlaps
+        the source keys are read and rewritten; provably-disjoint segments
+        stay live UNTOUCHED in the new commit.  A daily 0.1% delta into a
+        100 TB time-ordered table rewrites a handful of files instead of
+        the whole table (contrast merge_upsert, the whole-set
+        copy-on-write).  Pruning on ``keys[0]`` alone is sound: an
+        all-keys match requires equality on the first key, so a segment
+        disjoint in ``keys[0]`` cannot contain a match; unmatched source
+        rows (inserts) land in the rewritten segment.  Correctness never
+        rests on the stats: a statless segment is conservatively
+        rewritten, and the oracle checks the merged content value-exactly."""
+        from energy_emissions_lakehouse_spark.operators.merge import upsert
+
+        self._require_schema(source, "merge_upsert_pruned")
+        v, live, entry = self._snapshot(None)
+        touched, untouched = self.touched_segments(source, keys[0], v)
+        schema = StructType.fromJson(entry["schema"])
+        if touched:
+            target = self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.root, p) for p in touched)
+            )
+        else:
+            target = self.spark.createDataFrame([], schema)
+        merged = upsert(target=target, source=source, keys=list(keys))
+        add = [self._write_segment(merged, v + 1)]
+        self._commit(
+            v + 1, "merge", add=add, remove=touched, schema=merged.schema,
+            extra={
+                "keys": list(keys),
+                "rewritten": len(touched),
+                "preserved": len(untouched),
+            },
         )
         return v + 1
 
@@ -329,6 +471,77 @@ class VersionedTable:
         add = [self._write_segment(df, v + 1)]
         self._commit(v + 1, "compact", add=add, remove=live, schema=df.schema)
         return v + 1
+
+    # ------------------------------------------------------- stats pruning
+    def _live_segment_stats(self, version: int) -> dict[str, dict]:
+        """Stats for every live segment at ``version``, gathered from the
+        commits that ADDED them (stats are immutable with the segment).
+        Full-log walk — O(commits) driver metadata; a production vtable
+        folds these into the checkpoint the way _resolve_live does."""
+        live = self._resolve_live(version)
+        out: dict[str, dict] = {}
+        for v in self._versions():
+            if v > version:
+                break
+            entry = self._read_commit(v)
+            for rel in entry["add"]:
+                if rel in live:
+                    out[rel] = entry.get("stats", {}).get(rel, {})
+        return out
+
+    def column_range(self, col: str, version: int | None = None):
+        """Global (min, max) of ``col`` at a version, folded from the
+        per-segment stats alone — O(log) driver metadata, no Spark job.
+        None if any live segment lacks stats for the column (a fold over
+        partial stats would silently understate the range)."""
+        version, _, _ = self._snapshot(version)
+        stats = self._live_segment_stats(version)
+        ranges = [s.get(col) for s in stats.values()]
+        if not ranges or any(r is None for r in ranges):
+            return None
+        return min(r[0] for r in ranges), max(r[1] for r in ranges)
+
+    def pruned_segments(
+        self, version: int, col: str, lo, hi
+    ) -> tuple[list[str], list[str]]:
+        """Split the live set into (scanned, skipped) for a range
+        predicate ``lo <= col <= hi`` using the per-segment min/max
+        stats.  A segment with NO stats for ``col`` is conservatively
+        scanned — pruning may only ever skip provably-disjoint files."""
+        stats = self._live_segment_stats(version)
+        scanned, skipped = [], []
+        for rel in sorted(stats):
+            mn_mx = stats[rel].get(col)
+            if mn_mx is not None and (mn_mx[1] < lo or mn_mx[0] > hi):
+                skipped.append(rel)
+            else:
+                scanned.append(rel)
+        return scanned, skipped
+
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read that SKIPS segments provably outside
+        ``lo <= col <= hi`` — file-level pruning from log metadata alone,
+        before any Spark job runs (the scan-planning step Iceberg does
+        with manifests; at 100 TB this is what turns a full-table scan
+        into a few files).  The caller must still apply its own residual
+        predicate: pruning skips whole files, it does not filter rows."""
+        version, _, entry = self._snapshot(version)
+        scanned, _ = self.pruned_segments(version, col, lo, hi)
+        schema = StructType.fromJson(entry["schema"])
+        if not scanned:
+            return self.spark.createDataFrame([], schema)
+        missing = [
+            p for p in scanned if not os.path.isdir(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} references vacuumed segments: {missing[:3]}"
+            )
+        return self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.root, p) for p in scanned)
+        )
 
     # ------------------------------------------------------------ change feed
     def change_feed(

@@ -405,6 +405,63 @@ def run_foreachbatch_upsert(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def run_foreachbatch_vtable_ingest(
+    spark: SparkSession, src_dir: str, sink_root: str
+) -> DataFrame:
+    """Exactly-once streaming ingest into a versioned table: each
+    micro-batch lands as ONE atomic vtable commit carrying its
+    ``(source_id, batch_id)`` transaction (operators/vtable.py
+    idempotent_append — Delta's ``txn`` action).  To PROVE the
+    exactly-once property rather than assert it, every batch is
+    deliberately delivered TWICE (Spark's failure model is at-least-once
+    redelivery into foreachBatch): the replay must find its transaction
+    already in the log and no-op — any double-append double-counts every
+    event and breaks the value oracle.
+
+    This replaces run_foreachbatch_upsert's versioned-path dance with
+    the real commit protocol: data write + batch-id record are one
+    atomic commit, so a crash between them cannot strand a half-applied
+    batch.  Scale: the sink writes each batch as one immutable segment;
+    the log walk per commit is O(commits) driver metadata."""
+    import shutil
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    configure_runtime(spark)
+    ev = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # The sink table is THIS query's output, rebuilt per run (it is not
+    # an index): clear the previous run's root, then seed version 0 with
+    # an empty segment of the target schema.
+    shutil.rmtree(sink_root, ignore_errors=True)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    empty = spark.createDataFrame(
+        [], spark.read.parquet(src_dir).select(*cols).schema
+    )
+    vt = VersionedTable.create(spark, sink_root, empty)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        data = batch_df.select(*cols)
+        v = vt.idempotent_append(data, "events_ingest", batch_id)
+        # at-least-once redelivery simulation: the replay MUST no-op and
+        # report the same committed version
+        v2 = vt.idempotent_append(data, "events_ingest", batch_id)
+        assert v2 == v, f"replayed batch {batch_id} double-committed"
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return vt.read()
+
+
 def read_events_stream_with_flush(
     spark: SparkSession, sf_dir: str, n_sentinels: int = 2
 ) -> DataFrame:

@@ -240,6 +240,161 @@ def test_checkpointed_replay_matches_full_replay(spark, vt_root):
     assert vt.read(v).count() == 2 + CHECKPOINT_EVERY + 3
 
 
+def test_segment_stats_recorded_and_range_pruning_skips_disjoint(
+    spark, vt_root
+):
+    """Commits carry per-segment min/max from the parquet footers; a
+    range read scans only overlapping segments and matches the unpruned
+    result exactly."""
+    vt = _mk(spark, vt_root, n=10)  # keys 0..9
+    vt.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    stats = vt._read_commit(1)["stats"]
+    (seg_stats,) = stats.values()
+    assert seg_stats["k"] == [100, 109]
+    scanned, skipped = vt.pruned_segments(1, "k", 0, 9)
+    assert len(scanned) == 1 and len(skipped) == 1
+    pruned = sorted(
+        r.k for r in vt.read_pruned("k", 0, 9).where("k <= 9").collect()
+    )
+    full = sorted(
+        r.k for r in vt.read(1).where("k <= 9").collect()
+    )
+    assert pruned == full == list(range(10))
+
+
+def test_pruning_is_conservative_without_stats(spark, vt_root):
+    """A column with no recorded stats must never be pruned on — every
+    segment is scanned (pruning may only skip provably-disjoint files)."""
+    vt = _mk(spark, vt_root, n=5)
+    vt.append(
+        spark.range(50, 55).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    scanned, skipped = vt.pruned_segments(
+        vt.latest_version(), "no_such_col", 0, 1
+    )
+    assert skipped == [] and len(scanned) == 2
+    assert vt.column_range("no_such_col") is None
+    assert vt.column_range("k") == (0, 54)
+
+
+def test_merge_pruned_rewrites_only_touched_segments(spark, vt_root):
+    """A merge whose source keys fall inside one segment's range rewrites
+    ONLY that segment; the disjoint segment stays live under its original
+    path, and the content equals the full relational merge."""
+    vt = _mk(spark, vt_root, n=10)  # segment A: keys 0..9
+    vt.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )  # segment B: keys 100..109
+    seg_a = vt._read_commit(0)["add"][0]
+    seg_b = vt._read_commit(1)["add"][0]
+    src = spark.createDataFrame(
+        [(105, -1), (108, -2), (200, -3)], ["k", "v"]
+    )  # two updates inside B's range + one insert outside every range
+    v = vt.merge_upsert_pruned(src, keys=["k"])
+    entry = vt._read_commit(v)
+    assert entry["remove"] == [seg_b]
+    assert entry["rewritten"] == 1 and entry["preserved"] == 1
+    assert seg_a in vt._resolve_live(v)  # untouched segment survives
+    got = dict(_rows(vt.read(v)))
+    assert got[105] == -1 and got[108] == -2 and got[200] == -3
+    assert got[0] == 0 and got[104] == 1040  # non-matched rows intact
+    assert len(got) == 21
+
+
+def test_merge_pruned_statless_segment_is_conservatively_rewritten(
+    spark, vt_root
+):
+    """A segment with no recorded stats for the merge key must always be
+    treated as touched — pruning may only skip provably-disjoint files."""
+    vt = _mk(spark, vt_root, n=5)
+    # strip the stats from the create commit (an older-rev log would
+    # simply lack them); commits are re-read from disk on every access
+    path = vt._commit_path(0)
+    entry = json.load(open(path))
+    entry["stats"] = {}
+    os.chmod(path, 0o644)
+    json.dump(entry, open(path, "w"))
+    src = spark.createDataFrame([(999, -1)], ["k", "v"])
+    touched, untouched = vt.touched_segments(src, "k", 0)
+    assert untouched == [] and len(touched) == 1
+    v = vt.merge_upsert_pruned(src, keys=["k"])
+    assert vt._read_commit(v)["rewritten"] == 1
+    assert vt.read(v).count() == 6
+
+
+def test_idempotent_append_makes_replays_noops(spark, vt_root):
+    """The txn action: a replayed (source, batch) pair returns the
+    original committed version without writing anything."""
+    vt = _mk(spark, vt_root, n=3)
+    batch = spark.range(10, 13).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v1 = vt.idempotent_append(batch, "src_a", 0)
+    assert vt.idempotent_append(batch, "src_a", 0) == v1  # replay no-ops
+    assert vt.latest_version() == v1
+    assert vt.read().count() == 6
+    # a DIFFERENT batch id (and a different source reusing id 0) commit
+    assert vt.idempotent_append(batch, "src_a", 1) == v1 + 1
+    assert vt.idempotent_append(batch, "src_b", 0) == v1 + 2
+    assert vt.read().count() == 12
+
+
+def test_stream_vtable_ingest_commits_each_batch_once(spark, sf_dir):
+    """The exactly-once streaming sink: 4 micro-batches each delivered
+    twice -> exactly 4 append commits (plus the empty create), each
+    carrying its txn record, and the final content equals the source."""
+    import os as _os
+
+    from energy_emissions_lakehouse_spark.fsutil import staging_dir
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import (
+        run_foreachbatch_vtable_ingest,
+        stage_events_split,
+    )
+    from energy_emissions_lakehouse_spark.tables import t
+
+    src = stage_events_split(spark, sf_dir, n_files=4)
+    sink_root = _os.path.join(staging_dir("vtable_sink"), "pytest-ingest")
+    final = run_foreachbatch_vtable_ingest(spark, src, sink_root)
+    assert final.count() == t(spark, sf_dir, "events").count()
+    vt = VersionedTable(spark, sink_root)
+    hist = vt.history()
+    assert [h["op"] for h in hist] == ["create"] + ["append"] * 4
+    txns = {(h["txn"]["source"], h["txn"]["batch"]) for h in hist[1:]}
+    assert txns == {("events_ingest", i) for i in range(4)}
+
+
+def test_staged_ranged_merge_rewrote_one_of_four_segments(spark, sf_dir):
+    """The staged ranged table's v4 is the registered pruned merge: its
+    quarter-confined updates must have rewritten exactly ONE of the four
+    quarter segments (the 100 TB claim vtable_merge_pruned_rewrite makes,
+    pinned at the commit-metadata level)."""
+    from energy_emissions_lakehouse_spark.queries.versioned import (
+        staged_vtable_ranged,
+    )
+
+    vt = staged_vtable_ranged(spark, sf_dir)
+    hist = vt.history()
+    assert [h["op"] for h in hist] == (
+        ["create"] + ["append"] * 3 + ["merge"]
+    )
+    merge = hist[4]
+    assert merge["rewritten"] == 1 and merge["preserved"] == 3
+    assert len(merge["remove"]) == 1 and len(merge["add"]) == 1
+    # the rewritten segment is the second quarter's (added at v1)
+    assert merge["remove"] == hist[1]["add"]
+
+
 def test_staged_history_build_is_memoized_and_deterministic(spark, sf_dir):
     """The registered queries serve from ONE staged history per corpus
     version; rebuilding fresh yields identical content."""
