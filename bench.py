@@ -193,6 +193,8 @@ HEADLINE = [
     "vtable_compaction_content_identity",
     "vtable_stats_pruned_read",
     "vtable_merge_pruned_rewrite",
+    "vtable_schema_evolution_backfill",
+    "stream_vtable_append_source",
     "stream_vtable_exactly_once_ingest",
 ]
 

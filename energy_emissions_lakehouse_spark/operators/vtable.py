@@ -38,13 +38,14 @@ regardless of later commits (snapshot isolation by construction).
 
 Scale notes (100 TB): data operations are ordinary distributed Spark
 jobs over parquet; only O(#segments) path metadata ever crosses the
-driver, exactly like Delta's log.  ``merge_upsert``/``delete_where``
-here are copy-on-write FULL rewrites — the registered partition-scoped
-merge (queries/core.py merge_upsert_orders_partition_scoped) shows the
-pruned-rewrite shape; a production vtable would keep per-segment min/max
-key stats in the commit (Iceberg manifests) and rewrite only touched
-segments.  On a real cluster the log lives on an object store with
-conditional-put (or a log store service) instead of POSIX ``link``.
+driver, exactly like Delta's log.  Commits fold per-segment min/max
+column stats from the parquet footers (Iceberg manifests), which powers
+file-level range pruning (:meth:`read_pruned`) and the touched-file
+MERGE (:meth:`merge_upsert_pruned` — only segments whose key range
+overlaps the source are rewritten; ``merge_upsert``/``delete_where``
+remain the whole-set copy-on-write forms).  On a real cluster the log
+lives on an object store with conditional-put (or a log store service)
+instead of POSIX ``link``.
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
@@ -351,6 +352,55 @@ class VersionedTable:
         self._commit(
             v + 1, "append", add=add, remove=[], schema=df.schema,
             extra={"txn": {"source": source_id, "batch": batch_id}},
+        )
+        return v + 1
+
+    def append_evolve(self, df: DataFrame) -> int:
+        """Schema evolution (Delta ``mergeSchema``): the incoming batch
+        may ADD columns and/or OMIT existing ones; columns present in
+        both must keep their exact type (a type CHANGE is not evolution —
+        use :meth:`overwrite`).  The commit records the WIDENED schema —
+        existing fields first, order preserved, new fields appended as
+        nullable — and the batch is aligned to it (omitted columns filled
+        with typed nulls).  Readers need no data migration: old segments
+        read under the widened schema surface the new columns as null
+        (the parquet reader fills absent columns), while time travel to a
+        pre-evolution version still serves the schema recorded THEN.  At
+        100 TB this is the whole point: adding a column is one metadata
+        commit, never a table rewrite."""
+        v, _, entry = self._snapshot(None)
+        current = StructType.fromJson(entry["schema"])
+        cur_types = {f.name: f.dataType for f in current.fields}
+        batch_types = {f.name: f.dataType for f in df.schema.fields}
+        clash = [
+            n for n, dt in batch_types.items()
+            if n in cur_types and dt != cur_types[n]
+        ]
+        if clash:
+            raise ValueError(
+                f"append_evolve: type change is not evolution — "
+                f"{clash[0]} is {cur_types[clash[0]]} in the table, "
+                f"{batch_types[clash[0]]} in the batch "
+                "(use overwrite() to replace the schema)"
+            )
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in cur_types
+        ]
+        wide = StructType(list(current.fields) + new_fields)
+        aligned = df.select(
+            *[
+                F.col(f.name)
+                if f.name in batch_types
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in wide.fields
+            ]
+        )
+        add = [self._write_segment(aligned, v + 1)]
+        self._commit(
+            v + 1, "append", add=add, remove=[], schema=wide,
+            extra={"evolved": [f.name for f in new_fields]},
         )
         return v + 1
 

@@ -18,6 +18,7 @@ parquet's mtime+size so a regenerated corpus rebuilds it):
   v2 merge    upsert: keys % 10 = 0 → status 'U', price * 1.1
   v3 delete   WHERE o_orderkey % 13 = 0
   v4 compact  (content-identical bin-pack)
+  v5 evolve   %13-deleted rows backfilled with NEW col o_backfill_src
 
 Every operation is a pure function of the orders table, so each
 version's state is reconstructible in ANSI SQL — the DuckDB oracles
@@ -47,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 3
+_HISTORY_REV = 4
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -106,6 +107,15 @@ def _build_history(spark: SparkSession, sf_dir: str, root: str) -> None:
     vt.merge_upsert(updates, keys=["o_orderkey"])
     vt.delete_where("o_orderkey % 13 = 0")
     vt.compact()
+    # v5: schema evolution — the %13-deleted rows come back as a late
+    # backfill carrying a NEW column; pre-existing rows surface it as
+    # null with zero data rewritten (one metadata commit).
+    backfill = (
+        vt.read(2)
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_backfill_src", F.lit("late_backfill"))
+    )
+    vt.append_evolve(backfill)
 
 
 def _build_ranged(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -331,6 +341,51 @@ def vtable_stats_pruned_read(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "vtable_schema_evolution_backfill",
+    oracle=f"""
+    WITH {_V2_SQL},
+    v5 AS (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_backfill_src
+        FROM v2 WHERE (o_orderkey % 13) <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice, 'late_backfill'
+        FROM v2 WHERE (o_orderkey % 13) = 0
+    )
+    SELECT COALESCE(o_backfill_src, 'original') AS backfill_src,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM v5
+    GROUP BY COALESCE(o_backfill_src, 'original')
+    """,
+    survey="S7 V5 — schema evolution (Delta mergeSchema): v5 appends the "
+    "%13-deleted rows back as a late backfill carrying a NEW column; the "
+    "widened schema is ONE metadata commit — pre-existing segments are "
+    "never rewritten (pinned file-level in tests) and surface the column "
+    "as null; time travel to v4 still serves the old schema",
+)
+def vtable_schema_evolution_backfill(spark, sf_dir) -> DataFrame:
+    """Read the post-evolution snapshot (v5): rows from old segments
+    carry a null o_backfill_src (the parquet reader fills the absent
+    column under the widened schema), the backfilled rows carry the
+    marker.  Grouping on the coalesced marker checks both populations'
+    counts and price sums value-exactly."""
+    vt = staged_vtable(spark, sf_dir)
+    return (
+        vt.read(5)
+        .groupBy(
+            F.coalesce(F.col("o_backfill_src"), F.lit("original")).alias(
+                "backfill_src"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            scaled_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
     "vtable_merge_pruned_rewrite",
     oracle=f"""
     WITH m AS (SELECT MAX(o_orderkey) + 1 AS mm FROM orders),
@@ -373,6 +428,69 @@ def vtable_merge_pruned_rewrite(spark, sf_dir) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "stream_vtable_append_source",
+    oracle=f"""
+    WITH {_V2_SQL},
+    streamed AS (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_backfill_src
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice, 'late_backfill'
+        FROM v2 WHERE (o_orderkey % 13) = 0
+    )
+    SELECT COALESCE(o_backfill_src, 'original') AS backfill_src,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM streamed
+    GROUP BY COALESCE(o_backfill_src, 'original'), o_orderpriority
+    """,
+    survey="W4 S4 — the vtable as a STREAMING SOURCE (Delta "
+    "readStream.format('delta') shape; sources/vtable_stream.py): commit "
+    "versions are offsets, data commits replay as append micro-batches, "
+    "remove-carrying commits (merge/delete/compact) are skipped via "
+    "skipChangeCommits (raising without it — pinned); pre-evolution "
+    "segments null-fill the evolved column THROUGH the Arrow stream "
+    "reader; the streamed union (v0+v1 full load, v5 backfill) is "
+    "checked value-exactly",
+)
+def stream_vtable_append_source(spark, sf_dir) -> DataFrame:
+    """Stream the staged history table's append commits (v0 create, v1
+    append, v5 evolved backfill — v2/v3/v4 carry removes and are
+    skipped) through the custom Python DataSource stream reader, and
+    aggregate by backfill marker x priority.  The oracle's union of raw
+    orders + the relational backfill must match value-exactly: a lost
+    commit, a double-replayed version, or a wrong evolution null-fill
+    all break the hash."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import (
+        run_to_table,
+    )
+
+    vt = staged_vtable(spark, sf_dir)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt.root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    agg = stream.groupBy(
+        F.coalesce(F.col("o_backfill_src"), F.lit("original")).alias(
+            "backfill_src"
+        ),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+    return run_to_table(agg, "complete")
 
 
 @register(

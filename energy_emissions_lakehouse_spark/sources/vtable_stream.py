@@ -1,0 +1,215 @@
+"""Streaming source FROM a versioned table (Delta-as-a-streaming-source).
+
+The vtable (operators/vtable.py) already serves as an exactly-once
+streaming SINK; this module closes the loop and makes it a streaming
+SOURCE, the way Delta tables feed downstream pipelines
+(``spark.readStream.format("delta")``): each committed version is a
+micro-batch, offsets are commit versions, and the immutable commit log
+makes replays deterministic.
+
+Semantics mirror Delta's documented source behavior:
+
+- Data commits (``add`` only, no ``remove``) are streamed in commit
+  order.  ``.option("maxVersionsPerBatch", k)`` caps commits per
+  micro-batch (the maxFilesPerTrigger analog) so downstream sees the
+  append history replayed version by version; the default (all
+  available) is what trigger ``availableNow`` requires — it calls
+  ``latestOffset`` exactly once, so an incremental cursor would
+  silently truncate the stream (measured, pinned in tests).
+- A commit that REMOVES segments (merge/delete/overwrite/compact)
+  is NOT expressible as an append stream.  By default the reader
+  raises (Delta: "Detected a data update... This is currently not
+  supported"); with ``.option("skipChangeCommits", "true")`` such
+  commits are skipped wholesale (Delta's ``skipChangeCommits``).
+- Offsets are ``{"version": v}`` dicts — exactly-once at the source:
+  Spark checkpoints them, and a restarted query resumes from the
+  committed version.  The log is immutable so re-reading a version
+  yields identical rows.
+
+Scale: ``partitions()`` emits one InputPartition PER PARQUET PART FILE
+of each added segment, so a batch's read is as parallel as the segment
+was when written; rows cross the Python worker as Arrow RecordBatches
+(columnar), never per-row.  Only O(files) path metadata touches the
+driver — the same contract as the batch-side vtable reads.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    DATA_DIR,
+    LOG_DIR,
+)
+
+
+class _SegmentFile(InputPartition):
+    """One parquet part file of one committed segment, plus the stream's
+    target Arrow schema (old segments may predate evolved columns;
+    pyarrow schemas are picklable, so the executor gets exact types)."""
+
+    def __init__(self, path: str, target):
+        self.path = path
+        self.target = target
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, LOG_DIR)
+
+
+def _versions(root: str) -> list[int]:
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(_log_dir(root))
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+    )
+
+
+def _read_commit(root: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(root), f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _target_arrow_schema(root: str, columns: list[str]):
+    """The stream's target Arrow schema, resolved on the DRIVER from the
+    newest committed segment's parquet footer (every vtable write aligns
+    its batch to the commit schema, so the newest segment carries every
+    column — including evolved ones — with the exact physical types)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for v in reversed(_versions(root)):
+        entry = _read_commit(root, v)
+        for rel in entry["add"]:
+            files = sorted(
+                glob.glob(os.path.join(root, rel, "part-*.parquet"))
+            )
+            if files:
+                footer = pq.read_schema(files[0])
+                if all(c in footer.names for c in columns):
+                    return pa.schema([footer.field(c) for c in columns])
+                # a pre-evolution or column-missing segment: keep looking
+    raise FileNotFoundError(
+        f"no committed segment carries all stream columns under {root}"
+    )
+
+
+class VtableStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: StructType, options):
+        if not os.path.isdir(_log_dir(root)):
+            raise FileNotFoundError(f"not a versioned table: {root}")
+        self.root = root
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        #: commits per micro-batch (maxFilesPerTrigger analog).  0 = all
+        #: available — REQUIRED under trigger availableNow, which calls
+        #: latestOffset exactly once and would silently truncate an
+        #: incremental cursor (measured); the per-version replay mode is
+        #: for processAllAvailable-driven runs.
+        self.max_versions = int(options.get("maxVersionsPerBatch", 0))
+        self._cursor = -1
+        self.target = _target_arrow_schema(root, schema.fieldNames())
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        latest = _versions(self.root)[-1]
+        if self.max_versions > 0:
+            latest = min(self._cursor + self.max_versions, latest)
+        self._cursor = max(self._cursor, latest)
+        return {"version": latest}
+
+    def partitions(self, start: dict, end: dict) -> list[_SegmentFile]:
+        parts: list[_SegmentFile] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            entry = _read_commit(self.root, v)
+            if entry["remove"]:
+                if self.skip_change:
+                    continue  # Delta skipChangeCommits: drop the commit
+                raise RuntimeError(
+                    f"vtable stream source: version {v} ({entry['op']}) "
+                    "updates or deletes existing rows, which cannot be "
+                    "replayed as an append stream; set "
+                    ".option('skipChangeCommits', 'true') to skip such "
+                    "commits (Delta source semantics)"
+                )
+            for rel in entry["add"]:
+                seg = os.path.join(self.root, rel)
+                parts.extend(
+                    _SegmentFile(p, self.target)
+                    for p in sorted(glob.glob(
+                        os.path.join(seg, "part-*.parquet")
+                    ))
+                )
+        return parts
+
+    def read(self, partition: _SegmentFile):
+        """Executor-side: one part file -> Arrow RecordBatches, aligned
+        to the stream's target schema (columns an old segment predates
+        are null-filled with the exact target type, like the batch-side
+        widened read)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        arrays = []
+        for field in partition.target:
+            if field.name in table.column_names:
+                col = table.column(field.name).combine_chunks()
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, type=field.type))
+        yield from pa.Table.from_arrays(
+            arrays, schema=partition.target
+        ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # the commit log is immutable — nothing to clean up; but a query
+        # RESUMED from a checkpoint starts with a fresh reader whose
+        # cursor must not lag the already-committed offset
+        self._cursor = max(self._cursor, end["version"])
+
+    def stop(self) -> None:
+        pass
+
+
+class VtableStreamDataSource(DataSource):
+    """``spark.readStream.format("eel_vtable").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eel_vtable"
+
+    def schema(self) -> StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("eel_vtable requires .option('path', <root>)")
+        latest = _versions(root)[-1]
+        return StructType.fromJson(_read_commit(root, latest)["schema"])
+
+    def streamReader(self, schema: StructType) -> VtableStreamReader:
+        return VtableStreamReader(self.options["path"], schema, self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_vtable_source(spark) -> None:
+    """Idempotent per-session registration."""
+    if id(spark) not in _REGISTERED:
+        spark.dataSource.register(VtableStreamDataSource)
+        _REGISTERED.add(id(spark))

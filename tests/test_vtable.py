@@ -374,6 +374,53 @@ def test_stream_vtable_ingest_commits_each_batch_once(spark, sf_dir):
     assert txns == {("events_ingest", i) for i in range(4)}
 
 
+def test_append_evolve_widens_schema_without_rewriting_segments(
+    spark, vt_root
+):
+    """Schema evolution: a batch with a new column widens the schema in
+    ONE metadata commit; old segments are untouched on disk and surface
+    the column as null; time travel still serves the old schema."""
+    vt = _mk(spark, vt_root, n=3)
+    seg0 = vt._read_commit(0)["add"][0]
+    mtime_before = os.path.getmtime(os.path.join(vt.root, seg0))
+    batch = spark.range(10, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    v = vt.append_evolve(batch)
+    assert vt._read_commit(v)["evolved"] == ["tag"]
+    assert vt._read_commit(v)["remove"] == []  # no rewrite
+    assert os.path.getmtime(os.path.join(vt.root, seg0)) == mtime_before
+    latest = vt.read(v)
+    assert latest.schema.fieldNames() == ["k", "v", "tag"]
+    tags = {r.k: r.tag for r in latest.collect()}
+    assert tags[0] is None and tags[10] == "new"
+    assert vt.read(0).schema.fieldNames() == ["k", "v"]  # time travel
+
+
+def test_append_evolve_fills_omitted_columns_and_rejects_type_change(
+    spark, vt_root
+):
+    vt = _mk(spark, vt_root, n=2)
+    # omitted column v -> typed null
+    v = vt.append_evolve(
+        spark.range(5, 6).select(
+            F.col("id").alias("k"), F.lit(1.5).alias("w")
+        )
+    )
+    rows = {r.k: (r.v, r.w) for r in vt.read(v).collect()}
+    assert rows[5] == (None, 1.5) and rows[0] == (0, None)
+    # a type CHANGE is not evolution
+    with pytest.raises(ValueError, match="type change"):
+        vt.append_evolve(
+            spark.range(1).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("string").alias("v"),
+            )
+        )
+
+
 def test_staged_ranged_merge_rewrote_one_of_four_segments(spark, sf_dir):
     """The staged ranged table's v4 is the registered pruned merge: its
     quarter-confined updates must have rewritten exactly ONE of the four
@@ -406,7 +453,10 @@ def test_staged_history_build_is_memoized_and_deterministic(spark, sf_dir):
     vt2 = staged_vtable(spark, sf_dir)
     assert vt1.root == vt2.root  # memo hit
     ops = [h["op"] for h in vt1.history()]
-    assert ops == ["create", "append", "merge", "delete", "compact"]
+    assert ops == [
+        "create", "append", "merge", "delete", "compact", "append",
+    ]
+    assert vt1.history()[5]["evolved"] == ["o_backfill_src"]
     fp1 = sorted(
         (r.o_orderkey, r.o_orderstatus) for r in vt1.read(4).collect()
     )

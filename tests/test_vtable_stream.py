@@ -1,0 +1,146 @@
+"""Protocol pins for the vtable STREAMING SOURCE
+(sources/vtable_stream.py): offsets-are-versions replay, per-version
+micro-batching, availableNow full-batch correctness (the incremental
+cursor would silently truncate — measured), change-commit rejection and
+skipChangeCommits, and evolution null-fill through the Arrow reader.
+Value parity of the registered query is covered by its oracle
+(queries/versioned.py stream_vtable_append_source)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators.vtable import VersionedTable
+from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+    register_vtable_source,
+)
+
+
+@pytest.fixture()
+def vt_root():
+    d = tempfile.mkdtemp(prefix="vtstream-test-")
+    yield os.path.join(d, "t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_history(spark, root) -> VersionedTable:
+    """v0 create(0..4), v1 append(5..8), v2 merge (change commit),
+    v3 append(100..102), v4 evolve-append(200..201 with tag)."""
+    vt = VersionedTable.create(
+        spark,
+        root,
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    vt.append(
+        spark.range(5, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.merge_upsert_pruned(
+        spark.createDataFrame([(5, -1)], ["k", "v"]), keys=["k"]
+    )
+    vt.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.append_evolve(
+        spark.range(200, 202).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("tag"),
+        )
+    )
+    return vt
+
+
+def _agg(stream):
+    return stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.count("tag").alias("n_tag"),
+    )
+
+
+def test_available_now_replays_all_append_commits(spark, vt_root):
+    """The default (all-available) batch mode under trigger availableNow
+    must cover EVERY data commit — availableNow calls latestOffset once,
+    so a truncated stream here means the cursor regression returned."""
+    _mk_history(spark, vt_root)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    assert stream.schema.fieldNames() == ["k", "v", "tag"]
+    name = "vtstream_t1"
+    q = (
+        _agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table(name).collect()[0]
+    # appends: 5 + 4 + 3 + 2 = 14 rows; sum(k) = 10+26+303+401 = 740;
+    # evolution null-fill: only the 2 evolved rows carry tag
+    assert (row.n, row.s, row.n_tag) == (14, 740, 2)
+
+
+def test_max_versions_per_batch_replays_version_by_version(spark, vt_root):
+    _mk_history(spark, vt_root)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("skipChangeCommits", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+    )
+    name = "vtstream_t2"
+    q = (
+        _agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    row = spark.table(name).collect()[0]
+    assert (row.n, row.s, row.n_tag) == (14, 740, 2)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 4  # one per data commit; v2 skipped
+
+
+def test_change_commit_raises_without_skip_option(spark, vt_root):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    _mk_history(spark, vt_root)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable").option("path", vt_root).load()
+    )
+    q = (
+        stream.groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("vtstream_t3")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="skipChangeCommits") as exc:
+        q.awaitTermination()
+    assert isinstance(exc.value, (PySparkException, Exception))
