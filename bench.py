@@ -194,6 +194,7 @@ HEADLINE = [
     "vtable_stats_pruned_read",
     "vtable_merge_pruned_rewrite",
     "vtable_schema_evolution_backfill",
+    "vtable_zorder_pruned_scan",
     "stream_vtable_append_source",
     "stream_vtable_exactly_once_ingest",
 ]

@@ -522,6 +522,71 @@ class VersionedTable:
         self._commit(v + 1, "compact", add=add, remove=live, schema=df.schema)
         return v + 1
 
+    def compact_clustered(
+        self, cluster_by: list[str], n_segments: int = 16, bits: int = 8
+    ) -> int:
+        """OPTIMIZE ZORDER BY (Delta) / sort-order rewrite (Iceberg):
+        rewrite the live set into ``n_segments`` segments clustered by
+        the bit-interleaved z-value of the two (quantized) cluster
+        columns, so per-segment min/max stats become tight on EVERY
+        cluster dimension and :meth:`read_pruned` skips segments for a
+        probe on ANY of them — impossible under a linear sort on one
+        column.  Same integer bit math as the registered logical layout
+        (queries/sources.py zorder_layout_lineitem), made PHYSICAL: one
+        shuffle (hash on the z-bucket, the same cost class as
+        :meth:`compact`), one partitioned write, each bucket becoming
+        its own immutable segment with its own folded footer stats.
+        Cluster columns must be integer-valued (keys, day numbers)."""
+        if len(cluster_by) != 2:
+            raise ValueError("compact_clustered takes exactly two columns")
+        c1, c2 = cluster_by
+        v, live, entry = self._snapshot(None)
+        df = self.read(v)
+        lo1, hi1, lo2, hi2 = df.agg(
+            F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+        ).collect()[0]
+        if lo1 is None or lo2 is None:
+            raise ValueError("compact_clustered: empty table or all-null "
+                             f"cluster columns {cluster_by}")
+        nq = 1 << bits
+        q1 = F.floor((F.col(c1) - lo1) * nq / (hi1 - lo1 + 1))
+        q2 = F.floor((F.col(c2) - lo2) * nq / (hi2 - lo2 + 1))
+        zval = None
+        for i in range(bits):
+            pair = F.shiftleft(
+                F.shiftright(q1, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            ) + F.shiftleft(F.shiftright(q2, i).bitwiseAND(F.lit(1)), 2 * i)
+            zval = pair if zval is None else zval + pair
+        bucket = F.floor(zval * n_segments / (1 << (2 * bits))).cast("int")
+        tmp_rel = os.path.join(
+            DATA_DIR, f"{_fmt_version(v + 1)}-ztmp-{uuid.uuid4().hex[:8]}"
+        )
+        tmp_abs = os.path.join(self.root, tmp_rel)
+        (
+            df.withColumn("_zb", bucket)
+            .repartition(n_segments, "_zb")
+            .write.partitionBy("_zb")
+            .parquet(tmp_abs)
+        )
+        add = []
+        for d in sorted(os.listdir(tmp_abs)):
+            if not d.startswith("_zb="):
+                continue
+            i = int(d.split("=", 1)[1])
+            rel = os.path.join(
+                DATA_DIR,
+                f"{_fmt_version(v + 1)}-z{i:03d}-{uuid.uuid4().hex[:8]}",
+            )
+            os.rename(os.path.join(tmp_abs, d), os.path.join(self.root, rel))
+            add.append(rel)
+        shutil.rmtree(tmp_abs, ignore_errors=True)
+        self._commit(
+            v + 1, "compact", add=add, remove=live,
+            schema=StructType.fromJson(entry["schema"]),
+            extra={"clustered_by": list(cluster_by)},
+        )
+        return v + 1
+
     # ------------------------------------------------------- stats pruning
     def _live_segment_stats(self, version: int) -> dict[str, dict]:
         """Stats for every live segment at ``version``, gathered from the

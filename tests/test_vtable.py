@@ -421,6 +421,45 @@ def test_append_evolve_fills_omitted_columns_and_rejects_type_change(
         )
 
 
+def test_compact_clustered_prunes_on_both_dimensions(spark, vt_root):
+    """OPTIMIZE ZORDER: after the clustered rewrite, a narrow probe on
+    EITHER cluster column prunes at least half the segments, and the
+    content is identical to the pre-rewrite state."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        F.expr("id div 64").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    vt = VersionedTable.create(spark, vt_root, df)
+    before = vt.read(0).agg(
+        F.count(F.lit(1)), F.sum("a"), F.sum("b"), F.sum("payload")
+    ).collect()[0]
+    v = vt.compact_clustered(["a", "b"], n_segments=16)
+    entry = vt._read_commit(v)
+    assert entry["clustered_by"] == ["a", "b"]
+    assert len(entry["add"]) > 1  # multiple clustered segments
+    after = vt.read(v).agg(
+        F.count(F.lit(1)), F.sum("a"), F.sum("b"), F.sum("payload")
+    ).collect()[0]
+    assert tuple(before) == tuple(after)  # content-identical rewrite
+    n_live = len(vt._resolve_live(v))
+    for col in ("a", "b"):
+        lo, hi = vt.column_range(col, v)
+        scanned, skipped = vt.pruned_segments(
+            v, col, lo, lo + (hi - lo) // 8
+        )
+        assert len(skipped) >= n_live // 2, (
+            f"probe on {col}: {len(skipped)}/{n_live} skipped"
+        )
+        # pruned read + residual == full read + same predicate
+        pred = f"{col} <= {lo + (hi - lo) // 8}"
+        assert (
+            vt.read_pruned(col, lo, lo + (hi - lo) // 8, v)
+            .where(pred).count()
+            == vt.read(v).where(pred).count()
+        )
+
+
 def test_staged_ranged_merge_rewrote_one_of_four_segments(spark, sf_dir):
     """The staged ranged table's v4 is the registered pruned merge: its
     quarter-confined updates must have rewritten exactly ONE of the four
