@@ -76,6 +76,31 @@ def _fmt_version(version: int) -> str:
     return f"{version:020d}"
 
 
+# Module-level log helpers, shared with the streaming source
+# (sources/vtable_stream.py) so there is exactly ONE implementation of
+# "what is a commit file" — a second copy once dropped the isdigit guard
+# and crashed on stray JSON in _log/.
+
+def log_versions(root: str) -> list[int]:
+    """All committed versions under ``root``, oldest first.  Non-numeric
+    .json files (future protocol/metadata files, editor artifacts) are
+    ignored by design."""
+    out = []
+    for name in os.listdir(os.path.join(root, LOG_DIR)):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            stem = name[: -len(".json")]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def read_commit(root: str, version: int) -> dict:
+    with open(
+        os.path.join(root, LOG_DIR, _fmt_version(version) + ".json")
+    ) as fh:
+        return json.load(fh)
+
+
 class VersionedTable:
     """Handle on a vtable root.  All mutating ops append ONE commit."""
 
@@ -115,13 +140,7 @@ class VersionedTable:
         )
 
     def _versions(self) -> list[int]:
-        out = []
-        for name in os.listdir(self._log_dir):
-            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-                stem = name[: -len(".json")]
-                if stem.isdigit():
-                    out.append(int(stem))
-        return sorted(out)
+        return log_versions(self.root)
 
     def latest_version(self) -> int:
         versions = self._versions()
@@ -130,8 +149,7 @@ class VersionedTable:
         return versions[-1]
 
     def _read_commit(self, version: int) -> dict:
-        with open(self._commit_path(version)) as fh:
-            return json.load(fh)
+        return read_commit(self.root, version)
 
     def _commit(
         self,
@@ -336,8 +354,9 @@ class VersionedTable:
         This is what makes ``foreachBatch`` into a vtable exactly-once:
         the data write and the batch-id record land in ONE atomic commit.
         Single-writer-per-source contract (the structured-streaming
-        model); concurrent DIFFERENT sources interleave safely through
-        the optimistic commit loop."""
+        model); concurrent DIFFERENT sources interleave safely: a commit
+        lost to another source's writer is retried at the new head (the
+        segment is already written — only the O(1) commit repeats)."""
         for entry in self.history():
             txn = entry.get("txn")
             if (
@@ -347,13 +366,21 @@ class VersionedTable:
             ):
                 return entry["version"]  # replay: already committed
         self._require_schema(df, "idempotent_append")
-        v = self.latest_version()
-        add = [self._write_segment(df, v + 1)]
-        self._commit(
-            v + 1, "append", add=add, remove=[], schema=df.schema,
-            extra={"txn": {"source": source_id, "batch": batch_id}},
+        add = [self._write_segment(df, self.latest_version() + 1)]
+        for _ in range(64):  # bounded: each loss means another's progress
+            v = self.latest_version()
+            try:
+                self._commit(
+                    v + 1, "append", add=add, remove=[], schema=df.schema,
+                    extra={"txn": {"source": source_id, "batch": batch_id}},
+                )
+                return v + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"idempotent_append({source_id}, {batch_id}): lost 64 "
+            "consecutive commit races"
         )
-        return v + 1
 
     def append_evolve(self, df: DataFrame) -> int:
         """Schema evolution (Delta ``mergeSchema``): the incoming batch
@@ -542,9 +569,17 @@ class VersionedTable:
         c1, c2 = cluster_by
         v, live, entry = self._snapshot(None)
         df = self.read(v)
-        lo1, hi1, lo2, hi2 = df.agg(
-            F.min(c1), F.max(c1), F.min(c2), F.max(c2)
-        ).collect()[0]
+        # Quantization bounds from the commit log's own folded stats when
+        # every live segment carries them — O(log) driver metadata, no
+        # extra table scan; the agg below is only the stat-less fallback.
+        r1 = self.column_range(c1, v)
+        r2 = self.column_range(c2, v)
+        if r1 is not None and r2 is not None:
+            (lo1, hi1), (lo2, hi2) = r1, r2
+        else:
+            lo1, hi1, lo2, hi2 = df.agg(
+                F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+            ).collect()[0]
         if lo1 is None or lo2 is None:
             raise ValueError("compact_clustered: empty table or all-null "
                              f"cluster columns {cluster_by}")
@@ -562,24 +597,40 @@ class VersionedTable:
             DATA_DIR, f"{_fmt_version(v + 1)}-ztmp-{uuid.uuid4().hex[:8]}"
         )
         tmp_abs = os.path.join(self.root, tmp_rel)
-        (
-            df.withColumn("_zb", bucket)
-            .repartition(n_segments, "_zb")
-            .write.partitionBy("_zb")
-            .parquet(tmp_abs)
-        )
-        add = []
-        for d in sorted(os.listdir(tmp_abs)):
-            if not d.startswith("_zb="):
-                continue
-            i = int(d.split("=", 1)[1])
-            rel = os.path.join(
-                DATA_DIR,
-                f"{_fmt_version(v + 1)}-z{i:03d}-{uuid.uuid4().hex[:8]}",
+        try:
+            (
+                df.withColumn("_zb", bucket)
+                .repartition(n_segments, "_zb")
+                .write.partitionBy("_zb")
+                .parquet(tmp_abs)
             )
-            os.rename(os.path.join(tmp_abs, d), os.path.join(self.root, rel))
-            add.append(rel)
-        shutil.rmtree(tmp_abs, ignore_errors=True)
+            # Resolve EVERY bucket dir to its segment number before any
+            # rename, so a surprise name fails loudly with nothing moved.
+            # Rows with a NULL cluster value land in Spark's default
+            # partition — they become their own segment (nulls cluster
+            # together, Delta zorder semantics); its cluster-column stats
+            # are absent, so pruning always scans it (conservative).
+            buckets: list[tuple[int, str]] = []
+            for d in sorted(os.listdir(tmp_abs)):
+                if not d.startswith("_zb="):
+                    continue
+                val = d.split("=", 1)[1]
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    buckets.append((n_segments, d))  # the nulls segment
+                else:
+                    buckets.append((int(val), d))
+            add = []
+            for i, d in buckets:
+                rel = os.path.join(
+                    DATA_DIR,
+                    f"{_fmt_version(v + 1)}-z{i:03d}-{uuid.uuid4().hex[:8]}",
+                )
+                os.rename(
+                    os.path.join(tmp_abs, d), os.path.join(self.root, rel)
+                )
+                add.append(rel)
+        finally:
+            shutil.rmtree(tmp_abs, ignore_errors=True)
         self._commit(
             v + 1, "compact", add=add, remove=live,
             schema=StructType.fromJson(entry["schema"]),

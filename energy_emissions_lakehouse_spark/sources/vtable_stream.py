@@ -24,7 +24,11 @@ Semantics mirror Delta's documented source behavior:
 - Offsets are ``{"version": v}`` dicts — exactly-once at the source:
   Spark checkpoints them, and a restarted query resumes from the
   committed version.  The log is immutable so re-reading a version
-  yields identical rows.
+  yields identical rows.  Restart-safety holds in the default
+  (all-available) mode because the log's latest version never
+  regresses; a ``maxVersionsPerBatch`` query resumed from a checkpoint
+  fails loudly instead of rewinding (its fresh cursor cannot know the
+  committed offset — pinned in ``partitions``).
 
 Scale: ``partitions()`` emits one InputPartition PER PARQUET PART FILE
 of each added segment, so a batch's read is as parallel as the segment
@@ -36,7 +40,6 @@ driver — the same contract as the batch-side vtable reads.
 from __future__ import annotations
 
 import glob
-import json
 import os
 
 from pyspark.sql.datasource import (
@@ -47,8 +50,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from energy_emissions_lakehouse_spark.operators.vtable import (
-    DATA_DIR,
     LOG_DIR,
+    log_versions,
+    read_commit,
 )
 
 
@@ -66,17 +70,11 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, LOG_DIR)
 
 
-def _versions(root: str) -> list[int]:
-    return sorted(
-        int(f[:20])
-        for f in os.listdir(_log_dir(root))
-        if f.endswith(".json") and not f.endswith(".checkpoint.json")
-    )
-
-
-def _read_commit(root: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(root), f"{version:020d}.json")) as fh:
-        return json.load(fh)
+# log access shared with operators/vtable.py — ONE implementation of
+# "what is a commit file" (a private copy here once dropped the isdigit
+# guard and crashed on stray JSON in _log/)
+_versions = log_versions
+_read_commit = read_commit
 
 
 def _target_arrow_schema(root: str, columns: list[str]):
@@ -131,6 +129,20 @@ class VtableStreamReader(DataSourceStreamReader):
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[_SegmentFile]:
+        if end["version"] < start["version"]:
+            # Only reachable when a maxVersionsPerBatch query is resumed
+            # from a checkpoint: the fresh reader's cursor restarts at -1,
+            # so its first latestOffset lands BEHIND the committed offset.
+            # Planning this batch would rewind Spark's offset and replay
+            # already-delivered versions as duplicates — fail loudly
+            # instead (default all-available mode never regresses: the
+            # log's latest version only grows, so it is restart-safe).
+            raise RuntimeError(
+                "eel_vtable: offset would regress "
+                f"({start['version']} -> {end['version']}); "
+                "maxVersionsPerBatch replay is for fresh bounded runs — "
+                "resume this checkpoint without the option"
+            )
         parts: list[_SegmentFile] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_commit(self.root, v)

@@ -429,9 +429,12 @@ def run_foreachbatch_vtable_ingest(
         VersionedTable,
     )
 
+    from pyspark.sql.types import StructType as _StructType
+
     configure_runtime(spark)
+    src_schema = spark.read.parquet(src_dir).schema  # resolved ONCE
     ev = (
-        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
@@ -441,7 +444,7 @@ def run_foreachbatch_vtable_ingest(
     shutil.rmtree(sink_root, ignore_errors=True)
     cols = ["event_id", "user_id", "event_type", "value"]
     empty = spark.createDataFrame(
-        [], spark.read.parquet(src_dir).select(*cols).schema
+        [], _StructType([src_schema[c] for c in cols])
     )
     vt = VersionedTable.create(spark, sink_root, empty)
 
@@ -449,9 +452,14 @@ def run_foreachbatch_vtable_ingest(
         data = batch_df.select(*cols)
         v = vt.idempotent_append(data, "events_ingest", batch_id)
         # at-least-once redelivery simulation: the replay MUST no-op and
-        # report the same committed version
+        # report the same committed version.  A real exception (not
+        # assert — the check must survive python -O) because this IS the
+        # exactly-once proof the registered oracle relies on.
         v2 = vt.idempotent_append(data, "events_ingest", batch_id)
-        assert v2 == v, f"replayed batch {batch_id} double-committed"
+        if v2 != v:
+            raise RuntimeError(
+                f"replayed batch {batch_id} double-committed ({v} -> {v2})"
+            )
 
     q = (
         ev.writeStream.foreachBatch(sink)

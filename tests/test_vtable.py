@@ -460,6 +460,58 @@ def test_compact_clustered_prunes_on_both_dimensions(spark, vt_root):
         )
 
 
+def test_compact_clustered_null_cluster_rows_get_their_own_segment(
+    spark, vt_root
+):
+    """Rows with NULL in a cluster column are preserved in a dedicated
+    nulls segment (Delta zorder semantics), not dropped or crashed on."""
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 8)
+        .alias("a"),
+        F.expr("id div 8").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    vt = VersionedTable.create(spark, vt_root, df)
+    v = vt.compact_clustered(["a", "b"], n_segments=4)
+    got = vt.read(v)
+    assert got.count() == 100
+    assert got.where("a IS NULL").count() == 10
+    assert got.agg(F.sum("payload")).collect()[0][0] == 4950
+    # the nulls segment has no stats for `a`, so a probe on `a` must
+    # conservatively scan it
+    nulls_seg = [r for r in vt._read_commit(v)["add"] if "-z004-" in r]
+    assert len(nulls_seg) == 1
+    scanned, _ = vt.pruned_segments(v, "a", 0, 0)
+    assert nulls_seg[0] in scanned
+
+
+def test_idempotent_append_retries_lost_commit_race(spark, vt_root):
+    """A commit lost to a concurrent DIFFERENT source is retried at the
+    new head instead of surfacing ConcurrentCommitError to the sink."""
+    from energy_emissions_lakehouse_spark.operators import vtable as vmod
+
+    vt = _mk(spark, vt_root, n=3)
+    batch = spark.range(10, 12).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    original = vt._commit
+    calls = {"n": 0}
+
+    def racy_commit(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:  # another writer wins the first attempt
+            raise vmod.ConcurrentCommitError("simulated lost race")
+        return original(*args, **kwargs)
+
+    vt._commit = racy_commit
+    v = vt.idempotent_append(batch, "src_retry", 7)
+    vt._commit = original
+    assert calls["n"] == 2  # one loss, one win
+    assert vt._read_commit(v)["txn"] == {"source": "src_retry", "batch": 7}
+    assert vt.read(v).count() == 5
+
+
 def test_staged_ranged_merge_rewrote_one_of_four_segments(spark, sf_dir):
     """The staged ranged table's v4 is the registered pruned merge: its
     quarter-confined updates must have rewritten exactly ONE of the four

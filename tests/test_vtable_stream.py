@@ -141,6 +141,5 @@ def test_change_commit_raises_without_skip_option(spark, vt_root):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="skipChangeCommits") as exc:
+    with pytest.raises(PySparkException, match="skipChangeCommits"):
         q.awaitTermination()
-    assert isinstance(exc.value, (PySparkException, Exception))
