@@ -196,6 +196,7 @@ HEADLINE = [
     "vtable_schema_evolution_backfill",
     "vtable_zorder_pruned_scan",
     "stream_vtable_append_source",
+    "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",
 ]
 

@@ -62,6 +62,9 @@ from pyspark.sql.types import StructField, StructType
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+#: Change-data segments (Delta's _change_data): written AT COMMIT TIME by
+#: merge/delete when the table was created with ``enable_cdf=True``.
+CDF_DIR = "cdf"
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
@@ -116,10 +119,18 @@ class VersionedTable:
     # ------------------------------------------------------------------ init
     @classmethod
     def create(
-        cls, spark: SparkSession, root: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        enable_cdf: bool = False,
     ) -> "VersionedTable":
         """Initialize ``root`` with version 0 = ``df``.  Fails if a log
-        already exists (use :meth:`overwrite` to replace content)."""
+        already exists (use :meth:`overwrite` to replace content).
+        ``enable_cdf`` is the table property (Delta's
+        ``delta.enableChangeDataFeed``): merge/delete commits then write
+        row-level change segments under ``cdf/`` in the same commit, for
+        the streaming change feed (sources/vtable_stream.py)."""
         log_dir = os.path.join(root, LOG_DIR)
         if os.path.isdir(log_dir):
             raise FileExistsError(f"versioned table already exists: {root}")
@@ -127,8 +138,22 @@ class VersionedTable:
         os.makedirs(os.path.join(root, DATA_DIR), mode=0o700, exist_ok=True)
         table = cls(spark, root)
         add = [table._write_segment(df, 0)]
-        table._commit(0, "create", add=add, remove=[], schema=df.schema)
+        table._commit(
+            0, "create", add=add, remove=[], schema=df.schema,
+            extra={"properties": {"enableChangeDataFeed": bool(enable_cdf)}},
+        )
         return table
+
+    @property
+    def cdf_enabled(self) -> bool:
+        """The table property from the create commit (commit 0)."""
+        if not hasattr(self, "_cdf_enabled"):
+            self._cdf_enabled = bool(
+                self._read_commit(0)
+                .get("properties", {})
+                .get("enableChangeDataFeed", False)
+            )
+        return self._cdf_enabled
 
     # ------------------------------------------------------------- log layer
     def _commit_path(self, version: int) -> str:
@@ -259,6 +284,18 @@ class VersionedTable:
             DATA_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("error").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _write_cdf(self, changes: DataFrame, version_hint: int) -> str:
+        """Write one immutable change-data segment (rows carrying a
+        ``_change_type`` column) under ``cdf/`` — Delta's ``_change_data``
+        files, produced by the SAME job pipeline as the merge/delete that
+        caused them and referenced from the commit, so the change feed is
+        exact row-level history, not a reconstruction."""
+        rel = os.path.join(
+            CDF_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
+        )
+        changes.write.mode("error").parquet(os.path.join(self.root, rel))
         return rel
 
     def _segment_stats(self, rel: str) -> dict[str, list]:
@@ -447,13 +484,34 @@ class VersionedTable:
 
         self._require_schema(source, "merge_upsert")
         v, live, _ = self._snapshot(None)
-        merged = upsert(target=self.read(v), source=source, keys=keys)
+        target = self.read(v)
+        merged = upsert(target=target, source=source, keys=keys)
+        extra: dict = {"keys": keys}
+        if self.cdf_enabled:
+            extra["cdf"] = self._write_cdf(
+                self._merge_changes(target, source, keys), v + 1
+            )
         add = [self._write_segment(merged, v + 1)]
         self._commit(
             v + 1, "merge", add=add, remove=live,
-            schema=merged.schema, extra={"keys": keys},
+            schema=merged.schema, extra=extra,
         )
         return v + 1
+
+    @staticmethod
+    def _merge_changes(
+        target: DataFrame, source: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """The row-level change set of an upsert — update_preimage/
+        update_postimage per matched key, insert per new key (Delta's
+        unconditional WHEN MATCHED UPDATE CDF; operators/merge.py
+        upsert_change_feed, the engine the plain-parquet change-feed
+        query pins)."""
+        from energy_emissions_lakehouse_spark.operators.merge import (
+            upsert_change_feed,
+        )
+
+        return upsert_change_feed(target, source, keys)
 
     def touched_segments(
         self, source: DataFrame, key: str, version: int
@@ -515,14 +573,21 @@ class VersionedTable:
         else:
             target = self.spark.createDataFrame([], schema)
         merged = upsert(target=target, source=source, keys=list(keys))
+        extra: dict = {
+            "keys": list(keys),
+            "rewritten": len(touched),
+            "preserved": len(untouched),
+        }
+        if self.cdf_enabled:
+            # the touched slice contains every matchable key, so the
+            # change set over it equals the change set over the full table
+            extra["cdf"] = self._write_cdf(
+                self._merge_changes(target, source, list(keys)), v + 1
+            )
         add = [self._write_segment(merged, v + 1)]
         self._commit(
             v + 1, "merge", add=add, remove=touched, schema=merged.schema,
-            extra={
-                "keys": list(keys),
-                "rewritten": len(touched),
-                "preserved": len(untouched),
-            },
+            extra=extra,
         )
         return v + 1
 
@@ -531,11 +596,20 @@ class VersionedTable:
         removed; FALSE and NULL rows are kept (hence the coalesce)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         v, live, _ = self._snapshot(None)
-        kept = self.read(v).where(~F.coalesce(cond, F.lit(False)))
+        snapshot = self.read(v)
+        kept = snapshot.where(~F.coalesce(cond, F.lit(False)))
+        extra: dict = {"condition": str(condition)}
+        if self.cdf_enabled:
+            extra["cdf"] = self._write_cdf(
+                snapshot.where(F.coalesce(cond, F.lit(False))).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                v + 1,
+            )
         add = [self._write_segment(kept, v + 1)]
         self._commit(
             v + 1, "delete", add=add, remove=live,
-            schema=kept.schema, extra={"condition": str(condition)},
+            schema=kept.schema, extra=extra,
         )
         return v + 1
 
@@ -761,6 +835,11 @@ class VersionedTable:
         keep: set[str] = set()
         for v in retained:
             keep |= self._resolve_live(v)
+            # change-data segments live with their commit: the feed of a
+            # retained version must stay streamable
+            cdf = self._read_commit(v).get("cdf")
+            if cdf:
+                keep.add(cdf)
         data_root = os.path.join(self.root, DATA_DIR)
         deleted = []
         for name in sorted(os.listdir(data_root)):
@@ -768,4 +847,13 @@ class VersionedTable:
             if rel not in keep:
                 shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
                 deleted.append(rel)
+        cdf_root = os.path.join(self.root, CDF_DIR)
+        if os.path.isdir(cdf_root):
+            for name in sorted(os.listdir(cdf_root)):
+                rel = os.path.join(CDF_DIR, name)
+                if rel not in keep:
+                    shutil.rmtree(
+                        os.path.join(cdf_root, name), ignore_errors=True
+                    )
+                    deleted.append(rel)
         return deleted

@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 5
+_HISTORY_REV = 6
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -94,7 +94,9 @@ def _build_history(spark: SparkSession, sf_dir: str, root: str) -> None:
 
     orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
     key = F.col("o_orderkey")
-    vt = VersionedTable.create(spark, root, orders.filter(key % 7 != 0))
+    vt = VersionedTable.create(
+        spark, root, orders.filter(key % 7 != 0), enable_cdf=True
+    )
     vt.append(orders.filter(key % 7 == 0))
     updates = orders.filter(key % 10 == 0).select(
         "o_orderkey",
@@ -560,6 +562,81 @@ def stream_vtable_append_source(spark, sf_dir) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+    return run_to_table(agg, "complete")
+
+
+@register(
+    "stream_vtable_changefeed",
+    oracle=f"""
+    WITH {_V2_SQL},
+    feed AS (
+        SELECT CAST(0 AS BIGINT) AS commit_version,
+               'insert' AS change_type, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_backfill_src
+        FROM orders WHERE (o_orderkey % 7) <> 0
+        UNION ALL
+        SELECT 1, 'insert', o_totalprice, NULL
+        FROM orders WHERE (o_orderkey % 7) = 0
+        UNION ALL
+        SELECT 2, 'update_preimage', o_totalprice, NULL
+        FROM orders WHERE (o_orderkey % 10) = 0
+        UNION ALL
+        SELECT 2, 'update_postimage', o_totalprice, NULL FROM updates
+        UNION ALL
+        SELECT 3, 'delete', o_totalprice, NULL
+        FROM v2 WHERE (o_orderkey % 13) = 0
+        UNION ALL
+        SELECT 5, 'insert', o_totalprice, 'late_backfill'
+        FROM v2 WHERE (o_orderkey % 13) = 0
+    )
+    SELECT commit_version, change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_backfill_src) AS BIGINT) AS n_marked,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM feed
+    GROUP BY commit_version, change_type
+    """,
+    survey="W4 S7 — streaming CHANGE DATA FEED from the vtable (Delta "
+    "readChangeFeed streaming): merge/delete commits stream the cdf/ "
+    "segments they wrote AT COMMIT TIME (update_preimage/postimage/"
+    "delete — the enable_cdf table property, Delta's _change_data "
+    "architecture), appends synthesize inserts from their data segments "
+    "(no CDC files, Delta's append optimization), compaction emits "
+    "NOTHING (dataChange=false); every row stamped _change_type + "
+    "_commit_version; the whole 6-version history reconstructed "
+    "relationally by the oracle",
+)
+def stream_vtable_changefeed(spark, sf_dir) -> DataFrame:
+    """Stream the staged history's row-level change feed and aggregate
+    per (commit_version, change_type): v0/v1 inserts, v2 pre+post update
+    images, v3 deletes, v4 NOTHING (compaction), v5 evolved-backfill
+    inserts (whose marker column rides the feed; pre-evolution change
+    rows null-fill it — n_marked pins that).  A duplicated compact
+    replay, a lost cdf segment, or wrong image rows all break the
+    hash."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import (
+        run_to_table,
+    )
+
+    vt = staged_vtable(spark, sf_dir)
+    register_vtable_source(spark)
+    feed = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    agg = feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_backfill_src").alias("n_marked"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
     )
     return run_to_table(agg, "complete")

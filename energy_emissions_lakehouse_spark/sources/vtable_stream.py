@@ -16,11 +16,22 @@ Semantics mirror Delta's documented source behavior:
   available) is what trigger ``availableNow`` requires — it calls
   ``latestOffset`` exactly once, so an incremental cursor would
   silently truncate the stream (measured, pinned in tests).
-- A commit that REMOVES segments (merge/delete/overwrite/compact)
-  is NOT expressible as an append stream.  By default the reader
-  raises (Delta: "Detected a data update... This is currently not
+- A commit that REMOVES segments (merge/delete/overwrite) is NOT
+  expressible as an append stream.  By default the reader raises
+  (Delta: "Detected a data update... This is currently not
   supported"); with ``.option("skipChangeCommits", "true")`` such
   commits are skipped wholesale (Delta's ``skipChangeCommits``).
+  ``compact`` commits are content-identical (dataChange=false) and are
+  always skipped — streaming their rewritten segment would duplicate
+  every row.
+- ``.option("readChangeFeed", "true")`` streams the row-level CHANGE
+  FEED instead (Delta's streaming CDF): merge/delete commits emit the
+  change segments they wrote at commit time (``cdf/`` —
+  update_preimage/update_postimage/delete rows, the table's
+  ``enable_cdf`` property), appends synthesize ``insert`` rows from
+  their data segments (Delta does exactly this — appends write no CDC
+  files), and every row is stamped with ``_change_type`` +
+  ``_commit_version``.
 - Offsets are ``{"version": v}`` dicts — exactly-once at the source:
   Spark checkpoints them, and a restarted query resumes from the
   committed version.  The log is immutable so re-reading a version
@@ -59,11 +70,17 @@ from energy_emissions_lakehouse_spark.operators.vtable import (
 class _SegmentFile(InputPartition):
     """One parquet part file of one committed segment, plus the stream's
     target Arrow schema (old segments may predate evolved columns;
-    pyarrow schemas are picklable, so the executor gets exact types)."""
+    pyarrow schemas are picklable, so the executor gets exact types).
+    In change-feed mode, ``version`` stamps ``_commit_version`` and
+    ``kind`` says whether ``_change_type`` comes from the file (``cdf``)
+    or is a synthesized ``insert`` (``data``); batch-mode partitions
+    carry ``version=None``."""
 
-    def __init__(self, path: str, target):
+    def __init__(self, path: str, target, version=None, kind="data"):
         self.path = path
         self.target = target
+        self.version = version
+        self.kind = kind
 
 
 def _log_dir(root: str) -> str:
@@ -116,7 +133,18 @@ class VtableStreamReader(DataSourceStreamReader):
         #: for processAllAvailable-driven runs.
         self.max_versions = int(options.get("maxVersionsPerBatch", 0))
         self._cursor = -1
-        self.target = _target_arrow_schema(root, schema.fieldNames())
+        #: change-feed mode (Delta readChangeFeed): emit row-level changes
+        #: instead of appended rows — merge/delete commits stream their
+        #: commit-time cdf/ segments, appends synthesize inserts, compact
+        #: commits are data-neutral and never emit.
+        self.read_cdf = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
+        table_cols = [
+            c for c in schema.fieldNames()
+            if c not in ("_change_type", "_commit_version")
+        ]
+        self.target = _target_arrow_schema(root, table_cols)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -144,39 +172,63 @@ class VtableStreamReader(DataSourceStreamReader):
                 "resume this checkpoint without the option"
             )
         parts: list[_SegmentFile] = []
+        version_stamp = True if self.read_cdf else None
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_commit(self.root, v)
+            if entry["op"] == "compact":
+                continue  # content-identical rewrite: dataChange=false
             if entry["remove"]:
+                if self.read_cdf and entry.get("cdf"):
+                    parts.extend(
+                        _SegmentFile(p, self.target, version=v, kind="cdf")
+                        for p in self._part_files(entry["cdf"])
+                    )
+                    continue
                 if self.skip_change:
                     continue  # Delta skipChangeCommits: drop the commit
                 raise RuntimeError(
                     f"vtable stream source: version {v} ({entry['op']}) "
                     "updates or deletes existing rows, which cannot be "
-                    "replayed as an append stream; set "
-                    ".option('skipChangeCommits', 'true') to skip such "
-                    "commits (Delta source semantics)"
+                    "replayed as an append stream; "
+                    + (
+                        "create the table with enable_cdf=True to stream "
+                        "its row-level changes, or "
+                        if self.read_cdf
+                        else ""
+                    )
+                    + "set .option('skipChangeCommits', 'true') to skip "
+                    "such commits (Delta source semantics)"
                 )
             for rel in entry["add"]:
-                seg = os.path.join(self.root, rel)
                 parts.extend(
-                    _SegmentFile(p, self.target)
-                    for p in sorted(glob.glob(
-                        os.path.join(seg, "part-*.parquet")
-                    ))
+                    _SegmentFile(
+                        p,
+                        self.target,
+                        version=v if version_stamp else None,
+                        kind="data",
+                    )
+                    for p in self._part_files(rel)
                 )
         return parts
+
+    def _part_files(self, rel: str) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(self.root, rel, "part-*.parquet"))
+        )
 
     def read(self, partition: _SegmentFile):
         """Executor-side: one part file -> Arrow RecordBatches, aligned
         to the stream's target schema (columns an old segment predates
         are null-filled with the exact target type, like the batch-side
-        widened read)."""
+        widened read).  Change-feed partitions append ``_change_type``
+        (from the cdf file, or a synthesized ``insert`` for appended
+        data segments) and the stamping ``_commit_version``."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
         n = table.num_rows
-        arrays = []
+        arrays, fields = [], list(partition.target)
         for field in partition.target:
             if field.name in table.column_names:
                 col = table.column(field.name).combine_chunks()
@@ -185,8 +237,19 @@ class VtableStreamReader(DataSourceStreamReader):
                 arrays.append(col)
             else:
                 arrays.append(pa.nulls(n, type=field.type))
+        if partition.version is not None:  # change-feed mode
+            if partition.kind == "cdf":
+                change = table.column("_change_type").combine_chunks()
+            else:
+                change = pa.array(["insert"] * n, type=pa.string())
+            arrays.append(change)
+            fields.append(pa.field("_change_type", pa.string()))
+            arrays.append(
+                pa.array([partition.version] * n, type=pa.int64())
+            )
+            fields.append(pa.field("_commit_version", pa.int64()))
         yield from pa.Table.from_arrays(
-            arrays, schema=partition.target
+            arrays, schema=pa.schema(fields)
         ).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -211,7 +274,18 @@ class VtableStreamDataSource(DataSource):
         if not root:
             raise ValueError("eel_vtable requires .option('path', <root>)")
         latest = _versions(root)[-1]
-        return StructType.fromJson(_read_commit(root, latest)["schema"])
+        base = StructType.fromJson(_read_commit(root, latest)["schema"])
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> VtableStreamReader:
         return VtableStreamReader(self.options["path"], schema, self.options)

@@ -512,6 +512,43 @@ def test_idempotent_append_retries_lost_commit_race(spark, vt_root):
     assert vt.read(v).count() == 5
 
 
+def test_cdf_segments_written_only_when_enabled_and_vacuumed_with_commits(
+    spark, vt_root
+):
+    """The enable_cdf table property: merge/delete commits write change
+    segments and reference them; a non-CDF table writes none; vacuum
+    keeps the cdf of retained commits and sweeps the rest."""
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    assert vt.cdf_enabled
+    src = spark.createDataFrame([(2, -2), (100, -100)], ["k", "v"])
+    vt.merge_upsert(src, keys=["k"])
+    vt.delete_where("k < 1")
+    vt.compact()
+    hist = vt.history()
+    assert [("cdf" in e) for e in hist] == [False, True, True, False]
+    # the merge feed: 1 pre + 1 post + 1 insert; the delete feed: 1 row
+    cdf_v1 = spark.read.parquet(os.path.join(vt.root, hist[1]["cdf"]))
+    types = sorted(
+        r._change_type for r in cdf_v1.select("_change_type").collect()
+    )
+    assert types == ["insert", "update_postimage", "update_preimage"]
+    # vacuum retaining the last 2 commits (delete + compact): the merge
+    # cdf goes, the delete cdf stays
+    deleted = vt.vacuum(retain_last=2)
+    assert hist[1]["cdf"] in deleted
+    assert os.path.isdir(os.path.join(vt.root, hist[2]["cdf"]))
+    # a table WITHOUT the property writes no cdf
+    root2 = vt_root + "_nocdf"
+    vt2 = VersionedTable.create(spark, root2, df)
+    assert not vt2.cdf_enabled
+    vt2.merge_upsert(src, keys=["k"])
+    assert "cdf" not in vt2.history()[1]
+    assert not os.path.isdir(os.path.join(root2, "cdf"))
+
+
 def test_staged_ranged_merge_rewrote_one_of_four_segments(spark, sf_dir):
     """The staged ranged table's v4 is the registered pruned merge: its
     quarter-confined updates must have rewritten exactly ONE of the four

@@ -124,6 +124,87 @@ def test_max_versions_per_batch_replays_version_by_version(spark, vt_root):
     assert len(data_batches) == 4  # one per data commit; v2 skipped
 
 
+def test_change_feed_stream_emits_exact_row_level_history(spark, vt_root):
+    """readChangeFeed: appends synthesize inserts, merge streams its
+    commit-time pre/post images + merge-inserts, delete streams delete
+    rows, compaction emits NOTHING; rows are stamped _commit_version."""
+    vt = VersionedTable.create(
+        spark,
+        vt_root,
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        enable_cdf=True,
+    )
+    vt.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.merge_upsert(
+        spark.createDataFrame([(2, -2), (6, -6), (100, -100)], ["k", "v"]),
+        keys=["k"],
+    )
+    vt.delete_where("k < 2")
+    vt.compact()
+    register_vtable_source(spark)
+    feed = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = "vtstream_cdf"
+    q = (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sk"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r._commit_version, r._change_type, r.n, r.sk)
+        for r in spark.table(name).collect()
+    )
+    assert rows == [
+        (0, "insert", 5, 10),
+        (1, "insert", 3, 18),
+        (2, "insert", 1, 100),
+        (2, "update_postimage", 2, 8),
+        (2, "update_preimage", 2, 8),
+        (3, "delete", 2, 1),
+    ]  # nothing from v4: compaction is dataChange=false
+
+
+def test_change_feed_raises_on_remove_commit_without_cdf(spark, vt_root):
+    """A remove-carrying commit on a table WITHOUT enable_cdf cannot be
+    streamed as changes — the reader must fail loudly, naming the fix."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    _mk_history(spark, vt_root)  # merge at v2, table not CDF-enabled
+    register_vtable_source(spark)
+    feed = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    q = (
+        feed.groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("vtstream_cdf_err")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(PySparkException, match="enable_cdf"):
+        q.awaitTermination()
+
+
 def test_change_commit_raises_without_skip_option(spark, vt_root):
     from pyspark.errors.exceptions.base import PySparkException
 
