@@ -485,13 +485,23 @@ class VersionedTable:
         self._require_schema(source, "merge_upsert")
         v, live, _ = self._snapshot(None)
         target = self.read(v)
-        merged = upsert(target=target, source=source, keys=keys)
         extra: dict = {"keys": keys}
         if self.cdf_enabled:
-            extra["cdf"] = self._write_cdf(
-                self._merge_changes(target, source, keys), v + 1
-            )
-        add = [self._write_segment(merged, v + 1)]
+            # the change-feed write and the merged-segment write are two
+            # actions over the same target scan — persist it across both
+            # (this is the whole-set merge, already the non-scale form;
+            # the pruned variant persists only the touched slice)
+            target = target.persist()
+        try:
+            merged = upsert(target=target, source=source, keys=keys)
+            if self.cdf_enabled:
+                extra["cdf"] = self._write_cdf(
+                    self._merge_changes(target, source, keys), v + 1
+                )
+            add = [self._write_segment(merged, v + 1)]
+        finally:
+            if self.cdf_enabled:
+                target.unpersist()
         self._commit(
             v + 1, "merge", add=add, remove=live,
             schema=merged.schema, extra=extra,
@@ -572,19 +582,27 @@ class VersionedTable:
             )
         else:
             target = self.spark.createDataFrame([], schema)
-        merged = upsert(target=target, source=source, keys=list(keys))
         extra: dict = {
             "keys": list(keys),
             "rewritten": len(touched),
             "preserved": len(untouched),
         }
         if self.cdf_enabled:
-            # the touched slice contains every matchable key, so the
-            # change set over it equals the change set over the full table
-            extra["cdf"] = self._write_cdf(
-                self._merge_changes(target, source, list(keys)), v + 1
-            )
-        add = [self._write_segment(merged, v + 1)]
+            # the touched slice (small by construction — that is the point
+            # of pruning) feeds two jobs: persist it across both
+            target = target.persist()
+        try:
+            merged = upsert(target=target, source=source, keys=list(keys))
+            if self.cdf_enabled:
+                # the touched slice contains every matchable key, so the
+                # change set over it equals the full-table change set
+                extra["cdf"] = self._write_cdf(
+                    self._merge_changes(target, source, list(keys)), v + 1
+                )
+            add = [self._write_segment(merged, v + 1)]
+        finally:
+            if self.cdf_enabled:
+                target.unpersist()
         self._commit(
             v + 1, "merge", add=add, remove=touched, schema=merged.schema,
             extra=extra,
@@ -597,16 +615,23 @@ class VersionedTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         v, live, _ = self._snapshot(None)
         snapshot = self.read(v)
-        kept = snapshot.where(~F.coalesce(cond, F.lit(False)))
         extra: dict = {"condition": str(condition)}
         if self.cdf_enabled:
-            extra["cdf"] = self._write_cdf(
-                snapshot.where(F.coalesce(cond, F.lit(False))).withColumn(
-                    "_change_type", F.lit("delete")
-                ),
-                v + 1,
-            )
-        add = [self._write_segment(kept, v + 1)]
+            # delete-rows feed + kept-rows rewrite scan the same snapshot
+            snapshot = snapshot.persist()
+        try:
+            kept = snapshot.where(~F.coalesce(cond, F.lit(False)))
+            if self.cdf_enabled:
+                extra["cdf"] = self._write_cdf(
+                    snapshot.where(
+                        F.coalesce(cond, F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete")),
+                    v + 1,
+                )
+            add = [self._write_segment(kept, v + 1)]
+        finally:
+            if self.cdf_enabled:
+                snapshot.unpersist()
         self._commit(
             v + 1, "delete", add=add, remove=live,
             schema=kept.schema, extra=extra,

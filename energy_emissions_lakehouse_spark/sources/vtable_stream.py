@@ -140,10 +140,18 @@ class VtableStreamReader(DataSourceStreamReader):
         self.read_cdf = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
-        table_cols = [
-            c for c in schema.fieldNames()
-            if c not in ("_change_type", "_commit_version")
-        ]
+        if self.read_cdf:
+            # the declared schema carries the two stamp columns the
+            # reader appends; the file-alignment target is the table part
+            table_cols = [
+                c for c in schema.fieldNames()
+                if c not in ("_change_type", "_commit_version")
+            ]
+        else:
+            # plain mode streams the table schema verbatim — a table that
+            # legitimately STORES a _change_type column (e.g. a persisted
+            # feed) must stream it like any other column
+            table_cols = schema.fieldNames()
         self.target = _target_arrow_schema(root, table_cols)
 
     def initialOffset(self) -> dict:
@@ -172,7 +180,6 @@ class VtableStreamReader(DataSourceStreamReader):
                 "resume this checkpoint without the option"
             )
         parts: list[_SegmentFile] = []
-        version_stamp = True if self.read_cdf else None
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_commit(self.root, v)
             if entry["op"] == "compact":
@@ -188,13 +195,14 @@ class VtableStreamReader(DataSourceStreamReader):
                     continue  # Delta skipChangeCommits: drop the commit
                 raise RuntimeError(
                     f"vtable stream source: version {v} ({entry['op']}) "
-                    "updates or deletes existing rows, which cannot be "
-                    "replayed as an append stream; "
+                    "updates or deletes existing rows "
                     + (
-                        "create the table with enable_cdf=True to stream "
-                        "its row-level changes, or "
+                        "and wrote no change data — enable_cdf is a "
+                        "create-time property and overwrite never emits a "
+                        "feed; "
                         if self.read_cdf
-                        else ""
+                        else "which cannot be replayed as an append "
+                        "stream; "
                     )
                     + "set .option('skipChangeCommits', 'true') to skip "
                     "such commits (Delta source semantics)"
@@ -204,7 +212,7 @@ class VtableStreamReader(DataSourceStreamReader):
                     _SegmentFile(
                         p,
                         self.target,
-                        version=v if version_stamp else None,
+                        version=v if self.read_cdf else None,
                         kind="data",
                     )
                     for p in self._part_files(rel)
@@ -212,9 +220,14 @@ class VtableStreamReader(DataSourceStreamReader):
         return parts
 
     def _part_files(self, rel: str) -> list[str]:
-        return sorted(
-            glob.glob(os.path.join(self.root, rel, "part-*.parquet"))
-        )
+        seg = os.path.join(self.root, rel)
+        if not os.path.isdir(seg):
+            # same loud contract as the batch read path: a vacuumed
+            # segment must never silently contribute zero rows
+            raise FileNotFoundError(
+                f"eel_vtable: stream references vacuumed segment {rel}"
+            )
+        return sorted(glob.glob(os.path.join(seg, "part-*.parquet")))
 
     def read(self, partition: _SegmentFile):
         """Executor-side: one part file -> Arrow RecordBatches, aligned
@@ -278,6 +291,15 @@ class VtableStreamDataSource(DataSource):
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             from pyspark.sql.types import LongType, StringType, StructField
 
+            clash = {"_change_type", "_commit_version"} & set(
+                base.fieldNames()
+            )
+            if clash:
+                raise ValueError(
+                    "eel_vtable readChangeFeed: table column(s) "
+                    f"{sorted(clash)} collide with the reserved change-"
+                    "feed stamp columns (Delta reserves these names too)"
+                )
             return StructType(
                 list(base.fields)
                 + [

@@ -205,6 +205,81 @@ def test_change_feed_raises_on_remove_commit_without_cdf(spark, vt_root):
         q.awaitTermination()
 
 
+def test_change_feed_of_vacuumed_commit_fails_loudly(spark, vt_root):
+    """A stream planning a commit whose cdf segment was vacuumed must
+    raise, never silently emit zero rows for that version."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    vt = VersionedTable.create(
+        spark,
+        vt_root,
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        enable_cdf=True,
+    )
+    vt.merge_upsert(spark.createDataFrame([(1, -1)], ["k", "v"]), keys=["k"])
+    vt.append(
+        spark.range(5, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.vacuum(retain_last=1)  # sweeps the v1 merge's cdf segment
+    register_vtable_source(spark)
+    feed = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    q = (
+        feed.groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("vtstream_cdf_vac")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(PySparkException, match="vacuumed segment"):
+        q.awaitTermination()
+
+
+def test_plain_mode_streams_stored_change_type_column(spark, vt_root):
+    """A table that legitimately STORES a _change_type column streams it
+    verbatim in plain mode; readChangeFeed on it rejects the reserved
+    name instead of emitting a duplicate column."""
+    df = spark.range(4).select(
+        F.col("id").alias("k"), F.lit("insert").alias("_change_type")
+    )
+    VersionedTable.create(spark, vt_root, df)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable").option("path", vt_root).load()
+    )
+    assert stream.schema.fieldNames() == ["k", "_change_type"]
+    name = "vtstream_stored_ct"
+    q = (
+        stream.groupBy("_change_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [(r._change_type, r["count"]) for r in spark.table(name).collect()] \
+        == [("insert", 4)]
+    with pytest.raises(Exception, match="reserved"):
+        (
+            spark.readStream.format("eel_vtable")
+            .option("path", vt_root)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+
+
 def test_change_commit_raises_without_skip_option(spark, vt_root):
     from pyspark.errors.exceptions.base import PySparkException
 
