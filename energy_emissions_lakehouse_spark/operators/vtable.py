@@ -337,11 +337,36 @@ class VersionedTable:
                         folded[name] = [st.min, st.max]
         return {k: v for k, v in folded.items() if k not in dropped}
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta/Iceberg): the latest version
+        whose commit timestamp is <= ``ts`` (epoch seconds).  Walks every
+        commit rather than binary-searching so a clock-skewed commit
+        cannot hide a later qualifying version; O(commits) driver
+        metadata, like history()."""
+        best = None
+        for v in self._versions():
+            if self._read_commit(v)["ts"] <= ts:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} "
+                f"(first commit: {self._read_commit(self._versions()[0])['ts']})"
+            )
+        return best
+
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
         """Snapshot read.  The segment list is resolved EAGERLY, so the
         returned (lazy) DataFrame stays pinned to this snapshot no matter
         what is committed afterwards — that, plus segment immutability, is
-        the snapshot-isolation guarantee."""
+        the snapshot-isolation guarantee.  ``timestamp`` is TIMESTAMP AS
+        OF (mutually exclusive with ``version``): the snapshot committed
+        at or before that epoch time."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         version, live, entry = self._snapshot(version)
         schema = StructType.fromJson(entry["schema"])
         if not live:

@@ -240,6 +240,51 @@ def test_checkpointed_replay_matches_full_replay(spark, vt_root):
     assert vt.read(v).count() == 2 + CHECKPOINT_EVERY + 3
 
 
+def test_timestamp_as_of_resolves_to_latest_commit_at_or_before(
+    spark, vt_root
+):
+    """TIMESTAMP AS OF: a time between commits reads the earlier one; a
+    time before the first commit raises."""
+    import time as _time
+
+    vt = _mk(spark, vt_root, n=3)
+    t0 = vt._read_commit(0)["ts"]
+    mid = _time.time()
+    _time.sleep(0.01)
+    vt.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    assert vt.version_at(mid) == 0
+    assert vt.version_at(_time.time()) == 1
+    assert vt.read(timestamp=mid).count() == 3
+    assert vt.read(timestamp=_time.time()).count() == 5
+    with pytest.raises(ValueError, match="no commit at or before"):
+        vt.version_at(t0 - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        vt.read(version=0, timestamp=mid)
+
+
+def test_read_pruned_scan_set_is_spark_visible(spark, vt_root):
+    """The pruning decision shows up in the PLAN's input files, not just
+    our bookkeeping: the pruned read's inputFiles() cover only the
+    scanned segment, the full read covers both."""
+    vt = _mk(spark, vt_root, n=10)
+    vt.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    seg0 = vt._read_commit(0)["add"][0]
+    seg1 = vt._read_commit(1)["add"][0]
+    pruned_files = vt.read_pruned("k", 0, 9).inputFiles()
+    assert pruned_files and all(seg0 in f for f in pruned_files)
+    assert not any(seg1 in f for f in pruned_files)
+    full_files = vt.read(1).inputFiles()
+    assert any(seg1 in f for f in full_files)
+
+
 def test_segment_stats_recorded_and_range_pruning_skips_disjoint(
     spark, vt_root
 ):
