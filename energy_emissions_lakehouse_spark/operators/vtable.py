@@ -218,9 +218,16 @@ class VersionedTable:
             os.unlink(scratch)
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             # Best-effort: a lost/failed checkpoint only means a longer
-            # tail replay, never a wrong snapshot.
+            # tail replay, never a wrong snapshot.  The checkpoint also
+            # folds the latest (batch, version) per streaming source
+            # (Delta's setTransactions), so idempotent_append's replay
+            # check stays O(tail) on long-running sinks.
             live = self._resolve_live(version, use_checkpoint=False)
-            ckpt = {"version": version, "live": sorted(live)}
+            ckpt = {
+                "version": version,
+                "live": sorted(live),
+                "txns": self._resolve_txns(version, use_checkpoint=False),
+            }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             with open(cscratch, "w") as fh:
@@ -258,6 +265,38 @@ class VersionedTable:
             live -= set(entry["remove"])
             live |= set(entry["add"])
         return live
+
+    def _resolve_txns(
+        self, version: int, use_checkpoint: bool = True
+    ) -> dict[str, list]:
+        """Latest ``{source: [batch, version]}`` transaction per streaming
+        source at ``version`` — from the nearest checkpoint carrying a
+        txn map (pre-txn checkpoints force a genesis fold, never a wrong
+        answer) plus the commit tail.  Single-writer-per-source with
+        monotonically increasing batch ids (the structured-streaming
+        model), so the latest entry subsumes all earlier ones."""
+        start = 0
+        txns: dict[str, list] = {}
+        if use_checkpoint:
+            ckpts = sorted(
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self._log_dir)
+                if n.endswith(".checkpoint.json")
+                and n[: -len(".checkpoint.json")].isdigit()
+            )
+            usable = [v for v in ckpts if v <= version]
+            if usable:
+                with open(self._checkpoint_path(usable[-1])) as fh:
+                    ckpt = json.load(fh)
+                if "txns" in ckpt:
+                    txns = {k: list(v) for k, v in ckpt["txns"].items()}
+                    start = usable[-1] + 1
+                # else: an older-rev checkpoint — fold from genesis
+        for v in range(start, version + 1):
+            txn = self._read_commit(v).get("txn")
+            if txn:
+                txns[txn["source"]] = [txn["batch"], v]
+        return txns
 
     def _snapshot(self, version: int | None) -> tuple[int, list[str], dict]:
         versions = self._versions()
@@ -415,18 +454,20 @@ class VersionedTable:
         already in the log and becomes a no-op instead of double-writing.
         This is what makes ``foreachBatch`` into a vtable exactly-once:
         the data write and the batch-id record land in ONE atomic commit.
-        Single-writer-per-source contract (the structured-streaming
-        model); concurrent DIFFERENT sources interleave safely: a commit
-        lost to another source's writer is retried at the new head (the
-        segment is already written — only the O(1) commit repeats)."""
-        for entry in self.history():
-            txn = entry.get("txn")
-            if (
-                txn
-                and txn.get("source") == source_id
-                and txn.get("batch") == batch_id
-            ):
-                return entry["version"]  # replay: already committed
+        Single-writer-per-source contract with monotonically increasing
+        batch ids (the structured-streaming model); concurrent DIFFERENT
+        sources interleave safely: a commit lost to another source's
+        writer is retried at the new head (the segment is already
+        written — only the O(1) commit repeats).  The replay check reads
+        the checkpoint-folded txn map (Delta's setTransactions) — O(tail)
+        per batch, not O(history), so a year-running sink stays cheap.
+        Returns the exact original version for a replay of the source's
+        latest batch (the foreachBatch failure model); an OLDER batch id
+        also no-ops, returning the source's latest committed version."""
+        latest_txn = self._resolve_txns(self.latest_version()).get(source_id)
+        if latest_txn is not None and batch_id <= latest_txn[0]:
+            # replay: this batch (or a predecessor it subsumes) committed
+            return latest_txn[1]
         self._require_schema(df, "idempotent_append")
         add = [self._write_segment(df, self.latest_version() + 1)]
         for _ in range(64):  # bounded: each loss means another's progress

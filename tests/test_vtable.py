@@ -531,6 +531,35 @@ def test_compact_clustered_null_cluster_rows_get_their_own_segment(
     assert nulls_seg[0] in scanned
 
 
+def test_txn_map_folds_into_checkpoints_and_detects_replays(
+    spark, vt_root
+):
+    """Delta's setTransactions shape: the checkpoint carries the latest
+    (batch, version) per source, so replay detection reads the tail, not
+    the whole history; an old pre-txn checkpoint falls back to a genesis
+    fold rather than missing a transaction."""
+    vt = _mk(spark, vt_root, n=2)
+    batch = spark.range(2).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for i in range(CHECKPOINT_EVERY + 1):  # crosses the v8 checkpoint
+        vt.idempotent_append(batch, "src_ck", i)
+    ckpt = json.load(open(vt._checkpoint_path(CHECKPOINT_EVERY)))
+    assert ckpt["txns"]["src_ck"] == [CHECKPOINT_EVERY - 1, CHECKPOINT_EVERY]
+    latest = vt.latest_version()
+    # replay of the latest batch: exact original version, no new commit
+    assert vt.idempotent_append(batch, "src_ck", CHECKPOINT_EVERY) == latest
+    assert vt.latest_version() == latest
+    # an older batch id also no-ops (monotonic-batch contract)
+    assert vt.idempotent_append(batch, "src_ck", 0) == latest
+    assert vt.latest_version() == latest
+    # pre-txn checkpoint (older rev): drop the txns key -> still detected
+    del ckpt["txns"]
+    json.dump(ckpt, open(vt._checkpoint_path(CHECKPOINT_EVERY), "w"))
+    assert vt.idempotent_append(batch, "src_ck", CHECKPOINT_EVERY) == latest
+    assert vt.latest_version() == latest
+
+
 def test_idempotent_append_retries_lost_commit_race(spark, vt_root):
     """A commit lost to a concurrent DIFFERENT source is retried at the
     new head instead of surfacing ConcurrentCommitError to the sink."""
