@@ -343,7 +343,19 @@ class VersionedTable:
         metadata reads, no extra Spark job (the Iceberg-manifest /
         Delta-stats analog).  Only JSON-safe scalar stats (int/float/str)
         are kept; a column with any unstated row group is dropped so
-        pruning can never be optimistic."""
+        pruning can never be optimistic.
+
+        INEXACT-STATS GUARD: parquet writers may truncate or elide
+        min/max for long BYTE_ARRAY values while still reporting
+        ``has_min_max`` (verified with pyarrow 16.1.0: a value past the
+        statistics size limit yields ``has_min_max=True`` with
+        ``max=''``), and this pyarrow build exposes no
+        ``is_max_value_exact`` flag to tell.  A fabricated ``max=''``
+        would classify the segment as provably disjoint from any real
+        range and make :meth:`read_pruned` silently drop rows.  So
+        string stats are kept only when provably safe: drop the column
+        whenever min or max is the empty string, or max < min (for any
+        type) — dropping only costs a scan, never correctness."""
         import glob as _glob
 
         import pyarrow.parquet as pq
@@ -366,6 +378,12 @@ class VersionedTable:
                         or not isinstance(st.min, (int, float, str))
                         or not isinstance(st.max, (int, float, str))
                         or isinstance(st.min, bool)
+                        # truncated/elided BYTE_ARRAY stats: an empty
+                        # bound or inverted range is the observable
+                        # symptom — never prune on it
+                        or (isinstance(st.min, str) and st.min == "")
+                        or (isinstance(st.max, str) and st.max == "")
+                        or st.max < st.min
                     ):
                         dropped.add(name)
                         continue
@@ -472,9 +490,36 @@ class VersionedTable:
         add = [self._write_segment(df, self.latest_version() + 1)]
         for _ in range(64):  # bounded: each loss means another's progress
             v = self.latest_version()
+            # Re-validate against the NEW head after every lost race: the
+            # interleaved winner may have recorded this very txn (another
+            # replay of the same batch — re-check the txn map) or widened
+            # the table schema via append_evolve — the retried commit must
+            # record the CURRENT (widened) schema, not the pre-race
+            # df.schema, or it would silently revert the evolution for
+            # every later reader (read() serves the latest commit schema).
+            latest_txn = self._resolve_txns(v).get(source_id)
+            if latest_txn is not None and batch_id <= latest_txn[0]:
+                return latest_txn[1]
+            current = StructType.fromJson(self._read_commit(v)["schema"])
+            cur_types = {f.name: f.dataType for f in current.fields}
+            incompatible = [
+                f.name for f in df.schema.fields
+                if cur_types.get(f.name) != f.dataType
+            ]
+            if incompatible:
+                raise ValueError(
+                    "idempotent_append: schema-on-write violation after a "
+                    f"concurrent commit — table now has {sorted(cur_types)}"
+                    f", batch column {incompatible[0]!r} is absent or "
+                    "type-changed; use overwrite() to replace the schema"
+                )
+            # batch columns are a type-exact subset of the current schema:
+            # the already-written segment reads fine under the (possibly
+            # wider) current schema — absent columns surface as null —
+            # so only the RECORDED schema needs aligning, never the data
             try:
                 self._commit(
-                    v + 1, "append", add=add, remove=[], schema=df.schema,
+                    v + 1, "append", add=add, remove=[], schema=current,
                     extra={"txn": {"source": source_id, "batch": batch_id}},
                 )
                 return v + 1
@@ -887,18 +932,59 @@ class VersionedTable:
         both, any ``compare_cols`` differs via null-safe inequality);
         unchanged rows are dropped.  Output: keys + ``change_type`` +
         ``<col>_pre``/``<col>_post`` images.  Fully distributed — one
-        shuffle on the join keys, no driver materialization."""
+        shuffle on the join keys, no driver materialization.
+
+        Works ACROSS a schema-evolution boundary (the streaming-CDF
+        semantics): a column absent from one snapshot's schema is
+        null-filled on that side — so a backfilled new column surfaces as
+        ``update`` rows with a null pre-image, exactly what a downstream
+        consumer needs to replay the evolution.  Join ``keys`` must exist
+        in BOTH snapshots (a key that appeared mid-history cannot
+        identify pre rows)."""
         pre = self.read(v_from).alias("pre")
         post = self.read(v_to).alias("post")
+        pre_types = {f.name: f.dataType for f in pre.schema.fields}
+        post_types = {f.name: f.dataType for f in post.schema.fields}
+        missing_keys = [
+            k for k in keys if k not in pre_types or k not in post_types
+        ]
+        if missing_keys:
+            raise ValueError(
+                f"change_feed: key {missing_keys[0]!r} is not present in "
+                f"both snapshots (v{v_from} has {sorted(pre_types)}, "
+                f"v{v_to} has {sorted(post_types)})"
+            )
         if compare_cols is None:
-            compare_cols = [c for c in post.columns if c not in keys]
+            # union keeps evolution-spanning feeds total: post-only
+            # columns (added by evolution) AND pre-only columns (an
+            # overwrite dropped them) both feed the diff, null-filled
+            # on the side whose schema lacks them
+            compare_cols = [c for c in post.columns if c not in keys] + [
+                c for c in pre.columns if c not in keys and c not in post_types
+            ]
+        unknown = [
+            c for c in compare_cols
+            if c not in pre_types and c not in post_types
+        ]
+        if unknown:
+            raise ValueError(
+                f"change_feed: compare column {unknown[0]!r} exists in "
+                f"neither snapshot v{v_from} nor v{v_to}"
+            )
+
+        def pre_img(c: str) -> Column:
+            return pre[c] if c in pre_types else F.lit(None).cast(post_types[c])
+
+        def post_img(c: str) -> Column:
+            return post[c] if c in post_types else F.lit(None).cast(pre_types[c])
+
         on = [pre[k].eqNullSafe(post[k]) for k in keys]
         joined = pre.join(post, on, "full_outer")
         is_insert = pre[keys[0]].isNull()
         is_delete = post[keys[0]].isNull()
         differs: Column = F.lit(False)
         for c in compare_cols:
-            differs = differs | ~pre[c].eqNullSafe(post[c])
+            differs = differs | ~pre_img(c).eqNullSafe(post_img(c))
         change = (
             F.when(is_insert, F.lit("insert"))
             .when(is_delete, F.lit("delete"))
@@ -908,17 +994,27 @@ class VersionedTable:
             F.coalesce(post[k], pre[k]).alias(k) for k in keys
         ] + [change.alias("change_type")]
         for c in compare_cols:
-            out_cols.append(pre[c].alias(f"{c}_pre"))
-            out_cols.append(post[c].alias(f"{c}_post"))
+            out_cols.append(pre_img(c).alias(f"{c}_pre"))
+            out_cols.append(post_img(c).alias(f"{c}_post"))
         return joined.select(*out_cols).where(F.col("change_type").isNotNull())
 
     # ---------------------------------------------------------------- vacuum
-    def vacuum(self, retain_last: int = 2) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[str]:
         """Delete data segments referenced by NO retained version (the last
         ``retain_last`` commits are retained).  Also sweeps orphan segments
-        no commit ever referenced (crashed writers).  Returns the deleted
-        log-relative paths.  Time travel to vacuumed versions then fails
-        loudly in :meth:`read` (missing-segment check)."""
+        no commit EVER referenced (crashed writers) — but only once they
+        are older than ``orphan_grace_s`` (Delta's ``retentionHours``
+        analog, mtime-based): a fresh orphan may be an IN-FLIGHT writer
+        between :meth:`_write_segment` and :meth:`_commit` (the
+        optimistic-concurrency pattern :meth:`idempotent_append` relies
+        on); deleting it would let that writer commit a reference to a
+        vanished directory and break every later read of the head.
+        Segments referenced by an expired commit carry no such risk (the
+        writer already committed) and are reclaimed immediately.  Returns
+        the deleted log-relative paths.  Time travel to vacuumed versions
+        then fails loudly in :meth:`read` (missing-segment check)."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -931,20 +1027,32 @@ class VersionedTable:
             cdf = self._read_commit(v).get("cdf")
             if cdf:
                 keep.add(cdf)
-        data_root = os.path.join(self.root, DATA_DIR)
+        # everything ANY commit ever referenced — the complement (true
+        # orphans) gets the in-flight grace window
+        ever: set[str] = set()
+        for v in versions:
+            entry = self._read_commit(v)
+            ever |= set(entry["add"])
+            if entry.get("cdf"):
+                ever.add(entry["cdf"])
+        now = time.time()
         deleted = []
-        for name in sorted(os.listdir(data_root)):
-            rel = os.path.join(DATA_DIR, name)
-            if rel not in keep:
-                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+        for sub in (DATA_DIR, CDF_DIR):
+            sub_root = os.path.join(self.root, sub)
+            if not os.path.isdir(sub_root):
+                continue
+            for name in sorted(os.listdir(sub_root)):
+                rel = os.path.join(sub, name)
+                if rel in keep:
+                    continue
+                path = os.path.join(sub_root, name)
+                if rel not in ever:
+                    try:
+                        age = now - os.path.getmtime(path)
+                    except OSError:
+                        continue  # vanished under us — a racing cleaner
+                    if age < orphan_grace_s:
+                        continue  # potentially in-flight: keep for now
+                shutil.rmtree(path, ignore_errors=True)
                 deleted.append(rel)
-        cdf_root = os.path.join(self.root, CDF_DIR)
-        if os.path.isdir(cdf_root):
-            for name in sorted(os.listdir(cdf_root)):
-                rel = os.path.join(CDF_DIR, name)
-                if rel not in keep:
-                    shutil.rmtree(
-                        os.path.join(cdf_root, name), ignore_errors=True
-                    )
-                    deleted.append(rel)
         return deleted

@@ -188,6 +188,38 @@ def test_change_feed_classifies_insert_update_delete_only(spark, vt_root):
     }  # unchanged keys 1,2,4,5 absent
 
 
+def test_change_feed_spans_schema_evolution_boundary(spark, vt_root):
+    """A feed whose window crosses an append_evolve must not fail with
+    an unresolved column: a column absent from the older snapshot gets a
+    null pre-image (the streaming-CDF semantics), so the evolved rows
+    surface as updates — null → value — downstream can replay."""
+    vt = _mk(spark, vt_root, n=3)  # v0: (k, v), keys 0..2
+    vt.append_evolve(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("fresh").alias("note"),
+        )
+    )  # v1: schema (k, v, note)
+    cdf = vt.change_feed(0, 1, keys=["k"])
+    assert {"k", "change_type", "v_pre", "v_post", "note_pre", "note_post"} \
+        == set(cdf.columns)
+    got = {
+        r.k: (r.change_type, r.note_pre, r.note_post) for r in cdf.collect()
+    }
+    # old keys unchanged (note null on BOTH sides — old segments read
+    # null under the widened schema, matching the null pre-image)
+    assert got == {
+        10: ("insert", None, "fresh"),
+        11: ("insert", None, "fresh"),
+    }
+    # a key column missing from one side fails loudly, not mid-plan
+    with pytest.raises(ValueError, match="not present in both"):
+        vt.change_feed(0, 1, keys=["note"])
+    with pytest.raises(ValueError, match="neither snapshot"):
+        vt.change_feed(0, 1, keys=["k"], compare_cols=["ghost"])
+
+
 def test_vacuum_retains_recent_versions_and_fails_loud_on_old(
     spark, vt_root
 ):
@@ -213,9 +245,48 @@ def test_vacuum_sweeps_crash_orphans_but_never_live_segments(
         version_hint=99,
     )
     assert vt.read().count() == 5  # orphan invisible
+    # FRESH orphan: indistinguishable from an in-flight writer between
+    # _write_segment and _commit — the grace window must keep it
+    deleted = vt.vacuum(retain_last=1)
+    assert orphan not in deleted
+    assert os.path.isdir(os.path.join(vt.root, orphan))
+    # AGED orphan: past the grace window it is a crashed writer — sweep
+    old = os.path.getmtime(os.path.join(vt.root, orphan)) - 7200
+    os.utime(os.path.join(vt.root, orphan), (old, old))
     deleted = vt.vacuum(retain_last=1)
     assert orphan in deleted
     assert vt.read().count() == 5
+
+
+def test_vacuum_grace_zero_sweeps_fresh_orphans_on_request(spark, vt_root):
+    """orphan_grace_s=0 is the explicit force switch (no writers are in
+    flight, reclaim everything now) — and expired-commit segments are
+    always reclaimed immediately regardless of grace (their writer
+    already committed, no in-flight risk)."""
+    vt = _mk(spark, vt_root, n=5)
+    orphan = vt._write_segment(
+        spark.range(2).select(
+            F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+        ),
+        version_hint=99,
+    )
+    vt.overwrite(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    # default grace: the expired commit's segment goes at once (its
+    # writer already committed — fresh mtime does not protect it), the
+    # fresh orphan stays
+    deleted = vt.vacuum(retain_last=1)
+    assert orphan not in deleted
+    assert deleted  # v0's now-unreferenced segment reclaimed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        vt.read(0)
+    # grace 0: the explicit force switch sweeps the fresh orphan too
+    deleted = vt.vacuum(retain_last=1, orphan_grace_s=0)
+    assert orphan in deleted
+    assert vt.read().count() == 4
 
 
 def test_checkpointed_replay_matches_full_replay(spark, vt_root):
@@ -309,6 +380,44 @@ def test_segment_stats_recorded_and_range_pruning_skips_disjoint(
         r.k for r in vt.read(1).where("k <= 9").collect()
     )
     assert pruned == full == list(range(10))
+
+
+def test_segment_stats_drop_inexact_string_bounds(spark, vt_root):
+    """Parquet writers may elide min/max for oversized BYTE_ARRAY values
+    while still reporting has_min_max (pyarrow 16.1.0: a value past the
+    statistics size limit folds to max='') — trusting that fabricated
+    bound would let read_pruned skip a segment that HOLDS matching rows.
+    Such columns must be dropped from the stats (→ always scanned)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energy_emissions_lakehouse_spark.operators.vtable import DATA_DIR
+
+    vt = _mk(spark, vt_root, n=3)
+    rel = os.path.join(DATA_DIR, "planted-inexact")
+    os.makedirs(os.path.join(vt.root, rel))
+    pq.write_table(
+        pa.table({"s": ["z" * 100000, "b"], "i": [1, 2]}),
+        os.path.join(vt.root, rel, "part-00000.parquet"),
+    )
+    stats = vt._segment_stats(rel)
+    assert stats.get("i") == [1, 2]  # exact int stats survive
+    assert "s" not in stats  # elided-to-'' string max: dropped, not trusted
+    # and a plain Spark-written string segment: bounds only when exact —
+    # either way a range probe must scan, never silently skip real rows
+    vt2_root = os.path.join(os.path.dirname(vt.root), "t2")
+    vt2 = VersionedTable.create(
+        spark,
+        vt2_root,
+        spark.createDataFrame(
+            [("z" * 100000, 1), ("mmm", 2)], ["s", "i"]
+        ).coalesce(1),
+    )
+    scanned, skipped = vt2.pruned_segments(0, "s", "x", "zz")
+    assert skipped == [] and len(scanned) == 1
+    assert [r.i for r in vt2.read_pruned("s", "x", "zz").where(
+        "s >= 'x'"
+    ).collect()] == [1]
 
 
 def test_pruning_is_conservative_without_stats(spark, vt_root):
@@ -584,6 +693,76 @@ def test_idempotent_append_retries_lost_commit_race(spark, vt_root):
     assert calls["n"] == 2  # one loss, one win
     assert vt._read_commit(v)["txn"] == {"source": "src_retry", "batch": 7}
     assert vt.read(v).count() == 5
+
+
+def test_idempotent_append_retry_keeps_interleaved_evolved_schema(
+    spark, vt_root
+):
+    """Losing the commit race to an append_evolve must NOT revert the
+    evolution: the retried commit re-reads the head and records the
+    CURRENT widened schema (read() serves the latest commit's schema,
+    so recording the stale pre-race batch schema would silently drop
+    the new column for every later reader)."""
+    vt = _mk(spark, vt_root, n=3)
+    writer2 = VersionedTable(spark, vt_root)
+    wider = spark.range(3, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("tagged").alias("note"),
+    )
+    batch = spark.range(10, 12).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    original = vt._commit
+    state = {"first": True}
+
+    def interleaved(*args, **kwargs):
+        if state["first"]:
+            state["first"] = False
+            writer2.append_evolve(wider)  # the winner widens the schema
+        return original(*args, **kwargs)  # -> ConcurrentCommitError
+
+    vt._commit = interleaved
+    v = vt.idempotent_append(batch, "src_evo", 0)
+    vt._commit = original
+    recorded = {f["name"] for f in vt._read_commit(v)["schema"]["fields"]}
+    assert "note" in recorded  # widened schema survived the retry
+    head = vt.read()
+    assert set(head.columns) == {"k", "v", "note"}
+    assert head.count() == 7
+    assert head.where("note = 'tagged'").count() == 2
+    assert head.where("k >= 10").where("note IS NULL").count() == 2
+    # replay of the same batch still no-ops at the exact version
+    assert vt.idempotent_append(batch, "src_evo", 0) == v
+
+
+def test_idempotent_append_retry_rejects_type_changed_head(
+    spark, vt_root
+):
+    """If the interleaved winner REPLACED the schema (overwrite with a
+    type change), the retried commit must fail loudly instead of
+    recording a segment the new schema cannot read."""
+    vt = _mk(spark, vt_root, n=3)
+    writer2 = VersionedTable(spark, vt_root)
+    replaced = spark.range(2).select(
+        F.col("id").alias("k"), F.lit("str-now").alias("v")
+    )
+    batch = spark.range(10, 12).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    original = vt._commit
+    state = {"first": True}
+
+    def interleaved(*args, **kwargs):
+        if state["first"]:
+            state["first"] = False
+            writer2.overwrite(replaced)
+        return original(*args, **kwargs)
+
+    vt._commit = interleaved
+    with pytest.raises(ValueError, match="schema-on-write violation"):
+        vt.idempotent_append(batch, "src_clash", 0)
+    vt._commit = original
 
 
 def test_cdf_segments_written_only_when_enabled_and_vacuumed_with_commits(
