@@ -65,6 +65,11 @@ DATA_DIR = "data"
 #: Change-data segments (Delta's _change_data): written AT COMMIT TIME by
 #: merge/delete when the table was created with ``enable_cdf=True``.
 CDF_DIR = "cdf"
+#: Deletion-vector files (Delta deletion vectors / Iceberg positional
+#: deletes): tiny parquet files of (segment, file, position) identities
+#: written by merge-on-read deletes.  A data row is live iff its
+#: position is in no active DV — reads apply one broadcast anti-join.
+DV_DIR = "dv"
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
@@ -227,6 +232,9 @@ class VersionedTable:
                 "version": version,
                 "live": sorted(live),
                 "txns": self._resolve_txns(version, use_checkpoint=False),
+                "dvs": sorted(
+                    self._resolve_dvs(version, use_checkpoint=False)
+                ),
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -298,6 +306,47 @@ class VersionedTable:
                 txns[txn["source"]] = [txn["batch"], v]
         return txns
 
+    def _resolve_dvs(
+        self, version: int, use_checkpoint: bool = True
+    ) -> set[str]:
+        """Active deletion-vector files at ``version`` — the fold mirrors
+        :meth:`_resolve_live`, tracking the live set alongside because a
+        FULL-replace commit (overwrite / copy-on-write delete / compact /
+        whole-set merge) materializes every DV through the read path it
+        rewrote from, so the DV set resets to empty there.  Partial
+        rewrites (merge_upsert_pruned) keep DVs active: rows of removed
+        segments simply stop matching (segment names are never reused),
+        so a stale DV entry can only be dead weight, never a wrong
+        delete.  O(tail) driver metadata via the checkpointed fold."""
+        start = 0
+        dvs: set[str] = set()
+        live: set[str] = set()
+        if use_checkpoint:
+            ckpts = sorted(
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self._log_dir)
+                if n.endswith(".checkpoint.json")
+                and n[: -len(".checkpoint.json")].isdigit()
+            )
+            usable = [v for v in ckpts if v <= version]
+            if usable:
+                with open(self._checkpoint_path(usable[-1])) as fh:
+                    ckpt = json.load(fh)
+                if "dvs" in ckpt:
+                    dvs = set(ckpt["dvs"])
+                    live = set(ckpt["live"])
+                    start = usable[-1] + 1
+                # else: an older-rev checkpoint — fold from genesis
+        for v in range(start, version + 1):
+            entry = self._read_commit(v)
+            removed = set(entry["remove"])
+            if live and removed >= live:
+                dvs = set()  # full replace: the rewrite read applied DVs
+            live -= removed
+            live |= set(entry["add"])
+            dvs |= set(entry.get("dv_add", []))
+        return dvs
+
     def _snapshot(self, version: int | None) -> tuple[int, list[str], dict]:
         versions = self._versions()
         if not versions:
@@ -336,6 +385,81 @@ class VersionedTable:
         )
         changes.write.mode("error").parquet(os.path.join(self.root, rel))
         return rel
+
+    # --------------------------------------------------- deletion vectors
+    @staticmethod
+    def _identity_cols() -> list[Column]:
+        """The stable row identity a deletion vector records: (segment
+        dir, part file, row index within the file) from the parquet
+        reader's ``_metadata`` — relocation-proof (no absolute paths) and
+        collision-free (segment names embed a uuid, never reused)."""
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        return [
+            F.element_at(parts, -2).alias("_dv_seg"),
+            F.element_at(parts, -1).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        ]
+
+    def _write_dv(self, positions: DataFrame, version_hint: int) -> str:
+        """Write one immutable deletion-vector file under ``dv/``.  The
+        payload is three narrow columns of row positions — tiny relative
+        to the data it masks (the whole point of merge-on-read: a delete
+        at 100 TB writes kilobytes, not rewritten segments) — so it is
+        collapsed to one shuffle-of-positions output file."""
+        rel = os.path.join(
+            DV_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            positions.select("_dv_seg", "_dv_file", "_dv_pos")
+            .repartition(1)
+            .write.mode("error")
+            .parquet(os.path.join(self.root, rel))
+        )
+        return rel
+
+    def _check_present(self, version: int, rels: list[str]) -> None:
+        missing = [
+            p for p in rels if not os.path.isdir(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} references vacuumed segments: "
+                f"{missing[:3]}"
+            )
+
+    def _scan_segments(
+        self, version: int, rels: list[str], schema: StructType
+    ) -> DataFrame:
+        """Scan ``rels`` under the snapshot's schema with the active
+        deletion vectors applied: rows masked by a DV are dropped via ONE
+        broadcast left-anti join on the (segment, file, position)
+        identity — no shuffle of the data side, and a DV row whose
+        segment is not in ``rels`` (pruned away or since rewritten)
+        simply never matches.  Tables with no active DVs get the plain
+        scan, bit-identical plans to before DVs existed."""
+        if not rels:
+            return self.spark.createDataFrame([], schema)
+        self._check_present(version, rels)
+        df = self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.root, p) for p in rels)
+        )
+        dvs = sorted(self._resolve_dvs(version))
+        if not dvs:
+            return df
+        self._check_present(version, dvs)
+        out_cols = df.columns
+        dv = self.spark.read.parquet(
+            *(os.path.join(self.root, d) for d in dvs)
+        )
+        return (
+            df.select(*out_cols, *self._identity_cols())
+            .join(
+                F.broadcast(dv),
+                on=["_dv_seg", "_dv_file", "_dv_pos"],
+                how="left_anti",
+            )
+            .select(*out_cols)
+        )
 
     def _segment_stats(self, rel: str) -> dict[str, list]:
         """Per-segment min/max column stats folded from the parquet
@@ -426,16 +550,7 @@ class VersionedTable:
             version = self.version_at(timestamp)
         version, live, entry = self._snapshot(version)
         schema = StructType.fromJson(entry["schema"])
-        if not live:
-            return self.spark.createDataFrame([], schema)
-        missing = [p for p in live if not os.path.isdir(os.path.join(self.root, p))]
-        if missing:
-            raise FileNotFoundError(
-                f"version {version} references vacuumed segments: {missing[:3]}"
-            )
-        return self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.root, p) for p in live)
-        )
+        return self._scan_segments(version, live, schema)
 
     # ------------------------------------------------------------- mutations
     def _require_schema(self, df: DataFrame, op: str) -> None:
@@ -687,12 +802,10 @@ class VersionedTable:
         v, live, entry = self._snapshot(None)
         touched, untouched = self.touched_segments(source, keys[0], v)
         schema = StructType.fromJson(entry["schema"])
-        if touched:
-            target = self.spark.read.schema(schema).parquet(
-                *(os.path.join(self.root, p) for p in touched)
-            )
-        else:
-            target = self.spark.createDataFrame([], schema)
+        # DV-aware slice read: a merge-on-read-deleted row must not be
+        # resurrected by the rewrite (the rewrite MATERIALIZES the DVs of
+        # the touched segments; untouched segments keep theirs active)
+        target = self._scan_segments(v, touched, schema)
         extra: dict = {
             "keys": list(keys),
             "rewritten": len(touched),
@@ -748,6 +861,74 @@ class VersionedTable:
             schema=kept.schema, extra=extra,
         )
         return v + 1
+
+    def delete_where_mor(self, condition: Column | str) -> int:
+        """Merge-on-read DELETE (Delta deletion vectors / Iceberg
+        positional deletes): instead of rewriting every live segment
+        minus the matching rows (:meth:`delete_where`, copy-on-write),
+        ONE filtered scan finds the matching rows' (segment, file,
+        position) identities and writes them as a tiny deletion-vector
+        file; the commit references it with ZERO data segments touched.
+        Readers mask DV positions with a broadcast anti-join.  At 100 TB
+        this turns a delete from a full table rewrite into a scan plus a
+        kilobytes-scale metadata write; the deferred rewrite happens at
+        the next :meth:`compact` / full-replace, which materializes and
+        clears the DVs.  Same null semantics as SQL DELETE (only
+        predicate-TRUE rows are deleted).  Note the semantics are
+        POSITION-scoped, not predicate-scoped: rows appended AFTER this
+        commit stay live even if they match the predicate."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, entry = self._snapshot(None)
+        schema = StructType.fromJson(entry["schema"])
+        if not live:
+            raise ValueError("delete_where_mor: table has no live segments")
+        self._check_present(v, live)
+        data_cols = [f.name for f in schema.fields]
+        scan = self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.root, p) for p in live)
+        ).select(*data_cols, *self._identity_cols())
+        dvs = sorted(self._resolve_dvs(v))
+        if dvs:
+            # rows already masked must not re-enter the new DV (harmless
+            # for reads, but it would double-count deletes in the feed)
+            self._check_present(v, dvs)
+            prior = self.spark.read.parquet(
+                *(os.path.join(self.root, d) for d in dvs)
+            )
+            scan = scan.join(
+                F.broadcast(prior),
+                on=["_dv_seg", "_dv_file", "_dv_pos"],
+                how="left_anti",
+            )
+        matched = scan.where(F.coalesce(cond, F.lit(False)))
+        extra: dict = {"condition": str(condition)}
+        if self.cdf_enabled:
+            # the DV write and the delete-rows feed share one scan
+            matched = matched.persist()
+        try:
+            dv_rel = self._write_dv(matched, v + 1)
+            extra["dv_add"] = [dv_rel]
+            if self.cdf_enabled:
+                extra["cdf"] = self._write_cdf(
+                    matched.select(*data_cols).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    v + 1,
+                )
+        finally:
+            if self.cdf_enabled:
+                matched.unpersist()
+        self._commit(
+            v + 1, "delete_mor", add=[], remove=[], schema=schema,
+            extra=extra,
+        )
+        return v + 1
+
+    def active_deletion_vectors(self, version: int | None = None) -> list[str]:
+        """The DV files masking rows at ``version`` (empty after any
+        full-replace rewrite materialized them) — the DESCRIBE surface."""
+        version, _, _ = self._snapshot(version)
+        return sorted(self._resolve_dvs(version))
 
     def compact(self, target_partitions: int = 1) -> int:
         """Bin-pack the live segments into ``target_partitions`` files.
@@ -906,18 +1087,7 @@ class VersionedTable:
         version, _, entry = self._snapshot(version)
         scanned, _ = self.pruned_segments(version, col, lo, hi)
         schema = StructType.fromJson(entry["schema"])
-        if not scanned:
-            return self.spark.createDataFrame([], schema)
-        missing = [
-            p for p in scanned if not os.path.isdir(os.path.join(self.root, p))
-        ]
-        if missing:
-            raise FileNotFoundError(
-                f"version {version} references vacuumed segments: {missing[:3]}"
-            )
-        return self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.root, p) for p in scanned)
-        )
+        return self._scan_segments(version, scanned, schema)
 
     # ------------------------------------------------------------ change feed
     def change_feed(
@@ -1022,6 +1192,8 @@ class VersionedTable:
         keep: set[str] = set()
         for v in retained:
             keep |= self._resolve_live(v)
+            # DVs active at a retained version stay readable with it
+            keep |= self._resolve_dvs(v)
             # change-data segments live with their commit: the feed of a
             # retained version must stay streamable
             cdf = self._read_commit(v).get("cdf")
@@ -1033,11 +1205,12 @@ class VersionedTable:
         for v in versions:
             entry = self._read_commit(v)
             ever |= set(entry["add"])
+            ever |= set(entry.get("dv_add", []))
             if entry.get("cdf"):
                 ever.add(entry["cdf"])
         now = time.time()
         deleted = []
-        for sub in (DATA_DIR, CDF_DIR):
+        for sub in (DATA_DIR, CDF_DIR, DV_DIR):
             sub_root = os.path.join(self.root, sub)
             if not os.path.isdir(sub_root):
                 continue

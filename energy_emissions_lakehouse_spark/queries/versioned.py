@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 6
+_HISTORY_REV = 7
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -164,6 +164,34 @@ def _build_zorder(spark: SparkSession, sf_dir: str, root: str) -> None:
     vt.compact_clustered(["o_custkey", "o_orderkey"], n_segments=16)
 
 
+def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A fourth vtable exercising merge-on-read deletion vectors:
+
+      v0 create      orders WHERE o_orderkey % 5 <> 0      (CDF enabled)
+      v1 delete_mor  o_orderkey % 11 = 0                   (DV #1)
+      v2 delete_mor  o_orderstatus='F' AND o_orderkey%17=0 (DV #2 stacks)
+      v3 append      orders WHERE o_orderkey % 5 = 0
+                     (POSITION-scoped semantics: appended rows stay live
+                      even where they match the earlier predicates)
+      v4 compact     (materializes both DVs, active set resets to empty)
+
+    Deletes write kilobyte position files instead of rewriting segments
+    (operators/vtable.py delete_where_mor) — the 100 TB shape."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    key = F.col("o_orderkey")
+    vt = VersionedTable.create(
+        spark, root, orders.filter(key % 5 != 0), enable_cdf=True
+    )
+    vt.delete_where_mor("o_orderkey % 11 = 0")
+    vt.delete_where_mor("o_orderstatus = 'F' AND o_orderkey % 17 = 0")
+    vt.append(orders.filter(key % 5 == 0))
+    vt.compact()
+
+
 def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
     """The staged artifact holding the vtables (the 5-version history,
     the key-ranged layout, and the z-ordered layout); built once per
@@ -177,6 +205,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
         _build_history(spark, sf_dir, os.path.join(tmp, "table"))
         _build_ranged(spark, sf_dir, os.path.join(tmp, "table_ranged"))
         _build_zorder(spark, sf_dir, os.path.join(tmp, "table_zorder"))
+        _build_mor(spark, sf_dir, os.path.join(tmp, "table_mor"))
 
     base = staged_artifact("vtable", key, _populate, fresh=fresh)
     _VT_MEMO[memo_key] = base
@@ -215,6 +244,16 @@ def staged_vtable_zorder(
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_zorder"))
+
+
+def staged_vtable_mor(spark: SparkSession, sf_dir: str, fresh: bool = False):
+    """The staged merge-on-read vtable (deletion-vector history)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_mor"))
 
 
 @register(
@@ -676,4 +715,128 @@ def stream_vtable_exactly_once_ingest(spark, sf_dir) -> DataFrame:
     return final.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         scaled_sum(F.col("value")).alias("total_value"),
+    )
+
+
+#: Reconstructible merge-on-read states (build recipe in _build_mor).
+#: v2 is a pure filter of v0 (DVs mask predicate-TRUE rows in place);
+#: the v3 append is NOT filtered — DV deletes are position-scoped.
+_MOR_SQL = """
+    mor_v0 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE (o_orderkey % 5) <> 0
+    ),
+    mor_v1 AS (
+        SELECT * FROM mor_v0 WHERE (o_orderkey % 11) <> 0
+    ),
+    mor_v2 AS (
+        SELECT * FROM mor_v1
+        WHERE NOT (o_orderstatus = 'F' AND (o_orderkey % 17) = 0)
+    ),
+    mor_head AS (
+        SELECT * FROM mor_v2
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE (o_orderkey % 5) = 0
+    )
+"""
+
+
+@register(
+    "vtable_mor_deleted_read",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM mor_head
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V5 — merge-on-read DELETE via deletion vectors (Delta DV / "
+    "Iceberg positional deletes): two stacked DVs mask rows with ZERO "
+    "segments rewritten, a later append stays live where it matches the "
+    "old predicates (position-scoped), and compact materializes "
+    "(operators/vtable.py delete_where_mor)",
+)
+def vtable_mor_deleted_read(spark, sf_dir) -> DataFrame:
+    """Head read after two stacked DV deletes, an overlapping append, and
+    the materializing compact — a wrong DV fold (mask leaking onto
+    appended rows, resurrected deletes, or a compact that re-applies
+    cleared DVs) breaks value parity."""
+    vt = staged_vtable_mor(spark, sf_dir)
+    return vt.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_mor_time_travel_masks",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum FROM mor_v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
+    ORDER BY version
+    """,
+    survey="S7 V6 — time travel across deletion-vector history: each "
+    "snapshot applies exactly the DVs active AT ITS VERSION (v0 none, "
+    "v1 one, v2 two, v4 none again after compact materialized them)",
+)
+def vtable_mor_time_travel_masks(spark, sf_dir) -> DataFrame:
+    """Per-version row count + key checksum over the 5-version DV
+    history — pins that the version-scoped DV fold serves every snapshot
+    correctly, including the post-compact reset."""
+    vt = staged_vtable_mor(spark, sf_dir)
+    out = None
+    for v in range(5):
+        agg = vt.read(v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        ).select(F.lit(v).alias("version"), "n_rows", "key_checksum")
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("version")
+
+
+@register(
+    "vtable_mor_change_feed_window",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS price_pre
+    FROM mor_v1
+    WHERE o_orderstatus = 'F' AND (o_orderkey % 17) = 0
+    """,
+    survey="S7 V7 — snapshot-diff change feed across a deletion-vector "
+    "commit: the v1→v2 window surfaces exactly the second DV's masked "
+    "rows as deletes (both sides of the diff read through their own "
+    "version-scoped DV sets)",
+)
+def vtable_mor_change_feed_window(spark, sf_dir) -> DataFrame:
+    """change_feed(1, 2) over the MOR table: the only difference is DV #2,
+    so every emitted row must be a delete whose pre-image matches the
+    second predicate applied to the v1-alive rows."""
+    vt = staged_vtable_mor(spark, sf_dir)
+    cdf = vt.change_feed(1, 2, keys=["o_orderkey"])
+    return cdf.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice_pre")).alias("price_pre"),
     )

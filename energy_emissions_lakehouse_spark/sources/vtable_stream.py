@@ -184,7 +184,10 @@ class VtableStreamReader(DataSourceStreamReader):
             entry = _read_commit(self.root, v)
             if entry["op"] == "compact":
                 continue  # content-identical rewrite: dataChange=false
-            if entry["remove"]:
+            # a commit that removes segments OR adds a deletion vector
+            # (merge-on-read delete: remove=[], rows masked by position)
+            # changes existing rows — never replayable as a plain append
+            if entry["remove"] or entry.get("dv_add"):
                 if self.read_cdf and entry.get("cdf"):
                     parts.extend(
                         _SegmentFile(p, self.target, version=v, kind="cdf")

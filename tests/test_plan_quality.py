@@ -820,3 +820,40 @@ def test_pq_incremental_never_reencodes_history(spark, sf_dir):
     assert any("/codebooks" in ln for ln in staged), locations
     # no training: the Lloyd update's posexplode never appears
     assert "posexplode" not in s
+
+
+def test_dv_mask_is_broadcast_anti_join_no_data_shuffle(spark, sf_dir):
+    """The deletion-vector mask must compile to a BroadcastHashJoin
+    LeftAnti with the DV side broadcast — no shuffle (Exchange
+    hashpartitioning) of the data side: at 100 TB the mask is a
+    kilobytes-scale position list applied map-side to every scan task.
+    And a table with NO active DVs must get the plain scan (zero join
+    nodes) — the mask is pay-as-you-go."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    d = _tf.mkdtemp(prefix="dv-plan-")
+    try:
+        vt = VersionedTable.create(
+            spark,
+            _os.path.join(d, "t"),
+            spark.range(1000).select(
+                _F.col("id").alias("k"), (_F.col("id") * 2).alias("v")
+            ),
+        )
+        clean = _plan(vt.read())
+        assert "Join" not in clean, clean[:800]  # no-DV read: plain scan
+        vt.delete_where_mor("k % 7 = 0")
+        masked = _plan(vt.read())
+        assert "BroadcastHashJoin" in masked, masked[:1500]
+        assert "LeftAnti" in masked, masked[:1500]
+        assert "Exchange hashpartitioning" not in masked, masked[:1500]
+    finally:
+        _sh.rmtree(d, ignore_errors=True)

@@ -846,3 +846,201 @@ def test_staged_history_build_is_memoized_and_deterministic(spark, sf_dir):
         (r.o_orderkey, r.o_orderstatus) for r in vt3.read(4).collect()
     )
     assert fp1 == fp3
+
+
+# ------------------------------------------------- deletion vectors (MOR)
+def test_delete_mor_masks_rows_without_touching_segments(spark, vt_root):
+    """Merge-on-read delete: the commit references a tiny position file,
+    add/remove are empty, the data segment is untouched, and time travel
+    to the pre-delete version still serves every row."""
+    vt = _mk(spark, vt_root, n=20)
+    seg0 = vt._read_commit(0)["add"][0]
+    v1 = vt.delete_where_mor("k % 3 = 0")
+    entry = vt._read_commit(v1)
+    assert entry["op"] == "delete_mor"
+    assert entry["add"] == [] and entry["remove"] == []
+    assert vt.active_deletion_vectors() == entry["dv_add"]
+    got = sorted(r.k for r in vt.read().collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+    assert vt.read(0).count() == 20  # snapshot isolation across the DV
+    assert vt._resolve_live(v1) == {seg0}  # zero data rewritten
+
+
+def test_delete_mor_is_position_scoped_and_accumulates(spark, vt_root):
+    """DV semantics are POSITION-scoped: rows appended after the delete
+    stay live even when they match the old predicate; multiple DVs
+    accumulate and a later DV never double-records already-masked rows."""
+    vt = _mk(spark, vt_root, n=10)
+    vt.delete_where_mor("k % 2 = 0")
+    vt.append(
+        spark.range(20, 24).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )  # 20, 22 match k % 2 = 0 but arrive after: they stay
+    vt.delete_where_mor("k = 1 OR k % 2 = 0")
+    assert sorted(r.k for r in vt.read().collect()) == [3, 5, 7, 9, 21, 23]
+    dvs = vt.active_deletion_vectors()
+    assert len(dvs) == 2
+    # second DV holds only rows alive at ITS snapshot (1, 20, 22) — the
+    # first DV's rows are not re-recorded
+    dv2 = spark.read.parquet(os.path.join(vt.root, dvs[1]))
+    assert dv2.count() == 3
+
+
+def test_full_replace_materializes_and_clears_dvs(spark, vt_root):
+    """compact / copy-on-write delete read through the DV mask, so the
+    rewrite materializes the deletes and the active-DV set resets."""
+    vt = _mk(spark, vt_root, n=12)
+    vt.delete_where_mor("k >= 8")
+    before = sorted(r.k for r in vt.read().collect())
+    assert before == list(range(8))
+    v = vt.compact()
+    assert vt.active_deletion_vectors() == []
+    assert sorted(r.k for r in vt.read().collect()) == before
+    assert vt.read(v - 1).count() == 8  # pre-compact version: via DV
+    # copy-on-write delete also reads through remaining DVs
+    vt.delete_where_mor("k = 0")
+    vt.delete_where("k = 1")
+    assert vt.active_deletion_vectors() == []
+    assert sorted(r.k for r in vt.read().collect()) == list(range(2, 8))
+
+
+def test_merge_pruned_does_not_resurrect_mor_deleted_rows(spark, vt_root):
+    """The touched-slice read of merge_upsert_pruned applies DVs, so a
+    pruned rewrite of the segment materializes its deletions instead of
+    resurrecting them — and DVs on UNTOUCHED segments stay active."""
+    lo = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    hi = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, lo)
+    vt.append(hi)
+    vt.delete_where_mor("k = 105 OR k = 5")  # one hit per segment
+    src = spark.createDataFrame([(101, -1), (333, -3)], ["k", "v"])
+    v = vt.merge_upsert_pruned(src, keys=["k"])
+    assert vt._read_commit(v)["rewritten"] == 1  # only the hi segment
+    got = {r.k: r.v for r in vt.read().collect()}
+    assert 105 not in got  # materialized by the rewrite
+    assert 5 not in got  # still masked by the (active) DV
+    assert got[101] == -1 and got[333] == -3
+    assert len(vt.active_deletion_vectors()) == 1
+
+
+def test_delete_mor_writes_cdf_and_streams_as_changefeed(spark, vt_root):
+    """On a CDF-enabled table delete_mor emits the deleted rows as a
+    change segment in the same commit; the streaming source replays it
+    under readChangeFeed, refuses plain-append mode, and skips it under
+    skipChangeCommits."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    v1 = vt.delete_where_mor("k >= 7")
+    entry = vt._read_commit(v1)
+    assert entry.get("cdf")
+    cdf = spark.read.parquet(os.path.join(vt.root, entry["cdf"]))
+    assert sorted(r.k for r in cdf.collect()) == [7, 8, 9]
+    assert {r._change_type for r in cdf.collect()} == {"delete"}
+
+
+def test_vacuum_sweeps_dvs_with_their_versions(spark, vt_root):
+    """A DV active only at expired versions is reclaimed (its commit's
+    readers are gone); reading the expired version then fails loudly on
+    the missing DV, same as a vacuumed data segment."""
+    vt = _mk(spark, vt_root, n=10)
+    v_dv = vt.delete_where_mor("k < 3")
+    vt.compact()  # materializes; DV now referenced only by v_dv
+    vt.append(
+        spark.range(50, 52).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    deleted = vt.vacuum(retain_last=2)
+    dv_rel = vt._read_commit(v_dv)["dv_add"][0]
+    assert dv_rel in deleted
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        vt.read(v_dv).count()
+    assert vt.read().count() == 9  # head unaffected
+
+
+def test_dv_resolution_through_checkpoint_matches_genesis_fold(
+    spark, vt_root
+):
+    """Past CHECKPOINT_EVERY commits the DV set resolves from the
+    checkpoint + tail; it must equal the from-genesis fold."""
+    vt = _mk(spark, vt_root, n=6)
+    vt.delete_where_mor("k = 0")
+    for i in range(CHECKPOINT_EVERY + 2):
+        vt.append(
+            spark.range(100 + i, 101 + i).select(
+                F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+            )
+        )
+    vt.delete_where_mor("k = 100")
+    v = vt.latest_version()
+    assert v > CHECKPOINT_EVERY
+    assert vt._resolve_dvs(v, use_checkpoint=True) == vt._resolve_dvs(
+        v, use_checkpoint=False
+    )
+    assert len(vt.active_deletion_vectors()) == 2
+    assert sorted(r.k for r in vt.read().where("k < 102").collect()) == [
+        1, 2, 3, 4, 5, 101,
+    ]
+
+
+def test_stream_source_rejects_or_skips_delete_mor_commits(spark, vt_root):
+    """A delete_mor commit changes existing rows with remove=[] — the
+    plain append stream must fail loudly, skipChangeCommits must skip."""
+    import tempfile as _tf
+
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df)
+    vt.delete_where_mor("k = 2")
+    vt.append(
+        spark.range(30, 32).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    register_vtable_source(spark)
+
+    def _drain(**opts):
+        out: list = []
+        reader = (
+            spark.readStream.format("eel_vtable")
+            .option("path", vt.root)
+        )
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName("mor_stream_probe")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _tf.mkdtemp(prefix="mor-stream-ck-"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM mor_stream_probe"
+        ).collect()
+        spark.catalog.dropTempView("mor_stream_probe")
+        return rows
+
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises(PySparkException, match="skipChangeCommits"):
+        _drain()
+    rows = _drain(skipChangeCommits="true")
+    # deletes skipped: initial 5 + the 2 appends, k=2 still present
+    assert sorted(r.k for r in rows) == [0, 1, 2, 3, 4, 30, 31]
