@@ -50,9 +50,12 @@ instead of POSIX ``link``.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
+import struct
 import time
 import uuid
 
@@ -70,6 +73,11 @@ CDF_DIR = "cdf"
 #: written by merge-on-read deletes.  A data row is live iff its
 #: position is in no active DV — reads apply one broadcast anti-join.
 DV_DIR = "dv"
+#: Per-segment bloom-filter sidecars (Delta's bloom filter index): one
+#: JSON per data segment, named after it, holding a packed bitset per
+#: indexed column.  Powers point-lookup file pruning where min/max
+#: stats cannot (high-cardinality column, layout clustered by another).
+INDEX_DIR = "_index"
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
@@ -129,23 +137,44 @@ class VersionedTable:
         root: str,
         df: DataFrame,
         enable_cdf: bool = False,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1 << 19,
+        bloom_k: int = 5,
     ) -> "VersionedTable":
         """Initialize ``root`` with version 0 = ``df``.  Fails if a log
         already exists (use :meth:`overwrite` to replace content).
         ``enable_cdf`` is the table property (Delta's
         ``delta.enableChangeDataFeed``): merge/delete commits then write
         row-level change segments under ``cdf/`` in the same commit, for
-        the streaming change feed (sources/vtable_stream.py)."""
+        the streaming change feed (sources/vtable_stream.py).
+        ``bloom_cols`` (Delta's bloom-filter index table property): every
+        data segment committed from then on gets a per-column bloom
+        sidecar under ``_index/`` powering :meth:`read_point` file
+        pruning.  Sizing rule: ``bloom_bits`` ≈ 10× the expected rows per
+        segment gives ~1% false-positive rate at ``bloom_k=5``; a false
+        positive only costs a scan, never correctness."""
         log_dir = os.path.join(root, LOG_DIR)
         if os.path.isdir(log_dir):
             raise FileExistsError(f"versioned table already exists: {root}")
         os.makedirs(log_dir, mode=0o700)
         os.makedirs(os.path.join(root, DATA_DIR), mode=0o700, exist_ok=True)
         table = cls(spark, root)
+        props: dict = {"enableChangeDataFeed": bool(enable_cdf)}
+        # pre-seed the property caches: the v0 _commit below runs before
+        # commit 0 exists on disk, so the lazy commit-0 read would fail
+        table._bloom_props = ([], 0, 0)
+        if bloom_cols:
+            if bloom_bits < 64 or bloom_k < 1:
+                raise ValueError("bloom_bits must be >= 64, bloom_k >= 1")
+            props["bloomFilterColumns"] = list(bloom_cols)
+            props["bloomBits"] = int(bloom_bits)
+            props["bloomK"] = int(bloom_k)
+            os.makedirs(os.path.join(root, INDEX_DIR), mode=0o700)
+            table._bloom_props = (list(bloom_cols), bloom_bits, bloom_k)
         add = [table._write_segment(df, 0)]
         table._commit(
             0, "create", add=add, remove=[], schema=df.schema,
-            extra={"properties": {"enableChangeDataFeed": bool(enable_cdf)}},
+            extra={"properties": props},
         )
         return table
 
@@ -159,6 +188,19 @@ class VersionedTable:
                 .get("enableChangeDataFeed", False)
             )
         return self._cdf_enabled
+
+    @property
+    def bloom_props(self) -> tuple[list[str], int, int]:
+        """(bloom columns, bits, hash count) from the create commit —
+        ([], 0, 0) when the table has no bloom index."""
+        if not hasattr(self, "_bloom_props"):
+            props = self._read_commit(0).get("properties", {})
+            self._bloom_props = (
+                list(props.get("bloomFilterColumns", [])),
+                int(props.get("bloomBits", 0)),
+                int(props.get("bloomK", 0)),
+            )
+        return self._bloom_props
 
     # ------------------------------------------------------------- log layer
     def _commit_path(self, version: int) -> str:
@@ -194,6 +236,10 @@ class VersionedTable:
         file first; ``os.link`` to the final name either wins (EEXIST-free)
         or raises :class:`ConcurrentCommitError` — a reader can never see a
         partially written commit under its final name."""
+        # bloom sidecars before the commit is published: a claimed commit
+        # always has its index (a crash before the claim only strands
+        # sidecar files alongside the orphan segment — vacuum pairs them)
+        self._write_bloom_sidecars(add)
         payload = {
             "version": version,
             "op": op,
@@ -517,6 +563,153 @@ class VersionedTable:
                     else:
                         folded[name] = [st.min, st.max]
         return {k: v for k, v in folded.items() if k not in dropped}
+
+    # ------------------------------------------------------- bloom index
+    def _bloom_sidecar_path(self, rel: str) -> str:
+        """Sidecar keyed by the segment's (uuid-unique) dir name — a
+        segment and its bloom index always travel together."""
+        return os.path.join(
+            self.root, INDEX_DIR, os.path.basename(rel) + ".bloom.json"
+        )
+
+    def _write_bloom_sidecars(self, add: list[str]) -> None:
+        """Build the per-column bloom bitsets for each added segment —
+        ONE distributed job per segment (k md5 positions per row per
+        indexed column, folded to ``bits/64`` words via a bit_or
+        aggregate, so only the packed bitset crosses the driver, never
+        positions).  Idempotent: a sidecar that already exists (commit
+        retry after a lost race) is kept.  md5 keeps the position math
+        trivially reproducible driver-side for the membership probe; a
+        production swap-in would use xxhash64 both sides."""
+        cols, m, k = self.bloom_props
+        if not cols:
+            return
+        n_words = (m + 63) // 64
+        for rel in add:
+            side = self._bloom_sidecar_path(rel)
+            if os.path.exists(side):
+                continue
+            seg = self.spark.read.parquet(os.path.join(self.root, rel))
+            present = [c for c in cols if c in seg.columns]
+            payload: dict = {"m": m, "k": k, "columns": {}}
+            if present:
+                # (col_idx, position) for every hash of every indexed
+                # column, exploded then OR-folded per (col, word)
+                entries = []
+                for ci, c in enumerate(present):
+                    s = F.col(c).cast("string")
+                    for i in range(k):
+                        pos = (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % m
+                        )
+                        entries.append(
+                            F.struct(
+                                F.lit(ci).alias("ci"), pos.alias("pos")
+                            )
+                        )
+                rows = (
+                    seg.select(F.explode(F.array(*entries)).alias("e"))
+                    .where(F.col("e.pos").isNotNull())  # null values: skip
+                    .selectExpr(
+                        "e.ci AS ci",
+                        "e.pos DIV 64 AS word",
+                        "shiftleft(1L, CAST(e.pos % 64 AS INT)) AS mask",
+                    )
+                    .groupBy("ci", "word")
+                    .agg(F.bit_or("mask").alias("bits"))
+                    .collect()
+                )
+                words: dict[int, list[int]] = {
+                    ci: [0] * n_words for ci in range(len(present))
+                }
+                for r in rows:
+                    words[r[0]][int(r[1])] = int(r[2])
+                for ci, c in enumerate(present):
+                    packed = struct.pack(f"<{n_words}q", *words[ci])
+                    payload["columns"][c] = base64.b64encode(packed).decode()
+            tmp = f"{side}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, side)
+
+    @staticmethod
+    def _bloom_positions(value, m: int, k: int) -> list[int]:
+        """The k bit positions of ``value`` — byte-identical to the
+        Spark-side md5/conv expression in :meth:`_write_bloom_sidecars`
+        (the repo's shared cross-engine hash primitive)."""
+        s = str(value)
+        return [
+            int(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16
+            ) % m
+            for i in range(k)
+        ]
+
+    def _bloom_might_contain(self, rel: str, col: str, value) -> bool:
+        """Membership probe against a segment's sidecar.  CONSERVATIVE:
+        a missing sidecar, unindexed column, or unreadable payload
+        answers True (scan it) — bloom pruning may only ever skip a
+        segment the filter PROVES cannot hold the value."""
+        side = self._bloom_sidecar_path(rel)
+        if not os.path.exists(side):
+            return True
+        try:
+            with open(side) as fh:
+                payload = json.load(fh)
+            b64 = payload["columns"].get(col)
+            if b64 is None:
+                return True
+            words = struct.unpack(
+                f"<{(payload['m'] + 63) // 64}q", base64.b64decode(b64)
+            )
+            return all(
+                words[p // 64] & (1 << (p % 64))
+                for p in self._bloom_positions(
+                    value, payload["m"], payload["k"]
+                )
+            )
+        except (KeyError, ValueError, struct.error, json.JSONDecodeError):
+            return True
+
+    def prune_point(
+        self, version: int, col: str, value
+    ) -> tuple[list[str], list[str]]:
+        """Split the live set into (scanned, skipped) for an equality
+        probe ``col = value``, combining min/max stats (cheap, from the
+        commit log) with the per-segment bloom probe (catches the case
+        stats cannot: a high-cardinality column in a layout clustered by
+        a DIFFERENT dimension, where every segment's [min,max] straddles
+        every value).  Either filter alone skipping a segment is proof —
+        both are conservative, so the composition is too."""
+        if value is None:
+            raise ValueError("prune_point: NULL has no equality matches "
+                             "(SQL semantics); filter IS NULL instead")
+        scanned, skipped = self.pruned_segments(version, col, value, value)
+        really_scanned = []
+        for rel in scanned:
+            if self._bloom_might_contain(rel, col, value):
+                really_scanned.append(rel)
+            else:
+                skipped.append(rel)
+        return really_scanned, sorted(skipped)
+
+    def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Snapshot read that SKIPS segments provably not holding
+        ``col = value`` (stats + bloom file pruning).  Like
+        :meth:`read_pruned`, the caller applies the residual equality
+        predicate — pruning skips whole files, it does not filter rows.
+        Deletion vectors are applied as in every read."""
+        version, _, entry = self._snapshot(version)
+        scanned, _ = self.prune_point(version, col, value)
+        schema = StructType.fromJson(entry["schema"])
+        return self._scan_segments(version, scanned, schema)
 
     def version_at(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (Delta/Iceberg): the latest version
@@ -1227,5 +1420,11 @@ class VersionedTable:
                     if age < orphan_grace_s:
                         continue  # potentially in-flight: keep for now
                 shutil.rmtree(path, ignore_errors=True)
+                if sub == DATA_DIR:
+                    # a segment's bloom sidecar dies with it
+                    try:
+                        os.unlink(self._bloom_sidecar_path(rel))
+                    except OSError:
+                        pass
                 deleted.append(rel)
         return deleted

@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 7
+_HISTORY_REV = 8
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -192,6 +192,28 @@ def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
     vt.compact()
 
 
+def _build_bloom(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A fifth vtable exercising the bloom-filter point-lookup index:
+    orders sliced into 8 segments by o_custkey OCTILE with a bloom
+    index on o_orderkey — the adversarial layout for stats pruning
+    (every segment's orderkey [min,max] straddles every probe value, so
+    min/max can never skip) and exactly where the per-segment bloom
+    sidecars shine: a point lookup scans ~1 of 8 segments."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    mc = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+    octile = F.expr(f"(o_custkey * 8) div {mc}")
+    vt = VersionedTable.create(
+        spark, root, orders.filter(octile == 0),
+        bloom_cols=["o_orderkey"], bloom_bits=1 << 19, bloom_k=5,
+    )
+    for i in range(1, 8):
+        vt.append(orders.filter(octile == i))
+
+
 def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
     """The staged artifact holding the vtables (the 5-version history,
     the key-ranged layout, and the z-ordered layout); built once per
@@ -206,6 +228,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
         _build_ranged(spark, sf_dir, os.path.join(tmp, "table_ranged"))
         _build_zorder(spark, sf_dir, os.path.join(tmp, "table_zorder"))
         _build_mor(spark, sf_dir, os.path.join(tmp, "table_mor"))
+        _build_bloom(spark, sf_dir, os.path.join(tmp, "table_bloom"))
 
     base = staged_artifact("vtable", key, _populate, fresh=fresh)
     _VT_MEMO[memo_key] = base
@@ -254,6 +277,19 @@ def staged_vtable_mor(spark: SparkSession, sf_dir: str, fresh: bool = False):
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_mor"))
+
+
+def staged_vtable_bloom(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged bloom-indexed orders vtable (8 custkey-octile
+    segments, bloom on o_orderkey)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_bloom"))
 
 
 @register(
@@ -840,3 +876,41 @@ def vtable_mor_change_feed_window(spark, sf_dir) -> DataFrame:
         F.sum("o_orderkey").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice_pre")).alias("price_pre"),
     )
+
+
+@register(
+    "vtable_bloom_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+        (SELECT MIN(o_orderkey) FROM orders),
+        (SELECT MAX(o_orderkey) FROM orders))
+    ORDER BY o_orderkey
+    """,
+    survey="S7 V8 — bloom-filter point-lookup index (Delta bloom filter "
+    "index): per-segment packed bitsets built at commit time from one "
+    "distributed bit_or fold, probed driver-side to skip files a point "
+    "predicate provably cannot match — the case min/max stats cannot "
+    "prune (high-cardinality column, layout clustered by another "
+    "dimension); conservative on any missing/unreadable sidecar",
+)
+def vtable_bloom_point_lookup(spark, sf_dir) -> DataFrame:
+    """Point lookups through the bloom index on the custkey-clustered
+    layout: the min and max orderkeys (present — each lives in exactly
+    one octile segment) plus an absent probe (max+1) that must
+    contribute nothing.  The residual predicate keeps correctness
+    independent of pruning; the oracle is the plain relational filter."""
+    vt = staged_vtable_bloom(spark, sf_dir)
+    lo, hi = t(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    out = None
+    for key in (lo, hi, hi + 1):
+        part = vt.read_point("o_orderkey", key).where(
+            F.col("o_orderkey") == key
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey")

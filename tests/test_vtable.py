@@ -1044,3 +1044,113 @@ def test_stream_source_rejects_or_skips_delete_mor_commits(spark, vt_root):
     rows = _drain(skipChangeCommits="true")
     # deletes skipped: initial 5 + the 2 appends, k=2 still present
     assert sorted(r.k for r in rows) == [0, 1, 2, 3, 4, 30, 31]
+
+
+# ------------------------------------------------- bloom point-lookup index
+def _mk_bloom(spark, root, n=800, groups=4):
+    """Layout clustered by GROUP while lookups probe the unique key —
+    every segment's key [min,max] straddles every value, so min/max
+    stats can never prune and the bloom filter is the only pruner."""
+    def _slice(g):
+        # sparse keys (multiples of 7) so in-range ABSENT values exist
+        return (
+            spark.range(n)
+            .select(
+                (F.col("id") * 7).alias("k"),
+                (F.col("id") % groups).alias("g"),
+                (F.col("id") * 3).alias("v"),
+            )
+            .where(F.col("g") == g)
+        )
+
+    vt = VersionedTable.create(
+        spark, root, _slice(0),
+        bloom_cols=["k"], bloom_bits=1 << 14, bloom_k=5,
+    )
+    for g in range(1, groups):
+        vt.append(_slice(g))
+    return vt
+
+
+def test_bloom_point_lookup_prunes_where_stats_cannot(spark, vt_root):
+    vt = _mk_bloom(spark, vt_root)
+    assert len(os.listdir(os.path.join(vt_root, "_index"))) == 4
+    head = vt.latest_version()
+    # stats alone: every segment straddles k=3059 -> nothing skipped
+    s_stats, k_stats = vt.pruned_segments(head, "k", 3059, 3059)
+    assert k_stats == [] and len(s_stats) == 4
+    # bloom: exactly the holding segment (id=437, g = 437 % 4 = 1)
+    scanned, skipped = vt.prune_point(head, "k", 3059)
+    assert len(scanned) == 1 and len(skipped) == 3
+    got = vt.read_point("k", 3059).where(F.col("k") == 3059).collect()
+    assert [(r.k, r.g, r.v) for r in got] == [(3059, 1, 1311)]
+    # IN-RANGE absent key (not a multiple of 7): stats straddle it in
+    # every segment, the bloom still proves all four disjoint
+    s_abs, _ = vt.prune_point(head, "k", 3060)
+    assert s_abs == []
+    assert vt.read_point("k", 3060).where("k = 3060").count() == 0
+
+
+def test_bloom_probe_is_conservative(spark, vt_root):
+    """Unindexed column, missing sidecar, or a bloomless table: the
+    probe must answer 'scan' — skipping is only ever proof-backed."""
+    vt = _mk_bloom(spark, vt_root)
+    head = vt.latest_version()
+    # v is not bloom-indexed and every segment straddles: all scanned
+    scanned, skipped = vt.prune_point(head, "v", 9)
+    assert skipped == [] and len(scanned) == 4
+    # a vanished sidecar demotes that segment to always-scan (the probe
+    # key is in-range-absent so stats cannot skip either)
+    side = sorted(os.listdir(os.path.join(vt_root, "_index")))[0]
+    os.unlink(os.path.join(vt_root, "_index", side))
+    s2, _ = vt.prune_point(head, "k", 3061)
+    assert len(s2) == 1  # only the sidecar-less segment
+    # a table with no bloom index at all: read_point = stats-only path
+    import tempfile as _tf
+
+    other = os.path.join(_tf.mkdtemp(prefix="noBloom-"), "t")
+    vt2 = _mk(spark, other, n=10)
+    assert vt2.read_point("k", 3).where("k = 3").count() == 1
+
+
+def test_bloom_lookup_applies_deletion_vectors(spark, vt_root):
+    vt = _mk_bloom(spark, vt_root)
+    vt.delete_where_mor("k = 3059")
+    assert vt.read_point("k", 3059).where("k = 3059").count() == 0
+    assert vt.read_point("k", 3066).where("k = 3066").count() == 1
+
+
+def test_vacuum_sweeps_bloom_sidecars_with_segments(spark, vt_root):
+    vt = _mk_bloom(spark, vt_root)
+    n_before = len(os.listdir(os.path.join(vt_root, "_index")))
+    assert n_before == 4
+    vt.compact()  # replaces 4 segments with 1 (new sidecar written)
+    assert len(os.listdir(os.path.join(vt_root, "_index"))) == 5
+    vt.vacuum(retain_last=1)
+    # expired segments AND their sidecars are gone; the live one stays
+    left = os.listdir(os.path.join(vt_root, "_index"))
+    assert len(left) == 1
+    live_seg = os.path.basename(vt._snapshot(None)[1][0])
+    assert left[0] == live_seg + ".bloom.json"
+    # and the compacted table still answers point lookups correctly
+    assert vt.read_point("k", 3059).where("k = 3059").count() == 1
+
+
+def test_bloom_index_on_string_column(spark, vt_root):
+    df1 = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2)], ["name", "v"]
+    )
+    df2 = spark.createDataFrame(
+        [("gamma", 3), ("delta", 4)], ["name", "v"]
+    )
+    vt = VersionedTable.create(
+        spark, vt_root, df1, bloom_cols=["name"], bloom_bits=1 << 10,
+        bloom_k=5,
+    )
+    vt.append(df2)
+    scanned, skipped = vt.prune_point(vt.latest_version(), "name", "gamma")
+    assert len(scanned) == 1 and len(skipped) == 1
+    got = vt.read_point("name", "gamma").where("name = 'gamma'").collect()
+    assert [(r.name, r.v) for r in got] == [("gamma", 3)]
+    s2, _ = vt.prune_point(vt.latest_version(), "name", "zeta")
+    assert s2 == []
