@@ -1117,6 +1117,74 @@ class VersionedTable:
         )
         return v + 1
 
+    def merge_upsert_mor(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE as merge-on-read (Iceberg MOR merge / Delta DV-backed
+        MERGE): matched target rows are masked by a deletion vector —
+        positions discovered by ONE broadcast semi-join of the identified
+        scan against the source's distinct keys — and the ENTIRE source
+        lands as one appended segment (source-wins updates and inserts
+        together).  ZERO existing segments are rewritten: where
+        :meth:`merge_upsert_pruned` rewrites the touched files, this
+        writes only the new segment plus a kilobytes-scale position
+        file, the cheapest possible shape for a small delta into a
+        100 TB table; the deferred rewrite amortizes into the next
+        :meth:`compact`.  Same contract as the other merges: source keys
+        must be unique (standard MERGE precondition).  On CDF-enabled
+        tables the commit carries update pre/post images and inserts
+        from the same scan pipeline."""
+        self._require_schema(source, "merge_upsert_mor")
+        v, live, entry = self._snapshot(None)
+        schema = StructType.fromJson(entry["schema"])
+        data_cols = [f.name for f in schema.fields]
+        extra: dict = {"keys": list(keys)}
+        if not live:
+            identified = None
+        else:
+            self._check_present(v, live)
+            identified = self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.root, p) for p in live)
+            ).select(*data_cols, *self._identity_cols())
+            dvs = sorted(self._resolve_dvs(v))
+            if dvs:
+                self._check_present(v, dvs)
+                prior = self.spark.read.parquet(
+                    *(os.path.join(self.root, d) for d in dvs)
+                )
+                identified = identified.join(
+                    F.broadcast(prior),
+                    on=["_dv_seg", "_dv_file", "_dv_pos"],
+                    how="left_anti",
+                )
+        if self.cdf_enabled and identified is not None:
+            # the DV discovery and the change images share one scan
+            identified = identified.persist()
+        try:
+            if identified is not None:
+                matched = identified.join(
+                    F.broadcast(source.select(*keys).distinct()),
+                    on=list(keys),
+                    how="left_semi",
+                )
+                extra["dv_add"] = [self._write_dv(matched, v + 1)]
+            if self.cdf_enabled:
+                target = (
+                    identified.select(*data_cols)
+                    if identified is not None
+                    else self.spark.createDataFrame([], schema)
+                )
+                extra["cdf"] = self._write_cdf(
+                    self._merge_changes(target, source, list(keys)), v + 1
+                )
+            add = [self._write_segment(source.select(*data_cols), v + 1)]
+        finally:
+            if self.cdf_enabled and identified is not None:
+                identified.unpersist()
+        self._commit(
+            v + 1, "merge_mor", add=add, remove=[], schema=schema,
+            extra=extra,
+        )
+        return v + 1
+
     def active_deletion_vectors(self, version: int | None = None) -> list[str]:
         """The DV files masking rows at ``version`` (empty after any
         full-replace rewrite materialized them) — the DESCRIBE surface."""

@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 8
+_HISTORY_REV = 9
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -174,9 +174,13 @@ def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
                      (POSITION-scoped semantics: appended rows stay live
                       even where they match the earlier predicates)
       v4 compact     (materializes both DVs, active set resets to empty)
+      v5 merge_mor   upsert keys %10=0 → status 'R', price*1.2 — matched
+                     rows DV-masked, whole source appended, ZERO
+                     segments rewritten (merge_upsert_mor)
 
-    Deletes write kilobyte position files instead of rewriting segments
-    (operators/vtable.py delete_where_mor) — the 100 TB shape."""
+    Deletes/merges write kilobyte position files instead of rewriting
+    segments (operators/vtable.py delete_where_mor / merge_upsert_mor)
+    — the 100 TB shape."""
     from energy_emissions_lakehouse_spark.operators.vtable import (
         VersionedTable,
     )
@@ -190,6 +194,15 @@ def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
     vt.delete_where_mor("o_orderstatus = 'F' AND o_orderkey % 17 = 0")
     vt.append(orders.filter(key % 5 == 0))
     vt.compact()
+    updates = orders.filter(key % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.2)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    vt.merge_upsert_mor(updates, keys=["o_orderkey"])
 
 
 def _build_bloom(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -770,12 +783,25 @@ _MOR_SQL = """
         SELECT * FROM mor_v1
         WHERE NOT (o_orderstatus = 'F' AND (o_orderkey % 17) = 0)
     ),
-    mor_head AS (
+    mor_v4 AS (
         SELECT * FROM mor_v2
         UNION ALL
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders WHERE (o_orderkey % 5) = 0
+    ),
+    mor_updates AS (
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               o_totalprice * 1.2 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE (o_orderkey % 10) = 0
+    ),
+    mor_head AS (
+        SELECT * FROM mor_v4 o
+        WHERE NOT EXISTS (SELECT 1 FROM mor_updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM mor_updates
     )
 """
 
@@ -788,7 +814,7 @@ _MOR_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
            {scaled_sum_sql('o_totalprice')} AS total_price
-    FROM mor_head
+    FROM mor_v4
     GROUP BY o_orderstatus
     """,
     survey="S7 V5 — merge-on-read DELETE via deletion vectors (Delta DV / "
@@ -803,7 +829,7 @@ def vtable_mor_deleted_read(spark, sf_dir) -> DataFrame:
     appended rows, resurrected deletes, or a compact that re-applies
     cleared DVs) breaks value parity."""
     vt = staged_vtable_mor(spark, sf_dir)
-    return vt.read().groupBy("o_orderstatus").agg(
+    return vt.read(4).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
@@ -824,15 +850,19 @@ def vtable_mor_deleted_read(spark, sf_dir) -> DataFrame:
            CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v2
     UNION ALL
     SELECT 3, CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v4
     UNION ALL
     SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v4
+    UNION ALL
+    SELECT 5, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
     ORDER BY version
     """,
     survey="S7 V6 — time travel across deletion-vector history: each "
     "snapshot applies exactly the DVs active AT ITS VERSION (v0 none, "
-    "v1 one, v2 two, v4 none again after compact materialized them)",
+    "v1 one, v2 two, v4 none after compact materialized them, v5 one "
+    "again from the MOR merge)",
 )
 def vtable_mor_time_travel_masks(spark, sf_dir) -> DataFrame:
     """Per-version row count + key checksum over the 5-version DV
@@ -840,7 +870,7 @@ def vtable_mor_time_travel_masks(spark, sf_dir) -> DataFrame:
     correctly, including the post-compact reset."""
     vt = staged_vtable_mor(spark, sf_dir)
     out = None
-    for v in range(5):
+    for v in range(6):
         agg = vt.read(v).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").alias("key_checksum"),
@@ -914,3 +944,34 @@ def vtable_bloom_point_lookup(spark, sf_dir) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "vtable_mor_merge_read",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM mor_head
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V9 — merge-on-read MERGE (Iceberg MOR merge / Delta "
+    "DV-backed MERGE, operators/vtable.py merge_upsert_mor): matched "
+    "rows masked by a deletion vector discovered in one broadcast "
+    "semi-join, the whole source appended as one segment, ZERO existing "
+    "segments rewritten — the cheapest shape for a small delta into a "
+    "100 TB table; rewrite amortizes into the next compact",
+)
+def vtable_mor_merge_read(spark, sf_dir) -> DataFrame:
+    """Head read after the v5 MOR merge: %10 keys carry the merged
+    status 'R' and 1.2x price, every other row is untouched — a mask
+    leaking onto unmatched rows, a lost insert, or a resurrected
+    pre-merge row breaks value parity."""
+    vt = staged_vtable_mor(spark, sf_dir)
+    return vt.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )

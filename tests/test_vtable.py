@@ -1154,3 +1154,64 @@ def test_bloom_index_on_string_column(spark, vt_root):
     assert [(r.name, r.v) for r in got] == [("gamma", 3)]
     s2, _ = vt.prune_point(vt.latest_version(), "name", "zeta")
     assert s2 == []
+
+
+# ----------------------------------------------------- merge-on-read MERGE
+def test_merge_mor_masks_matches_and_appends_source(spark, vt_root):
+    """MOR MERGE: matched target rows masked by a DV, entire source
+    appended as one segment, ZERO existing segments rewritten."""
+    vt = _mk(spark, vt_root, n=6)  # k 0..5, v = k*10
+    src = spark.createDataFrame([(4, -1), (9, -9)], "k bigint, v bigint")
+    v1 = vt.merge_upsert_mor(src, keys=["k"])
+    entry = vt._read_commit(v1)
+    assert entry["op"] == "merge_mor"
+    assert entry["remove"] == [] and len(entry["add"]) == 1
+    assert len(entry["dv_add"]) == 1
+    got = dict(_rows(vt.read()))
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: -1, 5: 50, 9: -9}
+    assert _rows(vt.read(0)) == [(k, k * 10) for k in range(6)]  # v0 intact
+    assert vt._read_commit(0)["add"][0] in vt._resolve_live(v1)
+    # the DV holds exactly the one matched row's position
+    dv = spark.read.parquet(
+        os.path.join(vt.root, entry["dv_add"][0])
+    )
+    assert dv.count() == 1
+
+
+def test_merge_mor_respects_prior_dvs_and_compacts_clean(spark, vt_root):
+    """A key previously DV-deleted is NOT a match (it is dead) — the
+    source row for it is an insert; compaction materializes the whole
+    stack and resets the DV set."""
+    vt = _mk(spark, vt_root, n=8)
+    vt.delete_where_mor("k >= 6")  # k 6,7 masked
+    vt.merge_upsert_mor(
+        spark.createDataFrame([(0, -1), (6, -6)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    got = dict(_rows(vt.read()))
+    assert got == {0: -1, 1: 10, 2: 20, 3: 30, 4: 40, 5: 50, 6: -6}
+    assert len(vt.active_deletion_vectors()) == 2
+    before = _rows(vt.read())
+    vt.compact()
+    assert vt.active_deletion_vectors() == []
+    assert _rows(vt.read()) == before
+
+
+def test_merge_mor_writes_update_and_insert_cdf(spark, vt_root):
+    df = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    v1 = vt.merge_upsert_mor(
+        spark.createDataFrame([(2, -2), (50, -50)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    cdf = spark.read.parquet(
+        os.path.join(vt.root, vt._read_commit(v1)["cdf"])
+    )
+    got = sorted((r.k, r.v, r._change_type) for r in cdf.collect())
+    assert got == [
+        (2, -2, "update_postimage"),
+        (2, 20, "update_preimage"),
+        (50, -50, "insert"),
+    ]
