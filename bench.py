@@ -195,6 +195,11 @@ HEADLINE = [
     "vtable_merge_pruned_rewrite",
     "vtable_schema_evolution_backfill",
     "vtable_zorder_pruned_scan",
+    "vtable_mor_deleted_read",
+    "vtable_mor_time_travel_masks",
+    "vtable_mor_change_feed_window",
+    "vtable_mor_merge_read",
+    "vtable_bloom_point_lookup",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",
