@@ -78,6 +78,12 @@ DV_DIR = "dv"
 #: indexed column.  Powers point-lookup file pruning where min/max
 #: stats cannot (high-cardinality column, layout clustered by another).
 INDEX_DIR = "_index"
+#: Column names the DV machinery appends to identified scans — user
+#: schemas must not collide (enforced at segment write time).
+_DV_IDENTITY_COLS = ("_dv_seg", "_dv_file", "_dv_pos")
+#: Column types whose Spark cast-to-string equals Python's str() on the
+#: probe value — the precondition for bloom indexing (see create()).
+_BLOOMABLE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
@@ -150,9 +156,39 @@ class VersionedTable:
         ``bloom_cols`` (Delta's bloom-filter index table property): every
         data segment committed from then on gets a per-column bloom
         sidecar under ``_index/`` powering :meth:`read_point` file
-        pruning.  Sizing rule: ``bloom_bits`` ≈ 10× the expected rows per
-        segment gives ~1% false-positive rate at ``bloom_k=5``; a false
-        positive only costs a scan, never correctness."""
+        pruning.  Indexable columns are INTEGRAL or STRING only — the
+        probe hashes the value's canonical string, which matches Spark's
+        cast-to-string exactly for those families; a float/bool/
+        timestamp column's Spark rendering differs from Python's, and a
+        representation mismatch would prune a segment that HOLDS the
+        value (a false NEGATIVE — unlike a false positive, a correctness
+        bug), so such columns are rejected at create time.  Sizing rule:
+        ``bloom_bits`` ≈ 10× the expected rows per segment gives ~1%
+        false-positive rate at ``bloom_k=5``; a false positive only
+        costs a scan, never correctness."""
+        # validate BEFORE any mkdir: a rejected create must leave no
+        # half-created root (the retry would hit 'already exists')
+        clash = [c for c in df.columns if c in _DV_IDENTITY_COLS]
+        if clash:
+            raise ValueError(
+                f"column {clash[0]!r} collides with the reserved "
+                f"deletion-vector identity names {_DV_IDENTITY_COLS}"
+            )
+        if bloom_cols:
+            if bloom_bits < 64 or bloom_k < 1:
+                raise ValueError("bloom_bits must be >= 64, bloom_k >= 1")
+            types = {f.name: f.dataType.simpleString() for f in df.schema}
+            bad = [
+                c for c in bloom_cols
+                if types.get(c) not in _BLOOMABLE_TYPES
+            ]
+            if bad:
+                raise ValueError(
+                    f"bloom_cols: {bad[0]!r} is "
+                    f"{types.get(bad[0], 'absent')} — bloom indexing "
+                    f"supports {sorted(_BLOOMABLE_TYPES)} columns only "
+                    "(canonical-string hashing; see create docstring)"
+                )
         log_dir = os.path.join(root, LOG_DIR)
         if os.path.isdir(log_dir):
             raise FileExistsError(f"versioned table already exists: {root}")
@@ -164,8 +200,6 @@ class VersionedTable:
         # commit 0 exists on disk, so the lazy commit-0 read would fail
         table._bloom_props = ([], 0, 0)
         if bloom_cols:
-            if bloom_bits < 64 or bloom_k < 1:
-                raise ValueError("bloom_bits must be >= 64, bloom_k >= 1")
             props["bloomFilterColumns"] = list(bloom_cols)
             props["bloomBits"] = int(bloom_bits)
             props["bloomK"] = int(bloom_k)
@@ -294,31 +328,71 @@ class VersionedTable:
                 except OSError:
                     pass
 
+    def _latest_checkpoint(self, version: int) -> dict | None:
+        """The newest checkpoint payload at or before ``version`` (None
+        when the log has none yet) — the single discovery point every
+        checkpointed fold shares."""
+        ckpts = sorted(
+            int(n[: -len(".checkpoint.json")])
+            for n in os.listdir(self._log_dir)
+            if n.endswith(".checkpoint.json")
+            and n[: -len(".checkpoint.json")].isdigit()
+        )
+        usable = [v for v in ckpts if v <= version]
+        if not usable:
+            return None
+        with open(self._checkpoint_path(usable[-1])) as fh:
+            return json.load(fh)
+
+    def _resolve_state(
+        self, version: int, use_checkpoint: bool = True
+    ) -> tuple[set[str], set[str]]:
+        """(live segments, active deletion vectors) at ``version`` in ONE
+        checkpointed fold — O(tail) driver metadata, and every read needs
+        both.  DV semantics: a FULL-replace commit (overwrite /
+        copy-on-write delete / compact / whole-set merge) materializes
+        every DV through the read path it rewrote from, so the DV set
+        resets to empty there.  Partial rewrites (merge_upsert_pruned)
+        keep DVs active: rows of removed segments simply stop matching
+        (segment names are never reused), so a stale DV entry can only be
+        dead weight, never a wrong delete."""
+        start = 0
+        live: set[str] = set()
+        dvs: set[str] = set()
+        legacy_dv_refold = False
+        ckpt = self._latest_checkpoint(version) if use_checkpoint else None
+        if ckpt is not None:
+            live = set(ckpt["live"])
+            start = ckpt["version"] + 1
+            if "dvs" in ckpt:
+                dvs = set(ckpt["dvs"])
+            else:
+                # pre-DV-rev checkpoint: the dv fold must restart from
+                # genesis (the live fold may still use the checkpoint)
+                legacy_dv_refold = True
+        for v in range(start, version + 1):
+            entry = self._read_commit(v)
+            removed = set(entry["remove"])
+            if live and removed >= live:
+                dvs = set()  # full replace: the rewrite read applied DVs
+            live -= removed
+            live |= set(entry["add"])
+            dvs |= set(entry.get("dv_add", []))
+        if legacy_dv_refold:
+            dvs = self._resolve_state(version, use_checkpoint=False)[1]
+        return live, dvs
+
     def _resolve_live(
         self, version: int, use_checkpoint: bool = True
     ) -> set[str]:
-        """Fold add/remove from the nearest checkpoint <= version (or from
-        genesis) up to ``version``.  O(tail) driver-side metadata."""
-        start = 0
-        live: set[str] = set()
-        if use_checkpoint:
-            ckpts = sorted(
-                int(n[: -len(".checkpoint.json")])
-                for n in os.listdir(self._log_dir)
-                if n.endswith(".checkpoint.json")
-                and n[: -len(".checkpoint.json")].isdigit()
-            )
-            usable = [v for v in ckpts if v <= version]
-            if usable:
-                with open(self._checkpoint_path(usable[-1])) as fh:
-                    ckpt = json.load(fh)
-                live = set(ckpt["live"])
-                start = usable[-1] + 1
-        for v in range(start, version + 1):
-            entry = self._read_commit(v)
-            live -= set(entry["remove"])
-            live |= set(entry["add"])
-        return live
+        """Live segments at ``version`` (see :meth:`_resolve_state`)."""
+        return self._resolve_state(version, use_checkpoint)[0]
+
+    def _resolve_dvs(
+        self, version: int, use_checkpoint: bool = True
+    ) -> set[str]:
+        """Active DV files at ``version`` (see :meth:`_resolve_state`)."""
+        return self._resolve_state(version, use_checkpoint)[1]
 
     def _resolve_txns(
         self, version: int, use_checkpoint: bool = True
@@ -332,68 +406,27 @@ class VersionedTable:
         start = 0
         txns: dict[str, list] = {}
         if use_checkpoint:
-            ckpts = sorted(
-                int(n[: -len(".checkpoint.json")])
-                for n in os.listdir(self._log_dir)
-                if n.endswith(".checkpoint.json")
-                and n[: -len(".checkpoint.json")].isdigit()
-            )
-            usable = [v for v in ckpts if v <= version]
-            if usable:
-                with open(self._checkpoint_path(usable[-1])) as fh:
-                    ckpt = json.load(fh)
-                if "txns" in ckpt:
-                    txns = {k: list(v) for k, v in ckpt["txns"].items()}
-                    start = usable[-1] + 1
-                # else: an older-rev checkpoint — fold from genesis
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None and "txns" in ckpt:
+                txns = {k: list(v) for k, v in ckpt["txns"].items()}
+                start = ckpt["version"] + 1
+            # else: an older-rev checkpoint — fold from genesis
         for v in range(start, version + 1):
             txn = self._read_commit(v).get("txn")
             if txn:
                 txns[txn["source"]] = [txn["batch"], v]
         return txns
 
-    def _resolve_dvs(
-        self, version: int, use_checkpoint: bool = True
-    ) -> set[str]:
-        """Active deletion-vector files at ``version`` — the fold mirrors
-        :meth:`_resolve_live`, tracking the live set alongside because a
-        FULL-replace commit (overwrite / copy-on-write delete / compact /
-        whole-set merge) materializes every DV through the read path it
-        rewrote from, so the DV set resets to empty there.  Partial
-        rewrites (merge_upsert_pruned) keep DVs active: rows of removed
-        segments simply stop matching (segment names are never reused),
-        so a stale DV entry can only be dead weight, never a wrong
-        delete.  O(tail) driver metadata via the checkpointed fold."""
-        start = 0
-        dvs: set[str] = set()
-        live: set[str] = set()
-        if use_checkpoint:
-            ckpts = sorted(
-                int(n[: -len(".checkpoint.json")])
-                for n in os.listdir(self._log_dir)
-                if n.endswith(".checkpoint.json")
-                and n[: -len(".checkpoint.json")].isdigit()
-            )
-            usable = [v for v in ckpts if v <= version]
-            if usable:
-                with open(self._checkpoint_path(usable[-1])) as fh:
-                    ckpt = json.load(fh)
-                if "dvs" in ckpt:
-                    dvs = set(ckpt["dvs"])
-                    live = set(ckpt["live"])
-                    start = usable[-1] + 1
-                # else: an older-rev checkpoint — fold from genesis
-        for v in range(start, version + 1):
-            entry = self._read_commit(v)
-            removed = set(entry["remove"])
-            if live and removed >= live:
-                dvs = set()  # full replace: the rewrite read applied DVs
-            live -= removed
-            live |= set(entry["add"])
-            dvs |= set(entry.get("dv_add", []))
-        return dvs
-
     def _snapshot(self, version: int | None) -> tuple[int, list[str], dict]:
+        version, live, _, entry = self._snapshot_state(version)
+        return version, live, entry
+
+    def _snapshot_state(
+        self, version: int | None
+    ) -> tuple[int, list[str], list[str], dict]:
+        """(version, live segments, active DVs, commit entry) — the full
+        snapshot resolution in one log fold, for read paths that need
+        the DV set too (every read does)."""
         versions = self._versions()
         if not versions:
             raise FileNotFoundError(f"empty commit log: {self._log_dir}")
@@ -403,8 +436,8 @@ class VersionedTable:
             raise ValueError(
                 f"unknown version {version} (have {versions[0]}..{versions[-1]})"
             )
-        live = sorted(self._resolve_live(version))
-        return version, live, self._read_commit(version)
+        live, dvs = self._resolve_state(version)
+        return version, sorted(live), sorted(dvs), self._read_commit(version)
 
     def history(self) -> list[dict]:
         """All commits, oldest first (the DESCRIBE HISTORY surface)."""
@@ -413,7 +446,16 @@ class VersionedTable:
     # ------------------------------------------------------------ data layer
     def _write_segment(self, df: DataFrame, version_hint: int) -> str:
         """Write one immutable parquet segment; returns its log-relative
-        path.  Invisible until some commit references it."""
+        path.  Invisible until some commit references it.  The single
+        choke point every schema enters through (create / append /
+        evolve / overwrite / merge), so the DV identity names are
+        reserved here."""
+        clash = [c for c in df.columns if c in _DV_IDENTITY_COLS]
+        if clash:
+            raise ValueError(
+                f"column {clash[0]!r} collides with the reserved "
+                f"deletion-vector identity names {_DV_IDENTITY_COLS}"
+            )
         rel = os.path.join(
             DATA_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
@@ -446,12 +488,23 @@ class VersionedTable:
             F.col("_metadata.row_index").alias("_dv_pos"),
         ]
 
-    def _write_dv(self, positions: DataFrame, version_hint: int) -> str:
+    def _write_dv(self, positions: DataFrame, version_hint: int) -> str | None:
         """Write one immutable deletion-vector file under ``dv/``.  The
         payload is three narrow columns of row positions — tiny relative
         to the data it masks (the whole point of merge-on-read: a delete
         at 100 TB writes kilobytes, not rewritten segments) — so it is
-        collapsed to one shuffle-of-positions output file."""
+        collapsed to one shuffle-of-positions output file.
+
+        Returns None when NO rows matched (checked from the written
+        parquet footers, no extra job): registering an empty DV would
+        permanently demote every later read from the plain scan to the
+        anti-join plan and make streams treat the commit as a change
+        commit — a pure-insert merge or no-op delete must stay a plain
+        append/no-op."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
         rel = os.path.join(
             DV_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
@@ -461,6 +514,15 @@ class VersionedTable:
             .write.mode("error")
             .parquet(os.path.join(self.root, rel))
         )
+        n_rows = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(
+                os.path.join(self.root, rel, "part-*.parquet")
+            )
+        )
+        if n_rows == 0:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            return None
         return rel
 
     def _check_present(self, version: int, rels: list[str]) -> None:
@@ -474,7 +536,12 @@ class VersionedTable:
             )
 
     def _scan_segments(
-        self, version: int, rels: list[str], schema: StructType
+        self,
+        version: int,
+        rels: list[str],
+        schema: StructType,
+        dvs: list[str] | None = None,
+        keep_identity: bool = False,
     ) -> DataFrame:
         """Scan ``rels`` under the snapshot's schema with the active
         deletion vectors applied: rows masked by a DV are dropped via ONE
@@ -482,29 +549,34 @@ class VersionedTable:
         identity — no shuffle of the data side, and a DV row whose
         segment is not in ``rels`` (pruned away or since rewritten)
         simply never matches.  Tables with no active DVs get the plain
-        scan, bit-identical plans to before DVs existed."""
+        scan, bit-identical plans to before DVs existed.  ``dvs`` is the
+        already-resolved active set (pass it to avoid a second log fold);
+        None means resolve here.  ``keep_identity=True`` keeps the
+        ``_dv_*`` identity columns on the result — the shared scan the
+        merge-on-read mutations build their own DVs from."""
         if not rels:
             return self.spark.createDataFrame([], schema)
         self._check_present(version, rels)
         df = self.spark.read.schema(schema).parquet(
             *(os.path.join(self.root, p) for p in rels)
         )
-        dvs = sorted(self._resolve_dvs(version))
-        if not dvs:
-            return df
-        self._check_present(version, dvs)
+        if dvs is None:
+            dvs = sorted(self._resolve_dvs(version))
         out_cols = df.columns
-        dv = self.spark.read.parquet(
-            *(os.path.join(self.root, d) for d in dvs)
-        )
-        return (
-            df.select(*out_cols, *self._identity_cols())
-            .join(
+        if keep_identity or dvs:
+            df = df.select(*out_cols, *self._identity_cols())
+        if dvs:
+            self._check_present(version, dvs)
+            dv = self.spark.read.parquet(
+                *(os.path.join(self.root, d) for d in dvs)
+            )
+            df = df.join(
                 F.broadcast(dv),
                 on=["_dv_seg", "_dv_file", "_dv_pos"],
                 how="left_anti",
             )
-            .select(*out_cols)
+        return df if keep_identity else (
+            df.select(*out_cols) if dvs else df
         )
 
     def _segment_stats(self, rel: str) -> dict[str, list]:
@@ -675,7 +747,14 @@ class VersionedTable:
                     value, payload["m"], payload["k"]
                 )
             )
-        except (KeyError, ValueError, struct.error, json.JSONDecodeError):
+        except (
+            KeyError,
+            TypeError,
+            ValueError,
+            OSError,  # sidecar vacuumed between exists() and open()
+            struct.error,
+            json.JSONDecodeError,
+        ):
             return True
 
     def prune_point(
@@ -691,6 +770,15 @@ class VersionedTable:
         if value is None:
             raise ValueError("prune_point: NULL has no equality matches "
                              "(SQL semantics); filter IS NULL instead")
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            # str(value) must equal Spark's cast-to-string of the column
+            # or the probe silently prunes a HOLDING segment (a false
+            # negative); only int/str probes have that guarantee
+            raise TypeError(
+                "prune_point: probe value must be int or str "
+                f"(got {type(value).__name__}; floats/bools/timestamps "
+                "have engine-divergent string forms)"
+            )
         scanned, skipped = self.pruned_segments(version, col, value, value)
         really_scanned = []
         for rel in scanned:
@@ -706,10 +794,10 @@ class VersionedTable:
         :meth:`read_pruned`, the caller applies the residual equality
         predicate — pruning skips whole files, it does not filter rows.
         Deletion vectors are applied as in every read."""
-        version, _, entry = self._snapshot(version)
+        version, _, dvs, entry = self._snapshot_state(version)
         scanned, _ = self.prune_point(version, col, value)
         schema = StructType.fromJson(entry["schema"])
-        return self._scan_segments(version, scanned, schema)
+        return self._scan_segments(version, scanned, schema, dvs=dvs)
 
     def version_at(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (Delta/Iceberg): the latest version
@@ -741,9 +829,9 @@ class VersionedTable:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
-        version, live, entry = self._snapshot(version)
+        version, live, dvs, entry = self._snapshot_state(version)
         schema = StructType.fromJson(entry["schema"])
-        return self._scan_segments(version, live, schema)
+        return self._scan_segments(version, live, schema, dvs=dvs)
 
     # ------------------------------------------------------------- mutations
     def _require_schema(self, df: DataFrame, op: str) -> None:
@@ -1071,28 +1159,16 @@ class VersionedTable:
         POSITION-scoped, not predicate-scoped: rows appended AFTER this
         commit stay live even if they match the predicate."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        v, live, entry = self._snapshot(None)
+        v, live, dvs, entry = self._snapshot_state(None)
         schema = StructType.fromJson(entry["schema"])
         if not live:
             raise ValueError("delete_where_mor: table has no live segments")
-        self._check_present(v, live)
         data_cols = [f.name for f in schema.fields]
-        scan = self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.root, p) for p in live)
-        ).select(*data_cols, *self._identity_cols())
-        dvs = sorted(self._resolve_dvs(v))
-        if dvs:
-            # rows already masked must not re-enter the new DV (harmless
-            # for reads, but it would double-count deletes in the feed)
-            self._check_present(v, dvs)
-            prior = self.spark.read.parquet(
-                *(os.path.join(self.root, d) for d in dvs)
-            )
-            scan = scan.join(
-                F.broadcast(prior),
-                on=["_dv_seg", "_dv_file", "_dv_pos"],
-                how="left_anti",
-            )
+        # the identified scan already excludes previously-masked rows, so
+        # they cannot re-enter the new DV or double-count in the feed
+        scan = self._scan_segments(
+            v, live, schema, dvs=dvs, keep_identity=True
+        )
         matched = scan.where(F.coalesce(cond, F.lit(False)))
         extra: dict = {"condition": str(condition)}
         if self.cdf_enabled:
@@ -1100,7 +1176,8 @@ class VersionedTable:
             matched = matched.persist()
         try:
             dv_rel = self._write_dv(matched, v + 1)
-            extra["dv_add"] = [dv_rel]
+            if dv_rel is not None:
+                extra["dv_add"] = [dv_rel]
             if self.cdf_enabled:
                 extra["cdf"] = self._write_cdf(
                     matched.select(*data_cols).withColumn(
@@ -1133,28 +1210,15 @@ class VersionedTable:
         tables the commit carries update pre/post images and inserts
         from the same scan pipeline."""
         self._require_schema(source, "merge_upsert_mor")
-        v, live, entry = self._snapshot(None)
+        v, live, dvs, entry = self._snapshot_state(None)
         schema = StructType.fromJson(entry["schema"])
         data_cols = [f.name for f in schema.fields]
         extra: dict = {"keys": list(keys)}
-        if not live:
-            identified = None
-        else:
-            self._check_present(v, live)
-            identified = self.spark.read.schema(schema).parquet(
-                *(os.path.join(self.root, p) for p in live)
-            ).select(*data_cols, *self._identity_cols())
-            dvs = sorted(self._resolve_dvs(v))
-            if dvs:
-                self._check_present(v, dvs)
-                prior = self.spark.read.parquet(
-                    *(os.path.join(self.root, d) for d in dvs)
-                )
-                identified = identified.join(
-                    F.broadcast(prior),
-                    on=["_dv_seg", "_dv_file", "_dv_pos"],
-                    how="left_anti",
-                )
+        identified = (
+            self._scan_segments(v, live, schema, dvs=dvs, keep_identity=True)
+            if live
+            else None
+        )
         if self.cdf_enabled and identified is not None:
             # the DV discovery and the change images share one scan
             identified = identified.persist()
@@ -1165,7 +1229,9 @@ class VersionedTable:
                     on=list(keys),
                     how="left_semi",
                 )
-                extra["dv_add"] = [self._write_dv(matched, v + 1)]
+                dv_rel = self._write_dv(matched, v + 1)
+                if dv_rel is not None:
+                    extra["dv_add"] = [dv_rel]
             if self.cdf_enabled:
                 target = (
                     identified.select(*data_cols)
@@ -1345,10 +1411,10 @@ class VersionedTable:
         with manifests; at 100 TB this is what turns a full-table scan
         into a few files).  The caller must still apply its own residual
         predicate: pruning skips whole files, it does not filter rows."""
-        version, _, entry = self._snapshot(version)
+        version, _, dvs, entry = self._snapshot_state(version)
         scanned, _ = self.pruned_segments(version, col, lo, hi)
         schema = StructType.fromJson(entry["schema"])
-        return self._scan_segments(version, scanned, schema)
+        return self._scan_segments(version, scanned, schema, dvs=dvs)
 
     # ------------------------------------------------------------ change feed
     def change_feed(

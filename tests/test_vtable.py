@@ -1215,3 +1215,79 @@ def test_merge_mor_writes_update_and_insert_cdf(spark, vt_root):
         (2, 20, "update_preimage"),
         (50, -50, "insert"),
     ]
+
+
+# --------------------------------------------- review-fix behavior pins
+def test_pure_insert_merge_mor_registers_no_dv(spark, vt_root):
+    """A MOR merge whose keys are all new (the common incremental-ingest
+    shape) must commit as a plain append: no dv_add (the anti-join plan
+    and change-commit stream classification are pay-as-you-go)."""
+    vt = _mk(spark, vt_root, n=4)
+    v1 = vt.merge_upsert_mor(
+        spark.createDataFrame([(100, -1), (200, -2)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    entry = vt._read_commit(v1)
+    assert "dv_add" not in entry
+    assert vt.active_deletion_vectors() == []
+    assert os.listdir(os.path.join(vt_root, "dv")) == []  # no stranded file
+    plan = vt.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # still the plain scan
+    assert vt.read().count() == 6
+    # a no-op MOR delete likewise records no DV
+    v2 = vt.delete_where_mor("k = 99999")
+    assert "dv_add" not in vt._read_commit(v2)
+    assert vt.read().count() == 6
+
+
+def test_create_validates_bloom_args_before_touching_disk(spark, vt_root):
+    df = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("x")
+    )
+    with pytest.raises(ValueError, match="bloom_bits"):
+        VersionedTable.create(
+            spark, vt_root, df, bloom_cols=["k"], bloom_bits=32
+        )
+    # float columns are not bloomable (engine-divergent string forms
+    # would make the probe a false-NEGATIVE machine)
+    with pytest.raises(ValueError, match="supports"):
+        VersionedTable.create(spark, vt_root, df, bloom_cols=["x"])
+    with pytest.raises(ValueError, match="supports"):
+        VersionedTable.create(spark, vt_root, df, bloom_cols=["nope"])
+    assert not os.path.exists(vt_root)  # nothing half-created
+    VersionedTable.create(spark, vt_root, df, bloom_cols=["k"])  # retry ok
+
+
+def test_bloom_probe_rejects_unsafe_value_types(spark, vt_root):
+    vt = _mk_bloom(spark, vt_root)
+    head = vt.latest_version()
+    for bad in (3059.0, True, None):
+        with pytest.raises((TypeError, ValueError)):
+            vt.prune_point(head, "k", bad)
+    # a malformed sidecar payload degrades to scan, never a crash
+    side = sorted(os.listdir(os.path.join(vt_root, "_index")))[0]
+    path = os.path.join(vt_root, "_index", side)
+    payload = json.load(open(path))
+    payload["m"] = "not-a-number"
+    json.dump(payload, open(path, "w"))
+    scanned, _ = vt.prune_point(head, "k", 3061)  # in-range absent
+    assert len(scanned) == 1  # the corrupt-sidecar segment is scanned
+
+
+def test_reserved_dv_identity_names_rejected_at_write(spark, vt_root):
+    bad = spark.range(2).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("_dv_pos")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        VersionedTable.create(spark, vt_root, bad)
+    vt = _mk(spark, vt_root, n=2)
+    with pytest.raises(ValueError, match="reserved"):
+        vt.overwrite(bad)
+    with pytest.raises(ValueError, match="reserved"):
+        vt.append_evolve(
+            spark.range(1).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("x").alias("_dv_seg"),
+            )
+        )
