@@ -857,3 +857,36 @@ def test_dv_mask_is_broadcast_anti_join_no_data_shuffle(spark, sf_dir):
         assert "Exchange hashpartitioning" not in masked, masked[:1500]
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_residual_filter_pushes_through_dv_mask_to_scan(spark, sf_dir):
+    """The caller's residual predicate on a DV-masked read must reach
+    the parquet scan BELOW the anti-join (PushedFilters) with the read
+    schema pruned to the referenced columns — at 100 TB the mask must
+    not turn every filtered read into a full-scan-then-filter."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    d = _tf.mkdtemp(prefix="dv-pushdown-")
+    try:
+        vt = VersionedTable.create(
+            spark,
+            _os.path.join(d, "t"),
+            spark.range(5000).select(
+                _F.col("id").alias("k"), (_F.col("id") * 2).alias("v")
+            ),
+        )
+        vt.delete_where_mor("k % 7 = 0")
+        plan = _plan(vt.read().where(_F.col("k") == 437).select("k", "v"))
+        assert "EqualTo(k,437)" in plan, plan[:2000]  # pushed to the scan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
