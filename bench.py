@@ -199,6 +199,7 @@ HEADLINE = [
     "vtable_mor_time_travel_masks",
     "vtable_mor_change_feed_window",
     "vtable_mor_merge_read",
+    "vtable_mor_dv_compaction_identity",
     "vtable_bloom_point_lookup",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",

@@ -377,6 +377,7 @@ class VersionedTable:
                 dvs = set()  # full replace: the rewrite read applied DVs
             live -= removed
             live |= set(entry["add"])
+            dvs -= set(entry.get("dv_remove", []))  # dv compaction
             dvs |= set(entry.get("dv_add", []))
         if legacy_dv_refold:
             dvs = self._resolve_state(version, use_checkpoint=False)[1]
@@ -1248,6 +1249,33 @@ class VersionedTable:
         self._commit(
             v + 1, "merge_mor", add=add, remove=[], schema=schema,
             extra=extra,
+        )
+        return v + 1
+
+    def compact_dvs(self) -> int:
+        """Deletion-vector maintenance: merge the active DV files into
+        ONE (a long-running MOR table accumulates a position file per
+        delete/merge — every read unions them all, and the log fold
+        carries them forever).  Pure metadata rewrite: no data segment
+        touched, no row changes (the stream source skips the commit like
+        ``compact``, dataChange=false), and reads before/after are
+        value-identical by construction.  Delta folds this into
+        OPTIMIZE; here it is the explicit maintenance surface.  No-op
+        (commit-free) when 0 or 1 DVs are active."""
+        v, _, dvs, entry = self._snapshot_state(None)
+        if len(dvs) <= 1:
+            return v  # nothing to fold
+        self._check_present(v, dvs)
+        merged = self.spark.read.parquet(
+            *(os.path.join(self.root, d) for d in dvs)
+        ).distinct()
+        new_rel = self._write_dv(merged, v + 1)
+        extra = {"dv_remove": sorted(dvs), "folded": len(dvs)}
+        if new_rel is not None:  # always true under the no-empty-DV invariant
+            extra["dv_add"] = [new_rel]
+        self._commit(
+            v + 1, "dv_compact", add=[], remove=[],
+            schema=StructType.fromJson(entry["schema"]), extra=extra,
         )
         return v + 1
 

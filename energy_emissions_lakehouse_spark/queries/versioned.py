@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 9
+_HISTORY_REV = 10
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -177,6 +177,9 @@ def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
       v5 merge_mor   upsert keys %10=0 → status 'R', price*1.2 — matched
                      rows DV-masked, whole source appended, ZERO
                      segments rewritten (merge_upsert_mor)
+      v6 delete_mor  o_orderpriority='1-URGENT' AND o_orderkey%19=0
+      v7 dv_compact  fold the two active DVs into one (metadata-only,
+                     content-identical, stream-skipped like compact)
 
     Deletes/merges write kilobyte position files instead of rewriting
     segments (operators/vtable.py delete_where_mor / merge_upsert_mor)
@@ -203,6 +206,10 @@ def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
         "o_orderpriority",
     )
     vt.merge_upsert_mor(updates, keys=["o_orderkey"])
+    vt.delete_where_mor(
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 19 = 0"
+    )
+    vt.compact_dvs()
 
 
 def _build_bloom(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -796,12 +803,16 @@ _MOR_SQL = """
                o_orderpriority
         FROM orders WHERE (o_orderkey % 10) = 0
     ),
-    mor_head AS (
+    mor_v5 AS (
         SELECT * FROM mor_v4 o
         WHERE NOT EXISTS (SELECT 1 FROM mor_updates u
                           WHERE u.o_orderkey = o.o_orderkey)
         UNION ALL
         SELECT * FROM mor_updates
+    ),
+    mor_head AS (
+        SELECT * FROM mor_v5
+        WHERE NOT (o_orderpriority = '1-URGENT' AND (o_orderkey % 19) = 0)
     )
 """
 
@@ -856,13 +867,20 @@ def vtable_mor_deleted_read(spark, sf_dir) -> DataFrame:
            CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v4
     UNION ALL
     SELECT 5, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_v5
+    UNION ALL
+    SELECT 6, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
+    UNION ALL
+    SELECT 7, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(o_orderkey) AS BIGINT) FROM mor_head
     ORDER BY version
     """,
     survey="S7 V6 — time travel across deletion-vector history: each "
     "snapshot applies exactly the DVs active AT ITS VERSION (v0 none, "
     "v1 one, v2 two, v4 none after compact materialized them, v5 one "
-    "again from the MOR merge)",
+    "again from the MOR merge, v6 two, v7 one folded DV serving the "
+    "identical v6 state)",
 )
 def vtable_mor_time_travel_masks(spark, sf_dir) -> DataFrame:
     """Per-version row count + key checksum over the 5-version DV
@@ -870,7 +888,7 @@ def vtable_mor_time_travel_masks(spark, sf_dir) -> DataFrame:
     correctly, including the post-compact reset."""
     vt = staged_vtable_mor(spark, sf_dir)
     out = None
-    for v in range(6):
+    for v in range(8):
         agg = vt.read(v).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").alias("key_checksum"),
@@ -954,7 +972,7 @@ def vtable_bloom_point_lookup(spark, sf_dir) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
            {scaled_sum_sql('o_totalprice')} AS total_price
-    FROM mor_head
+    FROM mor_v5
     GROUP BY o_orderstatus
     """,
     survey="S7 V9 — merge-on-read MERGE (Iceberg MOR merge / Delta "
@@ -970,7 +988,37 @@ def vtable_mor_merge_read(spark, sf_dir) -> DataFrame:
     leaking onto unmatched rows, a lost insert, or a resurrected
     pre-merge row breaks value parity."""
     vt = staged_vtable_mor(spark, sf_dir)
-    return vt.read().groupBy("o_orderstatus").agg(
+    return vt.read(5).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_mor_dv_compaction_identity",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM mor_head
+    GROUP BY o_orderpriority
+    """,
+    survey="S7 V10 — deletion-vector maintenance (compact_dvs, Delta "
+    "folds this into OPTIMIZE): the active DV files merge into ONE in a "
+    "metadata-only commit (no data segment touched, stream-skipped like "
+    "compact) — a long-running MOR table's per-delete position files "
+    "stop accumulating in every read's union and the log fold",
+)
+def vtable_mor_dv_compaction_identity(spark, sf_dir) -> DataFrame:
+    """Head read THROUGH the folded DV (v7): content must be identical
+    to the two-DV v6 state it replaced — grouped on o_orderpriority, the
+    dimension the v6 delete cut into, so a lost or doubled mask row
+    breaks parity."""
+    vt = staged_vtable_mor(spark, sf_dir)
+    return vt.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),

@@ -182,8 +182,10 @@ class VtableStreamReader(DataSourceStreamReader):
         parts: list[_SegmentFile] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_commit(self.root, v)
-            if entry["op"] == "compact":
-                continue  # content-identical rewrite: dataChange=false
+            if entry["op"] in ("compact", "dv_compact"):
+                # content-identical rewrites (segment bin-pack / DV
+                # fold): dataChange=false, nothing to replay
+                continue
             # a commit that removes segments OR adds a deletion vector
             # (merge-on-read delete: remove=[], rows masked by position)
             # changes existing rows — never replayable as a plain append

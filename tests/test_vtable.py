@@ -1291,3 +1291,54 @@ def test_reserved_dv_identity_names_rejected_at_write(spark, vt_root):
                 F.lit("x").alias("_dv_seg"),
             )
         )
+
+
+def test_compact_dvs_folds_active_set_identically(spark, vt_root):
+    """DV maintenance: N active position files fold into ONE in a
+    metadata-only commit — reads identical before/after, time travel to
+    the pre-fold version still serves the old DVs, single-DV tables
+    no-op commit-free, and the stream source skips the commit like
+    compact (dataChange=false)."""
+    vt = _mk(spark, vt_root, n=20)
+    vt.delete_where_mor("k % 5 = 0")
+    vt.delete_where_mor("k = 7")
+    vt.merge_upsert_mor(
+        spark.createDataFrame([(3, -3), (100, -100)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    assert len(vt.active_deletion_vectors()) == 3
+    before = _rows(vt.read())
+    v = vt.compact_dvs()
+    assert len(vt.active_deletion_vectors()) == 1
+    assert vt._read_commit(v)["folded"] == 3
+    assert _rows(vt.read()) == before
+    assert _rows(vt.read(v - 1)) == before  # pre-fold: old DVs intact
+    # idempotent: one active DV -> no-op, no commit
+    assert vt.compact_dvs() == v
+    assert vt.latest_version() == v
+    # the stream planner classifies dv_compact as dataChange=false
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        VtableStreamReader,
+    )
+
+    reader = VtableStreamReader(
+        vt.root,
+        ST([SF("k", LongType()), SF("v", LongType())]),
+        {"skipChangeCommits": "true"},
+    )
+    parts_all = reader.partitions({"version": -1}, {"version": v})
+    parts_to_fold = reader.partitions({"version": -1}, {"version": v - 1})
+    assert len(parts_all) == len(parts_to_fold)  # the fold commit adds none
+    # vacuum with only the post-fold version retained reclaims the
+    # folded-away DV files
+    vt.append(
+        spark.range(200, 202).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    deleted = vt.vacuum(retain_last=1)
+    assert sum(1 for d in deleted if d.startswith("dv/")) == 3
+    assert len(os.listdir(os.path.join(vt.root, "dv"))) == 1
+    assert dict(_rows(vt.read()))[3] == -3  # merged DV still serving
