@@ -200,6 +200,9 @@ HEADLINE = [
     "vtable_mor_change_feed_window",
     "vtable_mor_merge_read",
     "vtable_mor_dv_compaction_identity",
+    "vtable_restore_read",
+    "vtable_restore_time_travel",
+    "vtable_constraint_audit",
     "vtable_bloom_point_lookup",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",

@@ -84,6 +84,12 @@ _DV_IDENTITY_COLS = ("_dv_seg", "_dv_file", "_dv_pos")
 #: Column types whose Spark cast-to-string equals Python's str() on the
 #: probe value — the precondition for bloom indexing (see create()).
 _BLOOMABLE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+#: CHECK-constraint names must be identifier-shaped: they are embedded in
+#: the ``stack()`` literal of :meth:`VersionedTable.validate_constraints`
+#: and in error messages — a quote or comma would corrupt both.
+_CONSTRAINT_NAME_OK = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
@@ -92,6 +98,12 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first.  Optimistic-concurrency
     contract: re-read the latest snapshot, re-derive the operation against
     it, and retry at the new version (the Delta PROTOCOL.md loop)."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write carried rows violating an active CHECK constraint (Delta
+    constraints semantics: the batch is rejected WHOLE, the table is
+    untouched, and the offending segment is cleaned up before raising)."""
 
 
 def _fmt_version(version: int) -> str:
@@ -123,6 +135,41 @@ def read_commit(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _violation_pred(expr_sql: str) -> Column:
+    """A row VIOLATES a CHECK constraint iff the predicate is FALSE.
+    SQL-standard CHECK semantics: UNKNOWN (null) passes — so ``NOT NULL``
+    must be spelled explicitly (``c IS NOT NULL``), exactly like ANSI
+    table constraints and Delta's CHECK."""
+    return ~F.coalesce(F.expr(expr_sql), F.lit(True))
+
+
+def _check_constraint_defs(
+    spark: SparkSession, constraints: dict[str, str], schema: StructType
+) -> None:
+    """Reject malformed constraint DEFINITIONS (names and expressions)
+    without touching any data: the expression is analyzed against a
+    zero-row local relation of the table schema, so an unresolvable
+    column or a parse error surfaces here — cheap enough to run before
+    any mkdir/write."""
+    for name, expr_sql in constraints.items():
+        if not name or not set(name) <= _CONSTRAINT_NAME_OK:
+            raise ValueError(
+                f"constraint name {name!r} must be a non-empty "
+                "[A-Za-z0-9_] identifier (it is embedded in the "
+                "validation stack() literal and error messages)"
+            )
+        if not isinstance(expr_sql, str) or not expr_sql.strip():
+            raise ValueError(
+                f"constraint {name!r}: expression must be a non-empty "
+                "SQL predicate string"
+            )
+        # empty local relation: full analysis (resolution + type check),
+        # zero scan.  collect() forces it; the result is always [].
+        spark.createDataFrame([], schema).where(
+            _violation_pred(expr_sql)
+        ).collect()
+
+
 class VersionedTable:
     """Handle on a vtable root.  All mutating ops append ONE commit."""
 
@@ -146,6 +193,7 @@ class VersionedTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1 << 19,
         bloom_k: int = 5,
+        constraints: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """Initialize ``root`` with version 0 = ``df``.  Fails if a log
         already exists (use :meth:`overwrite` to replace content).
@@ -165,7 +213,14 @@ class VersionedTable:
         bug), so such columns are rejected at create time.  Sizing rule:
         ``bloom_bits`` ≈ 10× the expected rows per segment gives ~1%
         false-positive rate at ``bloom_k=5``; a false positive only
-        costs a scan, never correctness."""
+        costs a scan, never correctness.
+        ``constraints`` (Delta's CHECK constraints,
+        ``delta.constraints.<name>``): a ``{name: sql_predicate}`` map
+        every later write is validated against — see
+        :meth:`add_constraint` for the semantics.  The initial ``df``
+        must satisfy them too; a violating create tears the whole root
+        back down (nothing referenced it yet) so the call is safely
+        retryable."""
         # validate BEFORE any mkdir: a rejected create must leave no
         # half-created root (the retry would hit 'already exists')
         clash = [c for c in df.columns if c in _DV_IDENTITY_COLS]
@@ -189,6 +244,12 @@ class VersionedTable:
                     f"supports {sorted(_BLOOMABLE_TYPES)} columns only "
                     "(canonical-string hashing; see create docstring)"
                 )
+        if constraints:
+            # still pre-mkdir: bad names/expressions must reject the
+            # create before anything lands on disk.  (Whether the DATA
+            # satisfies them needs the written segment — that failure
+            # path tears the root down below.)
+            _check_constraint_defs(spark, constraints, df.schema)
         log_dir = os.path.join(root, LOG_DIR)
         if os.path.isdir(log_dir):
             raise FileExistsError(f"versioned table already exists: {root}")
@@ -205,7 +266,19 @@ class VersionedTable:
             props["bloomK"] = int(bloom_k)
             os.makedirs(os.path.join(root, INDEX_DIR), mode=0o700)
             table._bloom_props = (list(bloom_cols), bloom_bits, bloom_k)
+        if constraints:
+            props["constraints"] = dict(constraints)
         add = [table._write_segment(df, 0)]
+        if constraints:
+            # data validation needs the written segment (the input plan
+            # is computed exactly once); a violation means NOTHING ever
+            # referenced this root — tear it down whole so the create is
+            # retryable, then raise like any rejected write
+            try:
+                table._enforce_constraints(add, dict(constraints), "create")
+            except ConstraintViolationError:
+                shutil.rmtree(root, ignore_errors=True)
+                raise
         table._commit(
             0, "create", add=add, remove=[], schema=df.schema,
             extra={"properties": props},
@@ -235,6 +308,183 @@ class VersionedTable:
                 int(props.get("bloomK", 0)),
             )
         return self._bloom_props
+
+    # ----------------------------------------------------- CHECK constraints
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The CHECK constraints active at ``version`` (Delta's
+        ``delta.constraints.*`` table properties): the newest
+        ``set_constraint`` commit at or before it wins, falling back to
+        the create-time map.  Constraints are governance metadata, not
+        data — :meth:`restore` does NOT revert them (a loosened check
+        must not silently re-tighten because someone restored data).
+        O(versions) driver-side JSON reads worst case, same order as
+        :meth:`history` — vtable logs are short; a long-log deployment
+        would fold this into the checkpoints like the txn map."""
+        versions = self._versions()
+        if not versions:
+            return {}
+        if version is None:
+            version = versions[-1]
+        for v in reversed([x for x in versions if x <= version]):
+            entry = self._read_commit(v)
+            if "constraints" in entry:
+                return dict(entry["constraints"])
+            if v == 0:
+                return dict(
+                    entry.get("properties", {}).get("constraints", {})
+                )
+        return {}
+
+    def _enforce_constraints(
+        self, rels: list[str], cons: dict[str, str], op: str
+    ) -> None:
+        """Validate freshly WRITTEN segments against ``cons`` — one
+        aggregate job over the new files only (never the table), all
+        constraints folded into a single pass.  This is the Delta shape:
+        enforcement cost is O(delta), not O(table); here it is a second
+        scan of the just-written parquet rather than inline write-job
+        checks, trading one small re-read for keeping every writer on
+        the plain DataFrame writer.  On violation the segments are
+        deleted (nothing referenced them yet) and the whole batch is
+        rejected — the table is untouched."""
+        if not cons or not rels:
+            return
+        seg = self.spark.read.parquet(
+            *(os.path.join(self.root, r) for r in rels)
+        )
+        names = sorted(cons)
+        try:
+            row = seg.agg(
+                *[
+                    F.sum(
+                        F.when(_violation_pred(cons[n]), 1).otherwise(0)
+                    ).alias(n)
+                    for n in names
+                ]
+            ).collect()[0]
+        except Exception as exc:
+            # e.g. overwrite() evolved the schema out from under a
+            # constraint that references a now-dropped column: the check
+            # cannot be evaluated, so the write must not land — clean up
+            # and reject loudly (Delta requires dropping the constraint
+            # before an incompatible schema change, same contract here)
+            for r in rels:
+                shutil.rmtree(
+                    os.path.join(self.root, r), ignore_errors=True
+                )
+            raise ConstraintViolationError(
+                f"{op}: active CHECK constraint(s) {names} could not be "
+                "evaluated against the written batch (incompatible "
+                "schema change? drop_constraint first) — batch rejected, "
+                f"table unchanged [{exc}]"
+            ) from exc
+        bad = {n: int(row[n]) for n in names if row[n]}
+        if bad:
+            for r in rels:
+                shutil.rmtree(
+                    os.path.join(self.root, r), ignore_errors=True
+                )
+            worst = max(bad, key=bad.get)
+            raise ConstraintViolationError(
+                f"{op}: {sum(bad.values())} row(s) violate CHECK "
+                f"constraint(s) {sorted(bad)} (e.g. {worst!r}: "
+                f"{cons[worst]}) — batch rejected, table unchanged"
+            )
+
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK semantics): the
+        predicate must hold on EVERY current row — validated with one
+        aggregate over the head snapshot before the metadata commit —
+        and every later write is validated against it at segment-write
+        time.  UNKNOWN passes (ANSI CHECK); spell NOT NULL explicitly."""
+        v, live, dvs, entry = self._snapshot_state(None)
+        cons = self.constraints(v)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]!r} "
+                "(drop_constraint first to replace it)"
+            )
+        schema = StructType.fromJson(entry["schema"])
+        _check_constraint_defs(self.spark, {name: expr_sql}, schema)
+        n_bad = (
+            self._scan_segments(v, live, schema, dvs=dvs)
+            .where(_violation_pred(expr_sql))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolationError(
+                f"add_constraint({name!r}): existing rows violate "
+                f"{expr_sql!r} — constraint not added"
+            )
+        cons[name] = expr_sql
+        self._commit(
+            v + 1, "set_constraint", add=[], remove=[], schema=schema,
+            extra={"constraints": cons, "constraint_added": name},
+        )
+        return v + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+        named check from the active map."""
+        v, _, entry = self._snapshot(None)
+        cons = self.constraints(v)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint named {name!r} (have {sorted(cons)})"
+            )
+        del cons[name]
+        self._commit(
+            v + 1, "set_constraint", add=[], remove=[],
+            schema=StructType.fromJson(entry["schema"]),
+            extra={"constraints": cons, "constraint_dropped": name},
+        )
+        return v + 1
+
+    def validate_constraints(
+        self,
+        version: int | None = None,
+        extra_checks: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Audit surface: one row per check — (check_name, n_violations,
+        n_rows) over the snapshot.  Active table constraints always
+        report 0 (writes enforce them); ``extra_checks`` are what-if
+        predicates audited in the SAME single aggregate pass (e.g. "how
+        many rows would violate a tightened floor?").  Lazy: one
+        groupless aggregate job over the snapshot, then a constant-size
+        stack() unpivot — nothing per-row crosses the driver."""
+        version, _, _, entry = self._snapshot_state(version)
+        cons = {**self.constraints(version), **(extra_checks or {})}
+        if not cons:
+            raise ValueError("table has no constraints and no extra_checks")
+        _check_constraint_defs(
+            self.spark, cons, StructType.fromJson(entry["schema"])
+        )
+        names = sorted(cons)
+        agg = self.read(version).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(_violation_pred(cons[n]), 1).otherwise(0)
+                ).alias(f"__c{i}")
+                for i, n in enumerate(names)
+            ],
+        )
+        pairs = ", ".join(
+            f"'{n}', coalesce(__c{i}, 0L)" for i, n in enumerate(names)
+        )
+        return agg.selectExpr(
+            f"stack({len(names)}, {pairs}) AS (check_name, n_violations)",
+            "n_rows",
+        )
+
+    def constraint_violations(
+        self, expr_sql: str, version: int | None = None
+    ) -> DataFrame:
+        """The rows of ``version`` violating a what-if predicate (UNKNOWN
+        passes, like CHECK) — the row-level companion to
+        :meth:`validate_constraints`."""
+        return self.read(version).where(_violation_pred(expr_sql))
 
     # ------------------------------------------------------------- log layer
     def _commit_path(self, version: int) -> str:
@@ -461,6 +711,16 @@ class VersionedTable:
             DATA_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("error").parquet(os.path.join(self.root, rel))
+        # CHECK-constraint enforcement at the same choke point: every new
+        # data segment is validated against the head's active constraints
+        # (one aggregate over the NEW files only — O(delta), never
+        # O(table)); a violating segment is deleted and the write raises
+        # before any commit can reference it.  Empty log = mid-create:
+        # create() validates explicitly against its own map.
+        if self._versions():
+            self._enforce_constraints(
+                [rel], self.constraints(), "write"
+            )
         return rel
 
     def _write_cdf(self, changes: DataFrame, version_hint: int) -> str:
@@ -1278,6 +1538,52 @@ class VersionedTable:
             schema=StructType.fromJson(entry["schema"]), extra=extra,
         )
         return v + 1
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): make the
+        head serve exactly the state of ``version`` — as a NEW commit,
+        never by rewriting history (time travel to every intermediate
+        version keeps working, and the restore itself is auditable and
+        restorable-from).  Pure METADATA: the commit re-references the
+        target's still-on-disk segments (``add`` = target-not-current,
+        ``remove`` = current-not-target) and swaps the deletion-vector
+        set to the target's — no data moves, which is the whole point at
+        100 TB (Delta RESTORE is the same file-list diff).  The schema
+        recorded is the TARGET's, so restoring past an append_evolve
+        narrows the served schema back (segment scans project columns by
+        name, so any still-live wider segment reads fine).  Constraints
+        are NOT reverted — see :meth:`constraints`.  Fails loudly if the
+        target's segments were vacuumed (Delta: cannot restore past the
+        retention window).  Restoring to the current state is a no-op
+        (no commit).  Streams treat a restore commit as a data CHANGE
+        (rows it resurrects/removes are not an append) — the source
+        raises unless skipChangeCommits, like merge/delete."""
+        v_now, live_now, dvs_now, entry_now = self._snapshot_state(None)
+        v_t, live_t, dvs_t, entry_t = self._snapshot_state(version)
+        add = sorted(set(live_t) - set(live_now))
+        remove = sorted(set(live_now) - set(live_t))
+        same_dvs = set(dvs_t) == set(dvs_now)
+        if not add and not remove and same_dvs and (
+            entry_t["schema"] == entry_now["schema"]
+        ):
+            return v_now  # already serving the target state
+        # the resurrected files must still exist — a vacuumed target is
+        # unrestorable and must say so, never read as zero rows
+        self._check_present(v_t, list(live_t) + list(dvs_t))
+        extra: dict = {"restored_from": v_t}
+        if dvs_t or dvs_now:
+            # record FULL sets, not diffs — and even when the sets are
+            # EQUAL: the fold's full-replace rule (removed >= live resets
+            # dvs) may or may not fire depending on live-set overlap, and
+            # `dvs := (dvs - dv_remove) | dv_add` lands on exactly the
+            # target set from either starting point
+            extra["dv_remove"] = sorted(dvs_now)
+            extra["dv_add"] = sorted(dvs_t)
+        self._commit(
+            v_now + 1, "restore", add=add, remove=remove,
+            schema=StructType.fromJson(entry_t["schema"]), extra=extra,
+        )
+        return v_now + 1
 
     def active_deletion_vectors(self, version: int | None = None) -> list[str]:
         """The DV files masking rows at ``version`` (empty after any

@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 10
+_HISTORY_REV = 11
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -234,11 +234,71 @@ def _build_bloom(spark: SparkSession, sf_dir: str, root: str) -> None:
         vt.append(orders.filter(octile == i))
 
 
+def _build_admin(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A sixth vtable exercising RESTORE and CHECK constraints, on
+    customer (all prior vtables are orders-derived):
+
+      v0 create    full customer, with two CHECK constraints
+                   (acctbal_floor, custkey_positive) every later write
+                   is validated against
+      v1 delete    WHERE c_mktsegment = 'BUILDING'   (copy-on-write)
+      v2 evolve    promo batch: keys shifted +1,000,000 carrying a NEW
+                   c_tier column (schema widens)
+      v3 restore   TO VERSION 0 — pure metadata commit: the v1/v2
+                   segments drop out, the v0 segment is re-referenced,
+                   the schema narrows back; v1/v2 stay time-travelable
+      v4 append    second batch, keys shifted +2,000,000 (original
+                   schema — proof the restored schema governs writes)
+
+    Head = customer UNION ALL the +2M batch, exactly — a restore that
+    leaks a v1 delete, resurrects the v2 evolve rows, or misfolds the
+    re-reference breaks value parity."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    vt = VersionedTable.create(
+        spark, root, cust,
+        constraints={
+            "acctbal_floor": "c_acctbal >= -1000.0",
+            # keys are 0-based in the corpus, so the floor is >= 0
+            "custkey_nonneg": "c_custkey IS NOT NULL AND c_custkey >= 0",
+        },
+    )
+    vt.delete_where("c_mktsegment = 'BUILDING'")
+    promo = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("gold").alias("c_tier"),
+    )
+    vt.append_evolve(promo)
+    vt.restore(0)
+    vt.append(
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + F.lit(2000000)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+
+
 def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
     """The staged artifact holding the vtables (the 5-version history,
     the key-ranged layout, and the z-ordered layout); built once per
     corpus version."""
-    key = table_cache_key(sf_dir, "orders", "vtable", _HISTORY_REV)
+    key = table_cache_key(
+        sf_dir, "orders", "vtable", _HISTORY_REV,
+        # the admin table derives from CUSTOMER — fold its version into
+        # the key too (round-7 lesson: every source the artifact reads
+        # must key it, or a regenerated corpus serves a stale history)
+        table_cache_key(sf_dir, "customer", "admin"),
+    )
     memo_key = (id(spark), sf_dir, key)
     if not fresh and memo_key in _VT_MEMO:
         return _VT_MEMO[memo_key]
@@ -249,6 +309,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
         _build_zorder(spark, sf_dir, os.path.join(tmp, "table_zorder"))
         _build_mor(spark, sf_dir, os.path.join(tmp, "table_mor"))
         _build_bloom(spark, sf_dir, os.path.join(tmp, "table_bloom"))
+        _build_admin(spark, sf_dir, os.path.join(tmp, "table_admin"))
 
     base = staged_artifact("vtable", key, _populate, fresh=fresh)
     _VT_MEMO[memo_key] = base
@@ -310,6 +371,18 @@ def staged_vtable_bloom(
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_bloom"))
+
+
+def staged_vtable_admin(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged RESTORE + CHECK-constraint customer vtable."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_admin"))
 
 
 @register(
@@ -1023,3 +1096,139 @@ def vtable_mor_dv_compaction_identity(spark, sf_dir) -> DataFrame:
         F.sum("o_orderkey").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+#: The admin-table SQL reconstructions (see _build_admin for the build):
+#: each version's state as a pure function of customer.
+_ADMIN_SQL = """
+    admin_v1 AS (
+        SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ),
+    admin_promo AS (
+        SELECT CAST(c_custkey + 1000000 AS BIGINT) AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE (c_custkey % 7) = 0
+    ),
+    admin_head AS (
+        SELECT * FROM customer
+        UNION ALL
+        SELECT CAST(c_custkey + 2000000 AS BIGINT) AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE (c_custkey % 7) = 0
+    )
+"""
+
+
+@register(
+    "vtable_restore_read",
+    oracle=f"""
+    WITH {_ADMIN_SQL}
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('c_acctbal')} AS acctbal_sum
+    FROM admin_head
+    GROUP BY c_mktsegment
+    """,
+    survey="S7 V11 — RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): "
+    "the head serves exactly the restored version's state via a PURE "
+    "METADATA commit (file-list diff: re-reference the target's "
+    "segments, drop the later ones, swap the DV set) — no data rewritten "
+    "at any scale; history stays intact and auditable",
+)
+def vtable_restore_read(spark, sf_dir) -> DataFrame:
+    """Head read after restore(0) + one post-restore append: must be
+    customer + the +2M batch EXACTLY — a restore that leaks the v1
+    delete (BUILDING rows missing), resurrects the v2 evolve batch (+1M
+    keys present), or misfolds the re-referenced segment breaks value
+    parity.  Grouped on c_mktsegment, the dimension v1 deleted by."""
+    vt = staged_vtable_admin(spark, sf_dir)
+    return vt.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").alias("key_checksum"),
+        scaled_sum(F.col("c_acctbal")).alias("acctbal_sum"),
+    )
+
+
+@register(
+    "vtable_restore_time_travel",
+    oracle=f"""
+    WITH {_ADMIN_SQL}
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum FROM customer
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT) FROM admin_v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+    FROM (SELECT c_custkey FROM admin_v1
+          UNION ALL SELECT c_custkey FROM admin_promo)
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT) FROM admin_head
+    ORDER BY version
+    """,
+    survey="S7 V12 — restore preserves history (restore-as-new-commit, "
+    "never log rewrite): time travel to the pre-restore delete (v1) and "
+    "evolve (v2) states keeps serving them, the restored head (v3) "
+    "equals the target (v0), and writes continue on top (v4)",
+)
+def vtable_restore_time_travel(spark, sf_dir) -> DataFrame:
+    """Per-version count + key checksum across the whole admin history,
+    INCLUDING the versions the restore 'undid' — the proof that restore
+    is additive history, not destruction."""
+    vt = staged_vtable_admin(spark, sf_dir)
+    out = None
+    for v in range(5):
+        agg = vt.read(v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_checksum"),
+        ).select(F.lit(v).alias("version"), "n_rows", "key_checksum")
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("version")
+
+
+@register(
+    "vtable_constraint_audit",
+    oracle=f"""
+    WITH {_ADMIN_SQL}
+    SELECT check_name, n_violations, n_rows FROM (
+        SELECT 'acctbal_floor' AS check_name,
+               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= -1000.0, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM admin_head
+        UNION ALL
+        SELECT 'acctbal_nonneg',
+               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= 0.0, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM admin_head
+        UNION ALL
+        SELECT 'custkey_nonneg',
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                            c_custkey IS NOT NULL AND c_custkey >= 0, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM admin_head
+    ) ORDER BY check_name
+    """,
+    survey="S7 V13 — CHECK constraints (Delta delta.constraints.*): "
+    "writes are validated against the active predicate map at segment-"
+    "write time in ONE aggregate over the new files (O(delta), never "
+    "O(table)); validate_constraints() is the audit surface — active "
+    "constraints prove 0 violations, what-if predicates count in the "
+    "same single pass",
+)
+def vtable_constraint_audit(spark, sf_dir) -> DataFrame:
+    """The two enforced constraints audit to zero violations on the
+    head (enforcement is the invariant, the audit is the proof), and a
+    what-if tightened floor (acctbal >= 0) counts its would-be
+    violations in the same single aggregate pass."""
+    vt = staged_vtable_admin(spark, sf_dir)
+    return vt.validate_constraints(
+        extra_checks={"acctbal_nonneg": "c_acctbal >= 0.0"}
+    ).orderBy("check_name")

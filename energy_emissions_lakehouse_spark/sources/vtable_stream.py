@@ -188,8 +188,15 @@ class VtableStreamReader(DataSourceStreamReader):
                 continue
             # a commit that removes segments OR adds a deletion vector
             # (merge-on-read delete: remove=[], rows masked by position)
-            # changes existing rows — never replayable as a plain append
-            if entry["remove"] or entry.get("dv_add"):
+            # changes existing rows — never replayable as a plain append.
+            # RESTORE is a data change by definition (resurrected rows
+            # are not appends), whatever its file-diff shape — Delta
+            # sources treat it the same way.
+            if (
+                entry["remove"]
+                or entry.get("dv_add")
+                or entry["op"] == "restore"
+            ):
                 if self.read_cdf and entry.get("cdf"):
                     parts.extend(
                         _SegmentFile(p, self.target, version=v, kind="cdf")

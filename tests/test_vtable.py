@@ -1342,3 +1342,288 @@ def test_compact_dvs_folds_active_set_identically(spark, vt_root):
     assert sum(1 for d in deleted if d.startswith("dv/")) == 3
     assert len(os.listdir(os.path.join(vt.root, "dv"))) == 1
     assert dict(_rows(vt.read()))[3] == -3  # merged DV still serving
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, vt_root):
+    """RESTORE = new commit with a file-list diff: the head serves the
+    target state exactly, NO data directory is written, every
+    intermediate version keeps time-traveling, restoring to the current
+    state no-ops commit-free, and writes continue on top."""
+    vt = _mk(spark, vt_root, n=20)
+    v0_rows = _rows(vt.read())
+    vt.delete_where("k % 5 = 0")                      # v1 copy-on-write
+    vt.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )                                                  # v2
+    n_dirs = len(os.listdir(os.path.join(vt_root, "data")))
+    v = vt.restore(0)                                  # v3: pure metadata
+    assert v == 3
+    assert len(os.listdir(os.path.join(vt_root, "data"))) == n_dirs
+    assert _rows(vt.read()) == v0_rows
+    assert vt._read_commit(3)["restored_from"] == 0
+    # history intact: the "undone" versions still serve
+    assert _rows(vt.read(1)) == [r for r in v0_rows if r[0] % 5 != 0]
+    assert vt.read(2).count() == len(v0_rows) - 4 + 3
+    # restoring to the state already served: no-op, no commit
+    assert vt.restore(3) == 3
+    assert vt.restore(0) == 3
+    assert vt.latest_version() == 3
+    # writes continue on top of the restored state
+    vt.append(
+        spark.range(200, 202).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )                                                  # v4
+    assert vt.read().count() == len(v0_rows) + 2
+    # vacuum keeps the re-referenced segment: head stays readable
+    vt.vacuum(retain_last=1)
+    assert _rows(vt.read())[: len(v0_rows)] == v0_rows
+
+
+def test_restore_swaps_deletion_vector_state(spark, vt_root):
+    """Restore across MOR history must swap the ACTIVE DV SET both ways:
+    back to pre-delete (masks lifted) and forward again onto a DV
+    version (masks re-applied via the re-referenced position files)."""
+    vt = _mk(spark, vt_root, n=20)
+    all_rows = _rows(vt.read())
+    vt.delete_where_mor("k % 4 = 0")                   # v1: DV #1
+    masked = _rows(vt.read())
+    assert len(vt.active_deletion_vectors()) == 1
+    v = vt.restore(0)                                  # v2: DV set -> empty
+    assert vt.active_deletion_vectors() == []
+    assert _rows(vt.read()) == all_rows
+    v = vt.restore(1)                                  # v3: DV set restored
+    assert len(vt.active_deletion_vectors()) == 1
+    assert _rows(vt.read()) == masked
+    assert v == 3
+
+
+def test_restore_across_evolution_narrows_schema(spark, vt_root):
+    """Restoring past an append_evolve serves the TARGET's (narrower)
+    schema again; the evolved version keeps its wide schema under time
+    travel."""
+    vt = _mk(spark, vt_root, n=5)
+    vt.append_evolve(
+        spark.range(50, 52).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("tag"),
+        )
+    )                                                  # v1: wide
+    assert vt.read().columns == ["k", "v", "tag"]
+    vt.restore(0)                                      # v2: narrow again
+    assert vt.read().columns == ["k", "v"]
+    assert vt.read(1).columns == ["k", "v", "tag"]
+    # schema-on-write follows the RESTORED schema
+    vt.append(
+        spark.range(60, 61).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    assert vt.read().count() == 6
+
+
+def test_restore_vacuumed_target_fails_loudly(spark, vt_root):
+    """A restore target whose segments were vacuumed must raise, never
+    read as zero rows (Delta: cannot restore past retention)."""
+    vt = _mk(spark, vt_root, n=5)
+    vt.overwrite(
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.overwrite(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.vacuum(retain_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        vt.restore(0)
+
+
+def test_stream_source_treats_restore_as_change_commit(spark, vt_root):
+    """A restore resurrects/removes rows — never replayable as an
+    append: the source raises by default and skips the commit wholesale
+    under skipChangeCommits (re-referenced segments must NOT re-stream)."""
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        VtableStreamReader,
+    )
+
+    vt = _mk(spark, vt_root, n=5)
+    vt.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )                                                  # v1
+    v = vt.restore(0)                                  # v2
+    schema = ST([SF("k", LongType()), SF("v", LongType())])
+    strict = VtableStreamReader(vt.root, schema, {})
+    with pytest.raises(RuntimeError, match="restore"):
+        strict.partitions({"version": -1}, {"version": v})
+    lax = VtableStreamReader(
+        vt.root, schema, {"skipChangeCommits": "true"}
+    )
+    parts_all = lax.partitions({"version": -1}, {"version": v})
+    parts_pre = lax.partitions({"version": -1}, {"version": v - 1})
+    assert len(parts_all) == len(parts_pre)  # restore replayed nothing
+
+
+def _mk_checked(spark, root, n=10):
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return VersionedTable.create(
+        spark, root, df, constraints={"v_nonneg": "v >= 0"}
+    )
+
+
+def test_create_constraint_rejects_bad_defs_before_mkdir(spark, vt_root):
+    """Malformed constraint DEFINITIONS reject the create before any
+    mkdir — a retry must not hit 'already exists'."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    for bad in (
+        {"has space": "k >= 0"},
+        {"": "k >= 0"},
+        {"c1": "   "},
+        {"c1": "no_such_col > 0"},
+    ):
+        with pytest.raises(Exception):
+            VersionedTable.create(spark, vt_root, df, constraints=bad)
+        assert not os.path.exists(vt_root)
+    VersionedTable.create(spark, vt_root, df, constraints={"k_ok": "k >= 0"})
+
+
+def test_create_constraint_violating_data_tears_root_down(spark, vt_root):
+    """Data violating a constraint at create time rejects the create and
+    removes the half-built root — the call is retryable."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    df = spark.range(5).select(
+        F.col("k").alias("k")
+        if False
+        else F.col("id").alias("k"),
+        (F.col("id") - 2).alias("v"),  # v in [-2, 2]: two violations
+    )
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        VersionedTable.create(
+            spark, vt_root, df, constraints={"v_nonneg": "v >= 0"}
+        )
+    assert not os.path.exists(vt_root)
+    _mk_checked(spark, vt_root)  # retry with clean data succeeds
+
+
+def test_write_enforcement_rejects_batch_wholesale(spark, vt_root):
+    """A violating batch is rejected WHOLE at segment-write time — the
+    table is untouched and the offending segment is cleaned up (no
+    orphan for vacuum to sweep)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    vt = _mk_checked(spark, vt_root)
+    before = _rows(vt.read())
+    n_dirs = len(os.listdir(os.path.join(vt_root, "data")))
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") - 1).alias("v")
+    )
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.append(bad)
+    assert vt.latest_version() == 0
+    assert _rows(vt.read()) == before
+    assert len(os.listdir(os.path.join(vt_root, "data"))) == n_dirs
+    # merge goes through the same choke point
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.merge_upsert(bad, keys=["k"])
+    assert _rows(vt.read()) == before
+
+
+def test_add_drop_constraint_lifecycle(spark, vt_root):
+    """add_constraint validates EXISTING rows first; the active map
+    follows set_constraint commits; UNKNOWN passes (ANSI CHECK) so NOT
+    NULL must be spelled explicitly; drop_constraint re-opens the gate."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    vt = _mk(spark, vt_root, n=10)  # k in [0,9], v = 10k
+    with pytest.raises(ConstraintViolationError, match="not added"):
+        vt.add_constraint("k_big", "k >= 5")  # existing rows violate
+    assert vt.constraints() == {}
+    vt.add_constraint("v_cap", "v <= 1000")
+    assert vt.constraints() == {"v_cap": "v <= 1000"}
+    with pytest.raises(ValueError, match="already exists"):
+        vt.add_constraint("v_cap", "v <= 500")
+    with pytest.raises(ConstraintViolationError, match="v_cap"):
+        vt.append(
+            spark.createDataFrame([(50, 5000)], "k bigint, v bigint")
+        )
+    # UNKNOWN passes: a NULL v satisfies v_cap (ANSI CHECK semantics)
+    vt.append(spark.createDataFrame([(60, None)], "k bigint, v bigint"))
+    assert (60, None) in _rows(vt.read())
+    # ... until NOT NULL is spelled explicitly
+    vt.drop_constraint("v_cap")
+    with pytest.raises(ConstraintViolationError):
+        vt.add_constraint("v_notnull", "v IS NOT NULL")  # the null row
+    vt.delete_where("v IS NULL")
+    vt.add_constraint("v_notnull", "v IS NOT NULL")
+    with pytest.raises(ConstraintViolationError, match="v_notnull"):
+        vt.append(
+            spark.createDataFrame([(61, None)], "k bigint, v bigint")
+        )
+    vt.append(spark.createDataFrame([(70, 7000)], "k bigint, v bigint"))
+    with pytest.raises(ValueError, match="no constraint named"):
+        vt.drop_constraint("ghost")
+
+
+def test_validate_constraints_audit(spark, vt_root):
+    """One-pass audit: active constraints report 0 (writes enforce
+    them); extra what-if checks count their would-be violations."""
+    vt = _mk_checked(spark, vt_root)  # v = 10k, k in [0,9]
+    got = {
+        r.check_name: (r.n_violations, r.n_rows)
+        for r in vt.validate_constraints(
+            extra_checks={"v_cap_50": "v <= 50"}
+        ).collect()
+    }
+    assert got == {"v_nonneg": (0, 10), "v_cap_50": (4, 10)}
+    with pytest.raises(ValueError, match="no constraints"):
+        _mk(spark, vt_root + "2").validate_constraints()
+    assert vt.constraint_violations("v <= 50").count() == 4
+
+
+def test_constraints_survive_restore(spark, vt_root):
+    """Constraints are governance metadata: restore reverts DATA, not
+    the active constraint map."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    vt = _mk(spark, vt_root, n=5)
+    vt.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )                                                  # v1
+    vt.add_constraint("v_nonneg", "v >= 0")            # v2
+    vt.restore(1)                                      # v3
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.append(
+            spark.createDataFrame([(99, -1)], "k bigint, v bigint")
+        )
