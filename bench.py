@@ -203,6 +203,8 @@ HEADLINE = [
     "vtable_restore_read",
     "vtable_restore_time_travel",
     "vtable_constraint_audit",
+    "vtable_sql_source_mor_scan",
+    "vtable_sql_source_pushdown_point",
     "vtable_bloom_point_lookup",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",

@@ -1232,3 +1232,82 @@ def vtable_constraint_audit(spark, sf_dir) -> DataFrame:
     return vt.validate_constraints(
         extra_checks={"acctbal_nonneg": "c_acctbal >= 0.0"}
     ).orderBy("check_name")
+
+
+@register(
+    "vtable_sql_source_mor_scan",
+    oracle=f"""
+    WITH {_MOR_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM mor_head
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V14 — the vtable as a BATCH DataSource "
+    "(spark.read.format('eel_vtable'), the Delta batch-read shape, "
+    "sources/vtable_batch.py): snapshot reads plan one Arrow-batched "
+    "InputPartition per live part file, and active deletion vectors "
+    "apply as PER-FILE POSITION MASKS shipped inside each partition — "
+    "no join, zero shuffle, the kilobyte mask travels with exactly the "
+    "file it masks",
+)
+def vtable_sql_source_mor_scan(spark, sf_dir) -> DataFrame:
+    """The MOR head (one folded DV active) read through the BATCH
+    DataSource path — executor-side Arrow reads dropping masked row
+    positions — must equal the anti-join read's state exactly: a mask
+    applied to the wrong file, an off-by-one position, or a dropped
+    mask breaks value parity."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    vt = staged_vtable_mor(spark, sf_dir)
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", vt.root).load()
+    return src.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_sql_source_pushdown_point",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+        (SELECT MIN(o_orderkey) FROM orders),
+        (SELECT MAX(o_orderkey) FROM orders))
+    ORDER BY o_orderkey
+    """,
+    survey="S7 V15 — Catalyst filter pushdown into the vtable batch "
+    "source (Spark 4.1 Python DataSource pushFilters): the WHERE "
+    "clause's =/IN/range conjuncts reach the planner, which prunes "
+    "files via the commit-log min/max stats AND the per-segment bloom "
+    "sidecars (1-of-8 segments scanned on the custkey-clustered "
+    "layout, pinned in tests); ALL filters are returned for row-level "
+    "re-application, so correctness never rests on the pruning",
+)
+def vtable_sql_source_pushdown_point(spark, sf_dir) -> DataFrame:
+    """Point lookups expressed as a plain .where() on the DataFrame —
+    no vtable-specific read API — with the pushdown machinery driving
+    the same stats+bloom file skipping read_point does by hand; probes
+    the min and max orderkeys plus an absent key (max+1)."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    vt = staged_vtable_bloom(spark, sf_dir)
+    register_vtable_source(spark)
+    lo, hi = t(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    src = spark.read.format("eel_vtable").option("path", vt.root).load()
+    return (
+        src.where(F.col("o_orderkey").isin(int(lo), int(hi), int(hi) + 1))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,262 @@
+"""Batch DataSource FROM a versioned table, with Catalyst filter pushdown.
+
+This makes the vtable a first-class ``spark.read.format("eel_vtable")``
+citizen (the Delta batch-read shape): the SAME registered source that
+streams commits (sources/vtable_stream.py) also plans snapshot reads,
+and — the point of this module — Spark 4.1's Python DataSource
+``pushFilters`` API hands the WHERE clause's conjuncts to the planner,
+which drives the vtable's own file-skipping machinery:
+
+- range conjuncts (``=``, ``<``, ``<=``, ``>``, ``>=``) prune segments
+  whose commit-log min/max stats are provably disjoint (the Iceberg
+  manifest / Delta data-skipping path, :meth:`VersionedTable.pruned_segments`);
+- equality and IN conjuncts additionally probe the per-segment BLOOM
+  sidecars (:meth:`VersionedTable.prune_point`'s composition) — the case
+  stats cannot catch (high-cardinality column, layout clustered by a
+  different dimension);
+- everything else is left for Spark: ``pushFilters`` returns ALL filters
+  unchanged, because vtable pruning skips whole FILES — the row-level
+  predicate is always re-applied engine-side, so correctness never rests
+  on the pruning (the same residual contract as ``read_pruned``).
+
+Deletion vectors are applied WITHOUT a join here: the active DV position
+files are kilobytes (that is their point), so the planner loads them
+driver-side and ships each part file's masked row indices inside its
+InputPartition; the executor drops those positions from the Arrow table
+it read — O(masked rows per file) memory, zero shuffle, and the mask
+travels with exactly the file it masks.
+
+``.option("versionAsOf", v)`` serves the pinned snapshot (schema AND
+data of that version — the log-resolved live set, stats, and DV set are
+all version-scoped), mirroring Delta's batch time travel.
+
+Scale: one InputPartition per (surviving) parquet part file, rows cross
+as Arrow RecordBatches — identical contract to the streaming reader.
+Planning is O(log + skipped-file metadata) on the driver; the data read
+is as parallel as the table's layout.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    VersionedTable,
+    read_commit,
+)
+
+
+class _BatchFile(InputPartition):
+    """One parquet part file of one live segment, its Arrow target
+    schema, and the row positions active deletion vectors mask OUT of
+    this specific file (empty tuple = plain scan)."""
+
+    def __init__(self, path: str, target, masked: tuple[int, ...]):
+        self.path = path
+        self.target = target
+        self.masked = masked
+
+
+def _target_schema_at(root: str, columns: list[str], max_version: int):
+    """The snapshot's Arrow schema with EXACT physical types, resolved
+    driver-side from the newest segment footer at or before the
+    snapshot that carries every column (same contract as the streaming
+    reader's target, bounded to the time-traveled version so a later
+    evolution cannot leak its types backwards)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for v in range(max_version, -1, -1):
+        try:
+            entry = read_commit(root, v)
+        except FileNotFoundError:
+            continue
+        for rel in entry["add"]:
+            files = sorted(
+                glob.glob(os.path.join(root, rel, "part-*.parquet"))
+            )
+            if files:
+                footer = pq.read_schema(files[0])
+                if all(c in footer.names for c in columns):
+                    return pa.schema([footer.field(c) for c in columns])
+    raise FileNotFoundError(
+        f"no committed segment at or before version {max_version} "
+        f"carries all columns {columns} under {root}"
+    )
+
+
+def _load_dv_masks(
+    root: str, dvs: list[str]
+) -> dict[tuple[str, str], tuple[int, ...]]:
+    """Fold the active deletion-vector files into
+    ``{(segment dir, part file): masked row positions}`` — driver-side
+    pyarrow reads of kilobyte position files (never a Spark job)."""
+    import pyarrow.parquet as pq
+
+    masks: dict[tuple[str, str], list[int]] = {}
+    for rel in dvs:
+        for part in sorted(
+            glob.glob(os.path.join(root, rel, "part-*.parquet"))
+        ):
+            tbl = pq.read_table(
+                part, columns=["_dv_seg", "_dv_file", "_dv_pos"]
+            )
+            for seg, fname, pos in zip(
+                tbl.column("_dv_seg").to_pylist(),
+                tbl.column("_dv_file").to_pylist(),
+                tbl.column("_dv_pos").to_pylist(),
+            ):
+                masks.setdefault((seg, fname), []).append(pos)
+    return {k: tuple(sorted(set(v))) for k, v in masks.items()}
+
+
+def _overlaps(mn, mx, lo, hi) -> bool:
+    """Conservative range-overlap: True (scan) whenever the comparison
+    cannot be trusted — incomparable types (a date probe against string
+    stats, say) must never skip a file."""
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+class VtableBatchReader(DataSourceReader):
+    def __init__(self, root: str, schema: StructType, options):
+        self.root = root
+        self.columns = schema.fieldNames()
+        # metadata-only handle: planning uses the commit log, stats and
+        # bloom sidecars — never a Spark job (spark=None is safe for
+        # every method the planner touches)
+        vt = VersionedTable(None, root)
+        v_opt = options.get("versionAsOf")
+        version, live, dvs, _ = vt._snapshot_state(
+            int(v_opt) if v_opt is not None else None
+        )
+        self.version = version
+        self.live = live
+        self.dvs = dvs
+        #: pruning conjuncts gathered by pushFilters:
+        #: [(col, lo, hi, is_point, values)] — see pushFilters
+        self._bounds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Gather the conjuncts the vtable can prune FILES with; return
+        ALL filters (Spark re-applies every predicate row-level — the
+        pruning contract is skip-provably-disjoint, never filter)."""
+        for f in filters:
+            # top-level scalar columns only (ColumnPath of length 1)
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                self._bounds.append((col, f.value, f.value, True, (f.value,)))
+            elif isinstance(f, In):
+                vals = tuple(v for v in f.value if v is not None)
+                if vals:
+                    try:
+                        lo, hi = min(vals), max(vals)
+                    except TypeError:
+                        continue
+                    self._bounds.append((col, lo, hi, True, vals))
+            elif isinstance(f, GreaterThan) or isinstance(
+                f, GreaterThanOrEqual
+            ):
+                self._bounds.append((col, f.value, None, False, ()))
+            elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
+                self._bounds.append((col, None, f.value, False, ()))
+        return filters  # everything stays row-level engine-side
+
+    def partitions(self) -> list[_BatchFile]:
+        vt = VersionedTable(None, self.root)
+        stats = vt._live_segment_stats(self.version)
+        bloom_cols, _, _ = vt.bloom_props
+        survivors = []
+        for rel in self.live:
+            keep = True
+            for col, lo, hi, is_point, values in self._bounds:
+                mn_mx = stats.get(rel, {}).get(col)
+                if mn_mx is not None and not _overlaps(
+                    mn_mx[0], mn_mx[1], lo, hi
+                ):
+                    keep = False
+                    break
+                if (
+                    is_point
+                    and col in bloom_cols
+                    and all(
+                        isinstance(v, (int, str))
+                        and not isinstance(v, bool)
+                        for v in values
+                    )
+                    and not any(
+                        vt._bloom_might_contain(rel, col, v) for v in values
+                    )
+                ):
+                    keep = False
+                    break
+            if keep:
+                survivors.append(rel)
+        target = _target_schema_at(self.root, self.columns, self.version)
+        masks = _load_dv_masks(self.root, self.dvs) if self.dvs else {}
+        parts: list[_BatchFile] = []
+        for rel in sorted(survivors):
+            seg_dir = os.path.basename(rel)
+            for path in sorted(
+                glob.glob(os.path.join(self.root, rel, "part-*.parquet"))
+            ):
+                parts.append(
+                    _BatchFile(
+                        path,
+                        target,
+                        masks.get((seg_dir, os.path.basename(path)), ()),
+                    )
+                )
+        if not parts and not self.live:
+            return []  # empty table: zero partitions is a valid scan
+        return parts
+
+    def read(self, partition: _BatchFile):
+        """Executor-side: one part file -> Arrow RecordBatches aligned
+        to the snapshot schema (pre-evolution files null-fill missing
+        columns), with this file's deletion-vector positions dropped by
+        row index — no join, the mask travelled with the partition."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        if partition.masked:
+            keep = [True] * table.num_rows
+            for pos in partition.masked:
+                keep[pos] = False
+            table = table.filter(pa.array(keep, type=pa.bool_()))
+        n = table.num_rows
+        arrays = []
+        for field in partition.target:
+            if field.name in table.column_names:
+                col = table.column(field.name).combine_chunks()
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, type=field.type))
+        yield from pa.Table.from_arrays(
+            arrays, schema=partition.target
+        ).to_batches()

@@ -288,7 +288,11 @@ class VtableStreamReader(DataSourceStreamReader):
 
 
 class VtableStreamDataSource(DataSource):
-    """``spark.readStream.format("eel_vtable").option("path", root)``."""
+    """``spark.readStream.format("eel_vtable").option("path", root)`` —
+    and, since the batch reader landed (sources/vtable_batch.py), also
+    ``spark.read.format("eel_vtable")`` with Catalyst filter pushdown
+    driving stats+bloom file pruning and ``.option("versionAsOf", v)``
+    time travel."""
 
     @classmethod
     def name(cls) -> str:
@@ -298,7 +302,8 @@ class VtableStreamDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("eel_vtable requires .option('path', <root>)")
-        latest = _versions(root)[-1]
+        v_opt = self.options.get("versionAsOf")
+        latest = int(v_opt) if v_opt is not None else _versions(root)[-1]
         base = StructType.fromJson(_read_commit(root, latest)["schema"])
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             from pyspark.sql.types import LongType, StringType, StructField
@@ -324,12 +329,36 @@ class VtableStreamDataSource(DataSource):
     def streamReader(self, schema: StructType) -> VtableStreamReader:
         return VtableStreamReader(self.options["path"], schema, self.options)
 
+    def reader(self, schema: StructType):
+        """Batch snapshot reads (``spark.read.format("eel_vtable")``):
+        pushed filters prune files via the commit-log stats and bloom
+        sidecars, deletion vectors apply as per-file position masks —
+        see sources/vtable_batch.py."""
+        if (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        ):
+            raise ValueError(
+                "eel_vtable: readChangeFeed is a STREAMING option "
+                "(use readStream); batch change queries go through "
+                "VersionedTable.change_feed()"
+            )
+        from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+            VtableBatchReader,
+        )
+
+        return VtableBatchReader(self.options["path"], schema, self.options)
+
 
 _REGISTERED: set[int] = set()
 
 
 def register_vtable_source(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.  Also enables Python
+    DataSource filter pushdown (off by default in Spark 4.1; a plain
+    runtime conf) — without it the batch reader's pushFilters() is an
+    initialization ERROR, not a silent no-op."""
     if id(spark) not in _REGISTERED:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(VtableStreamDataSource)
         _REGISTERED.add(id(spark))

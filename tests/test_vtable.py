@@ -1627,3 +1627,98 @@ def test_constraints_survive_restore(spark, vt_root):
         vt.append(
             spark.createDataFrame([(99, -1)], "k bigint, v bigint")
         )
+
+
+def _batch_src(spark, root, **opts):
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    r = spark.read.format("eel_vtable").option("path", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_source_reads_snapshot_with_dv_mask(spark, vt_root):
+    """spark.read.format('eel_vtable') serves the head through per-file
+    position masks — identical rows to the anti-join read path."""
+    vt = _mk(spark, vt_root, n=40)
+    vt.delete_where_mor("k % 4 = 0")
+    vt.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    src = _batch_src(spark, vt_root)
+    assert _rows(src) == _rows(vt.read())
+    assert (100, 1000) in _rows(src)  # post-DV append unmasked
+    # versionAsOf pins data AND the version-scoped DV set
+    assert _rows(_batch_src(spark, vt_root, versionAsOf=0)) == _rows(
+        vt.read(0)
+    )
+    assert _rows(_batch_src(spark, vt_root, versionAsOf=1)) == _rows(
+        vt.read(1)
+    )
+
+
+def test_batch_source_pushdown_prunes_files(spark, vt_root):
+    """pushFilters drives stats+bloom file skipping: a point probe plans
+    fewer partitions than the full scan, an absent key plans zero, a
+    range conjunct prunes disjoint segments — and ALL filters are
+    returned for engine-side re-application."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        VtableBatchReader,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(
+        spark, vt_root, df.filter("k < 50"),
+        bloom_cols=["k"], bloom_bits=4096, bloom_k=5,
+    )
+    vt.append(df.filter("k >= 50"))
+    schema = vt.read().schema
+
+    def parts(filters):
+        r = VtableBatchReader(vt_root, schema, {})
+        if filters:
+            returned = r.pushFilters(filters)
+            assert list(returned) == filters  # residual = everything
+        return len(r.partitions())
+
+    full = parts([])
+    assert parts([EqualTo(("k",), 7)]) < full          # stats prune
+    assert parts([EqualTo(("k",), 123456)]) == 0       # bloom: absent
+    assert parts([GreaterThan(("k",), 60)]) < full     # range prune
+    assert parts([In(("k",), (3, 7))]) < full
+    # unsupported shapes never prune (conservative)
+    assert parts([EqualTo(("no_stats_col",), 1)]) == full
+    # ...and pushed queries stay value-correct end to end
+    src = _batch_src(spark, vt_root)
+    assert [tuple(r) for r in src.where("k = 7").collect()] == [(7, 70)]
+    assert src.where("k > 97").count() == 2
+
+
+def test_batch_source_evolution_and_cdf_rejection(spark, vt_root):
+    """Pre-evolution files null-fill evolved columns through the batch
+    source; readChangeFeed is a streaming-only option on the batch path."""
+    vt = _mk(spark, vt_root, n=3)
+    vt.append_evolve(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("new").alias("tag"),
+        )
+    )
+    src = _batch_src(spark, vt_root)
+    got = {r.k: r.tag for r in src.collect()}
+    assert got[0] is None and got[10] == "new"
+    # narrow snapshot through versionAsOf
+    assert _batch_src(spark, vt_root, versionAsOf=0).columns == ["k", "v"]
+    with pytest.raises(Exception, match="readChangeFeed"):
+        _batch_src(spark, vt_root, readChangeFeed="true").collect()
