@@ -205,6 +205,7 @@ HEADLINE = [
     "vtable_constraint_audit",
     "vtable_sql_source_mor_scan",
     "vtable_sql_source_pushdown_point",
+    "vtable_sql_sink_roundtrip",
     "vtable_bloom_point_lookup",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",

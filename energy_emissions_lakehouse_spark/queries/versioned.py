@@ -1311,3 +1311,63 @@ def vtable_sql_source_pushdown_point(spark, sf_dir) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "vtable_sql_sink_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey="S7 V16 — the vtable as a BATCH SINK "
+    "(df.write.format('eel_vtable'), DataSourceArrowWriter): tasks "
+    "stream Arrow batches into one immutable segment (invisible until "
+    "committed — a failed job strands a vacuumable orphan, never a torn "
+    "table), the driver folds ONE atomic commit with stats, bloom "
+    "sidecars, schema-on-write and CHECK constraints through the same "
+    "VersionedTable paths as API writes; overwrite-to-new-root creates "
+    "the table (Delta save semantics), mode('append') enforces the "
+    "exact schema",
+)
+def vtable_sql_sink_roundtrip(spark, sf_dir) -> DataFrame:
+    """Write orders through the DataFrame sink in two jobs (overwrite
+    one third, append the rest — exercising create-on-save, the append
+    schema gate, and the task-file → driver-commit fold), then read the
+    table back through the batch source: head must equal orders
+    exactly.  The write is the measured operator, like the pysource
+    writer roundtrip."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    root = os.path.join(
+        staging_dir("vtable_sink"),
+        f"orders_{table_cache_key(sf_dir, 'orders', 'sink', _HISTORY_REV)}",
+    )
+    key = F.col("o_orderkey")
+    (
+        orders.filter(key % 3 == 0)
+        .write.format("eel_vtable")
+        .option("path", root)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        orders.filter(key % 3 != 0)
+        .write.format("eel_vtable")
+        .option("path", root)
+        .mode("append")
+        .save()
+    )
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    return src.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )

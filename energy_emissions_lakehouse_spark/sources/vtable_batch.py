@@ -41,7 +41,12 @@ from __future__ import annotations
 import glob
 import os
 
+import shutil
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -50,10 +55,15 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
+from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from energy_emissions_lakehouse_spark.operators.vtable import (
+    DATA_DIR,
+    LOG_DIR,
+    ConcurrentCommitError,
     VersionedTable,
     read_commit,
 )
@@ -260,3 +270,150 @@ class VtableBatchReader(DataSourceReader):
         yield from pa.Table.from_arrays(
             arrays, schema=partition.target
         ).to_batches()
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    """One task's contribution: the part file it wrote (None for an
+    empty task) and its row count."""
+
+    filename: str | None = None
+    rows: int = 0
+
+
+class VtableBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("eel_vtable").mode(...).save()`` — the write
+    half of the DataFrame-API symmetry, mapped onto the vtable's
+    two-phase protocol exactly the way a real lakehouse writer works:
+
+    - each TASK streams its Arrow batches into one immutable parquet
+      part file inside a fresh segment directory (invisible until a
+      commit references it — a failed job strands an orphan for vacuum,
+      never a torn table);
+    - the DRIVER's ``commit()`` folds the task messages into ONE atomic
+      vtable commit (stats from the footers, bloom sidecars, CHECK
+      constraints enforced over the new segment, schema-on-write
+      validated against the post-race head) — all through the same
+      :class:`VersionedTable` code paths the API writes use, so every
+      table invariant holds regardless of which door the data came in.
+
+    ``mode("append")`` requires the exact table schema (Delta
+    schema-on-write); ``mode("overwrite")`` replaces the live set and
+    MAY change the schema (Delta overwriteSchema).  Writing to a root
+    with no table yet CREATES it (Delta's save-to-new-path), under
+    either mode.
+    """
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        exists = os.path.isdir(os.path.join(root, LOG_DIR))
+        self.creating = not exists
+        if exists and not overwrite:
+            # fail FAST on the driver before any task launches; the
+            # commit re-checks against the post-race head
+            _require_schema_like(
+                read_commit(root, VersionedTable(None, root).latest_version()),
+                schema,
+            )
+        # one fresh segment dir per job — tasks write part files into it
+        self.rel = os.path.join(DATA_DIR, f"write-{uuid.uuid4().hex[:12]}")
+
+    # -------------------------------------------------------- executor side
+    def write(self, iterator) -> _WriteMessage:
+        import pyarrow.parquet as pq
+
+        seg = os.path.join(self.root, self.rel)
+        os.makedirs(seg, exist_ok=True)
+        writer = None
+        rows = 0
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(seg, fname), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WriteMessage(None, 0)  # empty task: no file
+        return _WriteMessage(fname, rows)
+
+    # ---------------------------------------------------------- driver side
+    def commit(self, messages) -> None:
+        # the commit callback can run on a driver thread with no ACTIVE
+        # session (getActiveSession -> None); getOrCreate() returns the
+        # process's existing session rather than building a new one
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = SparkSession.builder.getOrCreate()
+        files = [m.filename for m in messages if m and m.filename]
+        if self.creating:
+            os.makedirs(os.path.join(self.root, LOG_DIR), exist_ok=True)
+            os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+        vt = VersionedTable(spark, self.root)
+        add = [self.rel] if files else []
+        if self.creating:
+            # commit 0 does not exist yet — pre-seed the lazy property
+            # caches the commit path reads (same as VersionedTable.create)
+            vt._bloom_props = ([], 0, 0)
+            if not files:
+                # a create must leave a readable v0 even for an empty
+                # frame: materialize an empty segment so the schema has
+                # a footer to serve
+                spark.createDataFrame([], self.schema).write.mode(
+                    "error"
+                ).parquet(os.path.join(self.root, self.rel))
+                add = [self.rel]
+            vt._commit(
+                0, "create", add=add, remove=[], schema=self.schema,
+                extra={"properties": {"enableChangeDataFeed": False}},
+            )
+            return
+        if add:
+            vt._enforce_constraints(add, vt.constraints(), "write")
+        for _ in range(64):
+            v = vt.latest_version()
+            if not self.overwrite:
+                _require_schema_like(vt._read_commit(v), self.schema)
+            remove = sorted(vt._resolve_live(v)) if self.overwrite else []
+            try:
+                vt._commit(
+                    v + 1,
+                    "overwrite" if self.overwrite else "append",
+                    add=add,
+                    remove=remove,
+                    schema=self.schema,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            "eel_vtable write: lost 64 consecutive commit races"
+        )
+
+    def abort(self, messages) -> None:
+        # nothing referenced the segment — remove it; a failed unlink
+        # only strands a vacuumable orphan
+        shutil.rmtree(os.path.join(self.root, self.rel), ignore_errors=True)
+        if self.creating:
+            shutil.rmtree(self.root, ignore_errors=True)
+
+
+def _require_schema_like(entry: dict, schema: StructType) -> None:
+    """Schema-on-write for the sink path: same contract as
+    VersionedTable._require_schema (name+type exact, nullability
+    ignored), against a commit entry's recorded schema."""
+    current = StructType.fromJson(entry["schema"])
+    got = [(f.name, f.dataType) for f in schema.fields]
+    want = [(f.name, f.dataType) for f in current.fields]
+    if got != want:
+        raise ValueError(
+            f"eel_vtable append: schema-on-write violation — table has "
+            f"{want}, batch has {got}; use mode('overwrite') to evolve"
+        )

@@ -349,6 +349,17 @@ class VtableStreamDataSource(DataSource):
 
         return VtableBatchReader(self.options["path"], schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """Batch writes (``df.write.format("eel_vtable")``): tasks write
+        Arrow batches into one immutable segment, the driver folds ONE
+        atomic vtable commit (stats/bloom/constraints through the same
+        VersionedTable paths) — see sources/vtable_batch.py."""
+        from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+            VtableBatchWriter,
+        )
+
+        return VtableBatchWriter(self.options["path"], schema, overwrite)
+
 
 _REGISTERED: set[int] = set()
 

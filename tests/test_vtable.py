@@ -1722,3 +1722,73 @@ def test_batch_source_evolution_and_cdf_rejection(spark, vt_root):
     assert _batch_src(spark, vt_root, versionAsOf=0).columns == ["k", "v"]
     with pytest.raises(Exception, match="readChangeFeed"):
         _batch_src(spark, vt_root, readChangeFeed="true").collect()
+
+
+def test_sink_write_modes_and_schema(spark, vt_root):
+    """df.write.format('eel_vtable'): save-to-new-root CREATES the
+    table, append enforces the exact schema, overwrite replaces the
+    live set and may evolve, and every version stays time-travelable."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+    def w(frame, mode):
+        frame.write.format("eel_vtable").option("path", vt_root).mode(
+            mode
+        ).save()
+
+    w(df.filter("k < 30"), "overwrite")  # create
+    vt = VersionedTable(spark, vt_root)
+    assert vt.latest_version() == 0
+    assert vt._read_commit(0)["op"] == "create"
+    w(df.filter("k >= 30"), "append")
+    assert _rows(vt.read()) == _rows(df)
+    assert vt._read_commit(1)["stats"]  # footer stats folded
+    with pytest.raises(Exception, match="schema-on-write"):
+        w(spark.range(3).select(F.col("id").alias("x")), "append")
+    assert vt.latest_version() == 1  # rejected before any commit
+    w(
+        spark.range(5).select(
+            F.col("id").alias("a"), F.lit("s").alias("b")
+        ),
+        "overwrite",
+    )  # overwrite may evolve the schema
+    assert vt.read().columns == ["a", "b"]
+    assert vt.read(1).count() == 50  # history intact
+    # the sink's segment reads through the batch source too
+    src = (
+        spark.read.format("eel_vtable")
+        .option("path", vt_root)
+        .option("versionAsOf", 1)
+        .load()
+    )
+    assert _rows(src) == _rows(df)
+
+
+def test_sink_constraint_enforcement_and_cleanup(spark, vt_root):
+    """CHECK constraints gate the DataFrame sink exactly like API
+    writes: a violating job aborts, the table is untouched, and the
+    written segment is cleaned up."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    vt = _mk_checked(spark, vt_root)  # v_nonneg: v >= 0
+    bad = spark.createDataFrame([(99, -5)], "k bigint, v bigint")
+    with pytest.raises(Exception, match="v_nonneg"):
+        bad.write.format("eel_vtable").option("path", vt_root).mode(
+            "append"
+        ).save()
+    assert vt.latest_version() == 0
+    assert len(os.listdir(os.path.join(vt_root, "data"))) == 1
+    good = spark.createDataFrame([(99, 5)], "k bigint, v bigint")
+    good.write.format("eel_vtable").option("path", vt_root).mode(
+        "append"
+    ).save()
+    assert (99, 5) in _rows(vt.read())
