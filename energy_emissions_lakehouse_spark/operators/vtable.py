@@ -272,12 +272,21 @@ class VersionedTable:
         if constraints:
             # data validation needs the written segment (the input plan
             # is computed exactly once); a violation means NOTHING ever
-            # referenced this root — tear it down whole so the create is
-            # retryable, then raise like any rejected write
+            # referenced this root — tear down what THIS create made
+            # (the root directory may pre-exist with unrelated user
+            # files, which must survive) so the call is retryable, then
+            # raise like any rejected write
             try:
                 table._enforce_constraints(add, dict(constraints), "create")
             except ConstraintViolationError:
-                shutil.rmtree(root, ignore_errors=True)
+                for sub in (LOG_DIR, DATA_DIR, INDEX_DIR):
+                    shutil.rmtree(
+                        os.path.join(root, sub), ignore_errors=True
+                    )
+                try:
+                    os.rmdir(root)  # only if nothing else lives there
+                except OSError:
+                    pass
                 raise
         table._commit(
             0, "create", add=add, remove=[], schema=df.schema,
@@ -316,16 +325,22 @@ class VersionedTable:
         ``set_constraint`` commit at or before it wins, falling back to
         the create-time map.  Constraints are governance metadata, not
         data — :meth:`restore` does NOT revert them (a loosened check
-        must not silently re-tighten because someone restored data).
-        O(versions) driver-side JSON reads worst case, same order as
-        :meth:`history` — vtable logs are short; a long-log deployment
-        would fold this into the checkpoints like the txn map."""
+        must not silently re-tighten because someone restored data) —
+        though a restore DOES re-validate against checks added since its
+        target (see :meth:`restore`).  O(tail) via the checkpointed map,
+        like the txn fold; pre-rev checkpoints (no ``constraints`` key)
+        fall back to the genesis walk — slower, never wrong."""
         versions = self._versions()
         if not versions:
             return {}
         if version is None:
             version = versions[-1]
-        for v in reversed([x for x in versions if x <= version]):
+        floor, fallback = -1, None
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None and "constraints" in ckpt:
+            floor = ckpt["version"]
+            fallback = dict(ckpt["constraints"])
+        for v in reversed([x for x in versions if floor < x <= version]):
             entry = self._read_commit(v)
             if "constraints" in entry:
                 return dict(entry["constraints"])
@@ -333,7 +348,7 @@ class VersionedTable:
                 return dict(
                     entry.get("properties", {}).get("constraints", {})
                 )
-        return {}
+        return fallback if fallback is not None else {}
 
     def _enforce_constraints(
         self, rels: list[str], cons: dict[str, str], op: str
@@ -565,6 +580,10 @@ class VersionedTable:
                 "dvs": sorted(
                     self._resolve_dvs(version, use_checkpoint=False)
                 ),
+                # the active CHECK-constraint map, so constraints() is
+                # O(tail) like every other fold (pre-rev checkpoints
+                # lack the key and force the genesis walk — never wrong)
+                "constraints": self.constraints(version),
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -1552,12 +1571,19 @@ class VersionedTable:
         recorded is the TARGET's, so restoring past an append_evolve
         narrows the served schema back (segment scans project columns by
         name, so any still-live wider segment reads fine).  Constraints
-        are NOT reverted — see :meth:`constraints`.  Fails loudly if the
-        target's segments were vacuumed (Delta: cannot restore past the
-        retention window).  Restoring to the current state is a no-op
-        (no commit).  Streams treat a restore commit as a data CHANGE
-        (rows it resurrects/removes are not an append) — the source
-        raises unless skipChangeCommits, like merge/delete."""
+        are NOT reverted — see :meth:`constraints` — and the restored
+        snapshot is therefore RE-VALIDATED against any constraint that
+        was not yet active at the target version (rows written before a
+        check never passed it; silently resurrecting a violator would
+        break the writes-enforce-constraints invariant the audit surface
+        documents).  That validation is the ONLY restore shape that
+        costs a data scan, and it scans the target snapshot once.
+        Fails loudly if the target's segments were vacuumed (Delta:
+        cannot restore past the retention window).  Restoring to the
+        current state is a no-op (no commit).  Streams treat a restore
+        commit as a data CHANGE (rows it resurrects/removes are not an
+        append) — the source raises unless skipChangeCommits, like
+        merge/delete."""
         v_now, live_now, dvs_now, entry_now = self._snapshot_state(None)
         v_t, live_t, dvs_t, entry_t = self._snapshot_state(version)
         add = sorted(set(live_t) - set(live_now))
@@ -1570,6 +1596,40 @@ class VersionedTable:
         # the resurrected files must still exist — a vacuumed target is
         # unrestorable and must say so, never read as zero rows
         self._check_present(v_t, list(live_t) + list(dvs_t))
+        cons_then = self.constraints(v_t)
+        unchecked = {
+            n: e
+            for n, e in self.constraints(v_now).items()
+            if cons_then.get(n) != e
+        }
+        if unchecked:
+            # constraints added (or changed) since the target: the
+            # target's rows never passed them — validate the snapshot
+            # the restore would serve (through its own DV set) and
+            # refuse rather than resurrect violators
+            snap = self._scan_segments(
+                v_t,
+                list(live_t),
+                StructType.fromJson(entry_t["schema"]),
+                dvs=list(dvs_t),
+            )
+            names = sorted(unchecked)
+            row = snap.agg(
+                *[
+                    F.sum(
+                        F.when(_violation_pred(unchecked[n]), 1).otherwise(0)
+                    ).alias(n)
+                    for n in names
+                ]
+            ).collect()[0]
+            bad = {n: int(row[n]) for n in names if row[n]}
+            if bad:
+                raise ConstraintViolationError(
+                    f"restore({v_t}): the target snapshot violates CHECK "
+                    f"constraint(s) {sorted(bad)} added since that "
+                    "version — drop the constraint(s) or pick a newer "
+                    "target (restore refused, table unchanged)"
+                )
         extra: dict = {"restored_from": v_t}
         if dvs_t or dvs_now:
             # record FULL sets, not diffs — and even when the sets are

@@ -1197,20 +1197,20 @@ def vtable_restore_time_travel(spark, sf_dir) -> DataFrame:
     WITH {_ADMIN_SQL}
     SELECT check_name, n_violations, n_rows FROM (
         SELECT 'acctbal_floor' AS check_name,
-               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= -1000.0, FALSE)
+               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= -1000.0, TRUE)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM admin_head
         UNION ALL
         SELECT 'acctbal_nonneg',
-               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= 0.0, FALSE)
+               CAST(SUM(CASE WHEN NOT COALESCE(c_acctbal >= 0.0, TRUE)
                         THEN 1 ELSE 0 END) AS BIGINT),
                CAST(COUNT(*) AS BIGINT)
         FROM admin_head
         UNION ALL
         SELECT 'custkey_nonneg',
                CAST(SUM(CASE WHEN NOT COALESCE(
-                            c_custkey IS NOT NULL AND c_custkey >= 0, FALSE)
+                            c_custkey IS NOT NULL AND c_custkey >= 0, TRUE)
                         THEN 1 ELSE 0 END) AS BIGINT),
                CAST(COUNT(*) AS BIGINT)
         FROM admin_head
@@ -1345,11 +1345,18 @@ def vtable_sql_sink_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
     register_vtable_source(spark)
+    import shutil
+
     orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
     root = os.path.join(
         staging_dir("vtable_sink"),
         f"orders_{table_cache_key(sf_dir, 'orders', 'sink', _HISTORY_REV)}",
     )
+    # fresh table per invocation: without this, every run (bench warmup
+    # included) stacks two more commits plus two more copies of orders
+    # into a root nothing vacuums — unbounded disk AND an ever-longer
+    # log walk skewing the very number this query benches
+    shutil.rmtree(root, ignore_errors=True)
     key = F.col("o_orderkey")
     (
         orders.filter(key % 3 == 0)

@@ -108,6 +108,26 @@ def _target_schema_at(root: str, columns: list[str], max_version: int):
     )
 
 
+def align_arrow_table(table, target):
+    """Align a parquet-read Arrow table to the target schema: project
+    columns by name, cast physical-type drift, null-fill columns a
+    pre-evolution file predates — ONE implementation shared by the
+    batch and streaming readers (sources/vtable_stream.py)."""
+    import pyarrow as pa
+
+    n = table.num_rows
+    arrays = []
+    for field in target:
+        if field.name in table.column_names:
+            col = table.column(field.name).combine_chunks()
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(n, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
 def _load_dv_masks(
     root: str, dvs: list[str]
 ) -> dict[tuple[str, str], tuple[int, ...]]:
@@ -195,35 +215,41 @@ class VtableBatchReader(DataSourceReader):
         return filters  # everything stays row-level engine-side
 
     def partitions(self) -> list[_BatchFile]:
-        vt = VersionedTable(None, self.root)
-        stats = vt._live_segment_stats(self.version)
-        bloom_cols, _, _ = vt.bloom_props
-        survivors = []
-        for rel in self.live:
-            keep = True
-            for col, lo, hi, is_point, values in self._bounds:
-                mn_mx = stats.get(rel, {}).get(col)
-                if mn_mx is not None and not _overlaps(
-                    mn_mx[0], mn_mx[1], lo, hi
-                ):
-                    keep = False
-                    break
-                if (
-                    is_point
-                    and col in bloom_cols
-                    and all(
-                        isinstance(v, (int, str))
-                        and not isinstance(v, bool)
-                        for v in values
-                    )
-                    and not any(
-                        vt._bloom_might_contain(rel, col, v) for v in values
-                    )
-                ):
-                    keep = False
-                    break
-            if keep:
-                survivors.append(rel)
+        if self._bounds:
+            # stats walk + bloom loading only when there is something to
+            # prune WITH — an unfiltered scan pays neither
+            vt = VersionedTable(None, self.root)
+            stats = vt._live_segment_stats(self.version)
+            bloom_cols, _, _ = vt.bloom_props
+            survivors = []
+            for rel in self.live:
+                keep = True
+                for col, lo, hi, is_point, values in self._bounds:
+                    mn_mx = stats.get(rel, {}).get(col)
+                    if mn_mx is not None and not _overlaps(
+                        mn_mx[0], mn_mx[1], lo, hi
+                    ):
+                        keep = False
+                        break
+                    if (
+                        is_point
+                        and col in bloom_cols
+                        and all(
+                            isinstance(v, (int, str))
+                            and not isinstance(v, bool)
+                            for v in values
+                        )
+                        and not any(
+                            vt._bloom_might_contain(rel, col, v)
+                            for v in values
+                        )
+                    ):
+                        keep = False
+                        break
+                if keep:
+                    survivors.append(rel)
+        else:
+            survivors = list(self.live)
         target = _target_schema_at(self.root, self.columns, self.version)
         masks = _load_dv_masks(self.root, self.dvs) if self.dvs else {}
         parts: list[_BatchFile] = []
@@ -239,8 +265,6 @@ class VtableBatchReader(DataSourceReader):
                         masks.get((seg_dir, os.path.basename(path)), ()),
                     )
                 )
-        if not parts and not self.live:
-            return []  # empty table: zero partitions is a valid scan
         return parts
 
     def read(self, partition: _BatchFile):
@@ -257,19 +281,7 @@ class VtableBatchReader(DataSourceReader):
             for pos in partition.masked:
                 keep[pos] = False
             table = table.filter(pa.array(keep, type=pa.bool_()))
-        n = table.num_rows
-        arrays = []
-        for field in partition.target:
-            if field.name in table.column_names:
-                col = table.column(field.name).combine_chunks()
-                if col.type != field.type:
-                    col = col.cast(field.type)
-                arrays.append(col)
-            else:
-                arrays.append(pa.nulls(n, type=field.type))
-        yield from pa.Table.from_arrays(
-            arrays, schema=partition.target
-        ).to_batches()
+        yield from align_arrow_table(table, partition.target).to_batches()
 
 
 @dataclass
@@ -329,19 +341,27 @@ class VtableBatchWriter(DataSourceArrowWriter):
         writer = None
         rows = 0
         fname = f"part-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(seg, fname)
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(seg, fname), batch.schema
-                    )
+                    writer = pq.ParquetWriter(path, batch.schema)
                 writer.write_batch(batch)
                 rows += batch.num_rows
-        finally:
+        except BaseException:
+            # a FAILED task must not leave a readable parquet behind —
+            # close() in a bare finally would finalize a VALID file with
+            # partial rows, and a retry would add a second complete copy
             if writer is not None:
                 writer.close()
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            raise
         if writer is None:
             return _WriteMessage(None, 0)  # empty task: no file
+        writer.close()
         return _WriteMessage(fname, rows)
 
     # ---------------------------------------------------------- driver side
@@ -352,7 +372,19 @@ class VtableBatchWriter(DataSourceArrowWriter):
         spark = SparkSession.getActiveSession()
         if spark is None:
             spark = SparkSession.builder.getOrCreate()
-        files = [m.filename for m in messages if m and m.filename]
+        # the commit references the segment DIRECTORY, so the directory
+        # must hold exactly the files the SUCCESSFUL task attempts
+        # reported — sweep anything else (a speculative duplicate, or a
+        # file a failed attempt could not unlink) before it is published
+        files = set(m.filename for m in messages if m and m.filename)
+        seg = os.path.join(self.root, self.rel)
+        if os.path.isdir(seg):
+            for name in os.listdir(seg):
+                if name not in files:
+                    try:
+                        os.unlink(os.path.join(seg, name))
+                    except OSError:
+                        pass
         if self.creating:
             os.makedirs(os.path.join(self.root, LOG_DIR), exist_ok=True)
             os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
@@ -368,19 +400,34 @@ class VtableBatchWriter(DataSourceArrowWriter):
                 # a footer to serve
                 spark.createDataFrame([], self.schema).write.mode(
                     "error"
-                ).parquet(os.path.join(self.root, self.rel))
+                ).parquet(seg)
                 add = [self.rel]
-            vt._commit(
-                0, "create", add=add, remove=[], schema=self.schema,
-                extra={"properties": {"enableChangeDataFeed": False}},
-            )
-            return
+            try:
+                vt._commit(
+                    0, "create", add=add, remove=[], schema=self.schema,
+                    extra={"properties": {"enableChangeDataFeed": False}},
+                )
+                return
+            except ConcurrentCommitError:
+                # a concurrent creator won version 0: the table now
+                # EXISTS — fall through to the existing-table path (its
+                # schema gate and constraint enforcement now apply)
+                self.creating = False
+                del vt._bloom_props  # re-resolve from the winner's commit 0
+        enforced = vt.constraints()
         if add:
-            vt._enforce_constraints(add, vt.constraints(), "write")
+            vt._enforce_constraints(add, enforced, "write")
         for _ in range(64):
             v = vt.latest_version()
             if not self.overwrite:
                 _require_schema_like(vt._read_commit(v), self.schema)
+            # a lost race may mean a concurrently ADDED constraint —
+            # the batch must satisfy the map at the head it lands on
+            # (same post-race re-validation rule as idempotent_append)
+            current = vt.constraints(v)
+            if add and current != enforced:
+                vt._enforce_constraints(add, current, "write")
+                enforced = current
             remove = sorted(vt._resolve_live(v)) if self.overwrite else []
             try:
                 vt._commit(
@@ -398,11 +445,13 @@ class VtableBatchWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages) -> None:
-        # nothing referenced the segment — remove it; a failed unlink
-        # only strands a vacuumable orphan
+        # nothing referenced the segment — remove it; a failed rmtree
+        # only strands a vacuumable orphan.  NEVER remove the root: even
+        # on the creating path a CONCURRENT creator may have committed a
+        # real table here between planning and abort (and the root may
+        # hold pre-existing unrelated files); an empty data/_log pair
+        # left by an aborted sole creator is inert.
         shutil.rmtree(os.path.join(self.root, self.rel), ignore_errors=True)
-        if self.creating:
-            shutil.rmtree(self.root, ignore_errors=True)
 
 
 def _require_schema_like(entry: dict, schema: StructType) -> None:

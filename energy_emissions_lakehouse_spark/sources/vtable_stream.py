@@ -98,24 +98,14 @@ def _target_arrow_schema(root: str, columns: list[str]):
     """The stream's target Arrow schema, resolved on the DRIVER from the
     newest committed segment's parquet footer (every vtable write aligns
     its batch to the commit schema, so the newest segment carries every
-    column — including evolved ones — with the exact physical types)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for v in reversed(_versions(root)):
-        entry = _read_commit(root, v)
-        for rel in entry["add"]:
-            files = sorted(
-                glob.glob(os.path.join(root, rel, "part-*.parquet"))
-            )
-            if files:
-                footer = pq.read_schema(files[0])
-                if all(c in footer.names for c in columns):
-                    return pa.schema([footer.field(c) for c in columns])
-                # a pre-evolution or column-missing segment: keep looking
-    raise FileNotFoundError(
-        f"no committed segment carries all stream columns under {root}"
+    column — including evolved ones — with the exact physical types).
+    ONE implementation shared with the batch reader: this is its bounded
+    footer walk, unbounded to the latest version."""
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        _target_schema_at,
     )
+
+    return _target_schema_at(root, columns, _versions(root)[-1])
 
 
 class VtableStreamReader(DataSourceStreamReader):
@@ -251,31 +241,25 @@ class VtableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+            align_arrow_table,
+        )
+
         table = pq.read_table(partition.path)
         n = table.num_rows
-        arrays, fields = [], list(partition.target)
-        for field in partition.target:
-            if field.name in table.column_names:
-                col = table.column(field.name).combine_chunks()
-                if col.type != field.type:
-                    col = col.cast(field.type)
-                arrays.append(col)
-            else:
-                arrays.append(pa.nulls(n, type=field.type))
+        aligned = align_arrow_table(table, partition.target)
         if partition.version is not None:  # change-feed mode
             if partition.kind == "cdf":
                 change = table.column("_change_type").combine_chunks()
             else:
                 change = pa.array(["insert"] * n, type=pa.string())
-            arrays.append(change)
-            fields.append(pa.field("_change_type", pa.string()))
-            arrays.append(
-                pa.array([partition.version] * n, type=pa.int64())
+            aligned = aligned.append_column(
+                pa.field("_change_type", pa.string()), change
+            ).append_column(
+                pa.field("_commit_version", pa.int64()),
+                pa.array([partition.version] * n, type=pa.int64()),
             )
-            fields.append(pa.field("_commit_version", pa.int64()))
-        yield from pa.Table.from_arrays(
-            arrays, schema=pa.schema(fields)
-        ).to_batches()
+        yield from aligned.to_batches()
 
     def commit(self, end: dict) -> None:
         # the commit log is immutable — nothing to clean up; but a query

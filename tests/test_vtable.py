@@ -1792,3 +1792,141 @@ def test_sink_constraint_enforcement_and_cleanup(spark, vt_root):
         "append"
     ).save()
     assert (99, 5) in _rows(vt.read())
+
+
+def test_sink_commit_publishes_only_reported_task_files(spark, vt_root):
+    """The commit references the segment DIRECTORY, so the directory
+    must hold exactly the files successful task attempts reported:
+    stray files (speculative duplicates, failed-attempt leftovers) are
+    swept before publication, and a failed write() leaves no readable
+    parquet behind."""
+    import pyarrow as pa
+
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        VtableBatchWriter,
+    )
+
+    _mk(spark, vt_root, n=5)
+    schema = VersionedTable(spark, vt_root).read().schema
+    w = VtableBatchWriter(vt_root, schema, overwrite=False)
+    batch = pa.record_batch(
+        {"k": pa.array([100], pa.int64()), "v": pa.array([1], pa.int64())}
+    )
+    msg = w.write(iter([batch]))
+    seg = os.path.join(vt_root, w.rel)
+    # a speculative/retried attempt's file nothing reported
+    stray = os.path.join(seg, "part-deadbeef.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [999], "v": [9]}), stray)
+    w.commit([msg])
+    assert not os.path.exists(stray)
+    vt = VersionedTable(spark, vt_root)
+    assert (100, 1) in _rows(vt.read())
+    assert (999, 9) not in _rows(vt.read())
+
+    # a failing task must not finalize a valid parquet
+    w2 = VtableBatchWriter(vt_root, schema, overwrite=False)
+
+    def boom():
+        yield batch
+        raise RuntimeError("task died")
+
+    with pytest.raises(RuntimeError, match="task died"):
+        w2.write(boom())
+    seg2 = os.path.join(vt_root, w2.rel)
+    assert glob.glob(os.path.join(seg2, "*.parquet")) == []
+
+
+def test_sink_abort_never_removes_root(spark, vt_root):
+    """abort() sweeps only the job's segment — never the root (a
+    concurrent creator may have committed a real table there, and the
+    root may hold pre-existing unrelated files)."""
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        VtableBatchWriter,
+    )
+
+    os.makedirs(vt_root)
+    keepsake = os.path.join(vt_root, "unrelated.txt")
+    with open(keepsake, "w") as fh:
+        fh.write("precious")
+    schema = ST([SF("k", LongType()), SF("v", LongType())])
+    w = VtableBatchWriter(vt_root, schema, overwrite=True)  # creating
+    os.makedirs(os.path.join(vt_root, w.rel), exist_ok=True)
+    w.abort([None])
+    assert os.path.exists(keepsake)
+    assert not os.path.exists(os.path.join(vt_root, w.rel))
+    # ...and a concurrently-created table survives an aborted creator
+    _mk(spark, os.path.join(vt_root, "winner"))
+    w2 = VtableBatchWriter(os.path.join(vt_root, "winner"), schema, True)
+    w2.abort([None])
+    assert VersionedTable(spark, os.path.join(vt_root, "winner")).read(
+    ).count() == 20
+
+
+def test_create_violation_teardown_spares_preexisting_files(spark, vt_root):
+    """A constraint-violating create removes only what it made — a
+    pre-existing unrelated file in the root survives."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    os.makedirs(vt_root)
+    keepsake = os.path.join(vt_root, "unrelated.txt")
+    with open(keepsake, "w") as fh:
+        fh.write("precious")
+    df = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") - 2).alias("v")
+    )
+    with pytest.raises(ConstraintViolationError):
+        VersionedTable.create(
+            spark, vt_root, df, constraints={"v_nonneg": "v >= 0"}
+        )
+    assert os.path.exists(keepsake)
+    assert not os.path.isdir(os.path.join(vt_root, "_log"))
+    # retryable in place
+    VersionedTable.create(
+        spark, vt_root, df.withColumn("v", F.abs(F.col("v"))),
+        constraints={"v_nonneg": "v >= 0"},
+    )
+
+
+def test_restore_revalidates_constraints_added_since_target(spark, vt_root):
+    """Restoring to a snapshot predating an active constraint must not
+    resurrect violating rows: the restore validates the target snapshot
+    and refuses — while a target at which the constraint was already
+    active restores without complaint."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 30)], "k bigint, v bigint"
+    )
+    vt = VersionedTable.create(spark, vt_root, df)
+    vt.delete_where("v < 0")                      # v1: clean
+    vt.add_constraint("v_nonneg", "v >= 0")       # v2: validates v1 head
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.restore(0)                             # would resurrect v=-5
+    assert vt.latest_version() == 2               # refused, unchanged
+    vt.append(spark.createDataFrame([(4, 40)], "k bigint, v bigint"))
+    assert vt.restore(1) == 4                     # constraint active-at-
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+
+
+def test_constraints_fold_into_checkpoints(spark, vt_root):
+    """The active constraint map rides the log checkpoints, so
+    resolution is O(tail) — the checkpoint payload carries it and the
+    resolver serves it past the checkpoint floor."""
+    vt = _mk(spark, vt_root, n=5)
+    vt.add_constraint("v_nonneg", "v >= 0")
+    for i in range(CHECKPOINT_EVERY + 1):
+        vt.append(
+            spark.createDataFrame([(100 + i, i)], "k bigint, v bigint")
+        )
+    ckpt = vt._latest_checkpoint(vt.latest_version())
+    assert ckpt is not None
+    assert ckpt["constraints"] == {"v_nonneg": "v >= 0"}
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
