@@ -781,10 +781,6 @@ class VersionedTable:
         anti-join plan and make streams treat the commit as a change
         commit — a pure-insert merge or no-op delete must stay a plain
         append/no-op."""
-        import glob as _glob
-
-        import pyarrow.parquet as pq
-
         rel = os.path.join(
             DV_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
@@ -794,13 +790,7 @@ class VersionedTable:
             .write.mode("error")
             .parquet(os.path.join(self.root, rel))
         )
-        n_rows = sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in _glob.glob(
-                os.path.join(self.root, rel, "part-*.parquet")
-            )
-        )
-        if n_rows == 0:
+        if self._segment_rows(rel) == 0:
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
             return None
         return rel
@@ -1261,6 +1251,159 @@ class VersionedTable:
         self._commit(v + 1, "overwrite", add=add, remove=live, schema=df.schema)
         return v + 1
 
+    def overwrite_where(self, df: DataFrame, condition: Column | str) -> int:
+        """Delta's ``replaceWhere``: atomically DELETE every row matching
+        the predicate and INSERT ``df``, in ONE commit — the periodic-
+        reload shape (recompute one slice of a 100 TB table without
+        touching the rest).  Touched-file discovery is EXACT via the
+        pushed-down predicate (:meth:`_matched_segments`); segments with
+        no matching row stay live untouched, and the touched ones are
+        rewritten keeping only their non-matching rows (through a
+        DV-aware read, so their deletion vectors materialize with the
+        rewrite).  Every ``df`` row must satisfy the predicate — the
+        Delta replaceWhere contract — validated against the WRITTEN
+        batch (O(delta), one footer-backed scan); a violating batch is
+        rejected with the table unchanged.  Predicate UNKNOWN (null)
+        rows are kept, like SQL DELETE.  For a pure range predicate
+        prefer :meth:`overwrite_range`, which additionally keeps
+        stats-disjoint files out of the discovery scan entirely.  On CDF
+        tables the commit carries delete rows for the replaced slice and
+        insert rows for the batch."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, dvs, entry = self._snapshot_state(None)
+        return self._replace_slice(
+            df, cond, str(condition), live, [], v, dvs, entry
+        )
+
+    def overwrite_range(self, df: DataFrame, col: str, lo, hi) -> int:
+        """:meth:`overwrite_where` specialized to ``lo <= col <= hi`` —
+        the dynamic-partition-overwrite shape (reload yesterday's slice
+        of a time-ordered 100 TB table): candidate files come from the
+        LOG's min/max stats FIRST, so provably-disjoint segments never
+        even enter the discovery scan (sound, never optimistic — a
+        statless segment is conservatively scanned; see
+        :meth:`pruned_segments`), then exact discovery narrows to the
+        files truly holding matching rows.  On a range-clustered layout
+        the whole reload plans from O(log) metadata plus a scan of the
+        overlapping files only."""
+        v, live, dvs, entry = self._snapshot_state(None)
+        candidates, skipped = self.pruned_segments(v, col, lo, hi)
+        cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        return self._replace_slice(
+            df, cond, f"{col} BETWEEN {lo} AND {hi}", candidates, skipped,
+            v, dvs, entry,
+        )
+
+    def _replace_slice(
+        self,
+        df: DataFrame,
+        cond: Column,
+        cond_desc: str,
+        candidates: list[str],
+        skipped: list[str],
+        v: int,
+        dvs: list[str],
+        entry: dict,
+    ) -> int:
+        """Shared replaceWhere core: exact touched discovery over
+        ``candidates`` (``skipped`` were already proven disjoint from log
+        stats), rewrite of the touched segments minus their matching
+        rows, the validated batch appended, one atomic commit."""
+        self._require_schema(df, "overwrite_where")
+        schema = StructType.fromJson(entry["schema"])
+        data_cols = [f.name for f in schema.fields]
+        match = F.coalesce(cond, F.lit(False))
+        touched: list[str] = []
+        if candidates:
+            scan = self._scan_segments(
+                v, candidates, schema, dvs=dvs, keep_identity=True
+            )
+            touched = self._matched_segments(scan, match, candidates)
+        # the batch lands (and is validated) before the slice rewrite:
+        # a rejected batch must cost nothing but its own write
+        new_rel = self._write_segment(df, v + 1)
+        n_bad = (
+            self.spark.read.schema(schema)
+            .parquet(os.path.join(self.root, new_rel))
+            .where(~match)
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            shutil.rmtree(
+                os.path.join(self.root, new_rel), ignore_errors=True
+            )
+            raise ValueError(
+                "overwrite_where: replacement rows must ALL satisfy the "
+                f"predicate ({cond_desc}) — batch rejected, table "
+                "unchanged (the Delta replaceWhere contract)"
+            )
+        add = [new_rel]
+        if self._segment_rows(new_rel) == 0:
+            # an empty batch is a pure predicate delete — don't register
+            # a zero-row segment as dead weight in every later scan
+            shutil.rmtree(
+                os.path.join(self.root, new_rel), ignore_errors=True
+            )
+            add = []
+            if not touched:
+                return v  # nothing deleted, nothing inserted: no-op
+        extra: dict = {
+            "condition": cond_desc,
+            "rewritten": len(touched),
+            "preserved": len(candidates) - len(touched) + len(skipped),
+        }
+        if skipped:
+            extra["stats_skipped"] = len(skipped)
+        if touched:
+            slice_df = self._scan_segments(v, touched, schema, dvs=dvs)
+            if self.cdf_enabled:
+                # the kept rewrite and the delete feed share one scan
+                slice_df = slice_df.persist()
+            try:
+                kept_rel = self._write_segment(
+                    slice_df.where(~match).select(*data_cols), v + 1
+                )
+                if self._segment_rows(kept_rel) == 0:
+                    # every row of every touched segment matched
+                    shutil.rmtree(
+                        os.path.join(self.root, kept_rel),
+                        ignore_errors=True,
+                    )
+                else:
+                    add.append(kept_rel)
+                if self.cdf_enabled:
+                    deletes = (
+                        slice_df.where(match)
+                        .select(*data_cols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                    changes = deletes
+                    if new_rel in add:
+                        # insert images from the batch ALREADY WRITTEN —
+                        # the input plan never recomputes
+                        changes = deletes.unionByName(
+                            self.spark.read.schema(schema)
+                            .parquet(os.path.join(self.root, new_rel))
+                            .withColumn("_change_type", F.lit("insert"))
+                        )
+                    extra["cdf"] = self._write_cdf(changes, v + 1)
+            finally:
+                if self.cdf_enabled:
+                    slice_df.unpersist()
+        elif self.cdf_enabled:
+            extra["cdf"] = self._write_cdf(
+                self.spark.read.schema(schema)
+                .parquet(os.path.join(self.root, new_rel))
+                .withColumn("_change_type", F.lit("insert")),
+                v + 1,
+            )
+        self._commit(
+            v + 1, "replace_where", add=add, remove=list(touched),
+            schema=schema, extra=extra,
+        )
+        return v + 1
+
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE (source wins on key match) as copy-on-write: read the
         snapshot, merge relationally (operators/merge.py upsert — the same
@@ -1423,6 +1566,128 @@ class VersionedTable:
         )
         return v + 1
 
+    def _resolve_assignments(
+        self, set_exprs: dict, schema: StructType
+    ) -> dict[str, Column]:
+        """SQL UPDATE SET list: every target must be an existing column,
+        and each value expression (a Column or a SQL string, evaluated
+        against the PRE-image row) is cast to the column's CURRENT type
+        — ANSI UPDATE semantics: assignment casts to the column type, it
+        never evolves the schema."""
+        if not set_exprs:
+            raise ValueError("update: empty SET list")
+        types = {f.name: f.dataType for f in schema.fields}
+        out: dict[str, Column] = {}
+        for name, value in set_exprs.items():
+            if name not in types:
+                raise ValueError(
+                    f"update: SET target {name!r} is not a table column "
+                    f"(have {sorted(types)})"
+                )
+            col = F.expr(value) if isinstance(value, str) else value
+            out[name] = col.cast(types[name])
+        return out
+
+    def _matched_segments(
+        self, scan: DataFrame, match: Column, rels: list[str]
+    ) -> list[str]:
+        """EXACT touched-file discovery: which of ``rels`` hold at least
+        one row where ``match`` is true?  One small job over an
+        identity-keeping scan — the predicate is pushed into the parquet
+        read (row-group stats skip non-matching groups at the source)
+        and only O(files) distinct segment names ever cross the driver.
+        Exact discovery can never be optimistic: a segment with no
+        matching row needs no rewrite by definition — so unlike
+        stats-based candidate pruning there is no exactness caveat."""
+        by_base = {os.path.basename(r): r for r in rels}
+        hits = scan.where(match).select("_dv_seg").distinct().collect()
+        return sorted(by_base[row._dv_seg] for row in hits)
+
+    def _segment_rows(self, rel: str) -> int:
+        """Row count of a just-written segment from its parquet FOOTERS —
+        O(part files) driver metadata, no Spark job."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(
+                os.path.join(self.root, rel, "part-*.parquet")
+            )
+        )
+
+    def update_where(
+        self, condition: Column | str, set_exprs: dict
+    ) -> int:
+        """SQL UPDATE as pruned copy-on-write (Delta UPDATE): one
+        discovery pass finds the segments actually holding matching rows
+        (exact, via the pushed-down predicate — see
+        :meth:`_matched_segments`), and ONLY those are rewritten with the
+        SET expressions applied; every other segment stays live untouched
+        in the new commit.  At 100 TB a 0.1% update rewrites a handful of
+        files, never the table (and :meth:`update_where_mor` rewrites
+        NOTHING).  SET values are evaluated on the PRE-image and cast to
+        the column's current type; predicate UNKNOWN (null) rows are kept
+        unchanged — both exactly SQL UPDATE.  No-op (commit-free) when
+        nothing matches.  The rewritten segment passes the CHECK-
+        constraint choke point like every write; on CDF tables the commit
+        carries update_preimage/update_postimage rows from the same
+        scan.  The touched segments are rewritten through a DV-aware
+        read, so their deletion vectors materialize with the rewrite."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, dvs, entry = self._snapshot_state(None)
+        schema = StructType.fromJson(entry["schema"])
+        data_cols = [f.name for f in schema.fields]
+        assigns = self._resolve_assignments(set_exprs, schema)
+        match = F.coalesce(cond, F.lit(False))
+        scan = self._scan_segments(
+            v, live, schema, dvs=dvs, keep_identity=True
+        )
+        touched = self._matched_segments(scan, match, live)
+        if not touched:
+            return v  # an UPDATE of zero rows: no-op, commit-free
+        slice_df = self._scan_segments(v, touched, schema, dvs=dvs)
+        extra: dict = {
+            "condition": str(condition),
+            "set": {c: str(set_exprs[c]) for c in sorted(set_exprs)},
+            "rewritten": len(touched),
+            "preserved": len(live) - len(touched),
+        }
+        if self.cdf_enabled:
+            # the rewrite and the two image feeds share one slice scan
+            slice_df = slice_df.persist()
+        try:
+            updated = slice_df.select(
+                *[
+                    F.when(match, assigns[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            if self.cdf_enabled:
+                matched_rows = slice_df.where(match)
+                pre = matched_rows.select(*data_cols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = matched_rows.select(
+                    *[
+                        assigns[c].alias(c) if c in assigns else F.col(c)
+                        for c in data_cols
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                extra["cdf"] = self._write_cdf(pre.unionByName(post), v + 1)
+            add = [self._write_segment(updated, v + 1)]
+        finally:
+            if self.cdf_enabled:
+                slice_df.unpersist()
+        self._commit(
+            v + 1, "update", add=add, remove=touched, schema=schema,
+            extra=extra,
+        )
+        return v + 1
+
     def delete_where_mor(self, condition: Column | str) -> int:
         """Merge-on-read DELETE (Delta deletion vectors / Iceberg
         positional deletes): instead of rewriting every live segment
@@ -1470,6 +1735,69 @@ class VersionedTable:
                 matched.unpersist()
         self._commit(
             v + 1, "delete_mor", add=[], remove=[], schema=schema,
+            extra=extra,
+        )
+        return v + 1
+
+    def update_where_mor(
+        self, condition: Column | str, set_exprs: dict
+    ) -> int:
+        """SQL UPDATE as merge-on-read (Delta's DV-backed UPDATE): the
+        matched rows' positions land in a deletion vector and their
+        POST-images are appended as ONE new segment — ZERO existing
+        segments rewritten, the cheapest update shape at 100 TB
+        (kilobytes of positions plus O(matched) new rows; the deferred
+        rewrite amortizes into the next :meth:`compact`).  Same SET
+        semantics as :meth:`update_where` (pre-image evaluation, cast to
+        the column type, UNKNOWN rows untouched), and POSITION-scoped
+        like :meth:`delete_where_mor`: the update applies to rows live
+        NOW — later appends matching the predicate are untouched.  No-op
+        (commit-free) when nothing matches.  The appended images pass
+        the CHECK-constraint choke point like every write; CDF commits
+        carry update_preimage/update_postimage rows from the same scan."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, dvs, entry = self._snapshot_state(None)
+        if not live:
+            raise ValueError("update_where_mor: table has no live segments")
+        schema = StructType.fromJson(entry["schema"])
+        data_cols = [f.name for f in schema.fields]
+        assigns = self._resolve_assignments(set_exprs, schema)
+        # the identified scan already excludes previously-masked rows, so
+        # they cannot re-enter the new DV or the appended images
+        scan = self._scan_segments(
+            v, live, schema, dvs=dvs, keep_identity=True
+        )
+        # one scan feeds the DV write, the image write, and (CDF) the
+        # pre/post feeds — persist it across those jobs
+        matched = scan.where(F.coalesce(cond, F.lit(False))).persist()
+        extra: dict = {
+            "condition": str(condition),
+            "set": {c: str(set_exprs[c]) for c in sorted(set_exprs)},
+        }
+        try:
+            dv_rel = self._write_dv(matched, v + 1)
+            if dv_rel is None:
+                return v  # an UPDATE of zero rows: no-op, commit-free
+            extra["dv_add"] = [dv_rel]
+            images = matched.select(
+                *[
+                    assigns[c].alias(c) if c in assigns else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            if self.cdf_enabled:
+                pre = matched.select(*data_cols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = images.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                extra["cdf"] = self._write_cdf(pre.unionByName(post), v + 1)
+            add = [self._write_segment(images, v + 1)]
+        finally:
+            matched.unpersist()
+        self._commit(
+            v + 1, "update_mor", add=add, remove=[], schema=schema,
             extra=extra,
         )
         return v + 1
@@ -1888,6 +2216,73 @@ class VersionedTable:
             out_cols.append(pre_img(c).alias(f"{c}_pre"))
             out_cols.append(post_img(c).alias(f"{c}_post"))
         return joined.select(*out_cols).where(F.col("change_type").isNotNull())
+
+    # ----------------------------------------------------------------- clone
+    def clone_to(self, dest_root: str) -> "VersionedTable":
+        """Zero-copy CLONE (Delta SHALLOW CLONE semantics, hardlink
+        mechanics): the commit log is snapshotted at the current head
+        and every data/CDF/DV/index file is HARD-LINKED into
+        ``dest_root`` — no data bytes move, O(files) metadata work, so
+        cloning a 100 TB table costs what cloning its file listing
+        costs.  The clone is a fully independent table from that
+        instant: commits diverge freely, and — unlike Delta's
+        path-referencing shallow clone, which a source VACUUM can break
+        — neither side's :meth:`vacuum` can ever break the other: each
+        root unlinks only its own names, and a shared inode lives until
+        the LAST name drops.  Sharing inodes is safe by protocol:
+        segments are immutable, never rewritten in place.
+
+        The log snapshot is taken FIRST and the data files are linked
+        after: a concurrent writer's mid-clone commit is simply not part
+        of the clone (its pre-written segments may get linked as
+        harmless orphans for the clone's vacuum to sweep), and scratch
+        ``.tmp-`` files are skipped.  A file vacuumed away mid-clone is
+        skipped too — reads of an affected old version then fail loudly
+        via the missing-segment check, exactly like time travel past a
+        vacuum on the source.  Falls back to a byte copy per file when
+        ``dest_root`` is on another filesystem (hardlinks cannot span
+        devices)."""
+        head = self.latest_version()
+        log_names = []
+        for name in sorted(os.listdir(self._log_dir)):
+            stem = name.split(".", 1)[0]
+            if ".tmp-" in name or not stem.isdigit() or int(stem) > head:
+                continue  # scratch files / post-snapshot commits
+            log_names.append(name)
+        if os.path.isdir(os.path.join(dest_root, LOG_DIR)):
+            raise FileExistsError(
+                f"versioned table already exists: {dest_root}"
+            )
+
+        def _link(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except FileNotFoundError:
+                pass  # vacuumed mid-clone: reads of that version fail loud
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device: degrade to a copy
+
+        for sub in (DATA_DIR, CDF_DIR, DV_DIR, INDEX_DIR):
+            src_root = os.path.join(self.root, sub)
+            if not os.path.isdir(src_root):
+                continue
+            for dirpath, _dirs, files in os.walk(src_root):
+                rel = os.path.relpath(dirpath, self.root)
+                tdir = os.path.join(dest_root, rel)
+                os.makedirs(tdir, mode=0o700, exist_ok=True)
+                for fn in files:
+                    if ".tmp-" in fn:
+                        continue
+                    _link(os.path.join(dirpath, fn), os.path.join(tdir, fn))
+        # the log lands LAST: every segment a cloned commit references was
+        # on disk before that commit existed, hence before the walk above
+        tlog = os.path.join(dest_root, LOG_DIR)
+        os.makedirs(tlog, mode=0o700)
+        for name in log_names:
+            _link(
+                os.path.join(self._log_dir, name), os.path.join(tlog, name)
+            )
+        return VersionedTable(self.spark, dest_root)
 
     # ---------------------------------------------------------------- vacuum
     def vacuum(

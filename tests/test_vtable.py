@@ -1930,3 +1930,217 @@ def test_constraints_fold_into_checkpoints(spark, vt_root):
     assert ckpt is not None
     assert ckpt["constraints"] == {"v_nonneg": "v >= 0"}
     assert vt.constraints() == {"v_nonneg": "v >= 0"}
+
+
+# ------------------------------------------------------- UPDATE / replaceWhere
+def _mk_two_seg(spark, root) -> VersionedTable:
+    """k in [0,50) and [50,100) as two segments, v = k*10."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, root, df.where("k < 50"))
+    vt.append(df.where("k >= 50"))
+    return vt
+
+
+def test_update_where_mor_masks_and_appends(spark, vt_root):
+    """MOR UPDATE: matched positions land in a DV, post-images append as
+    one segment, ZERO existing segments are rewritten — and the
+    semantics are position-scoped (a later append matching the
+    predicate is untouched)."""
+    vt = _mk_two_seg(spark, vt_root)
+    v = vt.update_where_mor("k % 10 = 0", {"v": "v + 1"})
+    entry = vt._read_commit(v)
+    assert entry["op"] == "update_mor"
+    assert entry["remove"] == [] and len(entry["add"]) == 1
+    assert len(entry["dv_add"]) == 1
+    head = vt.read()
+    assert head.count() == 100  # mask and append cancel out
+    got = sorted(r.v for r in head.where("k % 10 = 0").collect())
+    assert got == [k * 10 + 1 for k in range(0, 100, 10)]
+    # position-scoped: a later matching append stays untouched
+    vt.append(spark.createDataFrame([(200, 7)], "k bigint, v bigint"))
+    assert vt.read().where("k = 200").collect()[0].v == 7
+    # zero matches: no-op, commit-free
+    assert vt.update_where_mor("k = -1", {"v": "0"}) == vt.latest_version()
+
+
+def test_update_where_cow_rewrites_only_touched(spark, vt_root):
+    """Pruned copy-on-write UPDATE: only segments holding matching rows
+    are rewritten; the discovery is exact, and predicate-UNKNOWN rows
+    are kept unchanged (SQL UPDATE null semantics)."""
+    vt = _mk_two_seg(spark, vt_root)
+    live_before = vt._resolve_live(vt.latest_version())
+    v = vt.update_where("k >= 50 AND k < 55", {"v": "-1"})
+    entry = vt._read_commit(v)
+    assert entry["op"] == "update"
+    assert entry["rewritten"] == 1 and entry["preserved"] == 1
+    # the untouched [0,50) segment survives by NAME in the live set
+    live_after = vt._resolve_live(v)
+    assert len(live_before & live_after) == 1
+    head = vt.read()
+    assert head.count() == 100
+    assert head.where("v = -1").count() == 5
+    assert head.where("k = 49").collect()[0].v == 490
+    # UNKNOWN rows kept: null-yielding predicate touches nothing
+    assert vt.update_where("k / 0 > 1", {"v": "0"}) == v  # null pred -> no-op
+    # zero matches: commit-free
+    assert vt.update_where("k = -1", {"v": "0"}) == v
+
+
+def test_update_set_list_validation_and_cast(spark, vt_root):
+    """SET targets must be existing columns; values cast to the CURRENT
+    column type (ANSI UPDATE), never evolving the schema."""
+    vt = _mk_two_seg(spark, vt_root)
+    with pytest.raises(ValueError, match="SET target"):
+        vt.update_where("k = 0", {"nope": "1"})
+    with pytest.raises(ValueError, match="empty SET"):
+        vt.update_where("k = 0", {})
+    v = vt.update_where("k = 0", {"v": "'123'"})  # string literal -> bigint
+    row = vt.read(v).where("k = 0").collect()[0]
+    assert row.v == 123
+    assert dict(vt.read().dtypes)["v"] == "bigint"
+
+
+def test_update_where_mor_images_pass_constraints(spark, vt_root):
+    """Updated images go through the same CHECK-constraint choke point
+    as every write: a violating update is rejected wholesale and the
+    table (and its DV set) is unchanged."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(
+        spark, vt_root, df, constraints={"v_nonneg": "v >= 0"}
+    )
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        vt.update_where_mor("k < 3", {"v": "-5"})
+    assert vt.latest_version() == 0
+    assert vt.active_deletion_vectors() == []
+    assert vt.read().where("v < 0").count() == 0
+
+
+def test_overwrite_range_prunes_and_replaces(spark, vt_root):
+    """replaceWhere on a range: stats-disjoint segments never enter the
+    discovery scan (stats_skipped pinned), matching rows are replaced by
+    the batch atomically, and a batch violating the predicate is
+    rejected with the table unchanged."""
+    vt = _mk_two_seg(spark, vt_root)
+    repl = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+    )
+    v = vt.overwrite_range(repl, "k", 50, 99)
+    entry = vt._read_commit(v)
+    assert entry["op"] == "replace_where"
+    assert entry["rewritten"] == 1          # only the [50,100) segment
+    assert entry["stats_skipped"] == 1      # [0,50) never scanned
+    assert entry["preserved"] == 1
+    head = vt.read()
+    assert head.count() == 60               # 50 kept + 10 replacement
+    assert head.where("k >= 60").count() == 0
+    assert head.where("v = 0 AND k >= 50").count() == 10
+    # batch outside the predicate: rejected, table unchanged
+    bad = spark.createDataFrame([(1, 1)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="ALL satisfy the predicate"):
+        vt.overwrite_range(bad, "k", 50, 99)
+    assert vt.latest_version() == v
+    # empty batch = pure predicate delete; no zero-row segment registered
+    v2 = vt.overwrite_range(repl.where("k < 0"), "k", 50, 99)
+    e2 = vt._read_commit(v2)
+    assert e2["add"] == [] and len(e2["remove"]) == 1
+    assert vt.read().count() == 50
+    # nothing matched AND empty batch: no-op, commit-free
+    assert vt.overwrite_range(repl.where("k < 0"), "k", 90, 99) == v2
+
+
+def test_overwrite_where_cdf_and_stream_semantics(spark, vt_root):
+    """replaceWhere on a CDF table writes delete+insert change rows from
+    the already-written batch; a replace that touches NO existing rows
+    is structurally a plain append and must stream as one."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    repl = spark.createDataFrame([(3, 333), (4, 444)], "k bigint, v bigint")
+    v = vt.overwrite_where(repl, "k IN (3, 4)")
+    cdf = spark.read.parquet(
+        os.path.join(vt_root, vt._read_commit(v)["cdf"])
+    )
+    got = sorted(
+        (r["_change_type"], r.k, r.v) for r in cdf.collect()
+    )
+    assert got == [
+        ("delete", 3, 30), ("delete", 4, 40),
+        ("insert", 3, 333), ("insert", 4, 444),
+    ]
+    # disjoint slice: remove=[] and no DV -> classified as plain append
+    v2 = vt.overwrite_where(
+        spark.createDataFrame([(100, 1)], "k bigint, v bigint"), "k = 100"
+    )
+    e2 = vt._read_commit(v2)
+    assert e2["remove"] == [] and "dv_add" not in e2
+
+
+def test_update_cow_materializes_dvs_of_touched_segments(spark, vt_root):
+    """A COW update rewrites touched segments through a DV-aware read:
+    previously MOR-deleted rows must not resurrect in the rewrite."""
+    vt = _mk_two_seg(spark, vt_root)
+    vt.delete_where_mor("k = 51")
+    vt.update_where("k >= 50", {"v": "v + 1"})
+    head = vt.read()
+    assert head.where("k = 51").count() == 0
+    assert head.count() == 99
+    assert head.where("k = 52").collect()[0].v == 521
+
+
+def test_clone_is_zero_copy_and_independent(spark, vt_root):
+    """clone_to hard-links every file (zero-copy: same inode), the clone
+    diverges independently, and a vacuum on EITHER side never breaks the
+    other (each root unlinks only its own names)."""
+    vt = _mk_two_seg(spark, vt_root)
+    clone_root = vt_root + "-clone"
+    cl = vt.clone_to(clone_root)
+    part = glob.glob(os.path.join(vt_root, "data", "*", "part-*.parquet"))[0]
+    rel = os.path.relpath(part, vt_root)
+    assert os.path.samefile(part, os.path.join(clone_root, rel))
+    # full history cloned: time travel works on the clone
+    assert cl.read(0).count() == 50 and cl.read().count() == 100
+    # divergence is isolated both ways
+    cl.delete_where("k % 2 = 0")
+    vt.append(spark.createDataFrame([(500, 1)], "k bigint, v bigint"))
+    assert cl.read().count() == 50
+    assert vt.read().count() == 101
+    # source compact+vacuum reclaims ITS names; the clone keeps reading
+    vt.compact()
+    vt.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert cl.read().count() == 50
+    # and vice versa
+    cl.compact()
+    cl.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert vt.read().count() == 101
+    with pytest.raises(FileExistsError):
+        vt.clone_to(clone_root)
+    shutil.rmtree(clone_root, ignore_errors=True)
+
+
+def test_clone_log_snapshot_excludes_later_commits(spark, vt_root):
+    """The clone's log is snapshotted at the head seen at clone time:
+    commits racing in after the snapshot are not part of the clone."""
+    vt = _mk_two_seg(spark, vt_root)
+    head = vt.latest_version()
+    clone_root = vt_root + "-snap"
+    cl = vt.clone_to(clone_root)
+    assert cl.latest_version() == head
+    # a pre-existing scratch commit file must not be cloned
+    scratch = os.path.join(
+        vt_root, "_log", "00000000000000000099.json.tmp-1-dead"
+    )
+    open(scratch, "w").close()
+    shutil.rmtree(clone_root, ignore_errors=True)
+    cl = vt.clone_to(clone_root)
+    assert not glob.glob(os.path.join(clone_root, "_log", "*.tmp-*"))
+    os.unlink(scratch)
+    shutil.rmtree(clone_root, ignore_errors=True)
