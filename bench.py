@@ -207,6 +207,11 @@ HEADLINE = [
     "vtable_sql_source_pushdown_point",
     "vtable_sql_sink_roundtrip",
     "vtable_bloom_point_lookup",
+    "vtable_mor_update_read",
+    "vtable_replace_where_read",
+    "vtable_update_cow_head",
+    "vtable_update_change_feed",
+    "vtable_clone_divergence",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",

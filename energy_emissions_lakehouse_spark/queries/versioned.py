@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 11
+_HISTORY_REV = 12
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -288,6 +288,66 @@ def _build_admin(spark: SparkSession, sf_dir: str, root: str) -> None:
     )
 
 
+def _build_dml(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """A seventh vtable (plus its zero-copy clone) exercising the DML
+    completions — UPDATE in both execution shapes, replaceWhere, and
+    clone divergence — on a range-clustered layout where the pruning
+    is visible:
+
+      v0 create   orders keys [0, q1)       (CDF enabled; q_i = i*mm//4)
+      v1-v3 append [q1,q2), [q2,q3), [q3,mm)  (four range-tight segments)
+      v4 update_mor  SET status 'X', price*0.9 WHERE o_orderkey%23=0
+                     (DV-masked + post-images appended, ZERO rewrites;
+                      the images segment straddles the whole key range)
+      -- clone_to(table_dml_clone): hardlink snapshot of the v4 head --
+      v5 replace_where  [q2, q3) reloaded: recomputed rows (status 'W',
+                     price+1000).  Log stats keep slices 0/1/3 out of
+                     the discovery scan; exact discovery rewrites slice
+                     2 AND the straddling images segment (its off-range
+                     images survive in the kept segment)
+      v6 update (COW)  SET priority '0-RUSH' WHERE status = 'X' — the
+                     matches live ONLY in the v5 kept segment, so ONE
+                     of five live segments is rewritten
+
+      clone diverges independently: delete_where(o_orderkey % 2 = 0),
+      so clone head = v4 state restricted to odd keys while the source
+      moved on through v5/v6 — shared inodes, separate logs.
+
+    Every operation is a pure function of orders, so each state is
+    reconstructible in ANSI SQL (_DML_SQL below)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    root = os.path.join(base, "table_dml")
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    key = F.col("o_orderkey")
+    mm = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    q = [0, mm // 4, (mm * 2) // 4, (mm * 3) // 4, mm]
+    vt = VersionedTable.create(
+        spark, root, orders.filter((key >= q[0]) & (key < q[1])),
+        enable_cdf=True,
+    )
+    for i in (1, 2, 3):
+        vt.append(orders.filter((key >= q[i]) & (key < q[i + 1])))
+    vt.update_where_mor(
+        "o_orderkey % 23 = 0",
+        {"o_orderstatus": "'X'", "o_totalprice": "o_totalprice * 0.9"},
+    )
+    clone = vt.clone_to(os.path.join(base, "table_dml_clone"))
+    replacement = orders.filter((key >= q[2]) & (key < q[3])).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("W").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    vt.overwrite_range(replacement, "o_orderkey", q[2], q[3] - 1)
+    vt.update_where("o_orderstatus = 'X'", {"o_orderpriority": "'0-RUSH'"})
+    clone.delete_where("o_orderkey % 2 = 0")
+
+
 def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
     """The staged artifact holding the vtables (the 5-version history,
     the key-ranged layout, and the z-ordered layout); built once per
@@ -310,6 +370,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
         _build_mor(spark, sf_dir, os.path.join(tmp, "table_mor"))
         _build_bloom(spark, sf_dir, os.path.join(tmp, "table_bloom"))
         _build_admin(spark, sf_dir, os.path.join(tmp, "table_admin"))
+        _build_dml(spark, sf_dir, tmp)  # table_dml + table_dml_clone
 
     base = staged_artifact("vtable", key, _populate, fresh=fresh)
     _VT_MEMO[memo_key] = base
@@ -383,6 +444,28 @@ def staged_vtable_admin(
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_admin"))
+
+
+def staged_vtable_dml(spark: SparkSession, sf_dir: str, fresh: bool = False):
+    """The staged DML vtable (MOR update + replaceWhere + COW update)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_dml"))
+
+
+def staged_vtable_dml_clone(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged zero-copy clone, diverged from the DML table at v4."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_dml_clone"))
 
 
 @register(
@@ -1378,3 +1461,222 @@ def vtable_sql_sink_roundtrip(spark, sf_dir) -> DataFrame:
         F.sum("o_orderkey").alias("key_checksum"),
         scaled_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+#: The DML-table SQL reconstructions (see _build_dml for the build):
+#: v4 (post MOR update), v5 (post replaceWhere), head (post COW update)
+#: and the diverged clone, each a pure function of orders.  The range
+#: bounds are the same integer arithmetic the build used (q2 = mm*2//4,
+#: q3 = mm*3//4 with mm = max key + 1), recomputed via scalar subqueries.
+_DML_SQL = """
+    dml_bounds AS (
+        SELECT (MAX(o_orderkey) + 1) * 2 // 4 AS q2,
+               (MAX(o_orderkey) + 1) * 3 // 4 AS q3
+        FROM orders
+    ),
+    dml_v4 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN (o_orderkey % 23) = 0
+                    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN (o_orderkey % 23) = 0
+                    THEN o_totalprice * 0.9
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    ),
+    dml_v5 AS (
+        SELECT * FROM dml_v4
+        WHERE o_orderkey < (SELECT q2 FROM dml_bounds)
+           OR o_orderkey >= (SELECT q3 FROM dml_bounds)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'W' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey >= (SELECT q2 FROM dml_bounds)
+          AND o_orderkey < (SELECT q3 FROM dml_bounds)
+    ),
+    dml_head AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderstatus = 'X'
+                    THEN '0-RUSH' ELSE o_orderpriority END
+               AS o_orderpriority
+        FROM dml_v5
+    ),
+    dml_clone AS (
+        SELECT * FROM dml_v4 WHERE (o_orderkey % 2) <> 0
+    )
+"""
+
+
+@register(
+    "vtable_mor_update_read",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_v4
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V17 — merge-on-read UPDATE (Delta DV-backed UPDATE, "
+    "operators/vtable.py update_where_mor): matched positions land in a "
+    "deletion vector and the post-images append as ONE segment — zero "
+    "existing segments rewritten, the cheapest update shape at 100 TB; "
+    "SET expressions evaluate on the pre-image and cast to the column "
+    "type (ANSI UPDATE)",
+)
+def vtable_mor_update_read(spark, sf_dir) -> DataFrame:
+    """The v4 snapshot after the MOR update: %23 keys carry status 'X'
+    and 0.9x price, everything else is untouched — a mask leaking onto
+    unmatched rows, a lost image, or an image diverging from the SET
+    arithmetic breaks value parity."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    return vt.read(4).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_replace_where_read",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_v5
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V18 — replaceWhere (Delta replaceWhere / dynamic "
+    "partition overwrite, operators/vtable.py overwrite_range): one "
+    "commit atomically deletes the [q2,q3) key slice and inserts the "
+    "recomputed batch (validated against the predicate); log min/max "
+    "stats keep the disjoint slices out of the discovery scan entirely "
+    "and exact discovery rewrites only the straddling segments (pinned "
+    "rewritten=2/preserved=3 in tests)",
+)
+def vtable_replace_where_read(spark, sf_dir) -> DataFrame:
+    """The v5 snapshot after the range reload: the slice's rows (the
+    original quarter AND the v4 update-images that fell inside it) are
+    gone, the 'W' replacement batch is in, off-range images survive —
+    a leaked slice row, a lost off-range image, or a replacement row
+    drifting from the recompute breaks value parity."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    return vt.read(5).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_update_cow_head",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_head
+    GROUP BY o_orderpriority
+    """,
+    survey="S7 V19 — pruned copy-on-write UPDATE (Delta UPDATE, "
+    "operators/vtable.py update_where): exact touched-file discovery "
+    "via the pushed-down predicate rewrites ONLY the segments holding "
+    "matching rows (1 of 5 live segments here — the matches live solely "
+    "in the v5 kept segment); grouped on o_orderpriority, the column "
+    "the SET rewrote",
+)
+def vtable_update_cow_head(spark, sf_dir) -> DataFrame:
+    """Head read after the chained DML history (MOR update, range
+    reload, COW update): surviving 'X' rows carry priority '0-RUSH',
+    every other row keeps its original priority — an over-applied SET
+    (touching 'W' or original rows) or an under-applied one breaks
+    value parity."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    return vt.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_update_change_feed",
+    oracle=f"""
+    SELECT 'update' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {scaled_sum_sql('o_totalprice')} AS price_pre,
+           {scaled_sum_sql('o_totalprice * 0.9')} AS price_post
+    FROM orders
+    WHERE (o_orderkey % 23) = 0
+    """,
+    survey="S7 V20 — change feed across an UPDATE commit: the v3->v4 "
+    "snapshot diff surfaces exactly the updated keys as 'update' rows "
+    "whose pre-image is the original and post-image the SET result — "
+    "both sides of the diff read through their own version-scoped DV "
+    "sets (v4 masks the originals, v3 predates the DV)",
+)
+def vtable_update_change_feed(spark, sf_dir) -> DataFrame:
+    """change_feed(3, 4) over the DML table: only the %23 keys may
+    appear, all as updates, with price_pre/price_post matching the SET
+    arithmetic exactly."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    cdf = vt.change_feed(3, 4, keys=["o_orderkey"])
+    return cdf.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(F.col("o_totalprice_pre")).alias("price_pre"),
+        scaled_sum(F.col("o_totalprice_post")).alias("price_post"),
+    )
+
+
+@register(
+    "vtable_clone_divergence",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT 'clone' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_clone
+    UNION ALL
+    SELECT 'source',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {scaled_sum_sql('o_totalprice')}
+    FROM dml_head
+    ORDER BY side
+    """,
+    survey="S7 V21 — zero-copy CLONE (Delta SHALLOW CLONE semantics via "
+    "hardlinks, operators/vtable.py clone_to): the clone snapshots the "
+    "source log at its head and shares every data inode (no bytes "
+    "copied — cloning 100 TB costs its file listing), then diverges "
+    "independently; unlike Delta's path-referencing clone, a vacuum on "
+    "either side can never break the other (pinned in tests)",
+)
+def vtable_clone_divergence(spark, sf_dir) -> DataFrame:
+    """Source head vs clone head AFTER both diverged (source: replace +
+    COW update; clone: a delete of even keys from the v4 state it was
+    cloned at) — a clone that leaks a source commit, shares log state,
+    or corrupts a shared segment breaks either side's parity."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    cl = staged_vtable_dml_clone(spark, sf_dir)
+
+    def _agg(table, side: str) -> DataFrame:
+        return table.read().agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            scaled_sum(F.col("o_totalprice")).alias("total_price"),
+        ).select(
+            F.lit(side).alias("side"),
+            "n_orders",
+            "key_checksum",
+            "total_price",
+        )
+
+    return _agg(cl, "clone").unionAll(_agg(vt, "source")).orderBy("side")

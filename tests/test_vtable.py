@@ -2144,3 +2144,43 @@ def test_clone_log_snapshot_excludes_later_commits(spark, vt_root):
     assert not glob.glob(os.path.join(clone_root, "_log", "*.tmp-*"))
     os.unlink(scratch)
     shutil.rmtree(clone_root, ignore_errors=True)
+
+
+def test_staged_dml_history_structure(spark, sf_dir):
+    """Protocol pins on the staged DML table the registered oracles
+    value-check: the MOR update rewrote nothing, the range reload's
+    log-stats pruning kept 2 slices out of the discovery scan and
+    rewrote exactly the straddling 2 segments, the COW update rewrote
+    1 of 5, and the clone shares inodes while its log diverged."""
+    from energy_emissions_lakehouse_spark.queries.versioned import (
+        staged_vtable_dml,
+        staged_vtable_dml_clone,
+    )
+
+    vt = staged_vtable_dml(spark, sf_dir)
+    hist = vt.history()
+    assert [h["op"] for h in hist] == (
+        ["create"] + ["append"] * 3
+        + ["update_mor", "replace_where", "update"]
+    )
+    mor = hist[4]
+    assert mor["add"] and not mor["remove"] and mor["dv_add"]
+    replace = hist[5]
+    assert replace["rewritten"] == 2          # slice 2 + the images segment
+    assert replace["preserved"] == 3          # slices 0, 1, 3
+    assert replace["stats_skipped"] >= 2      # at least slices 0 and 1
+    cow = hist[6]
+    assert cow["rewritten"] == 1 and cow["preserved"] == 4
+    # CDF rode every DML commit (the table is CDF-enabled)
+    assert all("cdf" in hist[i] for i in (4, 5, 6))
+
+    cl = staged_vtable_dml_clone(spark, sf_dir)
+    assert [h["op"] for h in cl.history()] == (
+        ["create"] + ["append"] * 3 + ["update_mor", "delete"]
+    )
+    # zero-copy: the v0 segment is the SAME inode in both roots
+    seg = hist[0]["add"][0]
+    part = glob.glob(os.path.join(vt.root, seg, "part-*.parquet"))[0]
+    assert os.path.samefile(
+        part, os.path.join(cl.root, seg, os.path.basename(part))
+    )
