@@ -212,6 +212,8 @@ HEADLINE = [
     "vtable_update_cow_head",
     "vtable_update_change_feed",
     "vtable_clone_divergence",
+    "vtable_cdf_mirror_sync",
+    "vtable_incremental_agg_maintenance",
     "stream_vtable_append_source",
     "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",

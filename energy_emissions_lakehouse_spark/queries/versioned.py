@@ -1680,3 +1680,119 @@ def vtable_clone_divergence(spark, sf_dir) -> DataFrame:
         )
 
     return _agg(cl, "clone").unionAll(_agg(vt, "source")).orderBy("side")
+
+
+@register(
+    "vtable_cdf_mirror_sync",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_head
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V22 — batch change feed as a SYNC CONTRACT (Delta "
+    "table_changes, operators/vtable.py read_changes): a downstream "
+    "mirror holding only the v0 snapshot replays versions 1..head — "
+    "appends as synthesized inserts, DML commits from their commit-time "
+    "feeds — via last-change-per-key (one shuffle on the key) and must "
+    "land EXACTLY on the head state; the feed being present is cheap to "
+    "claim, being sufficient is what this proves",
+)
+def vtable_cdf_mirror_sync(spark, sf_dir) -> DataFrame:
+    """Reconstruct the head purely from (v0 snapshot + change feed):
+    keys never mentioned keep their v0 row; every other key takes its
+    LATEST change (insert within the same replace commit supersedes the
+    delete, deletes drop the key).  The result must match the directly-
+    read head value-exactly — a lost image, a mis-signed delete, or a
+    gap in the feed breaks parity.  Fully distributed: one window
+    shuffle on the key, nothing row-level on the driver."""
+    from pyspark.sql.window import Window
+
+    vt = staged_vtable_dml(spark, sf_dir)
+    head_v = vt.latest_version()
+    changes = vt.read_changes(1, head_v).where(
+        F.col("_change_type") != "update_preimage"
+    )
+    # latest state per key; within one commit an insert supersedes the
+    # delete of the same key (replaceWhere = delete + insert)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "delete", 1).otherwise(0),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.where(
+        F.col("_change_type") != "delete"
+    ).select(*_ORDER_COLS)
+    unchanged = vt.read(0).join(
+        changes.select("o_orderkey").distinct(), "o_orderkey", "left_anti"
+    ).select(*_ORDER_COLS)
+    mirror = unchanged.unionByName(survivors)
+    return mirror.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_incremental_agg_maintenance",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_head
+    GROUP BY o_orderstatus
+    """,
+    survey="S7 V23 — incremental materialized-view maintenance from the "
+    "change feed: a grouped aggregate over the head is served as "
+    "agg(v3 snapshot) + signed deltas folded from read_changes(4..6) "
+    "(+post/+insert, -pre/-delete on the exact scaled-integer cents) — "
+    "the v4+ DATA segments are never scanned, so refreshing the view "
+    "over a 100 TB table costs O(changes), not O(table)",
+)
+def vtable_incremental_agg_maintenance(spark, sf_dir) -> DataFrame:
+    """Maintain count+sum per status incrementally: quantize to the
+    same cents integers scaled_sum uses (signed integer deltas compose
+    exactly — no float drift), full-outer-merge the base aggregate with
+    the delta aggregate, drop groups whose count reaches zero.  Must
+    equal the direct head aggregate value-exactly."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    head_v = vt.latest_version()
+    cents = F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+    base = vt.read(3).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("c0")
+    )
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
+    )
+    delta = (
+        vt.read_changes(4, head_v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * cents).alias("dc"),
+        )
+    )
+    merged = base.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+            "c"
+        ),
+    )
+    return merged.where(F.col("n_orders") > 0).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("c").cast("double") / F.lit(100.0)).alias("total_price"),
+    )

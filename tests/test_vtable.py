@@ -2184,3 +2184,72 @@ def test_staged_dml_history_structure(spark, sf_dir):
     assert os.path.samefile(
         part, os.path.join(cl.root, seg, os.path.basename(part))
     )
+
+
+# ------------------------------------------------------ batch change feed
+def test_read_changes_batch_table_changes(spark, vt_root):
+    """Delta's table_changes shape: appends synthesize inserts, DML
+    commits serve their commit-time feed, compact contributes nothing,
+    and every row carries its _commit_version."""
+    df = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    vt.append(spark.createDataFrame([(10, 100)], "k bigint, v bigint"))
+    vt.update_where_mor("k = 1", {"v": "11"})
+    vt.delete_where("k = 2")
+    vt.compact()
+    ch = vt.read_changes(0, vt.latest_version())
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r.k, r.v)
+        for r in ch.collect()
+    )
+    assert got == [
+        (0, "insert", 0, 0), (0, "insert", 1, 10),
+        (0, "insert", 2, 20), (0, "insert", 3, 30),
+        (1, "insert", 10, 100),
+        (2, "update_postimage", 1, 11), (2, "update_preimage", 1, 10),
+        (3, "delete", 2, 20),
+    ]
+    # a window holding only the dataChange=false compact is empty
+    assert vt.read_changes(4, 4).count() == 0
+
+
+def test_read_changes_refuses_silent_gaps(spark, vt_root):
+    """A change commit without a feed (CDF off) must raise — a replay
+    over a silent gap is the one unforgivable CDF failure."""
+    vt = _mk_two_seg(spark, vt_root)  # enable_cdf=False
+    vt.delete_where("k = 1")
+    with pytest.raises(ValueError, match="no change feed"):
+        vt.read_changes(0, vt.latest_version())
+    # the pure-append prefix still reads fine
+    assert vt.read_changes(0, 1).count() == 100
+
+
+def test_incremental_maintenance_scans_changes_not_data(spark, sf_dir):
+    """The IVM query's plan reads the v3 snapshot and the cdf/ segments
+    ONLY — none of the data segments added by v4..v6 appear in any scan
+    (refreshing the view costs O(changes), not O(table))."""
+    from energy_emissions_lakehouse_spark.queries.versioned import (
+        staged_vtable_dml,
+        vtable_incremental_agg_maintenance,
+    )
+
+    vt = staged_vtable_dml(spark, sf_dir)
+    plan = (
+        vtable_incremental_agg_maintenance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    )
+    new_data = [
+        rel
+        for v in (4, 5, 6)
+        for rel in vt._read_commit(v)["add"]
+    ]
+    assert new_data  # the history really added post-v3 segments
+    for rel in new_data:
+        assert os.path.basename(rel) not in plan
+    cdf_rels = [vt._read_commit(v)["cdf"] for v in (4, 5, 6)]
+    for rel in cdf_rels:
+        assert os.path.basename(rel) in plan
