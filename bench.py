@@ -217,6 +217,7 @@ HEADLINE = [
     "stream_vtable_append_source",
     "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",
+    "stream_vtable_ivm",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

@@ -1796,3 +1796,65 @@ def vtable_incremental_agg_maintenance(spark, sf_dir) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         (F.col("c").cast("double") / F.lit(100.0)).alias("total_price"),
     )
+
+
+@register(
+    "stream_vtable_ivm",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM dml_head
+    GROUP BY o_orderstatus
+    """,
+    survey="W4 S8 — STREAMING incremental view maintenance: a complete-"
+    "mode aggregation over the change-feed stream whose state IS the "
+    "materialized view — every micro-batch folds signed deltas "
+    "(+insert/+postimage, -delete/-preimage on the exact scaled-integer "
+    "cents), so after replaying the whole DML history (MOR update, "
+    "replaceWhere, COW update) the view equals the head aggregate "
+    "value-exactly; the view refreshes at O(changes per batch) forever, "
+    "never rescanning the table",
+)
+def stream_vtable_ivm(spark, sf_dir) -> DataFrame:
+    """The streaming twin of vtable_incremental_agg_maintenance: the
+    per-status count+sum view maintained by the CDF stream itself.
+    Deletes and update pre-images subtract, inserts and post-images
+    add; integer cents make the signed folds order- and
+    batch-boundary-independent, so the result is exact no matter how
+    the commits split into micro-batches."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import (
+        run_to_table,
+    )
+
+    vt = staged_vtable_dml(spark, sf_dir)
+    register_vtable_source(spark)
+    feed = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+    view = feed.groupBy("o_orderstatus").agg(
+        F.sum(sign).alias("n"), F.sum(sign * cents).alias("c")
+    )
+    out = run_to_table(view, "complete")
+    return out.where(F.col("n") > 0).select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("c").cast("double") / F.lit(100.0)).alias("total_price"),
+    )

@@ -299,3 +299,80 @@ def test_change_commit_raises_without_skip_option(spark, vt_root):
     )
     with pytest.raises(PySparkException, match="skipChangeCommits"):
         q.awaitTermination()
+
+
+def test_streaming_ivm_is_batch_boundary_independent(spark, vt_root):
+    """The signed-delta view must land on the same state no matter how
+    the commits split into micro-batches: one availableNow batch vs
+    version-by-version replay (maxVersionsPerBatch=1 drained with
+    processAllAvailable — availableNow reads the cursor exactly once by
+    design, see the source docstring) — integer-cents folds are
+    associative, so the results are identical."""
+    import uuid as _uuid
+
+    from energy_emissions_lakehouse_spark.streaming.jobs import run_to_table
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 1.25).alias("p"),
+    )
+    vt = VersionedTable.create(
+        spark, vt_root, df.where("k < 10"), enable_cdf=True
+    )
+    vt.append(df.where("k >= 10"))
+    vt.update_where_mor("k % 4 = 0", {"p": "p + 100"})
+    vt.delete_where("k % 5 = 0")
+    register_vtable_source(spark)
+
+    def view(extra_opts: dict) -> list:
+        reader = (
+            spark.readStream.format("eel_vtable")
+            .option("path", vt_root)
+            .option("readChangeFeed", "true")
+        )
+        for key, val in extra_opts.items():
+            reader = reader.option(key, val)
+        feed = reader.load()
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).when(
+            F.col("_change_type").isin("delete", "update_preimage"), -1
+        )
+        cents = F.round(F.col("p") * F.lit(100), 0).cast("long")
+        agg = feed.groupBy("g").agg(
+            F.sum(sign).alias("n"), F.sum(sign * cents).alias("c")
+        )
+        if extra_opts:
+            # incremental cursor: drain batch-by-batch
+            name = f"ivm_{_uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            out = spark.table(name)
+        else:
+            out = run_to_table(agg, "complete")
+        return sorted(
+            (r.g, r.n, r.c) for r in out.where("n > 0").collect()
+        )
+
+    one_shot = view({})
+    per_version = view({"maxVersionsPerBatch": "1"})
+    assert one_shot == per_version
+    # and both equal the direct head aggregate
+    direct = sorted(
+        (r.g, r.n, r.c)
+        for r in vt.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("p") * F.lit(100), 0).cast("long")).alias("c"),
+        )
+        .collect()
+    )
+    assert one_shot == direct
