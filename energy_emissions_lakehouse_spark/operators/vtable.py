@@ -1294,9 +1294,34 @@ class VersionedTable:
             v, dvs, entry,
         )
 
+    def replace_where_segment(
+        self, new_rel: str | None, condition: Column | str
+    ) -> int:
+        """:meth:`overwrite_where` over an ALREADY-WRITTEN segment — the
+        batch-sink path (``df.write.format("eel_vtable")
+        .option("replaceWhere", ...)``): tasks streamed the batch into
+        ``new_rel`` through the two-phase write protocol; this turns it
+        into one atomic predicate-scoped replace without re-writing the
+        data.  Same contract as overwrite_where: every batch row must
+        satisfy the predicate (validated from the written files,
+        O(delta)) and the batch passes the active CHECK constraints —
+        a rejected batch deletes the segment and leaves the table
+        unchanged.  ``new_rel=None`` is the empty batch: a pure
+        predicate delete."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v, live, dvs, entry = self._snapshot_state(None)
+        if new_rel is not None:
+            cons = self.constraints(v)
+            if cons:
+                self._enforce_constraints([new_rel], cons, "replace_where")
+        return self._replace_slice(
+            None, cond, str(condition), live, [], v, dvs, entry,
+            new_rel=new_rel,
+        )
+
     def _replace_slice(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         cond: Column,
         cond_desc: str,
         candidates: list[str],
@@ -1304,12 +1329,17 @@ class VersionedTable:
         v: int,
         dvs: list[str],
         entry: dict,
+        new_rel: str | None = None,
     ) -> int:
         """Shared replaceWhere core: exact touched discovery over
         ``candidates`` (``skipped`` were already proven disjoint from log
         stats), rewrite of the touched segments minus their matching
-        rows, the validated batch appended, one atomic commit."""
-        self._require_schema(df, "overwrite_where")
+        rows, the validated batch appended, one atomic commit.  The
+        batch arrives either as a DataFrame (``df``, written here) or as
+        an already-written segment (``new_rel``, the sink path — may be
+        None for an empty batch)."""
+        if df is not None:
+            self._require_schema(df, "overwrite_where")
         schema = StructType.fromJson(entry["schema"])
         data_cols = [f.name for f in schema.fields]
         match = F.coalesce(cond, F.lit(False))
@@ -1321,33 +1351,36 @@ class VersionedTable:
             touched = self._matched_segments(scan, match, candidates)
         # the batch lands (and is validated) before the slice rewrite:
         # a rejected batch must cost nothing but its own write
-        new_rel = self._write_segment(df, v + 1)
-        n_bad = (
-            self.spark.read.schema(schema)
-            .parquet(os.path.join(self.root, new_rel))
-            .where(~match)
-            .limit(1)
-            .count()
-        )
-        if n_bad:
-            shutil.rmtree(
-                os.path.join(self.root, new_rel), ignore_errors=True
+        if df is not None:
+            new_rel = self._write_segment(df, v + 1)
+        if new_rel is not None:
+            n_bad = (
+                self.spark.read.schema(schema)
+                .parquet(os.path.join(self.root, new_rel))
+                .where(~match)
+                .limit(1)
+                .count()
             )
-            raise ValueError(
-                "overwrite_where: replacement rows must ALL satisfy the "
-                f"predicate ({cond_desc}) — batch rejected, table "
-                "unchanged (the Delta replaceWhere contract)"
-            )
-        add = [new_rel]
-        if self._segment_rows(new_rel) == 0:
+            if n_bad:
+                shutil.rmtree(
+                    os.path.join(self.root, new_rel), ignore_errors=True
+                )
+                raise ValueError(
+                    "overwrite_where: replacement rows must ALL satisfy "
+                    f"the predicate ({cond_desc}) — batch rejected, table "
+                    "unchanged (the Delta replaceWhere contract)"
+                )
+        add = [new_rel] if new_rel is not None else []
+        if new_rel is not None and self._segment_rows(new_rel) == 0:
             # an empty batch is a pure predicate delete — don't register
             # a zero-row segment as dead weight in every later scan
             shutil.rmtree(
                 os.path.join(self.root, new_rel), ignore_errors=True
             )
             add = []
-            if not touched:
-                return v  # nothing deleted, nothing inserted: no-op
+            new_rel = None
+        if not add and not touched:
+            return v  # nothing deleted, nothing inserted: no-op
         extra: dict = {
             "condition": cond_desc,
             "rewritten": len(touched),

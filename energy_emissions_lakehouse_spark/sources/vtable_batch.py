@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from energy_emissions_lakehouse_spark.operators.vtable import (
@@ -314,14 +315,41 @@ class VtableBatchWriter(DataSourceArrowWriter):
     MAY change the schema (Delta overwriteSchema).  Writing to a root
     with no table yet CREATES it (Delta's save-to-new-path), under
     either mode.
+
+    ``.option("replaceWhere", "<sql predicate>")`` with
+    ``mode("overwrite")`` narrows the overwrite to the predicate slice
+    (Delta's replaceWhere writer option): the task-written segment
+    becomes one atomic predicate-scoped replace through
+    :meth:`VersionedTable.replace_where_segment` — every batch row must
+    satisfy the predicate, untouched files stay live, and the schema
+    must match exactly (a scoped replace never evolves the schema).
     """
 
-    def __init__(self, root: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        replace_where: str | None = None,
+    ):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
+        self.replace_where = replace_where
+        if replace_where is not None and not overwrite:
+            raise ValueError(
+                "eel_vtable: replaceWhere requires mode('overwrite') "
+                "(Delta writer semantics)"
+            )
         exists = os.path.isdir(os.path.join(root, LOG_DIR))
         self.creating = not exists
+        if exists and replace_where is not None:
+            # a scoped replace never evolves the schema — gate on the
+            # driver before any task launches (re-checked post-race)
+            _require_schema_like(
+                read_commit(root, VersionedTable(None, root).latest_version()),
+                schema,
+            )
         if exists and not overwrite:
             # fail FAST on the driver before any task launches; the
             # commit re-checks against the post-race head
@@ -385,10 +413,54 @@ class VtableBatchWriter(DataSourceArrowWriter):
                         os.unlink(os.path.join(seg, name))
                     except OSError:
                         pass
+        if self.replace_where is not None and self.creating:
+            # replaceWhere onto a fresh path degrades to a create, but
+            # the batch contract still holds: every row must satisfy the
+            # predicate (validated BEFORE the log exists — a rejected
+            # batch leaves no half-created table)
+            if files:
+                n_bad = (
+                    spark.read.schema(self.schema)
+                    .parquet(seg)
+                    .where(
+                        ~F.coalesce(
+                            F.expr(self.replace_where), F.lit(False)
+                        )
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if n_bad:
+                    shutil.rmtree(seg, ignore_errors=True)
+                    raise ValueError(
+                        "eel_vtable replaceWhere: batch rows must ALL "
+                        f"satisfy the predicate ({self.replace_where}) — "
+                        "batch rejected, nothing created"
+                    )
         if self.creating:
             os.makedirs(os.path.join(self.root, LOG_DIR), exist_ok=True)
             os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
         vt = VersionedTable(spark, self.root)
+        if self.replace_where is not None and not self.creating:
+            # predicate-scoped replace: constraints, the replaceWhere
+            # contract, discovery, kept-rewrite and the atomic commit
+            # all run through the same VersionedTable path as the API
+            # call.  A lost race re-runs discovery against the new head
+            # (stranding at most a vacuumable kept-segment orphan).
+            for _ in range(16):
+                _require_schema_like(
+                    vt._read_commit(vt.latest_version()), self.schema
+                )
+                try:
+                    vt.replace_where_segment(
+                        self.rel if files else None, self.replace_where
+                    )
+                    return
+                except ConcurrentCommitError:
+                    continue
+            raise ConcurrentCommitError(
+                "eel_vtable replaceWhere: lost 16 consecutive commit races"
+            )
         add = [self.rel] if files else []
         if self.creating:
             # commit 0 does not exist yet — pre-seed the lazy property

@@ -342,7 +342,10 @@ class VtableStreamDataSource(DataSource):
             VtableBatchWriter,
         )
 
-        return VtableBatchWriter(self.options["path"], schema, overwrite)
+        return VtableBatchWriter(
+            self.options["path"], schema, overwrite,
+            replace_where=self.options.get("replaceWhere"),
+        )
 
 
 _REGISTERED: set[int] = set()

@@ -2253,3 +2253,62 @@ def test_incremental_maintenance_scans_changes_not_data(spark, sf_dir):
     cdf_rels = [vt._read_commit(v)["cdf"] for v in (4, 5, 6)]
     for rel in cdf_rels:
         assert os.path.basename(rel) in plan
+
+
+def test_sink_replace_where_option(spark, vt_root):
+    """The replaceWhere writer option (Delta writer semantics): with
+    mode('overwrite') the task-written segment becomes one atomic
+    predicate-scoped replace; a batch violating the predicate is
+    rejected wholesale; append mode is gated; an empty batch is a pure
+    predicate delete; and a violating batch on the create path leaves
+    NO half-created table."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    vt = _mk_two_seg(spark, vt_root)
+    repl = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+    )
+    (
+        repl.write.format("eel_vtable").option("path", vt_root)
+        .option("replaceWhere", "k >= 50").mode("overwrite").save()
+    )
+    entry = vt._read_commit(vt.latest_version())
+    assert entry["op"] == "replace_where"
+    assert entry["rewritten"] == 1 and entry["preserved"] == 1
+    assert vt.read().count() == 60
+    assert vt.read().where("v = -1").count() == 10
+    # violating batch: rejected, table unchanged
+    with pytest.raises(Exception, match="satisfy the predicate"):
+        (
+            repl.selectExpr("k - 50 AS k", "v")
+            .write.format("eel_vtable").option("path", vt_root)
+            .option("replaceWhere", "k >= 50").mode("overwrite").save()
+        )
+    assert vt.read().count() == 60
+    # replaceWhere is an overwrite-mode option (Delta contract)
+    with pytest.raises(Exception, match="overwrite"):
+        (
+            repl.write.format("eel_vtable").option("path", vt_root)
+            .option("replaceWhere", "k >= 50").mode("append").save()
+        )
+    # empty batch = pure predicate delete through the sink
+    (
+        repl.where("k < 0")
+        .write.format("eel_vtable").option("path", vt_root)
+        .option("replaceWhere", "k >= 55").mode("overwrite").save()
+    )
+    assert vt.read().count() == 55
+    # create path: the batch contract still validates, and a rejected
+    # batch creates nothing
+    bad_root = vt_root + "-rwnew"
+    with pytest.raises(Exception, match="satisfy"):
+        (
+            repl.selectExpr("k - 50 AS k", "v")
+            .write.format("eel_vtable").option("path", bad_root)
+            .option("replaceWhere", "k >= 50").mode("overwrite").save()
+        )
+    assert not os.path.isdir(os.path.join(bad_root, "_log"))
+    shutil.rmtree(bad_root, ignore_errors=True)
