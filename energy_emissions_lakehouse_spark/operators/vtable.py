@@ -2398,9 +2398,46 @@ class VersionedTable:
             )
         return VersionedTable(self.spark, dest_root)
 
+    # -------------------------------------------------------------- describe
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: head-snapshot facts as one dict — version,
+        operation, schema, live segment/DV/file counts, total live bytes,
+        table properties and active constraints.  O(files) driver
+        metadata (os.stat over the live part files), no Spark job."""
+        import glob as _glob
+
+        v, live, dvs, entry = self._snapshot_state(None)
+        n_files = 0
+        n_bytes = 0
+        for rel in live:
+            for p in _glob.glob(
+                os.path.join(self.root, rel, "part-*.parquet")
+            ):
+                n_files += 1
+                try:
+                    n_bytes += os.path.getsize(p)
+                except OSError:
+                    pass
+        props = self._read_commit(0).get("properties", {})
+        return {
+            "location": self.root,
+            "version": v,
+            "operation": entry["op"],
+            "numLiveSegments": len(live),
+            "numLiveFiles": n_files,
+            "sizeInBytes": n_bytes,
+            "numDeletionVectors": len(dvs),
+            "schema": entry["schema"],
+            "properties": props,
+            "constraints": self.constraints(v),
+        }
+
     # ---------------------------------------------------------------- vacuum
     def vacuum(
-        self, retain_last: int = 2, orphan_grace_s: float = 3600.0
+        self,
+        retain_last: int = 2,
+        orphan_grace_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data segments referenced by NO retained version (the last
         ``retain_last`` commits are retained).  Also sweeps orphan segments
@@ -2414,7 +2451,9 @@ class VersionedTable:
         Segments referenced by an expired commit carry no such risk (the
         writer already committed) and are reclaimed immediately.  Returns
         the deleted log-relative paths.  Time travel to vacuumed versions
-        then fails loudly in :meth:`read` (missing-segment check)."""
+        then fails loudly in :meth:`read` (missing-segment check).
+        ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the same list
+        WITHOUT deleting anything — the audit-before-reclaim step."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -2456,12 +2495,13 @@ class VersionedTable:
                         continue  # vanished under us — a racing cleaner
                     if age < orphan_grace_s:
                         continue  # potentially in-flight: keep for now
-                shutil.rmtree(path, ignore_errors=True)
-                if sub == DATA_DIR:
-                    # a segment's bloom sidecar dies with it
-                    try:
-                        os.unlink(self._bloom_sidecar_path(rel))
-                    except OSError:
-                        pass
+                if not dry_run:
+                    shutil.rmtree(path, ignore_errors=True)
+                    if sub == DATA_DIR:
+                        # a segment's bloom sidecar dies with it
+                        try:
+                            os.unlink(self._bloom_sidecar_path(rel))
+                        except OSError:
+                            pass
                 deleted.append(rel)
         return deleted

@@ -2312,3 +2312,25 @@ def test_sink_replace_where_option(spark, vt_root):
         )
     assert not os.path.isdir(os.path.join(bad_root, "_log"))
     shutil.rmtree(bad_root, ignore_errors=True)
+
+
+def test_vacuum_dry_run_and_describe_detail(spark, vt_root):
+    """VACUUM DRY RUN lists exactly what a real vacuum would reclaim
+    without touching disk; detail() is the DESCRIBE DETAIL surface."""
+    vt = _mk_two_seg(spark, vt_root)
+    vt.delete_where_mor("k = 7")
+    vt.compact()
+    d = vt.detail()
+    assert d["version"] == 3 and d["operation"] == "compact"
+    assert d["numLiveSegments"] == 1 and d["numDeletionVectors"] == 0
+    assert d["numLiveFiles"] >= 1 and d["sizeInBytes"] > 0
+    assert d["constraints"] == {}
+    would = vt.vacuum(retain_last=1, orphan_grace_s=0.0, dry_run=True)
+    assert would  # the pre-compact segments + the materialized DV
+    # dry run deleted nothing: every old version still reads
+    assert vt.read(0).count() == 50
+    assert vt.read(2).count() == 99
+    deleted = vt.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert sorted(deleted) == sorted(would)
+    with pytest.raises(FileNotFoundError):
+        vt.read(0).count()
