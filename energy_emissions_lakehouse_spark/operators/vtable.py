@@ -825,7 +825,18 @@ class VersionedTable:
         ``_dv_*`` identity columns on the result — the shared scan the
         merge-on-read mutations build their own DVs from."""
         if not rels:
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if keep_identity:
+                # honor the contract even on an empty live set: callers
+                # (touched-file discovery, the MOR mutations) select the
+                # _dv_* columns unconditionally
+                empty = empty.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_dv_seg"),
+                    F.lit(None).cast("string").alias("_dv_file"),
+                    F.lit(None).cast("bigint").alias("_dv_pos"),
+                )
+            return empty
         self._check_present(version, rels)
         df = self.spark.read.schema(schema).parquet(
             *(os.path.join(self.root, p) for p in rels)
@@ -1371,15 +1382,23 @@ class VersionedTable:
                     "unchanged (the Delta replaceWhere contract)"
                 )
         add = [new_rel] if new_rel is not None else []
+        empty_new: str | None = None
         if new_rel is not None and self._segment_rows(new_rel) == 0:
             # an empty batch is a pure predicate delete — don't register
-            # a zero-row segment as dead weight in every later scan
-            shutil.rmtree(
-                os.path.join(self.root, new_rel), ignore_errors=True
-            )
+            # a zero-row segment as dead weight in every later scan.
+            # Deleted only AFTER the commit settles: a caller retrying a
+            # lost commit race may hand the same segment back in, and a
+            # pre-commit delete would make that retry read a vanished
+            # directory.  (On a lost race it stays as a vacuumable
+            # orphan until the retry resolves it the same way.)
+            empty_new = new_rel
             add = []
             new_rel = None
         if not add and not touched:
+            if empty_new is not None:
+                shutil.rmtree(
+                    os.path.join(self.root, empty_new), ignore_errors=True
+                )
             return v  # nothing deleted, nothing inserted: no-op
         extra: dict = {
             "condition": cond_desc,
@@ -1435,6 +1454,11 @@ class VersionedTable:
             v + 1, "replace_where", add=add, remove=list(touched),
             schema=schema, extra=extra,
         )
+        if empty_new is not None:
+            # the commit settled without referencing it — reclaim now
+            shutil.rmtree(
+                os.path.join(self.root, empty_new), ignore_errors=True
+            )
         return v + 1
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
@@ -2373,6 +2397,8 @@ class VersionedTable:
                 os.link(src, dst)
             except FileNotFoundError:
                 pass  # vacuumed mid-clone: reads of that version fail loud
+            except FileExistsError:
+                pass  # retried partial clone: this file already linked
             except OSError:
                 shutil.copy2(src, dst)  # cross-device: degrade to a copy
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.fsutil import (
@@ -1510,6 +1510,29 @@ _DML_SQL = """
 """
 
 
+def _ivm_sign() -> Column:
+    """The signed-delta weight of a change-feed row: +1 for rows that
+    enter the view state (insert, update post-image), -1 for rows that
+    leave it (delete, update pre-image).  Shared by the batch and
+    streaming IVM queries — their shared oracle (dml_head) only holds
+    if both fold changes identically."""
+    return (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+    )
+
+
+def _price_cents() -> Column:
+    """o_totalprice quantized to the same scaled integer scaled_sum
+    uses — signed integer deltas compose exactly, no float drift."""
+    return F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+
+
 @register(
     "vtable_mor_update_read",
     oracle=f"""
@@ -1766,14 +1789,11 @@ def vtable_incremental_agg_maintenance(spark, sf_dir) -> DataFrame:
     equal the direct head aggregate value-exactly."""
     vt = staged_vtable_dml(spark, sf_dir)
     head_v = vt.latest_version()
-    cents = F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+    cents = _price_cents()
     base = vt.read(3).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("c0")
     )
-    sign = (
-        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
-        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
-    )
+    sign = _ivm_sign()
     delta = (
         vt.read_changes(4, head_v)
         .groupBy("o_orderstatus")
@@ -1839,16 +1859,8 @@ def stream_vtable_ivm(spark, sf_dir) -> DataFrame:
         .option("readChangeFeed", "true")
         .load()
     )
-    sign = (
-        F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        ).when(
-            F.col("_change_type").isin("delete", "update_preimage"),
-            F.lit(-1),
-        )
-    )
-    cents = F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+    sign = _ivm_sign()
+    cents = _price_cents()
     view = feed.groupBy("o_orderstatus").agg(
         F.sum(sign).alias("n"), F.sum(sign * cents).alias("c")
     )

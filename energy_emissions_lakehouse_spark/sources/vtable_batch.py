@@ -343,16 +343,10 @@ class VtableBatchWriter(DataSourceArrowWriter):
             )
         exists = os.path.isdir(os.path.join(root, LOG_DIR))
         self.creating = not exists
-        if exists and replace_where is not None:
-            # a scoped replace never evolves the schema — gate on the
-            # driver before any task launches (re-checked post-race)
-            _require_schema_like(
-                read_commit(root, VersionedTable(None, root).latest_version()),
-                schema,
-            )
-        if exists and not overwrite:
-            # fail FAST on the driver before any task launches; the
-            # commit re-checks against the post-race head
+        if exists and (replace_where is not None or not overwrite):
+            # appends and scoped replaces never evolve the schema — one
+            # shared gate fails FAST on the driver before any task
+            # launches; the commit re-checks against the post-race head
             _require_schema_like(
                 read_commit(root, VersionedTable(None, root).latest_version()),
                 schema,
@@ -442,25 +436,8 @@ class VtableBatchWriter(DataSourceArrowWriter):
             os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
         vt = VersionedTable(spark, self.root)
         if self.replace_where is not None and not self.creating:
-            # predicate-scoped replace: constraints, the replaceWhere
-            # contract, discovery, kept-rewrite and the atomic commit
-            # all run through the same VersionedTable path as the API
-            # call.  A lost race re-runs discovery against the new head
-            # (stranding at most a vacuumable kept-segment orphan).
-            for _ in range(16):
-                _require_schema_like(
-                    vt._read_commit(vt.latest_version()), self.schema
-                )
-                try:
-                    vt.replace_where_segment(
-                        self.rel if files else None, self.replace_where
-                    )
-                    return
-                except ConcurrentCommitError:
-                    continue
-            raise ConcurrentCommitError(
-                "eel_vtable replaceWhere: lost 16 consecutive commit races"
-            )
+            self._commit_replace(vt, messages)
+            return
         add = [self.rel] if files else []
         if self.creating:
             # commit 0 does not exist yet — pre-seed the lazy property
@@ -486,6 +463,13 @@ class VtableBatchWriter(DataSourceArrowWriter):
                 # schema gate and constraint enforcement now apply)
                 self.creating = False
                 del vt._bloom_props  # re-resolve from the winner's commit 0
+                if self.replace_where is not None:
+                    # a lost CREATE race must stay a predicate-scoped
+                    # replace against the winner's table — falling into
+                    # the full-overwrite loop would delete the winner's
+                    # non-matching rows
+                    self._commit_replace(vt, messages)
+                    return
         enforced = vt.constraints()
         if add:
             vt._enforce_constraints(add, enforced, "write")
@@ -514,6 +498,36 @@ class VtableBatchWriter(DataSourceArrowWriter):
                 continue
         raise ConcurrentCommitError(
             "eel_vtable write: lost 64 consecutive commit races"
+        )
+
+    def _commit_replace(self, vt: VersionedTable, messages) -> None:
+        """Predicate-scoped replace commit: constraints, the replaceWhere
+        contract, discovery, kept-rewrite and the atomic commit all run
+        through the same VersionedTable path as the API call.  A lost
+        race re-runs discovery against the new head (stranding at most
+        a vacuumable kept-segment orphan).  A batch whose task files
+        hold ZERO rows is handed over as ``None`` (the pure predicate
+        delete) and its empty segment swept HERE — _replace_slice would
+        otherwise delete it before its commit attempt, and a lost race
+        would then retry against a vanished directory."""
+        files = [m.filename for m in messages if m and m.filename]
+        has_rows = any(m.rows for m in messages if m)
+        new_rel = self.rel if (files and has_rows) else None
+        if files and not has_rows:
+            shutil.rmtree(
+                os.path.join(self.root, self.rel), ignore_errors=True
+            )
+        for _ in range(16):
+            _require_schema_like(
+                vt._read_commit(vt.latest_version()), self.schema
+            )
+            try:
+                vt.replace_where_segment(new_rel, self.replace_where)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            "eel_vtable replaceWhere: lost 16 consecutive commit races"
         )
 
     def abort(self, messages) -> None:

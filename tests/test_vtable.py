@@ -2334,3 +2334,90 @@ def test_vacuum_dry_run_and_describe_detail(spark, vt_root):
     assert sorted(deleted) == sorted(would)
     with pytest.raises(FileNotFoundError):
         vt.read(0).count()
+
+
+def test_update_on_emptied_table_is_noop(spark, vt_root):
+    """A whole-table predicate delete via replace_where_segment(None)
+    empties the live set; UPDATE on the empty table must be the
+    documented commit-free no-op (the identity-keeping empty scan),
+    not an unresolved-column error."""
+    vt = _mk_two_seg(spark, vt_root)
+    v = vt.replace_where_segment(None, "k >= 0")
+    assert vt._resolve_live(v) == set()
+    assert vt.read().count() == 0
+    assert vt.update_where("k > 0", {"v": "0"}) == v  # no-op
+    assert vt.overwrite_where(
+        spark.createDataFrame([], "k bigint, v bigint"), "k < 0"
+    ) == v  # empty batch on empty table: no-op too
+
+
+def test_replace_segment_empty_batch_survives_commit_race(spark, vt_root):
+    """replace_where_segment with a ZERO-ROW segment: the segment is
+    reclaimed only after the commit settles, so a caller retrying a
+    lost race never reads a vanished directory."""
+    vt = _mk_two_seg(spark, vt_root)
+    rel = os.path.join("data", "write-empty-test")
+    spark.createDataFrame([], "k bigint, v bigint").write.parquet(
+        os.path.join(vt_root, rel)
+    )
+    v = vt.replace_where_segment(rel, "k >= 90")
+    assert vt.read().count() == 90  # pure predicate delete
+    entry = vt._read_commit(v)
+    # the zero-row batch segment was never referenced; the one add is
+    # the kept-rows rewrite of the touched [50,100) segment
+    assert rel not in entry["add"] and len(entry["add"]) == 1
+    assert not os.path.isdir(os.path.join(vt_root, rel))  # reclaimed
+
+
+def test_sink_replace_where_lost_create_race_stays_scoped(spark, vt_root):
+    """A replaceWhere write that loses the version-0 create race must
+    land as a predicate-scoped replace against the winner's table —
+    never a full overwrite deleting the winner's non-matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        VtableBatchWriter,
+        _WriteMessage,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    # the loser plans its write while the table does not exist yet
+    w = VtableBatchWriter(vt_root, schema, True, replace_where="k >= 50")
+    assert w.creating
+    # ...the winner creates the table in between
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    VersionedTable.create(spark, vt_root, df)
+    # loser's task output: 10 replacement rows, all satisfying the predicate
+    seg = os.path.join(vt_root, w.rel)
+    os.makedirs(seg, exist_ok=True)
+    fname = "part-test.parquet"
+    pq.write_table(
+        pa.table({"k": list(range(50, 60)), "v": [-1] * 10}),
+        os.path.join(seg, fname),
+    )
+    w.commit([_WriteMessage(fname, 10)])
+    vt = VersionedTable(spark, vt_root)
+    entry = vt._read_commit(vt.latest_version())
+    assert entry["op"] == "replace_where"  # NOT a full overwrite
+    head = vt.read()
+    assert head.count() == 60  # winner's k<50 rows all survive
+    assert head.where("k < 50").count() == 50
+    assert head.where("v = -1").count() == 10
+
+
+def test_clone_retry_after_partial_clone(spark, vt_root):
+    """A clone that crashed mid-walk (data linked, log absent) must be
+    completable by re-running clone_to — already-linked files are
+    skipped, never funneled into a same-inode copy."""
+    vt = _mk_two_seg(spark, vt_root)
+    dest = vt_root + "-partial"
+    vt.clone_to(dest)
+    shutil.rmtree(os.path.join(dest, "_log"))  # simulate the crash point
+    cl = vt.clone_to(dest)  # retry completes in place
+    assert cl.read().count() == 100
