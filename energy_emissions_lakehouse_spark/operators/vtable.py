@@ -584,6 +584,12 @@ class VersionedTable:
                 # O(tail) like every other fold (pre-rev checkpoints
                 # lack the key and force the genesis walk — never wrong)
                 "constraints": self.constraints(version),
+                # per-live-segment min/max stats (the Delta checkpoint's
+                # add-file stats), so pruned reads resolve their skip
+                # list O(tail) instead of walking the whole log; built
+                # from the PREVIOUS checkpoint + tail, so each
+                # checkpoint costs O(tail) too
+                "stats": self._live_segment_stats(version),
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -2139,11 +2145,26 @@ class VersionedTable:
     def _live_segment_stats(self, version: int) -> dict[str, dict]:
         """Stats for every live segment at ``version``, gathered from the
         commits that ADDED them (stats are immutable with the segment).
-        Full-log walk — O(commits) driver metadata; a production vtable
-        folds these into the checkpoint the way _resolve_live does."""
+        Checkpoint-accelerated like every other fold: the checkpoint
+        carries the full live-set stats map (Delta's checkpoint add-file
+        stats), so resolution replays only the tail — O(tail) driver
+        metadata per pruned read, and O(tail) per checkpoint write.  A
+        pre-stats-rev checkpoint forces the genesis walk (never wrong,
+        only slower)."""
         live = self._resolve_live(version)
         out: dict[str, dict] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None and "stats" in ckpt:
+            out = {
+                rel: stats
+                for rel, stats in ckpt["stats"].items()
+                if rel in live
+            }
+            start = ckpt["version"] + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > version:
                 break
             entry = self._read_commit(v)

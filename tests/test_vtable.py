@@ -2421,3 +2421,39 @@ def test_clone_retry_after_partial_clone(spark, vt_root):
     shutil.rmtree(os.path.join(dest, "_log"))  # simulate the crash point
     cl = vt.clone_to(dest)  # retry completes in place
     assert cl.read().count() == 100
+
+
+def test_segment_stats_fold_into_checkpoints(spark, vt_root):
+    """Per-live-segment min/max stats ride the log checkpoints (Delta's
+    checkpoint add-file stats), so pruned reads resolve their skip list
+    O(tail); the checkpointed fold must equal the genesis walk, and a
+    pre-stats-rev checkpoint falls back to it."""
+    vt = _mk(spark, vt_root, n=5)
+    for i in range(CHECKPOINT_EVERY + 2):
+        vt.append(
+            spark.createDataFrame([(100 + i, i)], "k bigint, v bigint")
+        )
+    head = vt.latest_version()
+    ckpt = vt._latest_checkpoint(head)
+    assert "stats" in ckpt
+    assert set(ckpt["stats"]) == set(ckpt["live"])
+    # the checkpointed fold equals the genesis walk
+    live = vt._resolve_live(head)
+    genesis: dict = {}
+    for v in vt._versions():
+        e = vt._read_commit(v)
+        for rel in e["add"]:
+            if rel in live:
+                genesis[rel] = e.get("stats", {}).get(rel, {})
+    assert vt._live_segment_stats(head) == genesis
+    # pruning exact through the checkpointed path: a point probe scans
+    # exactly the one segment holding it
+    scanned, skipped = vt.pruned_segments(head, "k", 100, 100)
+    assert len(scanned) == 1 and len(skipped) == len(live) - 1
+    # legacy checkpoint (no stats key): genesis fallback, same answer
+    cpath = vt._checkpoint_path(CHECKPOINT_EVERY)
+    payload = json.loads(open(cpath).read())
+    del payload["stats"]
+    with open(cpath, "w") as fh:
+        json.dump(payload, fh)
+    assert vt._live_segment_stats(head) == genesis
