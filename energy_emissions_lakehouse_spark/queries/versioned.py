@@ -1870,3 +1870,89 @@ def stream_vtable_ivm(spark, sf_dir) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         (F.col("c").cast("double") / F.lit(100.0)).alias("total_price"),
     )
+
+
+@register(
+    "vtable_catalog_txn_load",
+    oracle=f"""
+    SELECT 'customer' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('c_acctbal')} AS value_sum
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {scaled_sum_sql('o_totalprice')}
+    FROM orders
+    ORDER BY side
+    """,
+    survey="S7 V24 — MULTI-TABLE transaction (Iceberg catalog-level "
+    "commit, operators/catalog.py): the reference's one-transaction "
+    "two-table warehouse load (load_to_postgres.py:73-117) done "
+    "natively — ordinary per-table vtable writes, then ONE atomic "
+    "catalog pointer-swap commit pinning every participant's new head; "
+    "readers through the catalog see a consistent cut (all-old or "
+    "all-new, never a mix — crash/conflict semantics pinned in "
+    "tests/test_catalog.py)",
+)
+def vtable_catalog_txn_load(spark, sf_dir) -> DataFrame:
+    """Transactionally load TWO tables — append the missing two-thirds
+    of orders AND replaceWhere-insert the BUILDING customers — then
+    read both through the POST-txn catalog cut: each must equal its
+    full source table exactly.  The measured operator is the whole
+    envelope (two table loads + the catalog swap), the native twin of
+    jdbc_txn_upsert_roundtrip."""
+    import shutil as _shutil
+
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        TableCatalog,
+    )
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    cust = t(spark, sf_dir, "customer")
+    base = os.path.join(
+        staging_dir("vtable_catalog"),
+        f"txn_{table_cache_key(sf_dir, 'orders', 'catalog', _HISTORY_REV)}",
+    )
+    # fresh roots per invocation (same policy as vtable_sql_sink_roundtrip:
+    # without this every run stacks more commits into an unvacuumed root)
+    _shutil.rmtree(base, ignore_errors=True)
+    key = F.col("o_orderkey")
+    t_orders = VersionedTable.create(
+        spark, os.path.join(base, "orders"), orders.filter(key % 3 == 0)
+    )
+    t_cust = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        cust.filter(F.col("c_mktsegment") != "BUILDING"),
+    )
+    cat = TableCatalog.create(
+        spark, base, {"orders": t_orders.root, "customer": t_cust.root}
+    )
+    txn = cat.begin()
+    txn.table("orders").append(orders.filter(key % 3 != 0))
+    txn.table("customer").overwrite_where(
+        cust.filter(F.col("c_mktsegment") == "BUILDING"),
+        "c_mktsegment = 'BUILDING'",
+    )
+    txn.commit()
+
+    def _agg(name: str, key_col: str, val_col: str) -> DataFrame:
+        return cat.read(name).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(key_col).alias("key_checksum"),
+            scaled_sum(F.col(val_col)).alias("value_sum"),
+        ).select(
+            F.lit(name).alias("side"), "n_rows", "key_checksum", "value_sum"
+        )
+
+    return (
+        _agg("customer", "c_custkey", "c_acctbal")
+        .unionAll(_agg("orders", "o_orderkey", "o_totalprice"))
+        .orderBy("side")
+    )

@@ -1,0 +1,119 @@
+"""Multi-table transaction pins for the table catalog
+(operators/catalog.py): cross-table snapshot isolation through the
+pointer map, crash/abort invisibility, write-write conflict detection,
+and disjoint-transaction interleaving.  The value parity of the
+registered load query is covered by its oracle
+(queries/versioned.py vtable_catalog_txn_load)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators.catalog import (
+    CatalogConflictError,
+    TableCatalog,
+)
+from energy_emissions_lakehouse_spark.operators.vtable import VersionedTable
+
+
+@pytest.fixture()
+def cat_base():
+    d = tempfile.mkdtemp(prefix="catalog-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_tables(spark, base):
+    a = VersionedTable.create(
+        spark,
+        os.path.join(base, "a"),
+        spark.range(10).select(F.col("id").alias("k")),
+    )
+    b = VersionedTable.create(
+        spark,
+        os.path.join(base, "b"),
+        spark.range(5).select(F.col("id").alias("k")),
+    )
+    return a, b
+
+
+def test_catalog_txn_is_all_or_nothing(spark, cat_base):
+    """Catalog readers see either every participant's old version or
+    every participant's new version — never a mix; a transaction that
+    never commits (crash model) stays invisible forever."""
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(
+        spark, cat_base, {"a": a.root, "b": b.root}
+    )
+    txn = cat.begin()
+    txn.table("a").append(spark.range(10, 20).select(F.col("id").alias("k")))
+    txn.table("b").delete_where("k >= 3")
+    # mid-transaction: the table logs moved, the catalog cut did not
+    assert cat.read("a").count() == 10
+    assert cat.read("b").count() == 5
+    v1 = txn.commit()
+    assert cat.read("a", v1).count() == 20
+    assert cat.read("b", v1).count() == 3
+    # the pre-txn catalog version still serves the old consistent cut
+    assert cat.read("a", 0).count() == 10
+    assert cat.read("b", 0).count() == 5
+
+    # crash model: writes land on the table log, commit() never runs —
+    # the catalog keeps serving the committed cut
+    dead = cat.begin()
+    dead.table("a").delete_where("k < 100")  # empties the table head
+    assert VersionedTable(spark, a.root).read().count() == 0
+    assert cat.read("a").count() == 20  # catalog cut untouched
+
+
+def test_catalog_txn_conflicts_and_disjoint_interleave(spark, cat_base):
+    """Two transactions touching the SAME table: the second commit
+    raises a write-write conflict.  Transactions over DISJOINT tables
+    interleave freely (the loser of the version slot retries and
+    carries the other's pointers forward)."""
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    t1 = cat.begin()
+    t2 = cat.begin()
+    t1.table("a").append(spark.range(100, 101).select(F.col("id").alias("k")))
+    t2.table("a").append(spark.range(200, 201).select(F.col("id").alias("k")))
+    t1.commit()
+    with pytest.raises(CatalogConflictError, match="moved since begin"):
+        t2.commit()
+    # disjoint: one touches a, the other b — both land
+    t3 = cat.begin()
+    t4 = cat.begin()
+    t3.table("a").append(spark.range(300, 301).select(F.col("id").alias("k")))
+    t4.table("b").append(spark.range(400, 401).select(F.col("id").alias("k")))
+    v3 = t3.commit()
+    v4 = t4.commit()
+    assert v4 == v3 + 1
+    ents = cat.entries()
+    # t4's commit carried t3's fresh pointer forward, not begin()'s
+    assert cat.read("a").where("k = 300").count() == 1
+    assert cat.read("b").where("k = 400").count() == 1
+    assert ents["a"]["version"] == VersionedTable(spark, a.root).latest_version()
+
+    # empty transaction: no catalog commit
+    assert cat.begin().commit() == cat.latest_version()
+
+
+def test_catalog_unknown_table_and_create_validation(spark, cat_base):
+    a, _ = _mk_tables(spark, cat_base)
+    with pytest.raises(FileNotFoundError):
+        TableCatalog.create(
+            spark, os.path.join(cat_base, "c2"),
+            {"a": a.root, "ghost": os.path.join(cat_base, "nope")},
+        )
+    cat = TableCatalog.create(
+        spark, os.path.join(cat_base, "c3"), {"a": a.root}
+    )
+    with pytest.raises(KeyError):
+        cat.read("ghost")
+    with pytest.raises(KeyError):
+        cat.begin().table("ghost")
