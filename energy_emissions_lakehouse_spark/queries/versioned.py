@@ -364,13 +364,29 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
         return _VT_MEMO[memo_key]
 
     def _populate(tmp: str) -> None:
-        _build_history(spark, sf_dir, os.path.join(tmp, "table"))
-        _build_ranged(spark, sf_dir, os.path.join(tmp, "table_ranged"))
-        _build_zorder(spark, sf_dir, os.path.join(tmp, "table_zorder"))
-        _build_mor(spark, sf_dir, os.path.join(tmp, "table_mor"))
-        _build_bloom(spark, sf_dir, os.path.join(tmp, "table_bloom"))
-        _build_admin(spark, sf_dir, os.path.join(tmp, "table_admin"))
-        _build_dml(spark, sf_dir, tmp)  # table_dml + table_dml_clone
+        # The six builds are independent tables under one artifact, and
+        # each is a chain of SMALL commits — driver/scheduler latency,
+        # not core-bound work — so they overlap well: Spark's scheduler
+        # interleaves concurrent job submissions from driver threads
+        # (the supported multi-job pattern).  Wall clock drops to
+        # roughly the slowest single build instead of the sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        builds = [
+            (_build_history, os.path.join(tmp, "table")),
+            (_build_ranged, os.path.join(tmp, "table_ranged")),
+            (_build_zorder, os.path.join(tmp, "table_zorder")),
+            (_build_mor, os.path.join(tmp, "table_mor")),
+            (_build_bloom, os.path.join(tmp, "table_bloom")),
+            (_build_admin, os.path.join(tmp, "table_admin")),
+            (_build_dml, tmp),  # table_dml + table_dml_clone
+        ]
+        with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+            futures = [
+                pool.submit(fn, spark, sf_dir, dest) for fn, dest in builds
+            ]
+            for f in futures:
+                f.result()  # surface the first failure, fail the artifact
 
     base = staged_artifact("vtable", key, _populate, fresh=fresh)
     _VT_MEMO[memo_key] = base
