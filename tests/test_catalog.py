@@ -117,3 +117,51 @@ def test_catalog_unknown_table_and_create_validation(spark, cat_base):
         cat.read("ghost")
     with pytest.raises(KeyError):
         cat.begin().table("ghost")
+
+
+def test_catalog_concurrent_disjoint_txns_stress(spark, cat_base):
+    """Protocol torture: N driver threads each run transactions over
+    their OWN table concurrently.  Disjoint transactions must all land
+    (slot races retry internally, never conflict), and the final
+    catalog pins every table's true head."""
+    import threading
+
+    n_tables, n_txns = 4, 3
+    tables = {}
+    for i in range(n_tables):
+        root = os.path.join(cat_base, f"t{i}")
+        VersionedTable.create(
+            spark, root,
+            spark.range(1).select(F.col("id").alias("k")),
+        )
+        tables[f"t{i}"] = root
+    cat = TableCatalog.create(spark, cat_base, tables)
+    errors: list = []
+
+    def worker(name: str) -> None:
+        try:
+            for j in range(n_txns):
+                txn = cat.begin()
+                txn.table(name).append(
+                    spark.createDataFrame([(1000 + j,)], "k bigint")
+                )
+                txn.commit()
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append((name, exc))
+
+    threads = [
+        threading.Thread(target=worker, args=(f"t{i}",))
+        for i in range(n_tables)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert cat.latest_version() == n_tables * n_txns  # every txn landed
+    ents = cat.entries()
+    for name, root in tables.items():
+        vt = VersionedTable(spark, root)
+        assert ents[name]["version"] == vt.latest_version() == n_txns
+        # and the catalog cut serves the complete table
+        assert cat.read(name).count() == 1 + n_txns
