@@ -2045,11 +2045,62 @@ class VersionedTable:
     def compact(self, target_partitions: int = 1) -> int:
         """Bin-pack the live segments into ``target_partitions`` files.
         Content-identical by construction (pure coalesce rewrite) — the
-        OPTIMIZE surface of Delta/Iceberg."""
+        OPTIMIZE surface of Delta/Iceberg.  This is the WHOLE-set form;
+        at scale use :meth:`compact_small`, which never rewrites
+        already-big files."""
         v, live, _ = self._snapshot(None)
         df = self.read(v).coalesce(target_partitions)
         add = [self._write_segment(df, v + 1)]
         self._commit(v + 1, "compact", add=add, remove=live, schema=df.schema)
+        return v + 1
+
+    def _segment_bytes(self, rel: str) -> int:
+        """On-disk bytes of a segment's part files — O(files) stat."""
+        import glob as _glob
+
+        total = 0
+        for p in _glob.glob(os.path.join(self.root, rel, "part-*.parquet")):
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        return total
+
+    def compact_small(
+        self, max_bytes: int = 32 << 20, target_partitions: int = 1
+    ) -> int:
+        """Size-tiered OPTIMIZE (the Delta/Iceberg bin-packing
+        semantics): only live segments whose on-disk size is under
+        ``max_bytes`` are coalesced into one; every already-big segment
+        stays live UNTOUCHED.  This is the only compaction shape that
+        exists at 100 TB — a streaming sink's drip of kilobyte commits
+        gets folded without ever rewriting the table's bulk (contrast
+        :meth:`compact`, the whole-set form).  Content-identical by
+        construction; the packed slice is read DV-AWARE, so deletion
+        vectors over the small segments materialize with the pack while
+        untouched segments keep theirs active.  dataChange=false for
+        streams (op ``compact``, skipped like the whole-set form).
+        No-op (commit-free) when fewer than two segments qualify."""
+        v, live, dvs, entry = self._snapshot_state(None)
+        small = [
+            rel for rel in live if self._segment_bytes(rel) < max_bytes
+        ]
+        if len(small) < 2:
+            return v  # nothing to pack
+        schema = StructType.fromJson(entry["schema"])
+        merged = self._scan_segments(v, small, schema, dvs=dvs).coalesce(
+            target_partitions
+        )
+        add = [self._write_segment(merged, v + 1)]
+        self._commit(
+            v + 1, "compact", add=add, remove=small, schema=schema,
+            extra={
+                "scope": "small",
+                "max_bytes": int(max_bytes),
+                "packed": len(small),
+                "preserved": len(live) - len(small),
+            },
+        )
         return v + 1
 
     def compact_clustered(
@@ -2457,14 +2508,10 @@ class VersionedTable:
         n_files = 0
         n_bytes = 0
         for rel in live:
-            for p in _glob.glob(
-                os.path.join(self.root, rel, "part-*.parquet")
-            ):
-                n_files += 1
-                try:
-                    n_bytes += os.path.getsize(p)
-                except OSError:
-                    pass
+            n_files += len(
+                _glob.glob(os.path.join(self.root, rel, "part-*.parquet"))
+            )
+            n_bytes += self._segment_bytes(rel)
         props = self._read_commit(0).get("properties", {})
         return {
             "location": self.root,

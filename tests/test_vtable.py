@@ -2457,3 +2457,62 @@ def test_segment_stats_fold_into_checkpoints(spark, vt_root):
     with open(cpath, "w") as fh:
         json.dump(payload, fh)
     assert vt._live_segment_stats(head) == genesis
+
+
+def test_compact_small_packs_only_small_segments(spark, vt_root):
+    """Size-tiered OPTIMIZE: segments under the threshold coalesce into
+    one, already-big segments stay live by NAME (never rewritten);
+    content is identical through the pack, DVs over the packed slice
+    materialize while untouched segments keep theirs, and streams skip
+    the commit like any compact."""
+    big = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    vt = VersionedTable.create(spark, vt_root, big)
+    vt.append(big.selectExpr("k + 100000 AS k", "v"))
+    for i in range(3):  # the streaming-sink drip of tiny commits
+        vt.append(
+            spark.createDataFrame([(500000 + i, i)], "k bigint, v bigint")
+        )
+    vt.delete_where_mor("k = 500001")     # DV over a small segment
+    vt.delete_where_mor("k = 7")          # DV over a big segment
+    before = sorted(
+        (r.k, r.v) for r in vt.read().collect()
+    )
+    live_before = vt._resolve_live(vt.latest_version())
+    sizes = {rel: vt._segment_bytes(rel) for rel in live_before}
+    threshold = sorted(sizes.values())[-2]  # the two big loads stay out
+    v = vt.compact_small(max_bytes=threshold)
+    entry = vt._read_commit(v)
+    assert entry["op"] == "compact" and entry["scope"] == "small"
+    assert entry["packed"] == 3 and entry["preserved"] == 2
+    live_after = vt._resolve_live(v)
+    # the big segments survive by NAME; the three tiny ones became one
+    assert {r for r in live_before if sizes[r] >= threshold} < live_after
+    assert len(live_after) == 3
+    # content identity THROUGH the pack, including both DV masks:
+    # the small-segment DV materialized into the packed rewrite, the
+    # big-segment DV stays active
+    after = sorted((r.k, r.v) for r in vt.read().collect())
+    assert after == before
+    assert vt.read().where("k = 500001 OR k = 7").count() == 0
+    # fewer than two qualifying segments: commit-free no-op
+    assert vt.compact_small(max_bytes=threshold) == v
+    # streams skip it like any compact (dataChange=false)
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import run_to_table
+
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt_root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    n = run_to_table(
+        stream.agg(F.count(F.lit(1)).alias("n")), "complete"
+    ).collect()[0].n
+    # appends replay (40003 rows); the DV deletes and the pack do not
+    assert n == 40003
