@@ -207,6 +207,7 @@ HEADLINE = [
     "vtable_sql_source_pushdown_point",
     "vtable_sql_sink_roundtrip",
     "vtable_catalog_txn_load",
+    "vtable_provenance_read",
     "vtable_bloom_point_lookup",
     "vtable_mor_update_read",
     "vtable_replace_where_read",

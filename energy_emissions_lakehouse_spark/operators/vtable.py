@@ -1121,6 +1121,41 @@ class VersionedTable:
         return self._scan_segments(version, live, schema, dvs=dvs)
 
     # ------------------------------------------------------------- mutations
+    def read_with_provenance(self, version: int | None = None) -> DataFrame:
+        """Snapshot read plus a ``_commit_version`` column: the commit
+        that WROTE each row's current segment (Delta's row-commit
+        metadata shape — ``_metadata.row_commit_version``).  This is
+        FILE provenance by design: a rewrite (compact / merge / UPDATE /
+        replaceWhere) reassigns its rows to the rewriting commit, which
+        is exactly what the audit cares about (which commit produced
+        the bytes being served; vacuum/debug lineage).  One broadcast
+        join of the identified scan against the O(files) segment→commit
+        map folded from the log — no data-side shuffle."""
+        version, live, dvs, entry = self._snapshot_state(version)
+        schema = StructType.fromJson(entry["schema"])
+        data_cols = [f.name for f in schema.fields]
+        live_set = set(live)
+        by_seg: dict[str, int] = {}
+        for v in self._versions():
+            if v > version:
+                break
+            for rel in self._read_commit(v)["add"]:
+                base = os.path.basename(rel)
+                if rel in live_set and base not in by_seg:
+                    # FIRST add wins: a RESTORE re-references a segment
+                    # in a later commit's add, but the provenance is the
+                    # commit that physically wrote it
+                    by_seg[base] = v
+        lookup = self.spark.createDataFrame(
+            sorted(by_seg.items()), "_dv_seg string, _commit_version bigint"
+        )
+        scan = self._scan_segments(
+            version, live, schema, dvs=dvs, keep_identity=True
+        )
+        return scan.join(F.broadcast(lookup), "_dv_seg", "left").select(
+            *data_cols, "_commit_version"
+        )
+
     def _require_schema(self, df: DataFrame, op: str) -> None:
         """Schema-on-write enforcement (Delta semantics): mixed-type
         segments under one log would poison every later read, so an

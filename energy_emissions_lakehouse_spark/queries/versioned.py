@@ -1972,3 +1972,49 @@ def vtable_catalog_txn_load(spark, sf_dir) -> DataFrame:
         .unionAll(_agg("orders", "o_orderkey", "o_totalprice"))
         .orderBy("side")
     )
+
+
+@register(
+    "vtable_provenance_read",
+    oracle=f"""
+    WITH {_DML_SQL}
+    SELECT CASE
+             WHEN o_orderkey >= (SELECT q2 FROM dml_bounds)
+              AND o_orderkey <  (SELECT q3 FROM dml_bounds) THEN 5
+             WHEN (o_orderkey % 23) = 0 THEN 6
+             WHEN o_orderkey <  (SELECT q2 FROM dml_bounds) // 2 THEN 0
+             WHEN o_orderkey <  (SELECT q2 FROM dml_bounds) THEN 1
+             ELSE 3
+           END AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM dml_head
+    GROUP BY 1 ORDER BY commit_version
+    """,
+    survey="S7 V25 — row provenance (Delta row-commit metadata, "
+    "operators/vtable.py read_with_provenance): every served row "
+    "stamped with the commit that physically wrote its segment, via "
+    "one broadcast join of the identified scan against the O(files) "
+    "segment→commit map (no data-side shuffle; a restore keeps the "
+    "original writer, a rewrite reassigns to the rewriting commit) — "
+    "and the stamp doubles as an independent audit of the whole DML "
+    "history: which bytes each of the 7 commits is serving at head",
+)
+def vtable_provenance_read(spark, sf_dir) -> DataFrame:
+    """Group the head by row provenance: slices 0/1/3 still serve their
+    original append commits, the replaced quarter serves the v5
+    replaceWhere batch, and the surviving update images serve the v6
+    COW rewrite (the v4 MOR images were rewritten at v6, so nothing at
+    head carries v4 — exactly what file provenance must report).  The
+    oracle reconstructs the same assignment from key arithmetic
+    alone."""
+    vt = staged_vtable_dml(spark, sf_dir)
+    return (
+        vt.read_with_provenance()
+        .groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("commit_version")
+    )
