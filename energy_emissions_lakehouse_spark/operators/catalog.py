@@ -18,25 +18,38 @@ that shape, on the same commit-log primitives:
   atomically via ``os.link`` exactly like a table commit — one writer
   wins a version slot, a half-written map is never visible under its
   final name.
-- A transaction (:meth:`TableCatalog.begin`) performs ORDINARY table
-  writes (each internally atomic, each optimistically concurrent),
-  then commits ONE catalog entry pinning every participant's new head.
-  Readers that go through :meth:`TableCatalog.read` get the pinned
-  versions — cross-table snapshot isolation by construction, because a
-  catalog version IS a consistent cut.
-- Crash/abort semantics: a transaction that dies after some table
-  commits but before the catalog swap leaves the catalog untouched —
-  catalog readers keep seeing the old consistent cut; the orphaned
-  table versions remain ordinary time-travelable history (and their
-  segments vacuum like any other).  A retry simply re-runs the writes
-  on top.  This is exactly Iceberg's catalog-level multi-table commit
-  contract.
+- A transaction (:meth:`TableCatalog.begin`) writes against a PRIVATE
+  BRANCH of each participating table — a zero-copy hardlink clone
+  (:meth:`VersionedTable.clone_to`) of the catalog-pinned cut, the
+  hardlink analog of Iceberg's staged snapshots / Nessie branches — so
+  its table commits are invisible to every other reader and writer
+  until the catalog swap.  ``commit()`` then writes ONE catalog entry
+  repointing each participant to its branch (root AND version).
+  Readers through :meth:`TableCatalog.read` get the pinned cut —
+  cross-table snapshot isolation by construction, because a catalog
+  version IS a consistent cut.
+- Crash/abort semantics: a transaction that dies mid-flight leaves
+  only orphaned branch directories under ``_txn/`` — the catalog, the
+  source tables, and every reader are untouched, and a RETRY branches
+  fresh from the current pin, so nothing a failed attempt wrote can
+  leak into the lineage (no double-apply on re-run; branch leftovers
+  are swept opportunistically at catalog open).
+- Isolation from table-level writers: because the branch is private,
+  rows written by ANY other writer after ``begin()`` — another
+  transaction, or a direct table append outside the catalog — can
+  never ride into this transaction's published cut.  The catalog
+  commit publishes exactly what this transaction wrote on top of the
+  cut it branched from, or nothing.
 - Concurrency: catalog commits are optimistic.  ``commit()`` validates
   that no OTHER catalog commit has moved a PARTICIPATING table's
-  pointer since ``begin()`` (write-write conflict → raises, like a
-  lost table-commit race); non-participating tables' pointers are
-  carried forward from the CURRENT head, so disjoint transactions
-  interleave freely.
+  pointer since ``begin()`` (write-write conflict → raises; the caller
+  re-runs against a fresh branch — safe BECAUSE branches are private);
+  non-participating tables' pointers are carried forward from the
+  CURRENT head, so disjoint transactions interleave freely.
+- Old roots/branches referenced by RETAINED catalog versions stay on
+  disk for time travel; branch garbage collection beyond the
+  stale-orphan sweep (like table vacuum) is the deployment's catalog
+  GC, out of scope here.
 
 Scale notes (100 TB): the catalog holds O(tables) pointers — bytes of
 driver metadata; the data work is whatever the per-table writes cost.
@@ -48,6 +61,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -60,6 +74,14 @@ from energy_emissions_lakehouse_spark.operators.vtable import (
 )
 
 CATALOG_DIR = "_catalog"
+#: Transaction branches (zero-copy clones) live here, one directory per
+#: (table, transaction).  A committed branch becomes the table's
+#: catalog-referenced root; an abandoned one is an orphan swept at
+#: catalog open once it is old enough to be provably not in flight.
+TXN_DIR = "_txn"
+#: Grace window before an unreferenced branch is swept (same in-flight
+#: protection rationale as VersionedTable.vacuum's orphan_grace_s).
+BRANCH_GRACE_S = 3600.0
 
 
 class CatalogConflictError(RuntimeError):
@@ -76,6 +98,33 @@ class TableCatalog:
         self._dir = os.path.join(root, CATALOG_DIR)
         if not os.path.isdir(self._dir):
             raise FileNotFoundError(f"not a catalog (no {CATALOG_DIR}/): {root}")
+        self._sweep_stale_branches()
+
+    def _sweep_stale_branches(self) -> None:
+        """Opportunistically delete transaction branches that no catalog
+        version references and that are older than the in-flight grace
+        window — the leftovers of crashed/conflicted transactions.
+        Referenced branches (committed cuts) are never touched; a young
+        orphan may belong to a live transaction and is kept."""
+        txn_root = os.path.join(self.root, TXN_DIR)
+        if not os.path.isdir(txn_root):
+            return
+        referenced = {
+            os.path.realpath(ent["root"])
+            for v in self._versions()
+            for ent in self._read(v)["tables"].values()
+        }
+        now = time.time()
+        for name in sorted(os.listdir(txn_root)):
+            path = os.path.join(txn_root, name)
+            if os.path.realpath(path) in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(path) < BRANCH_GRACE_S:
+                    continue  # potentially in flight
+            except OSError:
+                continue  # vanished under us
+            shutil.rmtree(path, ignore_errors=True)
 
     # ------------------------------------------------------------------ init
     @classmethod
@@ -154,6 +203,14 @@ class TableCatalog:
         return self._read(version)["tables"]
 
     def table(self, name: str, version: int | None = None) -> VersionedTable:
+        """The UNPINNED maintenance handle for the root the given
+        catalog version points at (vacuum, history, detail — operations
+        on the table object itself).  For consistent-cut DATA reads use
+        :meth:`read`, which serves the pinned version; for
+        transactional writes use :meth:`begin` — writing through this
+        handle bypasses transaction isolation (the write lands on the
+        shared root but stays unpublished until some transaction pins
+        past it)."""
         ent = self.entries(version).get(name)
         if ent is None:
             raise KeyError(f"catalog has no table {name!r}")
@@ -179,50 +236,68 @@ class TableCatalog:
 
 
 class CatalogTransaction:
-    """Write-side of the multi-table commit: perform ordinary vtable
-    writes on tables obtained via :meth:`table`, then :meth:`commit`
-    swaps every participant's catalog pointer in ONE atomic catalog
-    commit.  Nothing is visible through the catalog until then."""
+    """Write-side of the multi-table commit: :meth:`table` hands out a
+    PRIVATE BRANCH of each participant (a zero-copy hardlink clone of
+    the catalog-pinned cut); ordinary vtable writes land on the branch,
+    invisible to everyone; :meth:`commit` repoints every participant's
+    catalog entry at its branch in ONE atomic catalog commit.  The
+    published cut contains exactly this transaction's writes on top of
+    the cut it branched from — a concurrent writer's rows (another
+    transaction's, or a direct table write) can never ride along,
+    and a crashed or conflicted attempt leaves nothing in any lineage
+    (its branch is an orphan directory, swept at catalog open)."""
 
     def __init__(self, catalog: TableCatalog):
         self.catalog = catalog
         self.base_version = catalog.latest_version()
         self.base = catalog.entries(self.base_version)
-        self._touched: set[str] = set()
+        self._branches: dict[str, VersionedTable] = {}
 
     def table(self, name: str) -> VersionedTable:
-        """The writable table handle for a participant.  Writes go to
-        the table's OWN log as usual (each internally atomic); the
-        catalog pointer moves only at :meth:`commit`."""
+        """The transaction's writable BRANCH of a participant: cloned
+        zero-copy from the catalog-pinned cut on first access (and
+        restored to the pinned version if the shared root's head had
+        moved past it), then reused for the transaction's lifetime."""
+        branch = self._branches.get(name)
+        if branch is not None:
+            return branch
         ent = self.base.get(name)
         if ent is None:
             raise KeyError(f"catalog has no table {name!r}")
-        self._touched.add(name)
-        return VersionedTable(self.catalog.spark, ent["root"])
+        src = VersionedTable(self.catalog.spark, ent["root"])
+        dest = os.path.join(
+            self.catalog.root,
+            TXN_DIR,
+            f"{name}-{uuid.uuid4().hex[:8]}",
+        )
+        branch = src.clone_to(dest)
+        if branch.latest_version() != ent["version"]:
+            # the shared root moved past the pin (an unpublished direct
+            # write, or a later cut): serve exactly the pinned cut —
+            # restore is a pure metadata commit on the private branch
+            branch.restore(ent["version"])
+        self._branches[name] = branch
+        return branch
 
     def commit(self, retries: int = 16) -> int:
-        """Atomically publish every participant's current head in one
-        catalog commit.  Optimistic: if ANOTHER transaction moved a
-        PARTICIPATING pointer since begin(), raises
-        :class:`CatalogConflictError` (write-write conflict — the
-        caller re-runs the transaction); pointers of non-participating
-        tables are carried forward from the current head so disjoint
-        transactions interleave without conflict."""
-        if not self._touched:
+        """Atomically publish every participant's branch head in one
+        catalog commit (root AND version repointed).  Optimistic: if
+        ANOTHER transaction moved a PARTICIPATING pointer since
+        begin(), raises :class:`CatalogConflictError` — the caller
+        re-runs the transaction, which is SAFE because the failed
+        attempt's writes live only on its orphaned branch; pointers of
+        non-participating tables are carried forward from the current
+        head so disjoint transactions interleave without conflict."""
+        if not self._branches:
             return self.base_version  # nothing written: no-op
-        new_heads = {
-            name: VersionedTable(
-                self.catalog.spark, self.base[name]["root"]
-            ).latest_version()
-            for name in self._touched
-        }
         for _ in range(retries):
             head_v = self.catalog.latest_version()
             current = self.catalog.entries(head_v)
             conflicted = [
                 name
-                for name in self._touched
+                for name in self._branches
                 if current[name]["version"] != self.base[name]["version"]
+                or current[name]["root"] != self.base[name]["root"]
             ]
             if conflicted:
                 raise CatalogConflictError(
@@ -233,10 +308,10 @@ class CatalogTransaction:
             entries = {
                 name: dict(ent) for name, ent in current.items()
             }
-            for name in self._touched:
+            for name, branch in self._branches.items():
                 entries[name] = {
-                    "root": self.base[name]["root"],
-                    "version": new_heads[name],
+                    "root": branch.root,
+                    "version": branch.latest_version(),
                 }
             try:
                 self.catalog._commit(head_v + 1, entries, op="txn")

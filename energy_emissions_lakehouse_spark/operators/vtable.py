@@ -81,6 +81,12 @@ INDEX_DIR = "_index"
 #: Column names the DV machinery appends to identified scans — user
 #: schemas must not collide (enforced at segment write time).
 _DV_IDENTITY_COLS = ("_dv_seg", "_dv_file", "_dv_pos")
+#: Column names the change-feed / provenance READ surfaces append to
+#: served rows.  Unlike the DV identity triple these are NOT rejected
+#: at write time — a CDC-ingest table may legitimately STORE such a
+#: column (pinned in tests) — so the appending read surfaces reject
+#: the clash at read time instead, like the streaming readChangeFeed.
+_FEED_COLS = ("_change_type", "_commit_version")
 #: Column types whose Spark cast-to-string equals Python's str() on the
 #: probe value — the precondition for bloom indexing (see create()).
 _BLOOMABLE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
@@ -1134,17 +1140,31 @@ class VersionedTable:
         version, live, dvs, entry = self._snapshot_state(version)
         schema = StructType.fromJson(entry["schema"])
         data_cols = [f.name for f in schema.fields]
+        if "_commit_version" in data_cols:
+            # same contract as the streaming readChangeFeed: a table may
+            # STORE such a column, but a read that APPENDS it must
+            # reject the ambiguity loudly rather than emit a duplicate
+            raise ValueError(
+                "read_with_provenance: the table stores a column named "
+                "'_commit_version', reserved for the provenance stamp — "
+                "read() it plainly or rename the column"
+            )
         live_set = set(live)
         by_seg: dict[str, int] = {}
         for v in self._versions():
-            if v > version:
-                break
+            if v > version or len(by_seg) == len(live_set):
+                break  # every live segment mapped: skip the rest
             for rel in self._read_commit(v)["add"]:
                 base = os.path.basename(rel)
                 if rel in live_set and base not in by_seg:
                     # FIRST add wins: a RESTORE re-references a segment
                     # in a later commit's add, but the provenance is the
-                    # commit that physically wrote it
+                    # commit that physically wrote it.  (Walked from
+                    # genesis with the early exit above — on a long
+                    # history whose live set is recent the walk is still
+                    # O(history) worst case; the audit surface accepts
+                    # that, unlike the hot read path whose stats fold is
+                    # checkpoint-accelerated.)
                     by_seg[base] = v
         lookup = self.spark.createDataFrame(
             sorted(by_seg.items()), "_dv_seg string, _commit_version bigint"
@@ -2411,6 +2431,17 @@ class VersionedTable:
             if op in ("compact", "dv_compact", "set_constraint"):
                 continue  # dataChange=false / metadata-only
             schema = StructType.fromJson(entry["schema"])
+            clash = [
+                f.name for f in schema.fields if f.name in _FEED_COLS
+            ]
+            if clash:
+                # same contract as the streaming readChangeFeed: a table
+                # may STORE such a column, but the feed APPENDS it
+                raise ValueError(
+                    f"read_changes: version {v}'s schema stores "
+                    f"{clash[0]!r}, reserved for the change-feed stamp "
+                    "— rename the column to read the feed"
+                )
             if entry.get("cdf"):
                 self._check_present(v, [entry["cdf"]])
                 batch = self.spark.read.parquet(
@@ -2543,10 +2574,15 @@ class VersionedTable:
         n_files = 0
         n_bytes = 0
         for rel in live:
-            n_files += len(
-                _glob.glob(os.path.join(self.root, rel, "part-*.parquet"))
-            )
-            n_bytes += self._segment_bytes(rel)
+            # one directory listing per segment serves both stats
+            for p in _glob.glob(
+                os.path.join(self.root, rel, "part-*.parquet")
+            ):
+                n_files += 1
+                try:
+                    n_bytes += os.path.getsize(p)
+                except OSError:
+                    pass
         props = self._read_commit(0).get("properties", {})
         return {
             "location": self.root,

@@ -53,22 +53,28 @@ def test_catalog_txn_is_all_or_nothing(spark, cat_base):
     txn = cat.begin()
     txn.table("a").append(spark.range(10, 20).select(F.col("id").alias("k")))
     txn.table("b").delete_where("k >= 3")
-    # mid-transaction: the table logs moved, the catalog cut did not
+    # mid-transaction: the writes live on PRIVATE branches — neither
+    # the catalog cut nor the shared source roots moved
     assert cat.read("a").count() == 10
     assert cat.read("b").count() == 5
+    assert VersionedTable(spark, a.root).read().count() == 10
     v1 = txn.commit()
     assert cat.read("a", v1).count() == 20
     assert cat.read("b", v1).count() == 3
     # the pre-txn catalog version still serves the old consistent cut
     assert cat.read("a", 0).count() == 10
     assert cat.read("b", 0).count() == 5
+    # the original roots were never written — the txn published BRANCHES
+    assert VersionedTable(spark, a.root).read().count() == 10
+    assert cat.entries()["a"]["root"] != a.root
 
-    # crash model: writes land on the table log, commit() never runs —
-    # the catalog keeps serving the committed cut
+    # crash model: writes land on the dead txn's branch only, commit()
+    # never runs — the catalog keeps serving the committed cut and no
+    # other root is touched
     dead = cat.begin()
-    dead.table("a").delete_where("k < 100")  # empties the table head
-    assert VersionedTable(spark, a.root).read().count() == 0
+    dead.table("a").delete_where("k < 100")  # empties the BRANCH head
     assert cat.read("a").count() == 20  # catalog cut untouched
+    assert cat.table("a").read().count() == 20  # published root untouched
 
 
 def test_catalog_txn_conflicts_and_disjoint_interleave(spark, cat_base):
@@ -97,10 +103,67 @@ def test_catalog_txn_conflicts_and_disjoint_interleave(spark, cat_base):
     # t4's commit carried t3's fresh pointer forward, not begin()'s
     assert cat.read("a").where("k = 300").count() == 1
     assert cat.read("b").where("k = 400").count() == 1
-    assert ents["a"]["version"] == VersionedTable(spark, a.root).latest_version()
+    assert ents["a"]["version"] == cat.table("a").latest_version()
 
     # empty transaction: no catalog commit
     assert cat.begin().commit() == cat.latest_version()
+
+
+def test_catalog_txn_never_publishes_foreign_rows(spark, cat_base):
+    """Branch isolation: a committed transaction publishes EXACTLY its
+    own writes on top of the cut it branched from — a concurrent
+    transaction's rows can never ride along, and the conflicted loser's
+    re-run lands its rows exactly once (no double-apply)."""
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    t1 = cat.begin()
+    t2 = cat.begin()
+    t1.table("a").append(spark.createDataFrame([(111,)], "k bigint"))
+    t2.table("a").append(spark.createDataFrame([(222,)], "k bigint"))
+    # t2 commits FIRST: its cut must NOT contain t1's 111
+    t2.commit()
+    assert cat.read("a").where("k = 111").count() == 0
+    assert cat.read("a").where("k = 222").count() == 1
+    # t1 is the conflicted loser; its documented re-run lands 111 ONCE
+    with pytest.raises(CatalogConflictError):
+        t1.commit()
+    retry = cat.begin()
+    retry.table("a").append(spark.createDataFrame([(111,)], "k bigint"))
+    retry.commit()
+    got = cat.read("a")
+    assert got.where("k = 111").count() == 1
+    assert got.where("k = 222").count() == 1
+    assert got.count() == 12  # 10 base + exactly one of each
+
+
+def test_catalog_sweeps_stale_orphan_branches(spark, cat_base):
+    """Abandoned transaction branches are swept at catalog open once
+    old enough; referenced (committed) branches and young orphans are
+    kept."""
+    import energy_emissions_lakehouse_spark.operators.catalog as catmod
+
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    txn = cat.begin()
+    txn.table("a").append(spark.createDataFrame([(1,)], "k bigint"))
+    txn.commit()
+    committed_branch = cat.entries()["a"]["root"]
+    dead = cat.begin()
+    orphan_root = dead.table("b").root  # never committed
+    assert os.path.isdir(orphan_root)
+    # young orphan survives a reopen (may be in flight)
+    TableCatalog(spark, cat_base)
+    assert os.path.isdir(orphan_root)
+    # age it past the grace window: swept on the next open
+    old = catmod.BRANCH_GRACE_S
+    catmod.BRANCH_GRACE_S = 0.0
+    try:
+        TableCatalog(spark, cat_base)
+    finally:
+        catmod.BRANCH_GRACE_S = old
+    assert not os.path.isdir(orphan_root)
+    assert os.path.isdir(committed_branch)  # referenced: never swept
+    assert cat.read("a").count() == 11
 
 
 def test_catalog_unknown_table_and_create_validation(spark, cat_base):
@@ -161,7 +224,10 @@ def test_catalog_concurrent_disjoint_txns_stress(spark, cat_base):
     assert cat.latest_version() == n_tables * n_txns  # every txn landed
     ents = cat.entries()
     for name, root in tables.items():
-        vt = VersionedTable(spark, root)
-        assert ents[name]["version"] == vt.latest_version() == n_txns
+        # every txn branched from the prior cut and appended once, so
+        # the published branch head is exactly n_txns commits deep
+        assert ents[name]["version"] == cat.table(name).latest_version()
+        # the original root was never written (branch isolation)
+        assert VersionedTable(spark, root).latest_version() == 0
         # and the catalog cut serves the complete table
         assert cat.read(name).count() == 1 + n_txns

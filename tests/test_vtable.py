@@ -2516,3 +2516,20 @@ def test_compact_small_packs_only_small_segments(spark, vt_root):
     ).collect()[0].n
     # appends replay (40003 rows); the DV deletes and the pack do not
     assert n == 40003
+
+
+def test_provenance_and_changes_reject_stored_stamp_columns(spark, vt_root):
+    """A table may STORE _commit_version / _change_type data columns
+    (CDC-ingest shape, pinned for the stream source too); the reads
+    that APPEND those stamps must reject the ambiguity loudly while
+    plain reads serve the column verbatim."""
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit(7).cast("bigint").alias("_commit_version"),
+    )
+    vt = VersionedTable.create(spark, vt_root, df, enable_cdf=True)
+    assert vt.read().where("_commit_version = 7").count() == 3  # plain ok
+    with pytest.raises(ValueError, match="reserved for the provenance"):
+        vt.read_with_provenance()
+    with pytest.raises(ValueError, match="reserved for the change-feed"):
+        vt.read_changes(0, 0)
