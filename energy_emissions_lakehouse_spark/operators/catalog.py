@@ -68,6 +68,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from energy_emissions_lakehouse_spark.operators.vtable import (
+    LOG_DIR,
     ConcurrentCommitError,
     VersionedTable,
     _fmt_version,
@@ -94,37 +95,65 @@ class TableCatalog:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        self._dir = os.path.join(root, CATALOG_DIR)
+        # absolute from the start: branch roots derive from this and are
+        # stored VERBATIM in catalog commits — a cwd-relative root would
+        # make the sweep's referenced-set resolve against the OPENER's
+        # cwd and misclassify committed branches as orphans
+        self.root = os.path.abspath(root)
+        self._dir = os.path.join(self.root, CATALOG_DIR)
         if not os.path.isdir(self._dir):
             raise FileNotFoundError(f"not a catalog (no {CATALOG_DIR}/): {root}")
         self._sweep_stale_branches()
 
     def _sweep_stale_branches(self) -> None:
         """Opportunistically delete transaction branches that no catalog
-        version references and that are older than the in-flight grace
-        window — the leftovers of crashed/conflicted transactions.
-        Referenced branches (committed cuts) are never touched; a young
-        orphan may belong to a live transaction and is kept."""
+        version references and whose CREATING PROCESS IS DEAD — the
+        leftovers of crashed/conflicted transactions.  Branch directory
+        names embed the creator's pid (fsutil's dead-pid scratch
+        pattern): a live pid means a possibly-in-flight transaction and
+        the branch is kept NO MATTER ITS AGE (mtime cannot be trusted —
+        writes land in subdirectories and never refresh the parent's
+        mtime, so an age cutoff would reap a long-running live
+        transaction).  Legacy/unparseable names fall back to the mtime
+        grace window.  Cheap on the common path: the referenced-set
+        (one JSON read per catalog version) is built only after a sweep
+        CANDIDATE is found."""
         txn_root = os.path.join(self.root, TXN_DIR)
         if not os.path.isdir(txn_root):
+            return
+        candidates: list[str] = []
+        now = time.time()
+        for name in sorted(os.listdir(txn_root)):
+            path = os.path.join(txn_root, name)
+            parts = name.rsplit("-", 2)
+            pid = int(parts[1]) if len(parts) == 3 and parts[1].isdigit() else None
+            if pid is not None:
+                if pid == os.getpid():
+                    continue  # ours — possibly this process's live txn
+                try:
+                    os.kill(pid, 0)
+                    continue  # creator alive: possibly in flight
+                except ProcessLookupError:
+                    pass  # dead creator: sweepable if unreferenced
+                except OSError:
+                    continue  # pid exists but isn't ours — leave it
+            else:
+                try:
+                    if now - os.path.getmtime(path) < BRANCH_GRACE_S:
+                        continue  # legacy name, young: keep
+                except OSError:
+                    continue  # vanished under us
+            candidates.append(path)
+        if not candidates:
             return
         referenced = {
             os.path.realpath(ent["root"])
             for v in self._versions()
             for ent in self._read(v)["tables"].values()
         }
-        now = time.time()
-        for name in sorted(os.listdir(txn_root)):
-            path = os.path.join(txn_root, name)
-            if os.path.realpath(path) in referenced:
-                continue
-            try:
-                if now - os.path.getmtime(path) < BRANCH_GRACE_S:
-                    continue  # potentially in flight
-            except OSError:
-                continue  # vanished under us
-            shutil.rmtree(path, ignore_errors=True)
+        for path in candidates:
+            if os.path.realpath(path) not in referenced:
+                shutil.rmtree(path, ignore_errors=True)
 
     # ------------------------------------------------------------------ init
     @classmethod
@@ -137,6 +166,7 @@ class TableCatalog:
         tables, it only points at them)."""
         entries = {}
         for name, t_root in tables.items():
+            t_root = os.path.abspath(t_root)  # stored verbatim: never cwd-relative
             vt = VersionedTable(spark, t_root)  # raises if not a table
             entries[name] = {"root": t_root, "version": vt.latest_version()}
         cat_dir = os.path.join(root, CATALOG_DIR)
@@ -252,12 +282,23 @@ class CatalogTransaction:
         self.base_version = catalog.latest_version()
         self.base = catalog.entries(self.base_version)
         self._branches: dict[str, VersionedTable] = {}
+        #: the branch head at creation — a participant whose branch
+        #: never moved past this was only READ and must not be
+        #: repointed at commit (nor conflict with real writers)
+        self._branch_base: dict[str, int] = {}
 
     def table(self, name: str) -> VersionedTable:
         """The transaction's writable BRANCH of a participant: cloned
         zero-copy from the catalog-pinned cut on first access (and
-        restored to the pinned version if the shared root's head had
-        moved past it), then reused for the transaction's lifetime."""
+        TRUNCATED to the pinned version if the shared root's head had
+        moved past it), then reused for the transaction's lifetime.
+        Truncation — deleting the PRIVATE branch log's post-pin commit
+        files — makes the branch exactly the pinned lineage: no restore
+        commit (which would cost a constraint re-validation scan and
+        poison the branch's change feed with a feed-less data-change
+        commit), and no foreign unpublished writes in the lineage.  The
+        branch directory name embeds this process's pid, the liveness
+        claim :meth:`TableCatalog._sweep_stale_branches` honors."""
         branch = self._branches.get(name)
         if branch is not None:
             return branch
@@ -268,14 +309,19 @@ class CatalogTransaction:
         dest = os.path.join(
             self.catalog.root,
             TXN_DIR,
-            f"{name}-{uuid.uuid4().hex[:8]}",
+            f"{name}-{os.getpid()}-{uuid.uuid4().hex[:8]}",
         )
         branch = src.clone_to(dest)
         if branch.latest_version() != ent["version"]:
             # the shared root moved past the pin (an unpublished direct
-            # write, or a later cut): serve exactly the pinned cut —
-            # restore is a pure metadata commit on the private branch
-            branch.restore(ent["version"])
+            # write, or a later cut): truncate the private log back to
+            # the pinned cut — post-pin segments stay as inert orphans
+            log_dir = os.path.join(branch.root, LOG_DIR)
+            for fname in os.listdir(log_dir):
+                stem = fname.split(".", 1)[0]
+                if stem.isdigit() and int(stem) > ent["version"]:
+                    os.unlink(os.path.join(log_dir, fname))
+        self._branch_base[name] = ent["version"]
         self._branches[name] = branch
         return branch
 
@@ -287,15 +333,24 @@ class CatalogTransaction:
         re-runs the transaction, which is SAFE because the failed
         attempt's writes live only on its orphaned branch; pointers of
         non-participating tables are carried forward from the current
-        head so disjoint transactions interleave without conflict."""
-        if not self._branches:
+        head so disjoint transactions interleave without conflict.
+        A participant that was only READ (its branch never moved past
+        the clone point) is NOT repointed and does not conflict —
+        snapshot isolation, not serializability: its throwaway branch
+        becomes a sweepable orphan."""
+        written = {
+            name: branch
+            for name, branch in self._branches.items()
+            if branch.latest_version() != self._branch_base[name]
+        }
+        if not written:
             return self.base_version  # nothing written: no-op
         for _ in range(retries):
             head_v = self.catalog.latest_version()
             current = self.catalog.entries(head_v)
             conflicted = [
                 name
-                for name in self._branches
+                for name in written
                 if current[name]["version"] != self.base[name]["version"]
                 or current[name]["root"] != self.base[name]["root"]
             ]
@@ -308,7 +363,7 @@ class CatalogTransaction:
             entries = {
                 name: dict(ent) for name, ent in current.items()
             }
-            for name, branch in self._branches.items():
+            for name, branch in written.items():
                 entries[name] = {
                     "root": branch.root,
                     "version": branch.latest_version(),

@@ -62,6 +62,7 @@ from pyspark.sql.types import StructType
 
 from energy_emissions_lakehouse_spark.operators.vtable import (
     LOG_DIR,
+    _FEED_COLS,
     log_versions,
     read_commit,
 )
@@ -134,8 +135,7 @@ class VtableStreamReader(DataSourceStreamReader):
             # the declared schema carries the two stamp columns the
             # reader appends; the file-alignment target is the table part
             table_cols = [
-                c for c in schema.fieldNames()
-                if c not in ("_change_type", "_commit_version")
+                c for c in schema.fieldNames() if c not in _FEED_COLS
             ]
         else:
             # plain mode streams the table schema verbatim — a table that
@@ -292,9 +292,7 @@ class VtableStreamDataSource(DataSource):
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             from pyspark.sql.types import LongType, StringType, StructField
 
-            clash = {"_change_type", "_commit_version"} & set(
-                base.fieldNames()
-            )
+            clash = set(_FEED_COLS) & set(base.fieldNames())
             if clash:
                 raise ValueError(
                     "eel_vtable readChangeFeed: table column(s) "

@@ -136,12 +136,12 @@ def test_catalog_txn_never_publishes_foreign_rows(spark, cat_base):
     assert got.count() == 12  # 10 base + exactly one of each
 
 
-def test_catalog_sweeps_stale_orphan_branches(spark, cat_base):
-    """Abandoned transaction branches are swept at catalog open once
-    old enough; referenced (committed) branches and young orphans are
-    kept."""
-    import energy_emissions_lakehouse_spark.operators.catalog as catmod
-
+def test_catalog_sweeps_dead_pid_orphan_branches(spark, cat_base):
+    """Abandoned branches are swept at catalog open only when their
+    creating process is DEAD (the pid embedded in the directory name);
+    a live creator's branch survives NO MATTER ITS AGE — branch mtime
+    is set at clone time and a long transaction must not be reaped —
+    and referenced (committed) branches are never touched."""
     a, b = _mk_tables(spark, cat_base)
     cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
     txn = cat.begin()
@@ -149,21 +149,67 @@ def test_catalog_sweeps_stale_orphan_branches(spark, cat_base):
     txn.commit()
     committed_branch = cat.entries()["a"]["root"]
     dead = cat.begin()
-    orphan_root = dead.table("b").root  # never committed
-    assert os.path.isdir(orphan_root)
-    # young orphan survives a reopen (may be in flight)
+    orphan_root = dead.table("b").root  # never committed; OUR live pid
+    assert f"-{os.getpid()}-" in os.path.basename(orphan_root)
+    # live-creator orphan survives a reopen, age irrelevant
     TableCatalog(spark, cat_base)
     assert os.path.isdir(orphan_root)
-    # age it past the grace window: swept on the next open
-    old = catmod.BRANCH_GRACE_S
-    catmod.BRANCH_GRACE_S = 0.0
-    try:
-        TableCatalog(spark, cat_base)
-    finally:
-        catmod.BRANCH_GRACE_S = old
-    assert not os.path.isdir(orphan_root)
+    # re-stamp it as a DEAD creator's branch: swept on the next open
+    dead_root = orphan_root.replace(f"-{os.getpid()}-", "-999999999-")
+    os.rename(orphan_root, dead_root)
+    TableCatalog(spark, cat_base)
+    assert not os.path.isdir(dead_root)
     assert os.path.isdir(committed_branch)  # referenced: never swept
     assert cat.read("a").count() == 11
+
+
+def test_catalog_read_only_participant_not_repointed(spark, cat_base):
+    """A participant that was only READ is not repointed at commit and
+    never conflicts with a concurrent real writer of that table —
+    snapshot isolation, not serializability."""
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    reader_writer = cat.begin()
+    n_a = reader_writer.table("a").read().count()  # read-only access
+    reader_writer.table("b").append(
+        spark.createDataFrame([(int(n_a),)], "k bigint")
+    )
+    # a concurrent txn WRITES 'a' and commits first
+    other = cat.begin()
+    other.table("a").append(spark.createDataFrame([(77,)], "k bigint"))
+    other.commit()
+    v = reader_writer.commit()  # must NOT conflict: it only read 'a'
+    ents = cat.entries(v)
+    # 'a' still points at the writer's cut; 'b' carries our row
+    assert cat.read("a", v).where("k = 77").count() == 1
+    assert cat.read("b", v).where(f"k = {n_a}").count() == 1
+    # and a genuinely empty transaction stays a no-op
+    ro = cat.begin()
+    ro.table("a").read().count()
+    assert ro.commit() == cat.latest_version()
+
+
+def test_catalog_branch_truncates_unpublished_head(spark, cat_base):
+    """An out-of-band write on the shared root (past the pinned cut)
+    must not leak into a transaction's branch: the branch log is
+    truncated back to the pin (no restore commit — the branch's change
+    feed stays readable across its whole lineage)."""
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    # unpublished direct write on the shared root, bypassing the catalog
+    VersionedTable(spark, a.root).append(
+        spark.createDataFrame([(12345,)], "k bigint")
+    )
+    txn = cat.begin()
+    branch = txn.table("a")
+    assert branch.latest_version() == 0  # truncated to the pin
+    assert branch.read().where("k = 12345").count() == 0
+    branch.append(spark.createDataFrame([(500,)], "k bigint"))
+    v = txn.commit()
+    got = cat.read("a", v)
+    assert got.where("k = 12345").count() == 0  # never published by us
+    assert got.where("k = 500").count() == 1
+    assert got.count() == 11
 
 
 def test_catalog_unknown_table_and_create_validation(spark, cat_base):
