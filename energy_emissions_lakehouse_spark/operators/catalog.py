@@ -61,7 +61,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import socket
 import time
 import uuid
 
@@ -83,6 +85,14 @@ TXN_DIR = "_txn"
 #: Grace window before an unreferenced branch is swept (same in-flight
 #: protection rationale as VersionedTable.vacuum's orphan_grace_s).
 BRANCH_GRACE_S = 3600.0
+
+
+def _sweep_hostname() -> str:
+    """This host's name with every non-[A-Za-z0-9_] squashed to ``_`` so
+    it can live as ONE dash-delimited token in a branch directory name
+    (hostnames legally contain ``-`` and ``.``, which would break the
+    right-anchored rsplit parse)."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", socket.gethostname()) or "unknown"
 
 
 class CatalogConflictError(RuntimeError):
@@ -109,25 +119,37 @@ class TableCatalog:
         """Opportunistically delete transaction branches that no catalog
         version references and whose CREATING PROCESS IS DEAD — the
         leftovers of crashed/conflicted transactions.  Branch directory
-        names embed the creator's pid (fsutil's dead-pid scratch
-        pattern): a live pid means a possibly-in-flight transaction and
-        the branch is kept NO MATTER ITS AGE (mtime cannot be trusted —
-        writes land in subdirectories and never refresh the parent's
-        mtime, so an age cutoff would reap a long-running live
-        transaction).  Legacy/unparseable names fall back to the mtime
-        grace window.  Cheap on the common path: the referenced-set
-        (one JSON read per catalog version) is built only after a sweep
-        CANDIDATE is found."""
+        names embed the creator's HOSTNAME and pid: ``os.kill(pid, 0)``
+        only answers liveness for THIS host, so the pid probe is
+        honored only when the branch's host token matches ours — on
+        shared storage (NFS) a foreign host's live pid would otherwise
+        read as dead here and an IN-FLIGHT foreign transaction's branch
+        would be reaped out from under its later commit.  Same-host
+        live pid means a possibly-in-flight transaction and the branch
+        is kept NO MATTER ITS AGE (mtime cannot be trusted — writes
+        land in subdirectories and never refresh the parent's mtime, so
+        an age cutoff would reap a long-running live transaction).
+        Foreign-host and legacy/unparseable names fall back to the
+        mtime grace window — the conservative cross-host signal (this
+        also bounds the pid-reuse hazard: a recycled pid can pin a dead
+        branch only on its OWN host, never sweep a live one).  Cheap on
+        the common path: the referenced-set (one JSON read per catalog
+        version) is built only after a sweep CANDIDATE is found."""
         txn_root = os.path.join(self.root, TXN_DIR)
         if not os.path.isdir(txn_root):
             return
         candidates: list[str] = []
         now = time.time()
+        our_host = _sweep_hostname()
         for name in sorted(os.listdir(txn_root)):
             path = os.path.join(txn_root, name)
-            parts = name.rsplit("-", 2)
-            pid = int(parts[1]) if len(parts) == 3 and parts[1].isdigit() else None
-            if pid is not None:
+            # new format: <table>-<host>-<pid>-<uuid8>; host/pid/uuid
+            # tokens are dash-free so the right-anchored split is exact
+            parts = name.rsplit("-", 3)
+            host, pid = None, None
+            if len(parts) == 4 and parts[2].isdigit():
+                host, pid = parts[1], int(parts[2])
+            if host == our_host and pid is not None:
                 if pid == os.getpid():
                     continue  # ours — possibly this process's live txn
                 try:
@@ -138,9 +160,11 @@ class TableCatalog:
                 except OSError:
                     continue  # pid exists but isn't ours — leave it
             else:
+                # foreign host (pid unprobeable here) or legacy name:
+                # trust only age
                 try:
                     if now - os.path.getmtime(path) < BRANCH_GRACE_S:
-                        continue  # legacy name, young: keep
+                        continue  # young: keep
                 except OSError:
                     continue  # vanished under us
             candidates.append(path)
@@ -297,8 +321,9 @@ class CatalogTransaction:
         commit (which would cost a constraint re-validation scan and
         poison the branch's change feed with a feed-less data-change
         commit), and no foreign unpublished writes in the lineage.  The
-        branch directory name embeds this process's pid, the liveness
-        claim :meth:`TableCatalog._sweep_stale_branches` honors."""
+        branch directory name embeds this HOST and process pid, the
+        liveness claim :meth:`TableCatalog._sweep_stale_branches`
+        honors (pid probes are meaningless across hosts)."""
         branch = self._branches.get(name)
         if branch is not None:
             return branch
@@ -309,7 +334,7 @@ class CatalogTransaction:
         dest = os.path.join(
             self.catalog.root,
             TXN_DIR,
-            f"{name}-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+            f"{name}-{_sweep_hostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}",
         )
         branch = src.clone_to(dest)
         if branch.latest_version() != ent["version"]:

@@ -545,6 +545,27 @@ class VersionedTable:
         # always has its index (a crash before the claim only strands
         # sidecar files alongside the orphan segment — vacuum pairs them)
         self._write_bloom_sidecars(add)
+        # last-line defense against a mis-configured concurrent vacuum
+        # (orphan_grace_s too small) reaping this writer's files between
+        # write and commit: publishing a reference to a vanished file
+        # would poison EVERY later read of the head — fail loudly here
+        # instead.  O(refs) stat calls; the grace window remains the
+        # real protection (this check narrows, not closes, the race).
+        refs = list(add) + list((extra or {}).get("dv_add", []))
+        if extra and extra.get("cdf"):
+            refs.append(extra["cdf"])
+        gone = [
+            rel
+            for rel in refs
+            if not os.path.exists(os.path.join(self.root, rel))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"commit {version} of {self.root}: referenced file(s) "
+                f"vanished before the commit could publish them {gone} — "
+                "a concurrent vacuum with too small an orphan grace "
+                "window? (commit refused; the log is untouched)"
+            )
         payload = {
             "version": version,
             "op": op,
@@ -596,6 +617,12 @@ class VersionedTable:
                 # from the PREVIOUS checkpoint + tail, so each
                 # checkpoint costs O(tail) too
                 "stats": self._live_segment_stats(version),
+                # live segment → physically-writing commit, so
+                # read_with_provenance resolves O(tail) instead of
+                # walking from genesis on every call (same fold shape
+                # as stats; pre-rev checkpoints lack the key and force
+                # the genesis walk — never wrong, only slower)
+                "seg_commits": self._live_segment_commits(version),
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -1136,7 +1163,10 @@ class VersionedTable:
         is exactly what the audit cares about (which commit produced
         the bytes being served; vacuum/debug lineage).  One broadcast
         join of the identified scan against the O(files) segment→commit
-        map folded from the log — no data-side shuffle."""
+        map — no data-side shuffle; the map resolves O(tail) via the
+        checkpointed fold (:meth:`_live_segment_commits`), so a
+        long-lived table's provenance read no longer pays a
+        genesis-to-head log walk per call."""
         version, live, dvs, entry = self._snapshot_state(version)
         schema = StructType.fromJson(entry["schema"])
         data_cols = [f.name for f in schema.fields]
@@ -1149,23 +1179,10 @@ class VersionedTable:
                 "'_commit_version', reserved for the provenance stamp — "
                 "read() it plainly or rename the column"
             )
-        live_set = set(live)
-        by_seg: dict[str, int] = {}
-        for v in self._versions():
-            if v > version or len(by_seg) == len(live_set):
-                break  # every live segment mapped: skip the rest
-            for rel in self._read_commit(v)["add"]:
-                base = os.path.basename(rel)
-                if rel in live_set and base not in by_seg:
-                    # FIRST add wins: a RESTORE re-references a segment
-                    # in a later commit's add, but the provenance is the
-                    # commit that physically wrote it.  (Walked from
-                    # genesis with the early exit above — on a long
-                    # history whose live set is recent the walk is still
-                    # O(history) worst case; the audit surface accepts
-                    # that, unlike the hot read path whose stats fold is
-                    # checkpoint-accelerated.)
-                    by_seg[base] = v
+        by_seg = {
+            os.path.basename(rel): v
+            for rel, v in self._live_segment_commits(version).items()
+        }
         lookup = self.spark.createDataFrame(
             sorted(by_seg.items()), "_dv_seg string, _commit_version bigint"
         )
@@ -1825,7 +1842,9 @@ class VersionedTable:
         v, live, dvs, entry = self._snapshot_state(None)
         schema = StructType.fromJson(entry["schema"])
         if not live:
-            raise ValueError("delete_where_mor: table has no live segments")
+            # SQL DELETE from an empty table is a no-op, not an error —
+            # same commit-free surface as delete_where / zero matches
+            return v
         data_cols = [f.name for f in schema.fields]
         # the identified scan already excludes previously-masked rows, so
         # they cannot re-enter the new DV or double-count in the feed
@@ -1876,7 +1895,9 @@ class VersionedTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         v, live, dvs, entry = self._snapshot_state(None)
         if not live:
-            raise ValueError("update_where_mor: table has no live segments")
+            # SQL UPDATE of an empty table is a no-op, not an error —
+            # same commit-free surface as update_where / zero matches
+            return v
         schema = StructType.fromJson(entry["schema"])
         data_cols = [f.name for f in schema.fields]
         assigns = self._resolve_assignments(set_exprs, schema)
@@ -2279,6 +2300,56 @@ class VersionedTable:
                     out[rel] = entry.get("stats", {}).get(rel, {})
         return out
 
+    def _live_segment_commits(self, version: int) -> dict[str, int]:
+        """rel-path → the commit that PHYSICALLY WROTE each live segment
+        at ``version`` (first add from genesis — a RESTORE's
+        re-reference never wins; the audit cares which commit produced
+        the bytes).  Checkpoint-accelerated like the stats fold: the
+        checkpoint carries the live set's map, so resolution replays
+        only the tail.  The ONE commit shape whose ``add`` can
+        re-reference a pre-checkpoint segment is a restore (it records
+        ``restored_from``); its re-added rels fall back to a genesis
+        walk scoped to just those rels — every other op writes fresh
+        uuid-named segments, so a tail-first add IS the physical write.
+        Pre-rev checkpoints lack the key and force the genesis walk
+        (never wrong, only slower)."""
+        live = self._resolve_live(version)
+        out: dict[str, int] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None and "seg_commits" in ckpt:
+            out = {
+                rel: v
+                for rel, v in ckpt["seg_commits"].items()
+                if rel in live
+            }
+            start = ckpt["version"] + 1
+        pending = set(live) - set(out)
+        refold: set[str] = set()
+        for v in self._versions():
+            if v < start:
+                continue
+            if v > version or not pending:
+                break
+            entry = self._read_commit(v)
+            resurrection = "restored_from" in entry
+            for rel in entry["add"]:
+                if rel in pending:
+                    pending.discard(rel)
+                    if resurrection:
+                        refold.add(rel)
+                    else:
+                        out[rel] = v
+        for v in self._versions():
+            if not refold or v > version:
+                break
+            entry = self._read_commit(v)
+            for rel in entry["add"]:
+                if rel in refold:
+                    out[rel] = v
+                    refold.discard(rel)
+        return out
+
     def column_range(self, col: str, version: int | None = None):
         """Global (min, max) of ``col`` at a version, folded from the
         per-segment stats alone — O(log) driver metadata, no Spark job.
@@ -2669,4 +2740,23 @@ class VersionedTable:
                         except OSError:
                             pass
                 deleted.append(rel)
+        # hard-crashed commit attempts strand their scratch files in the
+        # log dir (the normal path unlinks them in a finally); they are
+        # never read — _versions ignores non-.json names — and are
+        # reclaimed past the same in-flight grace window
+        for name in sorted(os.listdir(self._log_dir)):
+            if ".tmp-" not in name:
+                continue
+            path = os.path.join(self._log_dir, name)
+            try:
+                if now - os.path.getmtime(path) < orphan_grace_s:
+                    continue
+            except OSError:
+                continue  # vanished under us
+            if not dry_run:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            deleted.append(os.path.join(LOG_DIR, name))
         return deleted

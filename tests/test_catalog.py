@@ -277,3 +277,49 @@ def test_catalog_concurrent_disjoint_txns_stress(spark, cat_base):
         assert VersionedTable(spark, root).latest_version() == 0
         # and the catalog cut serves the complete table
         assert cat.read(name).count() == 1 + n_txns
+
+
+def test_catalog_branch_sweep_is_hostname_aware(spark, cat_base):
+    """pid liveness is only meaningful on the creating host: a
+    FOREIGN-host branch whose embedded pid happens to be dead HERE must
+    NOT be swept while young (on shared storage that pid may be a live
+    writer on another machine) — it falls back to the mtime grace
+    window; a young SAME-host dead-pid branch is swept immediately; and
+    an OLD foreign-host branch is reclaimed once past the window."""
+    import time
+
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        BRANCH_GRACE_S,
+        _sweep_hostname,
+    )
+
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    ours = _sweep_hostname()
+    orphan = cat.begin().table("b").root  # never committed
+    base = os.path.basename(orphan)
+    assert f"-{ours}-{os.getpid()}-" in base  # new name embeds host+pid
+    # 1) young FOREIGN-host branch with a locally-dead pid: kept
+    foreign = orphan.replace(
+        f"-{ours}-{os.getpid()}-", "-some_other_host-999999999-"
+    )
+    os.rename(orphan, foreign)
+    TableCatalog(spark, cat_base)
+    assert os.path.isdir(foreign), "foreign live txn swept by pid probe"
+    # 2) the SAME dead pid stamped with OUR host: swept regardless of age
+    local_dead = foreign.replace(
+        "-some_other_host-999999999-", f"-{ours}-999999999-"
+    )
+    os.rename(foreign, local_dead)
+    TableCatalog(spark, cat_base)
+    assert not os.path.isdir(local_dead)
+    # 3) an OLD foreign-host branch falls to the grace window
+    orphan2 = cat.begin().table("a").root
+    foreign2 = orphan2.replace(
+        f"-{ours}-{os.getpid()}-", "-some_other_host-999999999-"
+    )
+    os.rename(orphan2, foreign2)
+    old = time.time() - BRANCH_GRACE_S - 60
+    os.utime(foreign2, (old, old))
+    TableCatalog(spark, cat_base)
+    assert not os.path.isdir(foreign2)

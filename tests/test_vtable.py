@@ -2533,3 +2533,87 @@ def test_provenance_and_changes_reject_stored_stamp_columns(spark, vt_root):
         vt.read_with_provenance()
     with pytest.raises(ValueError, match="reserved for the change-feed"):
         vt.read_changes(0, 0)
+
+
+def _genesis_seg_commits(vt, version):
+    """Brute-force first-add-from-genesis map — the provenance ground
+    truth the checkpointed fold must reproduce (a restore's re-add
+    appears later than the physical write, so first-add wins here by
+    construction)."""
+    live = vt._resolve_live(version)
+    out = {}
+    for v in sorted(vt._versions()):
+        if v > version:
+            break
+        for rel in vt._read_commit(v)["add"]:
+            if rel in live and rel not in out:
+                out[rel] = v
+    return out
+
+
+def test_provenance_fold_is_checkpointed_and_restore_aware(spark, vt_root):
+    """_live_segment_commits resolves O(tail) via the checkpoint but
+    must equal the genesis fold EXACTLY — including the one adversarial
+    shape: a segment dead at checkpoint time that a post-checkpoint
+    RESTORE resurrects (its tail re-add must map to the commit that
+    physically wrote it, not the restore)."""
+    vt = _mk(spark, vt_root, n=2)  # v0: the segment restore will revive
+    vt.append(
+        spark.range(100, 101).select(
+            F.col("id").alias("k"), F.lit(1).cast("bigint").alias("v")
+        )
+    )  # v1
+    vt.overwrite(
+        spark.range(200, 202).select(
+            F.col("id").alias("k"), F.lit(2).cast("bigint").alias("v")
+        )
+    )  # v2: v0/v1 segments now dead
+    for i in range(CHECKPOINT_EVERY):  # appends through the checkpoint
+        vt.append(
+            spark.range(300 + i, 301 + i).select(
+                F.col("id").alias("k"), F.lit(i).cast("bigint").alias("v")
+            )
+        )
+    head = vt.latest_version()
+    assert head > CHECKPOINT_EVERY
+    ckpt = vt._latest_checkpoint(head)
+    assert ckpt is not None and "seg_commits" in ckpt
+    # checkpointed fold == genesis fold on the plain (no-restore) head
+    assert vt._live_segment_commits(head) == _genesis_seg_commits(vt, head)
+    # resurrect the PRE-checkpoint segments: the tail sees them added by
+    # the restore commit, which must NOT win provenance
+    v_r = vt.restore(1)
+    got = vt._live_segment_commits(v_r)
+    want = _genesis_seg_commits(vt, v_r)
+    assert got == want
+    assert sorted(want.values()) == [0, 1]  # physical writers, not v_r
+    stamps = {
+        r.k: r._commit_version
+        for r in vt.read_with_provenance(v_r).collect()
+    }
+    assert stamps[100] == 1 and all(
+        stamps[k] == 0 for k in stamps if k != 100
+    )
+    # time travel BEFORE the restore still resolves through the ckpt
+    assert vt._live_segment_commits(head) == _genesis_seg_commits(vt, head)
+
+
+def test_mor_dml_on_empty_table_is_commit_free_noop(spark, vt_root):
+    """UPDATE/DELETE (merge-on-read) against a table with no live
+    segments is a no-op returning the current head — SQL DML on an
+    empty table is not an error (parity with update_where /
+    delete_where and with the zero-matches path)."""
+    vt = _mk(spark, vt_root, n=3)
+    # no public op leaves ZERO live segments (even delete-all rewrites
+    # to an empty segment), so construct the degenerate state at the
+    # log layer — the DML surface must still treat it as empty-table
+    v = vt.latest_version()
+    vt._commit(
+        v + 1, "truncate", add=[], remove=sorted(vt._resolve_live(v)),
+        schema=vt.read().schema,
+    )
+    head = vt.latest_version()
+    assert not vt._resolve_live(head)
+    assert vt.update_where_mor("k = 1", {"v": F.lit(0)}) == head
+    assert vt.delete_where_mor("k = 1") == head
+    assert vt.latest_version() == head  # truly commit-free

@@ -1,0 +1,284 @@
+"""Adversarial fault injection for the vtable / catalog commit
+protocol (operators/vtable.py, operators/catalog.py): writers killed
+between segment write and commit, ``os.link`` failures mid-claim,
+hard-crash scratch litter, a mis-configured vacuum racing an in-flight
+writer, torn segment directories, catalog pointer-swap crashes, and
+checkpoint write failures.  Invariants asserted throughout: the HEAD
+READ STAYS SERVEABLE after every injected fault, every orphan is
+eventually swept, and no fault can publish a reference to bytes that
+do not exist (reference semantics:
+/root/reference/src/30_load/load_to_postgres.py's engine.begin()
+all-or-nothing contract, generalized to the file log)."""
+
+from __future__ import annotations
+
+import errno
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators import vtable as vt_mod
+from energy_emissions_lakehouse_spark.operators.catalog import (
+    TableCatalog,
+)
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    CHECKPOINT_EVERY,
+    DATA_DIR,
+    LOG_DIR,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def base():
+    d = tempfile.mkdtemp(prefix="vtable-fault-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, root, n=20) -> VersionedTable:
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return VersionedTable.create(spark, root, df)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _log_scratch(root):
+    return [
+        n
+        for n in os.listdir(os.path.join(root, LOG_DIR))
+        if ".tmp-" in n
+    ]
+
+
+def test_writer_killed_between_segment_write_and_commit(spark, base):
+    """A writer that dies after _write_segment but before _commit
+    leaves ONLY an unreferenced segment directory: the head is
+    untouched, reads never see the rows, vacuum keeps the orphan
+    inside the in-flight grace window and sweeps it past it — and the
+    sweep never disturbs live data."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=20)
+    head = vt.latest_version()
+    orphan = vt._write_segment(_batch(spark, 100, 110), head + 1)
+    # "crash": no commit.  The head read serves exactly the old rows.
+    assert vt.latest_version() == head
+    assert vt.read().count() == 20
+    # fresh orphan = potentially in-flight: protected at default grace
+    assert orphan not in vt.vacuum(retain_last=1, dry_run=True)
+    assert os.path.isdir(os.path.join(root, orphan))
+    # past the grace window it is reclaimed (explicit zero = operator
+    # override, the documented Delta retention-check analog)
+    swept = vt.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert orphan in swept
+    assert not os.path.exists(os.path.join(root, orphan))
+    assert vt.read().count() == 20  # live data untouched by the sweep
+    # the table keeps working: the next writer claims the same slot
+    assert vt.append(_batch(spark, 200, 205)) == head + 1
+    assert vt.read().count() == 25
+
+
+def test_commit_link_failure_leaves_no_trace_and_retry_wins(spark, base):
+    """An os.link failure mid-claim (NFS hiccup / storage error, NOT
+    the lost-race EEXIST) must abort the commit with the scratch file
+    cleaned up, the log unextended, and the head serveable; a plain
+    retry then succeeds."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=10)
+    head = vt.latest_version()
+    real_link = os.link
+
+    def flaky_link(src, dst, *a, **kw):
+        if root in str(dst):
+            raise OSError(errno.EIO, "injected storage fault")
+        return real_link(src, dst, *a, **kw)
+
+    vt_mod.os.link = flaky_link
+    try:
+        with pytest.raises(OSError, match="injected storage fault"):
+            vt.append(_batch(spark, 100, 105))
+    finally:
+        vt_mod.os.link = real_link
+    assert vt.latest_version() == head  # log unextended
+    assert _log_scratch(root) == []  # scratch unlinked on the way out
+    assert vt.read().count() == 10
+    # the failed attempt's segment is an orphan; retry writes its own
+    assert vt.append(_batch(spark, 100, 105)) == head + 1
+    assert vt.read().count() == 15
+    # exactly one stranded segment from the failed attempt, sweepable
+    swept = vt.vacuum(retain_last=10, orphan_grace_s=0.0)
+    assert len([s for s in swept if s.startswith(DATA_DIR)]) == 1
+    assert vt.read().count() == 15
+
+
+def test_hard_crash_commit_scratch_is_swept_by_vacuum(spark, base):
+    """A writer killed INSIDE _commit (after writing scratch, before
+    the finally) strands a ``.tmp-`` file in the log dir.  _versions
+    must ignore it (reads unaffected) and vacuum reclaims it past the
+    grace window — fresh scratch survives (it may be a live committer
+    microseconds from linking)."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=5)
+    head = vt.latest_version()
+    scratch = os.path.join(
+        root, LOG_DIR, f"{head + 1:020d}.json.tmp-99999-deadbeef"
+    )
+    with open(scratch, "w") as fh:
+        fh.write('{"torn": true')  # even torn JSON: it is never parsed
+    assert vt.latest_version() == head
+    assert vt.read().count() == 5
+    # fresh: protected
+    assert not any(
+        LOG_DIR in d for d in vt.vacuum(retain_last=1, dry_run=True)
+    )
+    old = time.time() - 7200
+    os.utime(scratch, (old, old))
+    swept = vt.vacuum(retain_last=1)
+    assert any(d.endswith("deadbeef") for d in swept)
+    assert not os.path.exists(scratch)
+    # and the slot is still claimable by a real writer
+    assert vt.append(_batch(spark, 10, 12)) == head + 1
+
+
+def test_misconfigured_vacuum_racing_inflight_writer_fails_loud(
+    spark, base
+):
+    """THE corruption scenario the grace window exists for: a vacuum
+    run with orphan_grace_s=0 sweeps an in-flight writer's segment
+    between write and commit.  The commit must then REFUSE (loud
+    FileNotFoundError) rather than publish a head that references
+    vanished bytes — every subsequent read of the table stays
+    serveable."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=8)
+    head = vt.latest_version()
+    inflight = vt._write_segment(_batch(spark, 100, 104), head + 1)
+    # the rogue sweep (another process, grace misconfigured to zero)
+    assert inflight in vt.vacuum(retain_last=1, orphan_grace_s=0.0)
+    with pytest.raises(FileNotFoundError, match="vanished before"):
+        vt._commit(
+            head + 1,
+            "append",
+            add=[inflight],
+            remove=[],
+            schema=vt.read().schema,
+        )
+    assert vt.latest_version() == head  # the log never saw it
+    assert vt.read().count() == 8  # head fully serveable
+    assert _log_scratch(root) == []  # the refused commit left no litter
+    assert vt.append(_batch(spark, 200, 203)) == head + 1  # recovery
+
+
+def test_partial_segment_directory_never_breaks_reads(spark, base):
+    """A segment directory torn mid-parquet-write (no _SUCCESS, junk
+    bytes) is unreferenced by construction — reads ignore it, vacuum
+    reclaims it past the grace window."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=12)
+    torn = os.path.join(root, DATA_DIR, "00000000000000000099-torn0000")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00NOT-A-PARQUET-FOOTER")
+    assert vt.read().count() == 12
+    old = time.time() - 7200
+    os.utime(torn, (old, old))
+    rel = os.path.join(DATA_DIR, os.path.basename(torn))
+    assert rel in vt.vacuum(retain_last=1)
+    assert not os.path.exists(torn)
+    assert vt.read().count() == 12
+
+
+def test_catalog_pointer_swap_crash_publishes_nothing(spark, base):
+    """A multi-table transaction whose CATALOG commit dies mid-claim
+    (os.link fault on the pointer map) publishes NOTHING: both tables
+    read at the old cut, the catalog log is unextended and scratch-
+    free, and a fresh transaction replays the work successfully —
+    nothing from the failed attempt rides into its lineage."""
+    import energy_emissions_lakehouse_spark.operators.catalog as cat_mod
+
+    a = VersionedTable.create(
+        spark,
+        os.path.join(base, "a"),
+        spark.range(10).select(F.col("id").alias("k")),
+    )
+    b = VersionedTable.create(
+        spark,
+        os.path.join(base, "b"),
+        spark.range(5).select(F.col("id").alias("k")),
+    )
+    cat = TableCatalog.create(spark, base, {"a": a.root, "b": b.root})
+    cat_head = cat.latest_version()
+    txn = cat.begin()
+    txn.table("a").append(spark.createDataFrame([(111,)], "k bigint"))
+    txn.table("b").append(spark.createDataFrame([(222,)], "k bigint"))
+    real_link = os.link
+    cat_dir = os.path.join(base, "_catalog")
+
+    def flaky_link(src, dst, *args, **kw):
+        if cat_dir in str(dst):
+            raise OSError(errno.EIO, "injected catalog fault")
+        return real_link(src, dst, *args, **kw)
+
+    cat_mod.os.link = flaky_link
+    try:
+        with pytest.raises(OSError, match="injected catalog fault"):
+            txn.commit()
+    finally:
+        cat_mod.os.link = real_link
+    assert cat.latest_version() == cat_head  # pointer map unmoved
+    assert cat.read("a").count() == 10 and cat.read("b").count() == 5
+    assert not any(".tmp-" in n for n in os.listdir(cat_dir))
+    # recovery: a FRESH transaction (failed branches are orphans)
+    retry = cat.begin()
+    retry.table("a").append(spark.createDataFrame([(111,)], "k bigint"))
+    retry.table("b").append(spark.createDataFrame([(222,)], "k bigint"))
+    v = retry.commit()
+    assert v == cat_head + 1
+    assert cat.read("a").count() == 11 and cat.read("b").count() == 6
+    # exactly one row landed per table: the dead branch leaked nothing
+    assert cat.read("a").where("k = 111").count() == 1
+
+
+def test_checkpoint_write_failure_never_fails_the_commit(spark, base):
+    """Checkpoints are best-effort: an os.rename fault while publishing
+    the checkpoint must NOT fail the data commit, must leave no
+    scratch litter, and later snapshot resolution just replays a
+    longer tail — bit-identical results."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=2)
+    real_rename = os.rename
+
+    def flaky_rename(src, dst, *a, **kw):
+        if dst.endswith(".checkpoint.json"):
+            raise OSError(errno.EIO, "injected checkpoint fault")
+        return real_rename(src, dst, *a, **kw)
+
+    vt_mod.os.rename = flaky_rename
+    try:
+        for i in range(CHECKPOINT_EVERY + 2):
+            vt.append(_batch(spark, 100 + 10 * i, 105 + 10 * i))
+    finally:
+        vt_mod.os.rename = real_rename
+    head = vt.latest_version()
+    assert head >= CHECKPOINT_EVERY
+    ckpts = [
+        n
+        for n in os.listdir(os.path.join(root, LOG_DIR))
+        if n.endswith(".checkpoint.json")
+    ]
+    assert ckpts == []  # every checkpoint publish was injected dead
+    assert _log_scratch(root) == []
+    assert vt.read().count() == 2 + 5 * (CHECKPOINT_EVERY + 2)
+    assert vt._resolve_live(head) == vt._resolve_live(
+        head, use_checkpoint=False
+    )
