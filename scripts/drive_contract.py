@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import sys
 import time
 
@@ -24,6 +25,10 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # optional 2nd arg: comma-separated substrings — only run queries whose name
 # contains one of them (fast iteration on a changed query family)
 NAME_FILTER = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# optional CERT_OUT=<path>: write the full per-query certification record
+# (name -> rows/hash/sec/status) so auditors can diff a round's complete
+# sweep without re-running it (the committed CERT_FULL_r{N}.json artifact)
+CERT_OUT = os.environ.get("CERT_OUT")
 
 
 def norm_cell(v):
@@ -79,32 +84,55 @@ def main() -> None:
 
     queries = e.queries()
     oracles = e.oracle_sql()
-    failures, timings = [], {}
+    failures, timings, cert = [], {}, {}
     for name in sorted(queries):
         if NAME_FILTER and not any(s in name for s in NAME_FILTER):
             continue
         tq = time.perf_counter()
+        rows, vhash = None, None
         try:
             spdf = queries[name](spark, SF_DIR).toPandas()
+            rows, vhash = frame_hash(spdf)
             if name not in oracles:
                 status = f"rows-only ({len(spdf)})"
             else:
                 opdf = con.execute(oracles[name]).df()
-                (sn, sh), (on_, oh) = frame_hash(spdf), frame_hash(opdf)
-                if sn != on_:
-                    status = f"FAIL rows {sn}!={on_}"
-                elif sh != oh:
-                    status = f"FAIL hash {sh}!={oh}"
+                on_, oh = frame_hash(opdf)
+                if rows != on_:
+                    status = f"FAIL rows {rows}!={on_}"
+                elif vhash != oh:
+                    status = f"FAIL hash {vhash}!={oh}"
                 else:
                     status = "ok"
         except Exception as exc:  # noqa: BLE001
             status = f"FAIL exc {type(exc).__name__}: {exc}"
         timings[name] = round(time.perf_counter() - tq, 2)
+        cert[name] = {
+            "rows": rows,
+            "hash": vhash,
+            "sec": timings[name],
+            "status": status,
+        }
         print(f"[drive] {name}: {timings[name]}s {status}", file=sys.stderr)
         if status.startswith("FAIL"):
             failures.append(f"{name}: {status}")
 
     total = round(time.perf_counter() - t0, 1)
+    if CERT_OUT:
+        with open(CERT_OUT, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "total_sec": total,
+                    "n_run": len(cert),
+                    "n_registered": len(queries),
+                    "n_failures": len(failures),
+                    "queries": cert,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"[drive] cert record -> {CERT_OUT}", file=sys.stderr)
     print(json.dumps({
         "total_sec": total,
         "n_queries": len(queries),

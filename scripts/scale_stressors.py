@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Measured scale stressors (round-9 verdict items 4+5): numbers, not
+prose, for the three 100 TB claims that previously rested on unmeasured
+assumptions.
+
+A. SKEW  — salted_join (operators/skew.py) vs the plain shuffle join on
+   a pathological key distribution: lineitem inflated 10x (~6M rows at
+   sf0.1) with 50% of all rows on ONE join key, followed by a
+   groupBy(join key) — the exact downstream shape that SUPPRESSES AQE's
+   skew-join split (the split would break the required hash
+   distribution; pinned in tests/test_plan_quality.py), i.e. the case
+   where manual salting is the only mitigation.
+
+B. BLOOM — the per-segment bloom sidecar build at 1x vs 10x the file
+   count (same total rows), plus the point-lookup prune fraction and
+   serving wall at both layouts: the build must scale with DATA (fixed
+   per-file overhead amortized), the lookup must stay flat because
+   pruning gets MORE selective with more, smaller files.
+
+C. VREAD — the versioned-table read path vs spark.read.parquet on the
+   SAME bytes: the no-DV fast path (must be ~1x — it compiles to the
+   identical JVM parquet scan plus an O(files) log fold) and the
+   DV-masked read after a 1% merge-on-read delete (broadcast anti-join
+   overhead).
+
+Writes SCALE_STRESSORS_r09.json at the repo root and prints it.
+Run on an IDLE host (same policy as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.fsutil import user_staging_root
+from energy_emissions_lakehouse_spark.operators.skew import salted_join
+from energy_emissions_lakehouse_spark.operators.vtable import VersionedTable
+from energy_emissions_lakehouse_spark.session import get_spark
+from energy_emissions_lakehouse_spark.tables import t as load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+REPS = 3
+
+
+def best_of(fn, reps=REPS) -> float:
+    """Median wall over reps (same policy as bench.py)."""
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[len(runs) // 2], 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="eel-stressors", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = os.path.join(user_staging_root(), "stressors_r09")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    out: dict = {"sf_dir": SF_DIR, "cpus": CPUS, "reps": REPS}
+
+    # ---------------------------------------------------------- A. skew
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    n_keys = 100_000
+    fact = (
+        li.crossJoin(
+            spark.range(10).select(F.col("id").alias("rep"))  # 10x inflate
+        )
+        .withColumn(
+            "h", F.xxhash64("l_orderkey", "l_partkey", "rep")
+        )
+        .select(
+            # 50% of ALL rows land on key 1; the rest spread uniformly
+            F.when(F.pmod(F.col("h"), F.lit(2)) == 0, F.lit(1))
+            .otherwise(F.pmod(F.col("h"), F.lit(n_keys)))
+            .cast("bigint")
+            .alias("k"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("weight")
+    )
+    fact_pq = os.path.join(work, "skew_fact")
+    dim_pq = os.path.join(work, "skew_dim")
+    fact.write.parquet(fact_pq)
+    dim.write.parquet(dim_pq)
+    factr = spark.read.parquet(fact_pq)
+    dimr = spark.read.parquet(dim_pq)
+    n_fact = factr.count()
+    hot = factr.where("k = 1").count()
+
+    def agg_of(joined):
+        return (
+            joined.groupBy("k")
+            .agg(F.sum(F.col("amount") * F.col("weight")).alias("s"))
+            .agg(
+                F.count(F.lit(1)).alias("groups"),
+                F.sum("s").alias("total"),
+            )
+            .collect()[0]
+        )
+
+    plain_res = agg_of(factr.join(dimr, "k"))
+    salted_res = agg_of(salted_join(factr, dimr, ["k"], num_salts=32))
+    assert plain_res == salted_res, (plain_res, salted_res)  # row-identical
+    plain_s = best_of(lambda: agg_of(factr.join(dimr, "k")))
+    salted_s = best_of(
+        lambda: agg_of(salted_join(factr, dimr, ["k"], num_salts=32))
+    )
+    out["skew_join"] = {
+        "rows": n_fact,
+        "hot_key_rows": hot,
+        "hot_fraction": round(hot / n_fact, 4),
+        "n_salts": 32,
+        "plain_join_groupby_sec": plain_s,
+        "salted_join_groupby_sec": salted_s,
+        "speedup": round(plain_s / salted_s, 2),
+    }
+    print(f"[stress] skew: {out['skew_join']}", file=sys.stderr)
+
+    # --------------------------------------------------------- B. bloom
+    li_b = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    probe_key = int(
+        li_b.select("l_orderkey").orderBy("l_orderkey").limit(1).collect()[0][0]
+    )
+    bloom_rec = {}
+    for tag, n_segs in (("x1", 6), ("x10", 60)):
+        root = os.path.join(work, f"bloom_{tag}")
+        sliced = li_b.withColumn(
+            "b", F.pmod(F.xxhash64("l_orderkey", "l_partkey"), F.lit(n_segs))
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        vt = VersionedTable.create(
+            spark,
+            root,
+            sliced.where(F.col("b") == 0).drop("b"),
+            bloom_cols=["l_orderkey"],
+        )
+        for i in range(1, n_segs):
+            vt.append(sliced.where(F.col("b") == i).drop("b"))
+        build_s = round(time.perf_counter() - t0, 3)
+        sliced.unpersist()
+        head = vt.latest_version()
+        scanned, skipped = vt.prune_point(head, "l_orderkey", probe_key)
+        lookup_s = best_of(
+            lambda vt=vt: vt.read_point("l_orderkey", probe_key)
+            .where(F.col("l_orderkey") == probe_key)
+            .count()
+        )
+        bloom_rec[tag] = {
+            "segments": n_segs,
+            "build_sec_total": build_s,
+            "build_sec_per_segment": round(build_s / n_segs, 3),
+            "point_scanned": len(scanned),
+            "point_skipped": len(skipped),
+            "prune_fraction": round(len(skipped) / n_segs, 3),
+            "point_lookup_sec": lookup_s,
+        }
+        print(f"[stress] bloom {tag}: {bloom_rec[tag]}", file=sys.stderr)
+    out["bloom_10x_files"] = bloom_rec
+
+    # --------------------------------------------------------- C. vread
+    root = os.path.join(work, "vread")
+    li_c = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    vt = VersionedTable.create(spark, root, li_c)
+    seg_dir = os.path.join(
+        root, sorted(vt._resolve_live(vt.latest_version()))[0]
+    )
+
+    def scan_agg(df):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("q"),
+                F.sum("l_extendedprice").alias("p"),
+            )
+            .collect()
+        )
+
+    plain_scan = best_of(lambda: scan_agg(spark.read.parquet(seg_dir)))
+    vt_scan = best_of(lambda: scan_agg(vt.read()))
+    vt.delete_where_mor("pmod(xxhash64(l_orderkey, l_quantity), 100) = 0")
+    dv_scan = best_of(lambda: scan_agg(vt.read()))
+    out["vtable_read_overhead"] = {
+        "rows": li_c.count(),
+        "plain_parquet_sec": plain_scan,
+        "vtable_nodv_sec": vt_scan,
+        "nodv_overhead_x": round(vt_scan / plain_scan, 2),
+        "vtable_dv_masked_sec": dv_scan,
+        "dv_overhead_x": round(dv_scan / plain_scan, 2),
+    }
+    print(f"[stress] vread: {out['vtable_read_overhead']}", file=sys.stderr)
+
+    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r09.json")
+    with open(dest, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
