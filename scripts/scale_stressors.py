@@ -76,7 +76,7 @@ def main() -> None:
     n_keys = 100_000
     fact = (
         li.crossJoin(
-            spark.range(10).select(F.col("id").alias("rep"))  # 10x inflate
+            spark.range(20).select(F.col("id").alias("rep"))  # 20x inflate
         )
         .withColumn(
             "h", F.xxhash64("l_orderkey", "l_partkey", "rep")
@@ -116,18 +116,77 @@ def main() -> None:
     plain_res = agg_of(factr.join(dimr, "k"))
     salted_res = agg_of(salted_join(factr, dimr, ["k"], num_salts=32))
     assert plain_res == salted_res, (plain_res, salted_res)  # row-identical
-    plain_s = best_of(lambda: agg_of(factr.join(dimr, "k")))
-    salted_s = best_of(
+    # Regime 1 — dim BROADCASTS (it fits): no shuffle, no skew problem;
+    # salting is pure overhead here.  Measured to document WHEN NOT to
+    # salt: a broadcastable dim always beats the salt rewrite.
+    bcast_s = best_of(lambda: agg_of(factr.join(dimr, "k")))
+    salted_bcast_s = best_of(
         lambda: agg_of(salted_join(factr, dimr, ["k"], num_salts=32))
     )
+    # Regime 2 — the dim CANNOT broadcast (the 100 TB case salting is
+    # for: a dimension too big for executor memory forces a shuffle
+    # join, and the hot key becomes one straggler task).  Simulated by
+    # disabling auto-broadcast, which is exactly what a >threshold dim
+    # does; the downstream groupBy(k) suppresses AQE's skew split (the
+    # split would break the required hash distribution — pinned in
+    # tests/test_plan_quality.py), so salting is the only mitigation.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffle_s = best_of(lambda: agg_of(factr.join(dimr, "k")))
+        salted_shuffle_s = best_of(
+            lambda: agg_of(salted_join(factr, dimr, ["k"], num_salts=32))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # Shuffle BALANCE — the metric that IS wall-clock at cluster scale:
+    # on 1000 executors the join stage finishes when its LARGEST shuffle
+    # partition does, and local[32] wall hides that (31 idle-ish cores
+    # absorb the straggler).  Measure max/mean rows per shuffle
+    # partition for the unsalted vs salted key distribution directly.
+    n_part = 32
+    from pyspark.sql.functions import spark_partition_id
+
+    def balance(df, *cols):
+        sizes = [
+            r.n
+            for r in df.repartition(n_part, *cols)
+            .groupBy(spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return max(sizes), round(max(sizes) * len(sizes) / sum(sizes), 2)
+
+    plain_max, plain_ratio = balance(factr, "k")
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    salted_fact = factr.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in factr.columns]), F.lit(32)),
+    )
+    salt_max, salt_ratio = balance(salted_fact, "k", SALT_COL)
     out["skew_join"] = {
         "rows": n_fact,
         "hot_key_rows": hot,
         "hot_fraction": round(hot / n_fact, 4),
         "n_salts": 32,
-        "plain_join_groupby_sec": plain_s,
-        "salted_join_groupby_sec": salted_s,
-        "speedup": round(plain_s / salted_s, 2),
+        "shuffle_balance": {
+            "partitions": n_part,
+            "plain_max_partition_rows": plain_max,
+            "plain_max_over_mean": plain_ratio,
+            "salted_max_partition_rows": salt_max,
+            "salted_max_over_mean": salt_ratio,
+        },
+        "broadcastable_dim": {
+            "plain_sec": bcast_s,
+            "salted_sec": salted_bcast_s,
+            "verdict": "broadcast wins; do not salt a broadcastable join",
+        },
+        "shuffle_forced": {
+            "plain_sec": shuffle_s,
+            "salted_sec": salted_shuffle_s,
+            "speedup": round(shuffle_s / salted_shuffle_s, 2),
+        },
     }
     print(f"[stress] skew: {out['skew_join']}", file=sys.stderr)
 
