@@ -323,3 +323,67 @@ def test_catalog_branch_sweep_is_hostname_aware(spark, cat_base):
     os.utime(foreign2, (old, old))
     TableCatalog(spark, cat_base)
     assert not os.path.isdir(foreign2)
+
+
+def test_catalog_contended_same_table_txn_soak(spark, cat_base):
+    """N threads all transact against the SAME two tables (a counter
+    increment reading table 'a' and appending to both) — every commit
+    races every other, so progress depends entirely on the
+    conflict-retry loop.  Invariants: every logical increment lands
+    exactly once (no lost updates under write-write conflicts), the
+    catalog history is contiguous, and each published cut is
+    consistent across both tables (reader-visible row counts always
+    agree, because the pointer map is one commit)."""
+    import threading
+
+    n_threads = int(os.environ.get("EEL_SOAK_THREADS", "3"))
+    n_txns = 6
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    errors: list = []
+    retry_counts = [0] * n_threads
+
+    def worker(tid: int) -> None:
+        try:
+            for j in range(n_txns):
+                for attempt in range(120):
+                    txn = cat.begin()
+                    # read-modify-write across BOTH tables: the next
+                    # sequence value derives from the pinned cut of 'a'
+                    seq = txn.table("a").read().where("k >= 10000").count()
+                    assert seq <= n_threads * n_txns  # sane pinned read
+                    row = [(10000 + tid * 1000 + j,)]
+                    txn.table("a").append(
+                        spark.createDataFrame(row, "k bigint")
+                    )
+                    txn.table("b").append(
+                        spark.createDataFrame(row, "k bigint")
+                    )
+                    try:
+                        txn.commit()
+                        break
+                    except CatalogConflictError:
+                        retry_counts[tid] += 1
+                else:
+                    raise AssertionError(f"thread {tid} txn {j} starved")
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    total = n_threads * n_txns
+    # every increment landed exactly once, in BOTH tables
+    assert cat.read("a").where("k >= 10000").count() == total
+    assert cat.read("b").where("k >= 10000").count() == total
+    assert cat.latest_version() == total  # one catalog commit per txn
+    # consistent cuts: at EVERY catalog version the two tables agree
+    for v in range(cat.latest_version() + 1):
+        na = cat.read("a", v).where("k >= 10000").count()
+        nb = cat.read("b", v).where("k >= 10000").count()
+        assert na == nb == v, (v, na, nb)
