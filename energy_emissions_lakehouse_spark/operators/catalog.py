@@ -246,7 +246,12 @@ class TableCatalog:
                 "by another writer — re-read and retry"
             ) from None
         finally:
-            os.unlink(scratch)
+            # never raise from cleanup after a successful publish — the
+            # caller would retry a transaction that actually committed
+            try:
+                os.unlink(scratch)
+            except OSError:
+                pass
 
     # --------------------------------------------------------------- reading
     def entries(self, version: int | None = None) -> dict[str, dict]:

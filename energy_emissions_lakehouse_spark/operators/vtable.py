@@ -592,7 +592,16 @@ class VersionedTable:
                 f"writer — re-read the snapshot and retry"
             ) from None
         finally:
-            os.unlink(scratch)
+            # A PUBLISHED commit must never raise from cleanup: if the
+            # scratch vanished (a grace-zero vacuum's log-scratch sweep,
+            # or an external cleaner), raising here would make the
+            # caller retry an op that actually landed — a double-apply.
+            # A stranded scratch (unlink failing some other way) is
+            # harmless litter vacuum reclaims.
+            try:
+                os.unlink(scratch)
+            except OSError:
+                pass
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             # Best-effort: a lost/failed checkpoint only means a longer
             # tail replay, never a wrong snapshot.  The checkpoint also
@@ -2714,7 +2723,7 @@ class VersionedTable:
             if entry.get("cdf"):
                 ever.add(entry["cdf"])
         now = time.time()
-        deleted = []
+        candidates: list[tuple[str, str]] = []
         for sub in (DATA_DIR, CDF_DIR, DV_DIR):
             sub_root = os.path.join(self.root, sub)
             if not os.path.isdir(sub_root):
@@ -2731,15 +2740,43 @@ class VersionedTable:
                         continue  # vanished under us — a racing cleaner
                     if age < orphan_grace_s:
                         continue  # potentially in-flight: keep for now
-                if not dry_run:
-                    shutil.rmtree(path, ignore_errors=True)
-                    if sub == DATA_DIR:
-                        # a segment's bloom sidecar dies with it
-                        try:
-                            os.unlink(self._bloom_sidecar_path(rel))
-                        except OSError:
-                            pass
-                deleted.append(rel)
+                candidates.append((sub, rel))
+        # TOCTOU re-validation: a commit can land BETWEEN the keep/ever
+        # fold above and the deletes below, and a mid-sweep commit's
+        # files would be in neither set — deleting them would break the
+        # NEW head permanently.  Re-read only the commits that appeared
+        # since the fold and drop any candidate they reference.  This
+        # shrinks the unprotected window from O(sweep duration) to the
+        # microseconds between this refresh and each rmtree; with any
+        # sane grace the combination is airtight (a segment younger
+        # than the grace was never a candidate, so the residual race
+        # needs a write-to-commit latency LONGER than the grace).
+        if candidates:
+            fresh: set[str] = set()
+            for v in self._versions():
+                if v <= versions[-1]:
+                    continue
+                entry = self._read_commit(v)
+                fresh |= set(entry["add"])
+                fresh |= set(entry.get("dv_add", []))
+                if entry.get("cdf"):
+                    fresh.add(entry["cdf"])
+            candidates = [
+                (sub, rel) for sub, rel in candidates if rel not in fresh
+            ]
+        deleted = []
+        for sub, rel in candidates:
+            if not dry_run:
+                shutil.rmtree(
+                    os.path.join(self.root, rel), ignore_errors=True
+                )
+                if sub == DATA_DIR:
+                    # a segment's bloom sidecar dies with it
+                    try:
+                        os.unlink(self._bloom_sidecar_path(rel))
+                    except OSError:
+                        pass
+            deleted.append(rel)
         # hard-crashed commit attempts strand their scratch files in the
         # log dir (the normal path unlinks them in a finally); they are
         # never read — _versions ignores non-.json names — and are

@@ -282,3 +282,151 @@ def test_checkpoint_write_failure_never_fails_the_commit(spark, base):
     assert vt._resolve_live(head) == vt._resolve_live(
         head, use_checkpoint=False
     )
+
+
+def test_chaos_soak_dml_under_rogue_zero_grace_vacuum(spark, base):
+    """Chaos composition of the two suites: writer threads run mixed
+    DML while a rogue thread loops vacuum(orphan_grace_s=0) — the
+    mis-configuration that reaps in-flight files between write and
+    commit.  The protocol guarantee under this abuse is NOT that ops
+    succeed first try (they may be refused loudly mid-flight, or lose
+    their snapshot's files to the aggressive retention) but that NO
+    refused/raced attempt ever corrupts the table: a whole-op re-run
+    eventually lands, the final state matches every thread's model
+    exactly, the history is contiguous, and the head read serves."""
+    import threading
+
+    n_threads, n_ops = 3, 10
+    root = os.path.join(base, "t")
+    vt0 = _mk(spark, root, n=4)
+    assert vt0.latest_version() == 0
+    stop = threading.Event()
+    errors: list = []
+    results: list[dict] = []
+    refusals = {"count": 0}
+
+    def rogue_vacuum() -> None:
+        # continuous aggressive sweeps at a grace barely above the
+        # write-to-commit latency: true orphans are reaped almost
+        # immediately, in-flight writers are protected only by the
+        # grace margin and the TOCTOU refresh.  (grace=0 under
+        # concurrent writers is UNSAFE BY DESIGN — any in-flight file
+        # is older than zero, so a tight zero-grace loop livelocks
+        # every writer and can reap a mid-sweep commit in the residual
+        # microsecond window; the grace window is the documented
+        # protection, exactly like Delta's retention check.)
+        vt = VersionedTable(spark, root)
+        while not stop.is_set():
+            try:
+                vt.vacuum(retain_last=2, orphan_grace_s=2.5)
+            except Exception:  # noqa: BLE001 - chaos agent, best effort
+                pass
+            stop.wait(1.0)
+
+    def worker(tid: int) -> None:
+        try:
+            vt = VersionedTable(spark, root)
+            lo = (tid + 1) * 1_000_000
+            model: dict[int, int] = {}
+            for i in range(n_ops):
+                for attempt in range(120):
+                    try:
+                        if i % 3 == 2 and model:
+                            victim = min(model)
+                            vt.delete_where_mor(f"k = {victim}")
+                            model.pop(victim)
+                        else:
+                            keys = [lo + 10 * i + j for j in range(3)]
+                            vt.append(
+                                spark.createDataFrame(
+                                    [(k, i) for k in keys],
+                                    "k bigint, v bigint",
+                                )
+                            )
+                            for k in keys:
+                                model[k] = i
+                        break
+                    except FileNotFoundError:
+                        # in-flight files reaped (commit refused loudly)
+                        refusals["count"] += 1
+                    except Exception as exc:  # noqa: BLE001
+                        # ConcurrentCommitError, or a Spark job that
+                        # lost its snapshot's files to the aggressive
+                        # retention — both re-run the whole op
+                        name = type(exc).__name__
+                        if "ConcurrentCommit" not in name:
+                            refusals["count"] += 1
+                else:
+                    raise AssertionError(f"thread {tid} starved")
+            results.append({"tid": tid, "lo": lo, "model": model})
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    rogue = threading.Thread(target=rogue_vacuum)
+    rogue.start()
+    threads = [
+        threading.Thread(target=worker, args=(t,))
+        for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rogue.join()
+    assert not errors, errors[:3]
+    vt = VersionedTable(spark, root)
+    head = vt.latest_version()
+    assert vt._versions() == list(range(head + 1))  # contiguous log
+    rows = {r.k: r.v for r in vt.read().collect()}  # head serves
+    for s in results:
+        got = {
+            k: v
+            for k, v in rows.items()
+            if s["lo"] <= k < s["lo"] + 1_000_000
+        }
+        assert got == s["model"], f"thread {s['tid']} diverged"
+    print(
+        f"\nCHAOS commits={head} loud_refusals_or_lost_snapshots="
+        f"{refusals['count']} (all recovered by whole-op re-run)"
+    )
+
+
+def test_vacuum_toctou_refresh_rescues_midsweep_commit(spark, base):
+    """The sweep's keep/ever sets are computed ONCE; a commit landing
+    mid-sweep references files in neither set, and before round 9 a
+    backdated in-flight segment committed during the sweep would be
+    deleted — silently breaking the new head.  The pre-delete refresh
+    must re-read the log tail and rescue it.  Injected by committing
+    from inside the sweep's first getmtime probe (which runs after the
+    fold, before the refresh)."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=6)
+    head = vt.latest_version()
+    rel = vt._write_segment(_batch(spark, 100, 104), head + 1)
+    # backdate the in-flight segment PAST any grace: only the refresh
+    # can save it now
+    old = time.time() - 7200
+    os.utime(os.path.join(root, rel), (old, old))
+    schema = vt.read().schema
+    state = {"committed": False}
+    real_getmtime = os.path.getmtime
+
+    def commit_then_stat(path):
+        if not state["committed"] and os.path.basename(rel) in str(path):
+            state["committed"] = True
+            vt._commit(head + 1, "append", add=[rel], remove=[],
+                       schema=schema)
+        return real_getmtime(path)
+
+    vt_mod.os.path.getmtime = commit_then_stat
+    try:
+        sweeper = VersionedTable(spark, root)
+        deleted = sweeper.vacuum(retain_last=10, orphan_grace_s=3600.0)
+    finally:
+        vt_mod.os.path.getmtime = real_getmtime
+    assert state["committed"], "injection never fired"
+    assert rel not in deleted  # rescued by the refresh
+    assert os.path.isdir(os.path.join(root, rel))
+    assert vt.latest_version() == head + 1
+    assert vt.read().count() == 10  # the mid-sweep commit serves fully
