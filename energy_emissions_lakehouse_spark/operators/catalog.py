@@ -170,12 +170,35 @@ class TableCatalog:
             candidates.append(path)
         if not candidates:
             return
+        versions = self._versions()
         referenced = {
             os.path.realpath(ent["root"])
-            for v in self._versions()
+            for v in versions
             for ent in self._read(v)["tables"].values()
         }
+        seen_head = versions[-1] if versions else -1
         for path in candidates:
+            # TOCTOU refresh (same fix as VersionedTable.vacuum): a
+            # catalog commit can land between the referenced-set fold
+            # and this delete — e.g. a FOREIGN host's old-looking
+            # branch publishing mid-sweep — and deleting its
+            # newly-referenced root would break catalog reads.  Fold
+            # only the commits that appeared since the last check;
+            # candidates are rare, so this is O(new commits) total.
+            try:
+                new_head = self.latest_version()
+            except FileNotFoundError:
+                new_head = seen_head
+            if new_head > seen_head:
+                for v in range(seen_head + 1, new_head + 1):
+                    try:
+                        referenced |= {
+                            os.path.realpath(ent["root"])
+                            for ent in self._read(v)["tables"].values()
+                        }
+                    except OSError:
+                        continue  # racing writer mid-claim: next open
+                seen_head = new_head
             if os.path.realpath(path) not in referenced:
                 shutil.rmtree(path, ignore_errors=True)
 

@@ -387,3 +387,67 @@ def test_catalog_contended_same_table_txn_soak(spark, cat_base):
         na = cat.read("a", v).where("k >= 10000").count()
         nb = cat.read("b", v).where("k >= 10000").count()
         assert na == nb == v, (v, na, nb)
+
+
+def test_branch_sweep_toctou_refresh_rescues_midsweep_publish(
+    spark, cat_base
+):
+    """A catalog commit can land between the sweep's referenced-set
+    fold and a branch delete: two old foreign-host orphan branches are
+    both sweep candidates; from inside the FIRST branch's rmtree a
+    commit publishes the SECOND as table 'a''s new root.  The
+    per-candidate refresh must rescue the just-published branch —
+    before round 9 it was deleted and the catalog head pointed at a
+    vanished root."""
+    import time
+
+    import energy_emissions_lakehouse_spark.operators.catalog as cat_mod
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        BRANCH_GRACE_S,
+    )
+
+    a, b = _mk_tables(spark, cat_base)
+    cat = TableCatalog.create(spark, cat_base, {"a": a.root, "b": b.root})
+    ours_pid = f"-{os.getpid()}-"
+    roots = []
+    for i in range(2):
+        orphan = cat.begin().table("a").root  # clone of 'a', uncommitted
+        foreign = orphan.replace(
+            os.path.basename(orphan),
+            f"zz{i}-other_host-999999999-{os.path.basename(orphan)[-8:]}",
+        )
+        assert ours_pid in orphan
+        os.rename(orphan, foreign)
+        old = time.time() - BRANCH_GRACE_S - 60
+        os.utime(foreign, (old, old))
+        roots.append(foreign)
+    first, second = sorted(roots)
+    state = {"published": False}
+    real_rmtree = shutil.rmtree
+
+    def publish_then_rmtree(path, *a_, **kw):
+        if not state["published"] and os.path.realpath(path).startswith(
+            os.path.realpath(first)
+        ):
+            state["published"] = True
+            head = cat.latest_version()
+            entries = {
+                name: dict(ent) for name, ent in cat.entries(head).items()
+            }
+            entries["a"] = {
+                "root": second,
+                "version": VersionedTable(spark, second).latest_version(),
+            }
+            cat._commit(head + 1, entries, op="txn")
+        return real_rmtree(path, *a_, **kw)
+
+    cat_mod.shutil.rmtree = publish_then_rmtree
+    try:
+        TableCatalog(spark, cat_base)  # open triggers the sweep
+    finally:
+        cat_mod.shutil.rmtree = real_rmtree
+    assert state["published"], "injection never fired"
+    assert not os.path.isdir(first)  # the true orphan was reclaimed
+    assert os.path.isdir(second), "mid-sweep-published branch was reaped"
+    # the catalog head serves through the rescued root
+    assert cat.read("a").count() == 10
