@@ -222,6 +222,13 @@ HEADLINE = [
     "stream_vtable_changefeed",
     "stream_vtable_exactly_once_ingest",
     "stream_vtable_ivm",
+    # round-9 additions: nearest as-of, span-level dedup, KMV sampling,
+    # covariance QA, interval-overlap join
+    "asof_nearest_purchase_per_click",
+    "doc_duplicate_span_coverage",
+    "bottomk_sample_orders",
+    "embedding_dim_covariance",
+    "interval_overlap_sessions",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

@@ -486,6 +486,77 @@ def weighted_sample_parts(spark, sf_dir) -> DataFrame:
     )
 
 
+# ------------------------------------------- bottom-k uniform sampling
+
+#: Global sample size for the bottom-k sketch.
+BOTTOMK_K = 100
+_BK_U_SQL = (
+    "((('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT + 1)"
+    " / 281474976710656.0)"
+)
+
+
+@register(
+    "bottomk_sample_orders",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice, {_BK_U_SQL} AS u
+      FROM orders ORDER BY u, o_orderkey LIMIT {BOTTOMK_K}
+    ),
+    m AS (SELECT MAX(u) AS uk FROM s)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY u, o_orderkey) AS BIGINT)
+               AS sample_rank,
+           o_orderkey, o_totalprice, u,
+           CAST(ROUND(({BOTTOMK_K} - 1) / m.uk, 0) AS BIGINT)
+               AS est_total_rows
+    FROM s, m
+    """,
+    survey="extension (training pipeline): GLOBAL uniform sample without "
+    "replacement via the bottom-k-by-hash sketch (KMV) — keep the K rows "
+    "with the smallest hash-derived uniforms; deterministic, mergeable "
+    "(per-partition top-K then driver merge, never a total sort), and the "
+    "k-th order statistic doubles as an unbiased population-size "
+    "estimator ((K-1)/u_(K)); complements the per-stratum/per-weight "
+    "samplers with the coordinated GLOBAL draw (same hash -> samples of "
+    "different tables/runs are consistent, the KMV join-synopsis trick)",
+)
+def bottomk_sample_orders(spark, sf_dir) -> DataFrame:
+    """Bottom-K (K-minimum-values) global sample of ``orders``.
+
+    u = (h48+1)/2^48 from md5(o_orderkey) — the same engine-portable
+    48-bit uniform as weighted_sample_parts, so the draw is reproducible
+    across engines, reruns, and cluster layouts, and COORDINATED: joining
+    two tables' bottom-k samples by the shared key yields a uniform sample
+    of the join.  Plan: map-side expression + ``orderBy(u).limit(K)`` =
+    TakeOrderedAndProject (each task keeps its local top-K, the driver
+    merges K·tasks rows) — no global sort, no shuffle of the full table at
+    any scale.  The closing rank/max window runs over the K-row result
+    (single tiny partition, deliberate)."""
+    orders = t(spark, sf_dir, "orders")
+    h48 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(281474976710656.0)
+    s = (
+        orders.select("o_orderkey", "o_totalprice", u.alias("u"))
+        .orderBy("u", "o_orderkey")
+        .limit(BOTTOMK_K)
+    )
+    w = Window.orderBy("u", "o_orderkey")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "o_orderkey",
+        "o_totalprice",
+        "u",
+        F.round((F.lit(BOTTOMK_K) - 1) / F.max("u").over(wall), 0)
+        .cast("long")
+        .alias("est_total_rows"),
+    )
+
+
 # --------------------------------------- rolling distinct via HLL merging
 
 #: Trailing window width in days for the rolling-distinct rollup.

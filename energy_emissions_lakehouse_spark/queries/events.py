@@ -193,6 +193,67 @@ def asof_last_purchase_per_click(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "asof_nearest_purchase_per_click",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               date_trunc('microseconds', ts) AS ts
+        FROM events
+    ),
+    c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value, event_id FROM e
+          WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts AS click_ts,
+           n.ts AS purchase_ts,
+           n.value AS nearest_purchase_value,
+           n.gap_us AS gap_us
+    FROM c LEFT JOIN LATERAL (
+        SELECT p.ts, p.value, ABS(epoch_us(c.ts - p.ts)) AS gap_us
+        FROM p WHERE p.user_id = c.user_id
+        ORDER BY gap_us ASC, p.ts ASC, p.event_id DESC LIMIT 1
+    ) n ON TRUE
+    """,
+    survey="extension (custom operator): nearest-in-time as-of join "
+    "(pandas merge_asof direction='nearest'; no native Spark or single "
+    "DuckDB-ASOF form) — two window passes over one key shuffle "
+    "(operators/asof.py asof_nearest_join); the oracle is the per-row "
+    "lateral argmin subquery, so the window composition is checked "
+    "against the direct quadratic definition",
+)
+def asof_nearest_purchase_per_click(spark, sf_dir) -> DataFrame:
+    """For every click, the purchase CLOSEST in time by the same user —
+    before or after — with the absolute gap in microseconds.  Backward
+    as-of (asof_last_purchase_per_click) answers "state as of"; nearest
+    answers attribution/imputation joins ("which purchase does this click
+    belong to").  Ties at equal gap go to the earlier (backward) purchase;
+    equal-timestamp purchases resolve last-event_id-wins, matching the
+    backward operator's tiebreak."""
+    from energy_emissions_lakehouse_spark.operators.asof import (
+        asof_nearest_join,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_nearest_join(
+        clicks, purchases, on="user_id", ts="ts",
+        payload=["value"], right_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.col("nearest_ts").alias("purchase_ts"),
+        F.col("nearest_value").alias("nearest_purchase_value"),
+        "gap_us",
+    )
+
+
+@register(
     "scd2_user_event_type_history",
     oracle="""
     WITH base AS (

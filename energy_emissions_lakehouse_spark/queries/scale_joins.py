@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from energy_emissions_lakehouse_spark.functions.exact import scaled_sum, scaled_sum_sql
@@ -185,4 +185,124 @@ def range_join_event_pairs_1h(spark, sf_dir) -> DataFrame:
             F.sum(delta).alias("sum_delta_s"),
             F.max(delta).alias("max_delta_s"),
         )
+    )
+
+
+#: Session gap for the interval-overlap join (same 30-min rule as the
+#: sessionization queries) and the overlap bucket width.
+OVERLAP_GAP_MIN = 30
+OVERLAP_BUCKET_S = 3600
+
+_SESSION_IV_CTE = f"""
+    x AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {OVERLAP_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid, ts
+      FROM x
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM s GROUP BY user_id, sid
+    )"""
+
+
+@register(
+    "interval_overlap_sessions",
+    oracle=f"""
+    WITH {_SESSION_IV_CTE}
+    SELECT a.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_partners,
+           CAST(SUM(epoch_us(LEAST(a.t1, b.t1) - GREATEST(a.t0, b.t0)))
+                AS BIGINT) AS sum_overlap_us,
+           CAST(MAX(epoch_us(LEAST(a.t1, b.t1) - GREATEST(a.t0, b.t0)))
+                AS BIGINT) AS max_overlap_us
+    FROM iv a JOIN iv b
+      ON a.t0 <= b.t1 AND b.t0 <= a.t1 AND a.user_id < b.user_id
+    GROUP BY a.user_id
+    """,
+    survey="extension (custom operator): interval-OVERLAP self-join "
+    "(Allen overlaps, the join shape range_join's point-in-band form "
+    "can't express) — gap-30min session intervals, candidates generated "
+    "by an equi-join on covered hour buckets with each pair counted "
+    "exactly once in its overlap-START bucket (no DISTINCT pass needed); "
+    "the oracle states the direct quadratic inequality join (DuckDB "
+    "IEJoin), so the bucket decomposition is checked against a "
+    "first-class interval-join implementation",
+)
+def interval_overlap_sessions(spark, sf_dir) -> DataFrame:
+    """Concurrent-session analysis: for every user, how many OTHER users'
+    sessions overlapped theirs in time, and for how long.
+
+    Stage 1 (sessionize): lag/cumsum windows + groupBy — one shuffle on
+    user_id, intervals out.  Stage 2 (overlap join): each interval
+    explodes to the hour buckets it COVERS (sequence over floor(epoch/W)
+    — sessions are gap-bounded, so the fan-out is len/W + 1, small by
+    construction); candidates equi-join on the bucket; the exact overlap
+    predicate then keeps true pairs, and the ``bucket ==
+    floor(overlap_start/W)`` guard counts each pair exactly once WITHOUT
+    a distinct over the pair set (the classic interval-join dedup trick —
+    a shuffle saved at every scale).  Pair volume scales with actual
+    temporal co-occurrence, never sessions².  At 100 TB, bucket width
+    trades fan-out (len/W) against candidate density per bucket; W equal
+    to the p99 session length is the usual choice."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    w_lag = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag("ts").over(w_lag), F.col("ts")
+    )
+    brk = F.when(
+        gap_us.isNull() | (gap_us > OVERLAP_GAP_MIN * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id", "ts", F.sum(brk).over(
+            w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid")
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    wlit = F.lit(OVERLAP_BUCKET_S)
+    b0 = (F.unix_timestamp("t0") / wlit).cast("long")
+    b1 = (F.unix_timestamp("t1") / wlit).cast("long")
+    expl = iv.select(
+        "user_id", "t0", "t1", F.explode(F.sequence(b0, b1)).alias("bucket")
+    )
+    a = expl.select(
+        F.col("user_id").alias("a_user"), F.col("t0").alias("a_t0"),
+        F.col("t1").alias("a_t1"), "bucket",
+    )
+    b = expl.select(
+        F.col("user_id").alias("b_user"), F.col("t0").alias("b_t0"),
+        F.col("t1").alias("b_t1"), "bucket",
+    )
+    ov_start = F.greatest("a_t0", "b_t0")
+    ov_us = F.timestamp_diff(
+        "MICROSECOND", ov_start, F.least("a_t1", "b_t1")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_user") < F.col("b_user"))
+            & (F.col("a_t0") <= F.col("b_t1"))
+            & (F.col("b_t0") <= F.col("a_t1"))
+            # overlap-START bucket: counts each true pair exactly once
+            & (F.col("bucket")
+               == (F.unix_timestamp(ov_start) / wlit).cast("long"))
+        )
+    )
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"),
+        F.countDistinct("b_user").cast("long").alias("n_partners"),
+        F.sum(ov_us).cast("long").alias("sum_overlap_us"),
+        F.max(ov_us).cast("long").alias("max_overlap_us"),
     )

@@ -323,6 +323,67 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "doc_duplicate_span_coverage",
+    oracle=f"""
+    WITH {_DOC_SH_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_sh),
+    cnt AS (SELECT shingle, COUNT(*) AS n_docs FROM ex GROUP BY shingle)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM ex e JOIN cnt c USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    survey="extension (dedup, span tier): substring-level duplication "
+    "profile (Lee et al. 2022 'Deduplicating Training Data' span dedup, "
+    "at word-3-gram granularity) — per document, the fraction of its "
+    "distinct spans that also occur in ANY other document; corpus-level "
+    "counterpart of the pairwise Jaccard ops",
+)
+def doc_duplicate_span_coverage(spark, sf_dir) -> DataFrame:
+    """Per-document duplicated-span coverage: explode each document's
+    distinct word-3-gram spans, count how many documents contain each span
+    (one hash aggregation keyed on the span), then re-join and fold back
+    per document.  Documents with duplicated spans but low pairwise Jaccard
+    (boilerplate headers, quoted passages) surface HERE and nowhere in the
+    pairwise ops — exactly the gap span-level dedup exists to close.
+
+    Scale shape: two shuffles (span key, then doc key) plus one
+    co-partitioned equi-join on the span key; partial aggregation is
+    map-side both times, and no window buffers a hot span's whole
+    partition.  At 100 TB the span strings themselves dominate shuffle
+    bytes — swap the join key for xxhash64(span) there (collision odds
+    ~n²/2⁶⁴ merge two spans' counts, harmless for a coverage profile but
+    kept exact here for the value oracle)."""
+    sh = _doc_sh(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_DOC_SH_CTE}, {_JACCARD_PAIRS_REL}

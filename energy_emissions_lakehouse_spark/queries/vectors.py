@@ -1285,3 +1285,105 @@ def embedding_dim_profile(spark, sf_dir) -> DataFrame:
         F.round(F.sqrt(var), 6).alias("std_milli"),
         (F.col("max_milli") == F.col("min_milli")).alias("is_dead_dim"),
     ).orderBy("dim")
+
+
+@register(
+    "embedding_dim_covariance",
+    oracle="""
+    WITH q AS (
+      -- DOUBLE cast before quantization, same policy as dim_profile
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000, 0)
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    dims AS (
+      SELECT vec_id, i - 1 AS i, q[i] AS x
+      FROM q, UNNEST(range(1, len(q) + 1)) AS u(i)
+    ),
+    sums AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM dims GROUP BY i),
+    sxy AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           (n.n * p.sxy - sa.sx * sb.sx) AS cov_num,
+           ROUND(CAST(n.n * p.sxy - sa.sx * sb.sx AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
+                    * 100000000.0), 9) AS cov
+    FROM sxy p CROSS JOIN n
+    JOIN sums sa ON sa.i = p.i
+    JOIN sums sb ON sb.i = p.j
+    ORDER BY ABS(n.n * p.sxy - sa.sx * sb.sx) DESC, p.i, p.j
+    LIMIT 20
+    """,
+    survey="extension (embedding QA): top-20 most-correlated dimension "
+    "pairs from the EXACT integer covariance identity "
+    "n*Sxy - Sx*Sy over quantized components — the redundancy check "
+    "(near-duplicate dimensions) that complements dim_profile's dead-"
+    "dimension check before ANN indexing / PQ subspace splitting. No "
+    "reference analog",
+    tags=("vectors",),
+)
+def embedding_dim_covariance(spark, sf_dir) -> DataFrame:
+    """Top-|cov| off-diagonal covariance pairs over the embedding corpus.
+
+    Exactness: components quantize to BIGINT at 1e4 (same double-cast
+    policy as dim_profile), and covariance uses the all-integer identity
+    ``cov_num = n*Sxy - Sx*Sy`` (scale n^2 * 1e8) — integer sums are
+    order-independent, so Spark's parallel partials and DuckDB's
+    sequential scan agree bit-for-bit, and the one closing division is a
+    single exactly-rounded IEEE op.  Bounds: |x'| <= 1e4 max-normalized
+    components, so Sxy <= corpus * 1e8 and Sx*Sy <= (corpus * 1e4)^2 —
+    BIGINT-safe to ~1e5x this corpus; re-scale to 1e3 past that.
+
+    Plan shape: the upper-triangle products are expanded MAP-SIDE per row
+    (flatten/transform over the quantized array -> d*(d-1)/2 structs), so
+    the only shuffle carries partial (i,j) sums — 2,016 groups at d=64
+    regardless of corpus size; the per-dimension sums (64 rows) broadcast
+    back onto the pair aggregates.  Never a vec_id self-join: the oracle
+    states that quadratic form, the engine never executes it."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " v -> cast(round(cast(v as double) * 10000, 0) as bigint))"
+        ).alias("q")
+    ).filter(F.size("q") >= 2)
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q) - 2), i ->"
+                " transform(sequence(i + 1, size(q) - 1), j ->"
+                " named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    sxy = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("sxy"))
+    dims = q.select(F.posexplode("q").alias("i", "x"))
+    sums = dims.groupBy("i").agg(F.sum("x").cast("long").alias("sx"))
+    n_row = q.select(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = sums.select(F.col("i").alias("_ai"), F.col("sx").alias("sxa"))
+    sb = sums.select(F.col("i").alias("_bj"), F.col("sx").alias("sxb"))
+    joined = (
+        sxy.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(sa), F.col("i") == F.col("_ai"))
+        .join(F.broadcast(sb), F.col("j") == F.col("_bj"))
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")
+    n_d = F.col("n").cast("double")
+    return (
+        joined.select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            cov_num.alias("cov_num"),
+            F.round(
+                cov_num.cast("double") / (n_d * n_d * F.lit(1e8)), 9
+            ).alias("cov"),
+        )
+        .orderBy(F.abs(F.col("cov_num")).desc(), "i", "j")
+        .limit(20)
+    )

@@ -37,6 +37,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "never data — the data-bearing window is keyed by spark_partition_id",
     "moving_avg_weekly_revenue": "daily rollup: calendar-bounded "
     "(<=2,500 rows for 7 years), aggregated before the window",
+    "bottomk_sample_orders": "rank/max over the ALREADY-LIMITED bottom-K "
+    "sample (K=100 rows by construction — TakeOrderedAndProject runs "
+    "before the window at any corpus size)",
+    "embedding_dim_covariance": "ABS-ordered top-20 over the d*(d-1)/2 "
+    "pair aggregates (2,016 rows at d=64, corpus-size-independent)",
 }
 
 

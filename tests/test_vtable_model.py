@@ -154,3 +154,160 @@ def test_random_dml_program_matches_model_and_history(spark, root):
         assert _table_state(vt, v) == snap, f"time travel to v{v} diverged"
     # ---- and the change feed spans the whole history without gaps
     assert vt._versions() == list(range(vt.latest_version() + 1))
+
+
+# --------------------------------------------------------------------------
+# Evolution-aware program: the round-9 extension.  Adds to the op pool the
+# surfaces the first checker left out — schema evolution (append_evolve,
+# with RESTORE narrowing the schema back across the boundary), COW + MOR
+# MERGE, compact_dvs, full-retention vacuum (must reclaim NOTHING a
+# retained read needs), and a mid-program zero-copy CLONE whose snapshot
+# must stay bit-stable while the source keeps mutating.  The model gains a
+# schema bit: values are (v, w) pairs with w=None wherever the row predates
+# the live evolution — and the end-of-run replay asserts BOTH the data and
+# the per-version SCHEMA (pre-evolution versions must not serve column w).
+
+
+def _df3(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v bigint, w bigint")
+
+
+def _state_ev(vt, version=None):
+    """{k: sorted multiset of (v, w)} with w=None when absent from the
+    served schema."""
+    out: dict[int, list[tuple]] = {}
+    for r in vt.read(version).collect():
+        d = r.asDict()
+        out.setdefault(d["k"], []).append((d["v"], d.get("w")))
+    return {k: tuple(sorted(vs)) for k, vs in out.items()}
+
+
+def _snap_ev(model: dict[int, list[tuple]]) -> dict[int, tuple]:
+    return {k: tuple(sorted(vs)) for k, vs in model.items() if vs}
+
+
+def test_random_program_with_evolution_merge_and_clone(spark, root):
+    rng = random.Random(SEED ^ 0x9)
+    n_ops = int(os.environ.get("EEL_MODEL_EV_OPS", "40"))
+    model: dict[int, list[tuple]] = {1: [(10, None)], 2: [(20, None)]}
+    vt = VersionedTable.create(spark, root, _df(spark, [(1, 10), (2, 20)]))
+    has_w = False
+    history: dict[int, dict[int, tuple]] = {0: _snap_ev(model)}
+    history_has_w: dict[int, bool] = {0: False}
+    clone = clone_snap = clone_has_w = None
+    next_key = 100
+
+    def mkdf(rows):
+        # rows: (k, v, w) triples; project to the CURRENT schema
+        if has_w:
+            return _df3(spark, rows)
+        return _df(spark, [(k, v) for k, v, _ in rows])
+
+    for step in range(n_ops):
+        op = rng.choice(
+            [
+                "append", "append", "evolve", "delete_cow", "delete_mor",
+                "update_cow", "update_mor", "merge_cow", "merge_mor",
+                "compact", "compact_dvs", "restore", "vacuum_full_retention",
+                "clone",
+            ]
+        )
+        if op == "append":
+            rows = [
+                (next_key + i, (next_key + i) * 7, (next_key + i) * 13)
+                for i in range(2)
+            ]
+            next_key += 2
+            vt.append(mkdf(rows))
+            for k, v, w in rows:
+                model.setdefault(k, []).append((v, w if has_w else None))
+        elif op == "evolve":
+            if has_w:
+                continue  # already wide — nothing to evolve
+            rows = [(next_key, next_key * 7, next_key * 13)]
+            next_key += 1
+            vt.append_evolve(_df3(spark, rows))
+            has_w = True
+            for k, v, w in rows:
+                model.setdefault(k, []).append((v, w))
+        elif op in ("delete_cow", "delete_mor"):
+            live = [k for k, vs in model.items() if vs]
+            if not live:
+                continue
+            k = rng.choice(live)
+            cond = f"k = {k}"
+            (vt.delete_where if op == "delete_cow" else vt.delete_where_mor)(
+                cond
+            )
+            model[k] = []
+        elif op in ("update_cow", "update_mor"):
+            live = [k for k, vs in model.items() if vs]
+            if not live:
+                continue
+            k = rng.choice(live)
+            cond, setex = f"k = {k}", {"v": F.expr("v + 1")}
+            (vt.update_where if op == "update_cow" else vt.update_where_mor)(
+                cond, setex
+            )
+            model[k] = [(v + 1, w) for v, w in model[k]]
+        elif op in ("merge_cow", "merge_mor"):
+            live = [k for k, vs in model.items() if vs]
+            ks = ([rng.choice(live)] if live else []) + [next_key]
+            next_key += 1
+            rows = [(k, k * 5, k * 17) for k in ks]
+            src = mkdf(rows)
+            (vt.merge_upsert if op == "merge_cow" else vt.merge_upsert_mor)(
+                src, keys=["k"]
+            )
+            # source wins: ALL target rows of a matched key are replaced
+            # by the single source row; new keys insert
+            for k, v, w in rows:
+                model[k] = [(v, w if has_w else None)]
+        elif op == "compact":
+            vt.compact()
+        elif op == "compact_dvs":
+            vt.compact_dvs()
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            vt.restore(target)
+            model = {k: list(vs) for k, vs in history[target].items()}
+            has_w = history_has_w[target]
+        elif op == "vacuum_full_retention":
+            # retain every version: vacuum must reclaim NOTHING a read
+            # needs, and every prior head must stay replayable after it
+            deleted = vt.vacuum(retain_last=10_000)
+            assert deleted == [], deleted
+        elif op == "clone":
+            if clone is not None:
+                continue  # one clone per program
+            clone = vt.clone_to(os.path.join(os.path.dirname(root), "c"))
+            clone_snap = _snap_ev(model)
+            clone_has_w = has_w
+
+        head = vt.latest_version()
+        got = _state_ev(vt)
+        assert got == _snap_ev(model), f"step {step} op {op}: head != model"
+        assert ("w" in vt.read().columns) == has_w, f"step {step}: schema"
+        history[head] = _snap_ev(model)
+        history_has_w[head] = has_w
+
+    # ---- full-history replay: data AND schema per version
+    for v in sorted(history):
+        assert _state_ev(vt, v) == history[v], f"time travel to v{v}"
+        assert ("w" in vt.read(v).columns) == history_has_w[v], (
+            f"schema at v{v}"
+        )
+    assert vt._versions() == list(range(vt.latest_version() + 1))
+
+    # ---- the clone froze its snapshot; divergence is two-way isolated
+    if clone is not None:
+        assert _state_ev(clone) == clone_snap, "source mutations leaked"
+        assert ("w" in clone.read().columns) == clone_has_w
+        src_head = vt.latest_version()
+        clone.append(
+            _df3(spark, [(999_999, 1, 1)])
+            if clone_has_w
+            else _df(spark, [(999_999, 1)])
+        )
+        assert vt.latest_version() == src_head, "clone commit leaked back"
+        assert 999_999 not in _state_ev(vt), "clone data leaked back"

@@ -192,3 +192,137 @@ def test_mixed_dml_soak_single_table(spark, base):
         f"commits={total_commits} retries={retries} "
         f"wall={wall:.1f}s rate={total_commits / wall:.1f} commits/s"
     )
+
+
+def test_concurrent_evolution_soak_with_midstream_clone(spark, base):
+    """Schema evolution racing plain appends — the round-9 extension of
+    the soak.  Threads append narrow (k, v) batches; midway, one thread
+    runs ONE append_evolve that widens the schema with column w.  The
+    commit protocol's guarantees under this interleaving:
+
+    - the version claim SERIALIZES the widening: every narrow append
+      either lands wholly before the evolution commit, or its retry
+      (slot race) re-validates against the widened schema and is refused
+      LOUDLY (schema-on-write ValueError) — never a silent head-schema
+      narrowing, never a mixed-schema segment;
+    - refused writers switch to wide batches and make progress;
+    - a clone taken MID-CHAOS is an exact snapshot: its head equals the
+      SOURCE's time travel to the clone's head version, bit for bit
+      (the log-snapshot-first protocol means concurrent commits are
+      simply absent, never torn).
+
+    Assertions: contiguous history; final schema is wide; every
+    append's rows present exactly once with w null iff the batch was
+    narrow; the clone == source.read(clone_head)."""
+    root = os.path.join(base, "t")
+    vt0 = VersionedTable.create(
+        spark, root, spark.createDataFrame([(0, 0)], "k bigint, v bigint")
+    )
+    assert vt0.latest_version() == 0
+    n_threads, n_ops = 3, 8
+    evolve_gate = threading.Event()
+    errors: list = []
+    models: list[dict] = []
+    stats = {"retries": 0, "schema_refusals": 0}
+    clone_state: dict = {}
+
+    def worker(tid: int) -> None:
+        try:
+            vt = VersionedTable(spark, root)
+            lo = (tid + 1) * RANGE
+            model: dict[int, tuple] = {}
+            wide = False
+            for i in range(n_ops):
+                if tid == 0 and i == n_ops // 2:
+                    # the single evolution commit; slot races re-run it
+                    _retry(
+                        lambda: vt.append_evolve(
+                            spark.createDataFrame(
+                                [(lo + 777, 1, 2)],
+                                "k bigint, v bigint, w bigint",
+                            )
+                        ),
+                        stats,
+                    )
+                    model[lo + 777] = (1, 2)
+                    wide = True
+                    evolve_gate.set()
+                    continue
+                if tid == 1 and i == n_ops // 2:
+                    # mid-chaos clone (after the evolution is in flight
+                    # somewhere around us — no ordering guarantee needed)
+                    c = vt.clone_to(os.path.join(base, "clone"))
+                    clone_state["head"] = c.latest_version()
+                    clone_state["rows"] = sorted(
+                        (r.asDict().get("k"), r.asDict().get("v"),
+                         r.asDict().get("w"))
+                        for r in c.read().collect()
+                    )
+                k = lo + i
+                for _ in range(120):
+                    try:
+                        if wide:
+                            vt.append(
+                                spark.createDataFrame(
+                                    [(k, i, k)],
+                                    "k bigint, v bigint, w bigint",
+                                )
+                            )
+                            model[k] = (i, k)
+                        else:
+                            vt.append(
+                                spark.createDataFrame(
+                                    [(k, i)], "k bigint, v bigint"
+                                )
+                            )
+                            model[k] = (i, None)
+                        break
+                    except ConcurrentCommitError:
+                        stats["retries"] += 1
+                        time.sleep(random.uniform(0.0, 0.02))
+                    except ValueError as exc:
+                        # the loud schema-on-write refusal after a
+                        # concurrent widening: switch to wide batches
+                        assert "schema-on-write" in str(exc)
+                        stats["schema_refusals"] += 1
+                        wide = True
+                else:
+                    raise AssertionError(f"thread {tid} starved")
+            models.append(model)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors[:3]
+
+    vt = VersionedTable(spark, root)
+    head = vt.latest_version()
+    assert vt._versions() == list(range(head + 1))
+    assert "w" in vt.read().columns  # the widening is the head schema
+    rows = {
+        r.asDict()["k"]: (r.asDict()["v"], r.asDict().get("w"))
+        for r in vt.read().collect()
+    }
+    expected = {0: (0, None)}
+    for m in models:
+        expected.update(m)
+    assert rows == expected  # nothing lost, nothing doubled, w exact
+
+    # the clone froze an exact mid-chaos snapshot == source time travel
+    if clone_state:
+        src_at = sorted(
+            (r.asDict().get("k"), r.asDict().get("v"), r.asDict().get("w"))
+            for r in vt.read(clone_state["head"]).collect()
+        )
+        assert clone_state["rows"] == src_at, "clone != source time travel"
+    print(
+        f"\nEVOLUTION SOAK commits={head} retries={stats['retries']} "
+        f"schema_refusals={stats['schema_refusals']} "
+        f"clone_head={clone_state.get('head')}"
+    )
