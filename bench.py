@@ -226,6 +226,7 @@ HEADLINE = [
     # covariance QA, interval-overlap join
     "asof_nearest_purchase_per_click",
     "doc_duplicate_span_coverage",
+    "doc_span_novelty",
     "bottomk_sample_orders",
     "embedding_dim_covariance",
     "interval_overlap_sessions",

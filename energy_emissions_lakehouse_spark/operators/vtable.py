@@ -2611,12 +2611,14 @@ class VersionedTable:
             )
 
         def _link(src: str, dst: str) -> None:
+            # FileNotFoundError (vacuumed mid-clone) propagates — the
+            # caller decides per directory kind (see the walk below)
             try:
                 os.link(src, dst)
-            except FileNotFoundError:
-                pass  # vacuumed mid-clone: reads of that version fail loud
             except FileExistsError:
                 pass  # retried partial clone: this file already linked
+            except FileNotFoundError:
+                raise
             except OSError:
                 shutil.copy2(src, dst)  # cross-device: degrade to a copy
 
@@ -2631,7 +2633,25 @@ class VersionedTable:
                 for fn in files:
                     if ".tmp-" in fn:
                         continue
-                    _link(os.path.join(dirpath, fn), os.path.join(tdir, fn))
+                    try:
+                        _link(
+                            os.path.join(dirpath, fn),
+                            os.path.join(tdir, fn),
+                        )
+                    except FileNotFoundError:
+                        if dirpath == src_root:
+                            # flat sidecar (bloom index) vanished: skip —
+                            # probes treat an absent sidecar as "scan it"
+                            continue
+                        # a segment/DV/CDF parquet DIR is being vacuumed
+                        # mid-clone: MIRROR the removal.  Leaving the
+                        # partially-linked dir would pass the clone's
+                        # missing-segment check and silently serve an
+                        # EMPTY segment; removing it makes reads of the
+                        # affected version fail loudly, exactly like
+                        # time travel past a vacuum on the source.
+                        shutil.rmtree(tdir, ignore_errors=True)
+                        break
         # the log lands LAST: every segment a cloned commit references was
         # on disk before that commit existed, hence before the walk above
         tlog = os.path.join(dest_root, LOG_DIR)

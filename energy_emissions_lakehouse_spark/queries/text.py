@@ -384,6 +384,66 @@ def doc_duplicate_span_coverage(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "doc_span_novelty",
+    oracle=f"""
+    WITH {_DOC_SH_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM doc_sh),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_spans,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS novelty_frac
+    FROM ex e JOIN first_seen f USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    survey="extension (dedup, span tier): ingestion-order span NOVELTY — "
+    "per document, the fraction of its distinct spans whose FIRST "
+    "occurrence (min doc_id) is this document; the triage signal an "
+    "incremental-ingest pipeline thresholds on before paying full dedup "
+    "(a near-zero-novelty batch is boilerplate), complementing "
+    "doc_duplicate_span_coverage's order-free duplication profile",
+)
+def doc_span_novelty(spark, sf_dir) -> DataFrame:
+    """Span novelty by ingestion order (doc_id as arrival order): one
+    min-aggregation keyed on the span assigns each span its first-seen
+    document; the join back + per-doc fold yields the novelty curve.
+    Same two-shuffle + co-partitioned-join shape (and the same 100 TB
+    span-hashing note) as doc_duplicate_span_coverage."""
+    sh = _doc_sh(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    first_seen = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(
+        F.col("first_doc") == F.col("doc_id"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(novel).cast("long").alias("n_novel_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_novel_spans",
+            F.round(
+                F.col("n_novel_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_DOC_SH_CTE}, {_JACCARD_PAIRS_REL}

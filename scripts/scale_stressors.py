@@ -267,6 +267,87 @@ def main() -> None:
     }
     print(f"[stress] vread: {out['vtable_read_overhead']}", file=sys.stderr)
 
+    # ------------------------------------- D. interval-overlap candidates
+    # The round-9 interval_overlap_sessions claim: candidate generation is
+    # OUTPUT-proportional (equi-join on covered hour buckets), never the
+    # sessions² a naive inequality join examines.  True overlap pairs are
+    # inherently quadratic in temporal density — so the honest measurement
+    # inflates CONCURRENCY (N user-shifted copies of the same events: N×
+    # sessions, ~N²× true pairs) and tracks candidates/naive (must FALL or
+    # stay tiny) and candidates/true-pair (must stay bounded — the
+    # verify-filter workload per emitted result).
+    from energy_emissions_lakehouse_spark.queries.scale_joins import (
+        OVERLAP_BUCKET_S,
+        OVERLAP_GAP_MIN,
+        interval_overlap_sessions,
+    )
+
+    import duckdb as _duck
+
+    iv_out: dict = {}
+    for n in (1, 2, 4):
+        dir_n = os.path.join(work, f"iv{n}")
+        os.makedirs(dir_n, exist_ok=True)
+        # single-FILE parquet (tables.t's footer probe expects a file,
+        # like the generated testdata) — DuckDB COPY, not a Spark write
+        parts = " UNION ALL ".join(
+            f"SELECT user_id + {i * 10_000_000} AS user_id, ts FROM src"
+            for i in range(n)
+        )
+        _duck.connect().execute(f"""
+            COPY (
+              WITH src AS (SELECT user_id, ts
+                           FROM read_parquet('{SF_DIR}/events.parquet')),
+              u AS ({parts})
+              SELECT ROW_NUMBER() OVER () AS event_id, ts, user_id,
+                     'click' AS event_type, CAST(0.0 AS DOUBLE) AS value,
+                     '{{}}' AS props
+              FROM u
+            ) TO '{os.path.join(dir_n, "events.parquet")}'
+            (FORMAT PARQUET)
+        """)
+        # session intervals (same derivation as the query) -> bucket census
+        from pyspark.sql import Window as W
+
+        evn = load(spark, dir_n, "events").select("user_id", "ts")
+        wl = W.partitionBy("user_id").orderBy("ts")
+        gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(wl), F.col("ts"))
+        brk = F.when(
+            gap.isNull() | (gap > OVERLAP_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0)
+        iv = (
+            evn.select("user_id", "ts", F.sum(brk).over(
+                wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        )
+        expl = iv.select(F.explode(F.sequence(
+            (F.unix_timestamp("t0") / OVERLAP_BUCKET_S).cast("long"),
+            (F.unix_timestamp("t1") / OVERLAP_BUCKET_S).cast("long"),
+        )).alias("bucket"))
+        census = expl.groupBy("bucket").count()
+        cand = census.agg(
+            F.sum(F.col("count") * F.col("count")).alias("c")
+        ).collect()[0]["c"]
+        n_sessions = iv.count()
+        true_pairs = (
+            interval_overlap_sessions(spark, dir_n)
+            .agg(F.sum("n_overlap_pairs").alias("p"))
+            .collect()[0]["p"]
+        )
+        naive = n_sessions * (n_sessions - 1) // 2
+        iv_out[f"{n}x"] = {
+            "sessions": n_sessions,
+            "naive_pairs": naive,
+            "bucket_candidates": int(cand),
+            "true_pairs": int(true_pairs),
+            "candidates_vs_naive": round(cand / naive, 6),
+            "candidates_per_true_pair": round(cand / max(true_pairs, 1), 1),
+        }
+        print(f"[stress] interval {n}x: {iv_out[f'{n}x']}", file=sys.stderr)
+    out["interval_overlap_candidates"] = iv_out
+
     dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r09.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)

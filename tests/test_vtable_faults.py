@@ -430,3 +430,112 @@ def test_vacuum_toctou_refresh_rescues_midsweep_commit(spark, base):
     assert os.path.isdir(os.path.join(root, rel))
     assert vt.latest_version() == head + 1
     assert vt.read().count() == 10  # the mid-sweep commit serves fully
+
+
+def test_torn_clone_crash_mid_data_walk_then_reclone_succeeds(
+    spark, base, monkeypatch
+):
+    """A cloner killed while hard-linking DATA files (before any log
+    name lands) must leave NOTHING that looks like a table — and a
+    re-clone into the SAME dest must succeed (the FileExistsError-pass
+    path re-links what landed) and serve the head exactly.  The log
+    lands LAST by design: this test pins that ordering's payoff."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=6)
+    vt.append(_batch(spark, 100, 104))
+    dest = os.path.join(base, "c")
+
+    real_link = os.link
+    calls = {"n": 0}
+
+    def chaos_link(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die mid-walk, before the log starts
+            raise RuntimeError("chaos: cloner killed")
+        real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", chaos_link)
+    with pytest.raises(RuntimeError, match="chaos"):
+        vt.clone_to(dest)
+    monkeypatch.setattr(os, "link", real_link)
+
+    # not a table: no log dir, so opening it cannot serve anything
+    assert not os.path.isdir(os.path.join(dest, LOG_DIR))
+    # and the same dest is re-clonable (partial data links are benign)
+    c = vt.clone_to(dest)
+    assert {(r.k, r.v) for r in c.read().collect()} == {
+        (r.k, r.v) for r in vt.read().collect()
+    }
+
+
+def test_torn_clone_crash_mid_log_is_a_consistent_prefix(
+    spark, base, monkeypatch
+):
+    """A cloner killed while linking LOG names leaves a log PREFIX —
+    and because every data file landed before any log name (and log
+    names link in sorted version order), that prefix is a fully
+    consistent EARLIER snapshot: the torn clone reads exactly like
+    time travel to its last linked version.  Never a torn/unserveable
+    state."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=6)
+    vt.append(_batch(spark, 100, 104))   # v1
+    vt.append(_batch(spark, 200, 204))   # v2
+    dest = os.path.join(base, "c")
+
+    real_link = os.link
+    state = {"log_links": 0}
+
+    def chaos_link(src, dst):
+        if os.sep + LOG_DIR + os.sep in dst:
+            state["log_links"] += 1
+            if state["log_links"] == 3:  # 0 and 1 land; die before v2
+                raise RuntimeError("chaos: cloner killed mid-log")
+        real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", chaos_link)
+    with pytest.raises(RuntimeError, match="chaos"):
+        vt.clone_to(dest)
+    monkeypatch.setattr(os, "link", real_link)
+
+    torn = VersionedTable(spark, dest)
+    assert torn.latest_version() == 1  # the linked prefix
+    assert {(r.k, r.v) for r in torn.read().collect()} == {
+        (r.k, r.v) for r in vt.read(1).collect()
+    }, "torn clone must equal time travel to its prefix head"
+
+
+def test_clone_racing_vacuum_skips_vanished_file_loudly(
+    spark, base, monkeypatch
+):
+    """A file vacuumed away MID-CLONE is skipped (the _link
+    FileNotFoundError branch): the clone still completes and serves its
+    HEAD — only reads of the affected OLD version fail, loudly, exactly
+    like time travel past a vacuum on the source."""
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, n=6)          # v0: segment A
+    vt.overwrite(_batch(spark, 100, 104))  # v1: segment B, A now historic
+    dest = os.path.join(base, "c")
+
+    # find v0's (historic) segment: referenced by v0, not live at head
+    live = set(vt._resolve_live(vt.latest_version()))
+    v0_segs = set(vt._read_commit(0)["add"]) - live
+    assert v0_segs
+    victim = next(iter(v0_segs))
+
+    real_link = os.link
+
+    def chaos_link(src, dst):
+        if victim in src:
+            raise FileNotFoundError(src)  # "vacuum got there first"
+        real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", chaos_link)
+    c = vt.clone_to(dest)  # completes despite the vanished historic file
+    monkeypatch.setattr(os, "link", real_link)
+
+    assert {(r.k, r.v) for r in c.read().collect()} == {
+        (r.k, r.v) for r in vt.read().collect()
+    }, "clone head must serve"
+    with pytest.raises(Exception, match="(?i)missing|vacuum|not.*found"):
+        c.read(0).collect()  # the affected old version fails LOUDLY
