@@ -458,6 +458,32 @@ def main() -> None:
             .load()
             .count()
         )
+        # the WRITE-side Python worker pool is separate from the read
+        # side (DataSourceArrowWriter tasks fork their own workers): a
+        # tiny vtable-sink write here keeps vtable_sql_sink_roundtrip's
+        # first rep from paying the spin-up — its 8-17 s first-rep
+        # spread in r8/r9 runs was exactly this cost (the median already
+        # excluded it; now the spread stops shouting)
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+            register_vtable_source,
+        )
+
+        register_vtable_source(spark)
+        wroot = _tempfile.mkdtemp(prefix="eel-sinkwarm-")
+        try:
+            (
+                spark.range(100)
+                .selectExpr("id as k", "id * 2 as v")
+                .write.format("eel_vtable")
+                .option("path", os.path.join(wroot, "t"))
+                .mode("overwrite")
+                .save()
+            )
+        finally:
+            _shutil.rmtree(wroot, ignore_errors=True)
 
     staged("python_worker_pool", _warm_python_workers)
 
