@@ -210,6 +210,8 @@ HEADLINE = [
     "vtable_sql_sink_roundtrip",
     "vtable_catalog_txn_load",
     "vtable_provenance_read",
+    "vtable_rename_read",
+    "vtable_rename_time_travel",
     "vtable_bloom_point_lookup",
     "vtable_mor_update_read",
     "vtable_replace_where_read",

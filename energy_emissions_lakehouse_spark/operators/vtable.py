@@ -55,6 +55,7 @@ import hashlib
 import json
 import os
 import shutil
+import re
 import struct
 import time
 import uuid
@@ -566,6 +567,22 @@ class VersionedTable:
                 "a concurrent vacuum with too small an orphan grace "
                 "window? (commit refused; the log is untouched)"
             )
+        # column-rename chains ride along on EVERY commit (tiny dict):
+        # snapshot resolution reads one entry, never a fold.  Callers
+        # override explicitly — rename_column extends the chains,
+        # overwrite resets them (a whole-live-set replace leaves no
+        # pre-rename segment live) — everyone else inherits.
+        if extra is None or "renames" not in extra:
+            try:
+                prev_renames = (
+                    self._read_commit(version - 1).get("renames")
+                    if version > 0
+                    else None
+                )
+            except OSError:
+                prev_renames = None
+            if prev_renames:
+                extra = {**(extra or {}), "renames": prev_renames}
         payload = {
             "version": version,
             "op": op,
@@ -860,6 +877,7 @@ class VersionedTable:
         schema: StructType,
         dvs: list[str] | None = None,
         keep_identity: bool = False,
+        renames: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Scan ``rels`` under the snapshot's schema with the active
         deletion vectors applied: rows masked by a DV are dropped via ONE
@@ -871,7 +889,27 @@ class VersionedTable:
         already-resolved active set (pass it to avoid a second log fold);
         None means resolve here.  ``keep_identity=True`` keeps the
         ``_dv_*`` identity columns on the result — the shared scan the
-        merge-on-read mutations build their own DVs from."""
+        merge-on-read mutations build their own DVs from.
+
+        ``renames`` is the snapshot's column-rename chains
+        (logical name -> [retired names, newest first]; see
+        :meth:`rename_column`): segments persist their WRITE-TIME column
+        names forever, so a scan spanning a rename reads a WIDENED
+        schema (logical + retired twins, parquet null-fills whichever a
+        file lacks) and projects each logical column as
+        ``coalesce(current, *retired)`` — metadata-only rename, zero
+        rewrite, and tables with no renames keep the bit-identical plain
+        plan.  None means resolve from the version's commit entry."""
+        if renames is None:
+            renames = (
+                self._read_commit(version).get("renames") or {}
+                if self._versions()
+                else {}
+            )
+        chains = {
+            k: v for k, v in renames.items()
+            if v and any(f.name == k for f in schema.fields)
+        }
         if not rels:
             empty = self.spark.createDataFrame([], schema)
             if keep_identity:
@@ -886,14 +924,34 @@ class VersionedTable:
                 )
             return empty
         self._check_present(version, rels)
-        df = self.spark.read.schema(schema).parquet(
+        read_schema = schema
+        if chains:
+            retired = [
+                StructField(r, f.dataType, True)
+                for f in schema.fields
+                for r in chains.get(f.name, [])
+            ]
+            read_schema = StructType(list(schema.fields) + retired)
+        df = self.spark.read.schema(read_schema).parquet(
             *(os.path.join(self.root, p) for p in rels)
         )
         if dvs is None:
             dvs = sorted(self._resolve_dvs(version))
-        out_cols = df.columns
+
+        def _logical(f: StructField) -> Column:
+            rs = chains.get(f.name)
+            if not rs:
+                return F.col(f.name)
+            return F.coalesce(
+                F.col(f.name), *[F.col(r) for r in rs]
+            ).alias(f.name)
+
+        logical_sel = [_logical(f) for f in schema.fields]
+        out_cols = [f.name for f in schema.fields]
         if keep_identity or dvs:
-            df = df.select(*out_cols, *self._identity_cols())
+            df = df.select(*logical_sel, *self._identity_cols())
+        elif chains:
+            df = df.select(*logical_sel)
         if dvs:
             self._check_present(version, dvs)
             dv = self.spark.read.parquet(
@@ -1109,9 +1167,19 @@ class VersionedTable:
                 "have engine-divergent string forms)"
             )
         scanned, skipped = self.pruned_segments(version, col, value, value)
+        names = self._stat_names(version, col)
         really_scanned = []
         for rel in scanned:
-            if self._bloom_might_contain(rel, col, value):
+            # each file physically stores exactly ONE of the names; its
+            # sidecar indexes that one, and probes of the others answer
+            # the conservative True-by-absence.  A DEFINITIVE absent
+            # (False) under any name can therefore only come from the
+            # physically-present column — proof the segment lacks the
+            # value.  For unrenamed columns (names == [col]) this is the
+            # original single-probe behavior exactly.
+            if all(
+                self._bloom_might_contain(rel, n, value) for n in names
+            ):
                 really_scanned.append(rel)
             else:
                 skipped.append(rel)
@@ -1315,6 +1383,24 @@ class VersionedTable:
             n for n, dt in batch_types.items()
             if n in cur_types and dt != cur_types[n]
         ]
+        retired = {
+            r
+            for rs in (entry.get("renames") or {}).values()
+            for r in rs
+        }
+        reused = [
+            n for n in batch_types if n not in cur_types and n in retired
+        ]
+        if reused:
+            # live segments still carry the retired name physically: a
+            # NEW column under it would make old files' values bleed
+            # into the new column (Delta solves this with field ids; the
+            # stand-in refuses the collision loudly)
+            raise ValueError(
+                f"append_evolve: column name {reused[0]!r} was retired "
+                "by rename_column and live segments still store it — "
+                "pick another name (overwrite() resets retired names)"
+            )
         if clash:
             raise ValueError(
                 f"append_evolve: type change is not evolution — "
@@ -1343,10 +1429,89 @@ class VersionedTable:
         )
         return v + 1
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only, zero rewrite
+        (Delta's column-mapping rename).  Segments keep their WRITE-TIME
+        column names forever; the commit records the new logical schema
+        plus a rename CHAIN (new -> [old, ...older]) that every
+        subsequent commit inherits.  Reads spanning the rename project
+        each logical column as ``coalesce(current, *retired)`` over a
+        widened scan (see :meth:`_scan_segments`); segments written
+        after the rename use the new name, so the retired column
+        null-fills there and the coalesce is exact even for
+        legitimately-NULL values (the retired twin is null precisely
+        where the current one holds the row's value, and vice versa —
+        the two never overlap within one file).  Time travel to a
+        pre-rename version serves the OLD name (its entry's schema and
+        chains are what's recorded there); RESTORE across the boundary
+        reverts the logical name with the data.
+
+        Refused loudly when: ``old`` is absent, ``new`` collides with a
+        live logical name, a reserved internal name, or a RETIRED
+        physical name still stored by live segments (Delta solves that
+        with field ids; the stand-in refuses), or an active CHECK
+        constraint references ``old`` (rewrite or drop the constraint
+        first — silently breaking its enforcement expression is worse).
+        ``overwrite()`` resets the chains: a whole-live-set replace
+        leaves no pre-rename segment live.
+
+        Known v1 limit: the Python DataSource batch source
+        (``spark.read.format("eel_vtable")``) refuses renamed tables —
+        its per-file column projection is name-based; use
+        :meth:`read`."""
+        v, _, entry = self._snapshot(None)
+        schema = StructType.fromJson(entry["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} ({names})")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} exists")
+        if new in _DV_IDENTITY_COLS or new in _FEED_COLS:
+            raise ValueError(
+                f"rename_column: {new!r} is a reserved internal name"
+            )
+        chains = {
+            k: list(v_) for k, v_ in (entry.get("renames") or {}).items()
+        }
+        retired_all = {r for rs in chains.values() for r in rs}
+        if new in retired_all:
+            raise ValueError(
+                f"rename_column: {new!r} was retired by an earlier "
+                "rename and live segments still store it physically"
+            )
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        hit = sorted(
+            n for n, sql in self.constraints(v).items() if pat.search(sql)
+        )
+        if hit:
+            raise ValueError(
+                f"rename_column: CHECK constraint {hit[0]!r} references "
+                f"{old!r} — drop or rewrite it first (renaming under it "
+                "would silently break enforcement)"
+            )
+        new_fields = [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable)
+            for f in schema.fields
+        ]
+        chains[new] = [old] + chains.pop(old, [])
+        self._commit(
+            v + 1, "rename", add=[], remove=[],
+            schema=StructType(new_fields),
+            extra={"renames": chains, "renamed": {"from": old, "to": new}},
+        )
+        return v + 1
+
     def overwrite(self, df: DataFrame) -> int:
         v, live, _ = self._snapshot(None)
         add = [self._write_segment(df, v + 1)]
-        self._commit(v + 1, "overwrite", add=add, remove=live, schema=df.schema)
+        # a whole-live-set replace leaves no pre-rename segment live:
+        # reset the rename chains (also what frees retired names for
+        # reuse after an overwriteSchema)
+        self._commit(
+            v + 1, "overwrite", add=add, remove=live, schema=df.schema,
+            extra={"renames": {}},
+        )
         return v + 1
 
     def overwrite_where(self, df: DataFrame, condition: Column | str) -> int:
@@ -2106,7 +2271,12 @@ class VersionedTable:
                     "version — drop the constraint(s) or pick a newer "
                     "target (restore refused, table unchanged)"
                 )
-        extra: dict = {"restored_from": v_t}
+        extra: dict = {
+            "restored_from": v_t,
+            # the restored live set is the TARGET's segments: serve them
+            # under the rename chains recorded THEN, not the head's
+            "renames": entry_t.get("renames") or {},
+        }
         if dvs_t or dvs_now:
             # record FULL sets, not diffs — and even when the sets are
             # EQUAL: the fold's full-replace rule (removed >= live resets
@@ -2359,14 +2529,26 @@ class VersionedTable:
                     refold.discard(rel)
         return out
 
+    def _stat_names(self, version: int, col: str) -> list[str]:
+        """The physical names ``col``'s values may live under in a
+        snapshot's segments: the logical name plus its retired rename
+        chain (segments persist write-time names; stats and bloom
+        sidecars are keyed by them)."""
+        chains = self._read_commit(version).get("renames") or {}
+        return [col, *chains.get(col, [])]
+
     def column_range(self, col: str, version: int | None = None):
         """Global (min, max) of ``col`` at a version, folded from the
         per-segment stats alone — O(log) driver metadata, no Spark job.
         None if any live segment lacks stats for the column (a fold over
         partial stats would silently understate the range)."""
         version, _, _ = self._snapshot(version)
+        names = self._stat_names(version, col)
         stats = self._live_segment_stats(version)
-        ranges = [s.get(col) for s in stats.values()]
+        ranges = [
+            next((s[n] for n in names if n in s), None)
+            for s in stats.values()
+        ]
         if not ranges or any(r is None for r in ranges):
             return None
         return min(r[0] for r in ranges), max(r[1] for r in ranges)
@@ -2378,10 +2560,13 @@ class VersionedTable:
         predicate ``lo <= col <= hi`` using the per-segment min/max
         stats.  A segment with NO stats for ``col`` is conservatively
         scanned — pruning may only ever skip provably-disjoint files."""
+        names = self._stat_names(version, col)
         stats = self._live_segment_stats(version)
         scanned, skipped = [], []
         for rel in sorted(stats):
-            mn_mx = stats[rel].get(col)
+            mn_mx = next(
+                (stats[rel][n] for n in names if n in stats[rel]), None
+            )
             if mn_mx is not None and (mn_mx[1] < lo or mn_mx[0] > hi):
                 skipped.append(rel)
             else:

@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 12
+_HISTORY_REV = 13
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -162,6 +162,43 @@ def _build_zorder(spark: SparkSession, sf_dir: str, root: str) -> None:
     orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
     vt = VersionedTable.create(spark, root, orders)
     vt.compact_clustered(["o_custkey", "o_orderkey"], n_segments=16)
+
+
+def _build_rename(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A vtable exercising metadata-only column renames (Delta
+    column-mapping semantics; operators/vtable.py rename_column):
+
+      v0 create      (o_orderkey, o_orderstatus, o_totalprice)
+                     WHERE o_orderkey % 7 = 0
+      v1 rename      o_totalprice -> price_usd      (ZERO rewrite)
+      v2 append      o_orderkey % 7 = 1 rows, written under price_usd
+      v3 update_mor  o_orderkey % 2 = 0: price_usd *= 2 — the DV-backed
+                     update reads ACROSS the rename (pre-rename files
+                     coalesce o_totalprice into price_usd) and appends
+                     post-images under the new name
+      v4 rename      o_orderstatus -> status
+
+    The head serves (o_orderkey, status, price_usd) over files that
+    physically store three different column-name generations."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    vt = VersionedTable.create(spark, root, orders.filter(key % 7 == 0))
+    vt.rename_column("o_totalprice", "price_usd")
+    vt.append(
+        orders.filter(key % 7 == 1).withColumnRenamed(
+            "o_totalprice", "price_usd"
+        )
+    )
+    vt.update_where_mor(
+        "o_orderkey % 2 = 0", {"price_usd": F.expr("price_usd * 2")}
+    )
+    vt.rename_column("o_orderstatus", "status")
 
 
 def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -380,6 +417,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
             (_build_bloom, os.path.join(tmp, "table_bloom")),
             (_build_admin, os.path.join(tmp, "table_admin")),
             (_build_dml, tmp),  # table_dml + table_dml_clone
+            (_build_rename, os.path.join(tmp, "table_rename")),
         ]
         with ThreadPoolExecutor(max_workers=len(builds)) as pool:
             futures = [
@@ -470,6 +508,18 @@ def staged_vtable_dml(spark: SparkSession, sf_dir: str, fresh: bool = False):
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_dml"))
+
+
+def staged_vtable_rename(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged column-rename vtable (two renames + cross-rename DML)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_rename"))
 
 
 def staged_vtable_dml_clone(
@@ -2018,3 +2068,86 @@ def vtable_provenance_read(spark, sf_dir) -> DataFrame:
         )
         .orderBy("commit_version")
     )
+
+
+@register(
+    "vtable_rename_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 7 IN (0, 1)
+    ),
+    head AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price_usd
+      FROM base
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('price_usd')} AS total_price
+    FROM head GROUP BY status
+    """,
+    survey="extension (lakehouse DDL): ALTER TABLE RENAME COLUMN as a "
+    "metadata-only commit (Delta column-mapping semantics, "
+    "operators/vtable.py rename_column) — the head read coalesces each "
+    "logical column across files physically storing THREE column-name "
+    "generations (pre-rename, post-rename-1, post-update post-images), "
+    "with a DV-backed MOR update applied ACROSS the rename boundary; "
+    "zero data rewrite anywhere",
+    tags=("vtable",),
+)
+def vtable_rename_read(spark, sf_dir) -> DataFrame:
+    """Head read of the rename table: (o_orderkey, status, price_usd)
+    served over files written as o_totalprice/o_orderstatus (v0),
+    price_usd (v2 append), and the v3 MOR-update post-images — value
+    parity proves the coalesce chain, the DV mask, and the doubled
+    update arithmetic all compose."""
+    vt = staged_vtable_rename(spark, sf_dir)
+    return vt.read().groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        scaled_sum(F.col("price_usd")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_rename_time_travel",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 7 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 7 IN (0, 1)
+    )
+    SELECT 'v0_o_totalprice' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('price')} AS total_price
+    FROM v0
+    UNION ALL
+    SELECT 'v2_price_usd' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('price')} AS total_price
+    FROM v2
+    """,
+    survey="extension (lakehouse DDL): time travel across rename "
+    "boundaries serves each version's OWN schema — v0 still reads "
+    "o_totalprice, v2 (after the first rename + an append) reads "
+    "price_usd with no update applied; the snapshot column names double "
+    "as the schema assertion (a wrong-era name would KeyError the "
+    "aggregation)",
+    tags=("vtable",),
+)
+def vtable_rename_time_travel(spark, sf_dir) -> DataFrame:
+    vt = staged_vtable_rename(spark, sf_dir)
+    v0 = vt.read(0).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    ).select(F.lit("v0_o_totalprice").alias("snapshot"), "*")
+    v2 = vt.read(2).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum(F.col("price_usd")).alias("total_price"),
+    ).select(F.lit("v2_price_usd").alias("snapshot"), "*")
+    return v0.unionByName(v2)

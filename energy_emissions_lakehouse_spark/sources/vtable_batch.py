@@ -177,9 +177,22 @@ class VtableBatchReader(DataSourceReader):
         # every method the planner touches)
         vt = VersionedTable(None, root)
         v_opt = options.get("versionAsOf")
-        version, live, dvs, _ = vt._snapshot_state(
+        version, live, dvs, entry = vt._snapshot_state(
             int(v_opt) if v_opt is not None else None
         )
+        if entry.get("renames"):
+            # v1 limit, refused LOUDLY: this source projects per-file
+            # columns by NAME and null-fills absences, so a renamed
+            # column's pre-rename files would silently read as null.
+            # VersionedTable.read() handles renames (coalesce over the
+            # chain); use it until the source grows chain-aware
+            # projection.
+            raise ValueError(
+                f"eel_vtable source: table {root} has renamed columns "
+                f"({sorted(entry['renames'])}); the Python DataSource "
+                "read path is not rename-aware — use VersionedTable."
+                "read()"
+            )
         self.version = version
         self.live = live
         self.dvs = dvs
