@@ -212,6 +212,7 @@ HEADLINE = [
     "vtable_provenance_read",
     "vtable_rename_read",
     "vtable_rename_time_travel",
+    "vtable_drop_column_history",
     "vtable_bloom_point_lookup",
     "vtable_mor_update_read",
     "vtable_replace_where_read",

@@ -567,22 +567,25 @@ class VersionedTable:
                 "a concurrent vacuum with too small an orphan grace "
                 "window? (commit refused; the log is untouched)"
             )
-        # column-rename chains ride along on EVERY commit (tiny dict):
-        # snapshot resolution reads one entry, never a fold.  Callers
-        # override explicitly — rename_column extends the chains,
-        # overwrite resets them (a whole-live-set replace leaves no
-        # pre-rename segment live) — everyone else inherits.
-        if extra is None or "renames" not in extra:
+        # column-rename chains + dropped-name records ride along on
+        # EVERY commit (tiny dicts): snapshot resolution reads one
+        # entry, never a fold.  Callers override explicitly —
+        # rename_column/drop_column extend them, overwrite resets them
+        # (a whole-live-set replace leaves no pre-rename segment live)
+        # — everyone else inherits.
+        for key in ("renames", "dropped"):
+            if extra is not None and key in extra:
+                continue
             try:
-                prev_renames = (
-                    self._read_commit(version - 1).get("renames")
+                prev = (
+                    self._read_commit(version - 1).get(key)
                     if version > 0
                     else None
                 )
             except OSError:
-                prev_renames = None
-            if prev_renames:
-                extra = {**(extra or {}), "renames": prev_renames}
+                prev = None
+            if prev:
+                extra = {**(extra or {}), key: prev}
         payload = {
             "version": version,
             "op": op,
@@ -1387,6 +1390,10 @@ class VersionedTable:
             r
             for rs in (entry.get("renames") or {}).values()
             for r in rs
+        } | {
+            r
+            for rs in (entry.get("dropped") or {}).values()
+            for r in rs
         }
         reused = [
             n for n in batch_types if n not in cur_types and n in retired
@@ -1398,8 +1405,9 @@ class VersionedTable:
             # stand-in refuses the collision loudly)
             raise ValueError(
                 f"append_evolve: column name {reused[0]!r} was retired "
-                "by rename_column and live segments still store it — "
-                "pick another name (overwrite() resets retired names)"
+                "by rename_column/drop_column and live segments still "
+                "store it — pick another name (overwrite() resets "
+                "retired names)"
             )
         if clash:
             raise ValueError(
@@ -1494,11 +1502,67 @@ class VersionedTable:
                         f.nullable)
             for f in schema.fields
         ]
+        dropped = {
+            r
+            for rs in (entry.get("dropped") or {}).values()
+            for r in rs
+        }
+        if new in dropped:
+            raise ValueError(
+                f"rename_column: {new!r} belonged to a dropped column "
+                "and live segments still store its values physically — "
+                "they would bleed into the renamed column"
+            )
         chains[new] = [old] + chains.pop(old, [])
         self._commit(
             v + 1, "rename", add=[], remove=[],
             schema=StructType(new_fields),
             extra={"renames": chains, "renamed": {"from": old, "to": new}},
+        )
+        return v + 1
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only, zero rewrite
+        (Delta column-mapping drop).  The commit records the narrowed
+        logical schema; the column's bytes stay in the segments (scans
+        simply never project them) and time travel to a pre-drop version
+        still serves it.  The column's PHYSICAL names (itself plus any
+        retired rename chain) are recorded as ``dropped`` and inherited
+        by every later commit: re-introducing one of them via
+        :meth:`append_evolve` or :meth:`rename_column` is refused —
+        old files' values would silently bleed into the new column
+        (Delta prevents this with field ids).  ``overwrite()`` resets
+        the record along with the rename chains; RESTORE across the
+        drop resurrects the column with the data.  Refused when the
+        column is absent, is the table's only column, or an active
+        CHECK constraint references it."""
+        v, _, entry = self._snapshot(None)
+        schema = StructType.fromJson(entry["schema"])
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"drop_column: no column {col!r} ({names})")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        hit = sorted(
+            n for n, sql in self.constraints(v).items() if pat.search(sql)
+        )
+        if hit:
+            raise ValueError(
+                f"drop_column: CHECK constraint {hit[0]!r} references "
+                f"{col!r} — drop the constraint first"
+            )
+        chains = {
+            k: list(v_) for k, v_ in (entry.get("renames") or {}).items()
+        }
+        dropped = {
+            k: list(v_) for k, v_ in (entry.get("dropped") or {}).items()
+        }
+        dropped[col] = [col, *chains.pop(col, [])]
+        self._commit(
+            v + 1, "drop", add=[], remove=[],
+            schema=StructType([f for f in schema.fields if f.name != col]),
+            extra={"renames": chains, "dropped": dropped},
         )
         return v + 1
 
@@ -1510,7 +1574,7 @@ class VersionedTable:
         # reuse after an overwriteSchema)
         self._commit(
             v + 1, "overwrite", add=add, remove=live, schema=df.schema,
-            extra={"renames": {}},
+            extra={"renames": {}, "dropped": {}},
         )
         return v + 1
 
@@ -2274,8 +2338,9 @@ class VersionedTable:
         extra: dict = {
             "restored_from": v_t,
             # the restored live set is the TARGET's segments: serve them
-            # under the rename chains recorded THEN, not the head's
+            # under the rename/drop records of THEN, not the head's
             "renames": entry_t.get("renames") or {},
+            "dropped": entry_t.get("dropped") or {},
         }
         if dvs_t or dvs_now:
             # record FULL sets, not diffs — and even when the sets are

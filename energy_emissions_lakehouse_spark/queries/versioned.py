@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 13
+_HISTORY_REV = 14
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -177,9 +177,14 @@ def _build_rename(spark: SparkSession, sf_dir: str, root: str) -> None:
                      coalesce o_totalprice into price_usd) and appends
                      post-images under the new name
       v4 rename      o_orderstatus -> status
+      v5 evolve      append o_orderkey % 7 = 2 rows carrying a NEW
+                     note column ('n' || key)
+      v6 drop        note — metadata-only DROP COLUMN; the bytes stay,
+                     time travel to v5 still serves them
 
     The head serves (o_orderkey, status, price_usd) over files that
-    physically store three different column-name generations."""
+    physically store three different column-name generations, plus a
+    dropped column only time travel can see."""
     from energy_emissions_lakehouse_spark.operators.vtable import (
         VersionedTable,
     )
@@ -199,6 +204,15 @@ def _build_rename(spark: SparkSession, sf_dir: str, root: str) -> None:
         "o_orderkey % 2 = 0", {"price_usd": F.expr("price_usd * 2")}
     )
     vt.rename_column("o_orderstatus", "status")
+    vt.append_evolve(
+        orders.filter(key % 7 == 2).select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price_usd"),
+            F.concat(F.lit("n"), key.cast("string")).alias("note"),
+        )
+    )
+    vt.drop_column("note")
 
 
 def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -2075,11 +2089,14 @@ def vtable_provenance_read(spark, sf_dir) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-      WHERE o_orderkey % 7 IN (0, 1)
+      WHERE o_orderkey % 7 IN (0, 1, 2)
     ),
     head AS (
+      -- the v3 update predates the v5 evolve-append: %7=2 rows never
+      -- double
       SELECT o_orderkey, o_orderstatus AS status,
-             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+             CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 7 IN (0, 1)
+                  THEN o_totalprice * 2
                   ELSE o_totalprice END AS price_usd
       FROM base
     )
@@ -2151,3 +2168,49 @@ def vtable_rename_time_travel(spark, sf_dir) -> DataFrame:
         scaled_sum(F.col("price_usd")).alias("total_price"),
     ).select(F.lit("v2_price_usd").alias("snapshot"), "*")
     return v0.unionByName(v2)
+
+
+@register(
+    "vtable_drop_column_history",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)
+    )
+    SELECT 'v5_with_note' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_note
+    FROM base
+    UNION ALL
+    SELECT 'head_note_dropped' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(-1 AS BIGINT) AS n_note
+    FROM base
+    """,
+    survey="extension (lakehouse DDL): DROP COLUMN as a metadata-only "
+    "commit (operators/vtable.py drop_column) — the head serves the "
+    "narrowed schema with IDENTICAL rows (the -1 marker is emitted only "
+    "when the column is really gone from read().columns), while time "
+    "travel to the pre-drop version still serves the column's values; "
+    "zero rewrite, and re-introducing the name is refused "
+    "(append_evolve retired-name guard)",
+    tags=("vtable",),
+)
+def vtable_drop_column_history(spark, sf_dir) -> DataFrame:
+    """v5 (note live: one non-null per evolve-appended row) vs head
+    (note dropped: the -1 marker doubles as the schema assertion — it
+    is only produced down the column-absent branch)."""
+    vt = staged_vtable_rename(spark, sf_dir)
+    v5 = vt.read(5).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("note").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_note"),
+    ).select(F.lit("v5_with_note").alias("snapshot"), "*")
+    head_df = vt.read()
+    assert "note" not in head_df.columns, "drop_column left the column"
+    head = head_df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.lit(-1).cast("long").alias("n_note"),
+    ).select(F.lit("head_note_dropped").alias("snapshot"), "*")
+    return v5.unionByName(head)

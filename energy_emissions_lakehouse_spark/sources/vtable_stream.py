@@ -113,6 +113,18 @@ class VtableStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema: StructType, options):
         if not os.path.isdir(_log_dir(root)):
             raise FileNotFoundError(f"not a versioned table: {root}")
+        head = _read_commit(root, _versions(root)[-1])
+        if head.get("renames"):
+            # same v1 limit as the batch source: this reader aligns
+            # per-file columns by NAME (pre-rename files would silently
+            # null-fill the renamed column).  VersionedTable.read() /
+            # change_feed() handle renamed tables.  DROPPED columns are
+            # fine — name projection simply never requests them.
+            raise ValueError(
+                f"eel_vtable stream: table {root} has renamed columns; "
+                "the Python DataSource read path is not rename-aware — "
+                "use VersionedTable.read()/change_feed()"
+            )
         self.root = root
         self.skip_change = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"

@@ -211,3 +211,63 @@ def test_change_feed_spans_rename_with_logical_names(spark, base):
         for r in vt.change_feed(1, 2, keys=["k"]).collect()
     }
     assert within == {(3, "insert"): (None, 30)}
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, base):
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, [(1, 10), (2, 20)])
+    v = vt.drop_column("v")
+    entry = vt._read_commit(v)
+    assert entry["add"] == [] and entry["remove"] == []  # zero rewrite
+    assert vt.read().columns == ["k"]
+    assert vt.read(0).columns == ["k", "v"]  # bytes stay; time travel serves
+    assert _state(vt, 0) == {1: (10,), 2: (20,)}
+    # restore across the drop resurrects the column with the data
+    vt.restore(0)
+    assert vt.read().columns == ["k", "v"]
+    assert _state(vt) == {1: (10,), 2: (20,)}
+
+
+def test_drop_column_guards(spark, base):
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, [(1, 10)])
+    with pytest.raises(ValueError, match="no column"):
+        vt.drop_column("nope")
+    vt.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        vt.drop_column("v")
+    vt.drop_constraint("v_pos")
+    vt.drop_column("v")
+    with pytest.raises(ValueError, match="only column"):
+        vt.drop_column("k")
+    # re-introducing the dropped name is refused: old files' values
+    # would bleed into the new column
+    with pytest.raises(ValueError, match="retired"):
+        vt.append_evolve(
+            spark.createDataFrame([(9, 99)], "k bigint, v bigint")
+        )
+    # ...and so is renaming another column ONTO it
+    vt.append_evolve(spark.createDataFrame([(5, 7)], "k bigint, w bigint"))
+    with pytest.raises(ValueError, match="dropped"):
+        vt.rename_column("w", "v")
+    # overwrite resets the record and frees the name
+    vt.overwrite(spark.createDataFrame([(1, 1)], "k bigint, v bigint"))
+    assert _state(vt) == {1: (1,)}
+
+
+def test_drop_renamed_column_blocks_whole_chain(spark, base):
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, [(1, 10)])
+    vt.rename_column("v", "val")
+    vt.drop_column("val")
+    assert vt.read().columns == ["k"]
+    # BOTH physical generations are retired: the chain moved to dropped
+    for name in ("v", "val"):
+        with pytest.raises(ValueError, match="retired"):
+            vt.append_evolve(
+                spark.createDataFrame([(9, 9)], f"k bigint, {name} bigint")
+            )
+    # DML on the narrowed table still works
+    vt.append(spark.createDataFrame([(2,)], "k bigint"))
+    vt.delete_where_mor("k = 1")
+    assert _state(vt) == {2: ()}
