@@ -207,6 +207,7 @@ HEADLINE = [
     "vtable_constraint_audit",
     "vtable_sql_source_mor_scan",
     "vtable_sql_source_pushdown_point",
+    "vtable_sql_source_renamed_scan",
     "vtable_sql_sink_roundtrip",
     "vtable_catalog_txn_load",
     "vtable_provenance_read",

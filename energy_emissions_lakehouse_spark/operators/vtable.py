@@ -1046,6 +1046,23 @@ class VersionedTable:
         cols, m, k = self.bloom_props
         if not cols:
             return
+        # rename-aware: a column indexed at creation stays indexed after
+        # a rename — expand the name set with every rename chain that
+        # intersects it, so post-rename segments index the column under
+        # its CURRENT name (old sidecars already exist under the old one;
+        # prune_point composes the chain probes by unanimity)
+        try:
+            chains = self._read_commit(self.latest_version()).get(
+                "renames"
+            ) or {}
+        except (OSError, ValueError, IndexError):
+            chains = {}  # mid-create: no commits yet, no chains
+        expanded = set(cols)
+        for logical, chain in chains.items():
+            fam = {logical, *chain}
+            if fam & expanded:
+                expanded |= fam
+        cols = sorted(expanded)
         n_words = (m + 63) // 64
         for rel in add:
             side = self._bloom_sidecar_path(rel)
@@ -1463,10 +1480,12 @@ class VersionedTable:
         ``overwrite()`` resets the chains: a whole-live-set replace
         leaves no pre-rename segment live.
 
-        Known v1 limit: the Python DataSource batch source
-        (``spark.read.format("eel_vtable")``) refuses renamed tables —
-        its per-file column projection is name-based; use
-        :meth:`read`."""
+        The Python DataSource BATCH source
+        (``spark.read.format("eel_vtable")``) is rename-aware (per-file
+        first-present-wins projection over the chain, chain-resolved
+        stats/bloom pushdown — sources/vtable_batch.py); the STREAMING
+        source refuses renamed tables loudly (mid-stream schema change
+        semantics are not defined for it)."""
         v, _, entry = self._snapshot(None)
         schema = StructType.fromJson(entry["schema"])
         names = [f.name for f in schema.fields]

@@ -2214,3 +2214,45 @@ def vtable_drop_column_history(spark, sf_dir) -> DataFrame:
         F.lit(-1).cast("long").alias("n_note"),
     ).select(F.lit("head_note_dropped").alias("snapshot"), "*")
     return v5.unionByName(head)
+
+
+@register(
+    "vtable_sql_source_renamed_scan",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 7 IN (0, 1, 2) AND o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM base GROUP BY status
+    """,
+    survey="extension (lakehouse DDL x sources): the Python DataSource "
+    "batch read over a RENAMED table — per-file first-present-wins "
+    "projection across three physical column-name generations "
+    "(sources/vtable_batch.py align_arrow_table chains), DV masks "
+    "applied, Catalyst-pushed predicate on the renamed column resolved "
+    "through the chain for stats/bloom pruning; odd keys only, so the "
+    "MOR update's post-images contribute nothing and value parity "
+    "proves the masks + chain projection compose",
+    tags=("vtable",),
+)
+def vtable_sql_source_renamed_scan(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    vt = staged_vtable_rename(spark, sf_dir)
+    register_vtable_source(spark)
+    src = (
+        spark.read.format("eel_vtable").option("path", vt.root).load()
+    )
+    return (
+        src.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            scaled_sum(F.col("price_usd")).alias("total_price"),
+        )
+    )

@@ -75,21 +75,37 @@ class _BatchFile(InputPartition):
     schema, and the row positions active deletion vectors mask OUT of
     this specific file (empty tuple = plain scan)."""
 
-    def __init__(self, path: str, target, masked: tuple[int, ...]):
+    def __init__(
+        self, path: str, target, masked: tuple[int, ...], chains=None
+    ):
         self.path = path
         self.target = target
         self.masked = masked
+        #: rename chains (logical -> retired names) for per-file
+        #: first-present-wins column resolution; {} = unrenamed table
+        self.chains = chains or {}
 
 
-def _target_schema_at(root: str, columns: list[str], max_version: int):
+def _target_schema_at(
+    root: str,
+    columns: list[str],
+    max_version: int,
+    chains: dict[str, list[str]] | None = None,
+):
     """The snapshot's Arrow schema with EXACT physical types, resolved
-    driver-side from the newest segment footer at or before the
-    snapshot that carries every column (same contract as the streaming
-    reader's target, bounded to the time-traveled version so a later
-    evolution cannot leak its types backwards)."""
+    driver-side PER COLUMN from the newest segment footer at or before
+    the snapshot carrying that column under any of its chain names
+    (same contract as the streaming reader's target, bounded to the
+    time-traveled version so a later evolution cannot leak its types
+    backwards; ``chains`` maps a renamed logical column to its retired
+    physical names — rename preserves the type, so the retired twin's
+    footer type IS the logical type)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    chains = chains or {}
+    want = {c: [c, *chains.get(c, [])] for c in columns}
+    resolved: dict[str, object] = {}
     for v in range(max_version, -1, -1):
         try:
             entry = read_commit(root, v)
@@ -99,28 +115,48 @@ def _target_schema_at(root: str, columns: list[str], max_version: int):
             files = sorted(
                 glob.glob(os.path.join(root, rel, "part-*.parquet"))
             )
-            if files:
-                footer = pq.read_schema(files[0])
-                if all(c in footer.names for c in columns):
-                    return pa.schema([footer.field(c) for c in columns])
+            if not files:
+                continue
+            footer = pq.read_schema(files[0])
+            for c, names in want.items():
+                if c in resolved:
+                    continue
+                for n in names:
+                    if n in footer.names:
+                        resolved[c] = pa.field(c, footer.field(n).type)
+                        break
+            if len(resolved) == len(columns):
+                return pa.schema([resolved[c] for c in columns])
     raise FileNotFoundError(
-        f"no committed segment at or before version {max_version} "
-        f"carries all columns {columns} under {root}"
+        f"no committed segments at or before version {max_version} "
+        f"carry columns {sorted(set(columns) - set(resolved))} under "
+        f"{root}"
     )
 
 
-def align_arrow_table(table, target):
+def align_arrow_table(table, target, chains: dict | None = None):
     """Align a parquet-read Arrow table to the target schema: project
-    columns by name, cast physical-type drift, null-fill columns a
-    pre-evolution file predates — ONE implementation shared by the
-    batch and streaming readers (sources/vtable_stream.py)."""
+    columns by name — falling back through a renamed column's retired
+    chain names (a file stores EXACTLY ONE of them, so per-file
+    first-present-wins is exact) — cast physical-type drift, null-fill
+    columns a pre-evolution file predates.  ONE implementation shared
+    by the batch and streaming readers (sources/vtable_stream.py)."""
     import pyarrow as pa
 
+    chains = chains or {}
     n = table.num_rows
     arrays = []
     for field in target:
-        if field.name in table.column_names:
-            col = table.column(field.name).combine_chunks()
+        src = next(
+            (
+                nm
+                for nm in (field.name, *chains.get(field.name, []))
+                if nm in table.column_names
+            ),
+            None,
+        )
+        if src is not None:
+            col = table.column(src).combine_chunks()
             if col.type != field.type:
                 col = col.cast(field.type)
             arrays.append(col)
@@ -180,19 +216,11 @@ class VtableBatchReader(DataSourceReader):
         version, live, dvs, entry = vt._snapshot_state(
             int(v_opt) if v_opt is not None else None
         )
-        if entry.get("renames"):
-            # v1 limit, refused LOUDLY: this source projects per-file
-            # columns by NAME and null-fills absences, so a renamed
-            # column's pre-rename files would silently read as null.
-            # VersionedTable.read() handles renames (coalesce over the
-            # chain); use it until the source grows chain-aware
-            # projection.
-            raise ValueError(
-                f"eel_vtable source: table {root} has renamed columns "
-                f"({sorted(entry['renames'])}); the Python DataSource "
-                "read path is not rename-aware — use VersionedTable."
-                "read()"
-            )
+        #: rename chains of the served snapshot (logical -> retired
+        #: physical names): per-file projection falls back through them
+        #: (a file stores exactly one of the names), and stats/bloom
+        #: pruning resolves a pushed column through them
+        self.chains = entry.get("renames") or {}
         self.version = version
         self.live = live
         self.dvs = dvs
@@ -239,7 +267,12 @@ class VtableBatchReader(DataSourceReader):
             for rel in self.live:
                 keep = True
                 for col, lo, hi, is_point, values in self._bounds:
-                    mn_mx = stats.get(rel, {}).get(col)
+                    names = [col, *self.chains.get(col, [])]
+                    seg_stats = stats.get(rel, {})
+                    mn_mx = next(
+                        (seg_stats[n] for n in names if n in seg_stats),
+                        None,
+                    )
                     if mn_mx is not None and not _overlaps(
                         mn_mx[0], mn_mx[1], lo, hi
                     ):
@@ -247,14 +280,23 @@ class VtableBatchReader(DataSourceReader):
                         break
                     if (
                         is_point
-                        and col in bloom_cols
+                        # creation-time bloom columns match through the
+                        # chain (post-rename sidecars index the current
+                        # name via the writer's expanded set)
+                        and set(names) & set(bloom_cols)
                         and all(
                             isinstance(v, (int, str))
                             and not isinstance(v, bool)
                             for v in values
                         )
+                        # a value MIGHT be present only if every chain
+                        # name answers True (a definitive False can only
+                        # come from the file's one physical column)
                         and not any(
-                            vt._bloom_might_contain(rel, col, v)
+                            all(
+                                vt._bloom_might_contain(rel, n, v)
+                                for n in names
+                            )
                             for v in values
                         )
                     ):
@@ -264,7 +306,9 @@ class VtableBatchReader(DataSourceReader):
                     survivors.append(rel)
         else:
             survivors = list(self.live)
-        target = _target_schema_at(self.root, self.columns, self.version)
+        target = _target_schema_at(
+            self.root, self.columns, self.version, self.chains
+        )
         masks = _load_dv_masks(self.root, self.dvs) if self.dvs else {}
         parts: list[_BatchFile] = []
         for rel in sorted(survivors):
@@ -277,6 +321,7 @@ class VtableBatchReader(DataSourceReader):
                         path,
                         target,
                         masks.get((seg_dir, os.path.basename(path)), ()),
+                        self.chains,
                     )
                 )
         return parts
@@ -295,7 +340,9 @@ class VtableBatchReader(DataSourceReader):
             for pos in partition.masked:
                 keep[pos] = False
             table = table.filter(pa.array(keep, type=pa.bool_()))
-        yield from align_arrow_table(table, partition.target).to_batches()
+        yield from align_arrow_table(
+            table, partition.target, partition.chains
+        ).to_batches()
 
 
 @dataclass

@@ -158,7 +158,46 @@ def test_rename_refusals(spark, base):
     assert _state(vt) == {1: (1,)}
 
 
-def test_sql_source_refuses_renamed_tables_loudly(spark, base):
+def test_sql_batch_source_reads_renamed_tables(spark, base):
+    """The Python DataSource BATCH path is rename-aware: per-file
+    first-present-wins projection over the chain (a file stores exactly
+    one of the names), chain-resolved footer types, and chain-resolved
+    stats/bloom pushdown.  The STREAM path stays gated (see the
+    companion refusal test)."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    root = os.path.join(base, "t")
+    vt = _mk(spark, root, [(1, 10), (2, None), (3, 30)])
+    vt.rename_column("v", "val")
+    vt.append(spark.createDataFrame([(4, 40)], "k bigint, val bigint"))
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    assert src.columns == ["k", "val"]
+    got = {(r.k, r.val) for r in src.collect()}
+    assert got == {(1, 10), (2, None), (3, 30), (4, 40)}
+    # pushed filter on the RENAMED column still returns exact rows
+    # (stats/bloom pruning resolves through the chain; the residual
+    # predicate re-applies row-level either way)
+    hit = (
+        spark.read.format("eel_vtable").option("path", root).load()
+        .filter(F.col("val") == 10)
+        .collect()
+    )
+    assert [(r.k, r.val) for r in hit] == [(1, 10)]
+    # versionAsOf time travel serves the OLD name through the source
+    v0 = (
+        spark.read.format("eel_vtable")
+        .option("path", root)
+        .option("versionAsOf", 0)
+        .load()
+    )
+    assert v0.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in v0.collect()} == {(1, 10), (2, None), (3, 30)}
+
+
+def test_stream_source_refuses_renamed_tables_loudly(spark, base):
     from energy_emissions_lakehouse_spark.sources.vtable_stream import (
         register_vtable_source,
     )
@@ -167,13 +206,19 @@ def test_sql_source_refuses_renamed_tables_loudly(spark, base):
     root = os.path.join(base, "t")
     vt = _mk(spark, root, [(1, 10)])
     vt.rename_column("v", "val")
+    # the reader is constructed at stream START, so the refusal
+    # surfaces from the query, not from load()
+    q = (
+        spark.readStream.format("eel_vtable")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rename_gate_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
     with pytest.raises(Exception, match="rename"):
-        (
-            spark.read.format("eel_vtable")
-            .option("path", root)
-            .load()
-            .collect()
-        )
+        q.awaitTermination()
 
 
 def test_clone_preserves_rename_chains(spark, base):
