@@ -326,3 +326,78 @@ def test_concurrent_evolution_soak_with_midstream_clone(spark, base):
         f"schema_refusals={stats['schema_refusals']} "
         f"clone_head={clone_state.get('head')}"
     )
+
+
+def test_concurrent_rename_soak(spark, base):
+    """Metadata-only RENAME racing an append storm — the DDL twin of
+    the evolution soak.  The version claim serializes the rename:
+    an old-name append either lands wholly before it, or its retry is
+    refused LOUDLY by schema-on-write and the writer switches to the
+    new name.  No silent name reversion, no mixed-name segment, zero
+    lost rows; the final read serves every row under the FINAL name
+    (pre-rename rows through the coalesce chain)."""
+    root = os.path.join(base, "t")
+    VersionedTable.create(
+        spark, root, spark.createDataFrame([(0, 0)], "k bigint, v bigint")
+    )
+    n_threads, n_ops = 3, 8
+    errors: list = []
+    models: list[dict] = []
+    stats = {"retries": 0, "schema_refusals": 0}
+
+    def worker(tid: int) -> None:
+        try:
+            vt = VersionedTable(spark, root)
+            lo = (tid + 1) * RANGE
+            model: dict[int, int] = {}
+            col = "v"
+            for i in range(n_ops):
+                if tid == 0 and i == n_ops // 2:
+                    _retry(lambda: vt.rename_column("v", "val"), stats)
+                    col = "val"
+                    continue
+                k = lo + i
+                for _ in range(120):
+                    try:
+                        vt.append(
+                            spark.createDataFrame(
+                                [(k, i)], f"k bigint, {col} bigint"
+                            )
+                        )
+                        model[k] = i
+                        break
+                    except ConcurrentCommitError:
+                        stats["retries"] += 1
+                        time.sleep(random.uniform(0.0, 0.02))
+                    except ValueError as exc:
+                        assert "schema-on-write" in str(exc)
+                        stats["schema_refusals"] += 1
+                        col = "val"  # the rename landed: switch names
+                else:
+                    raise AssertionError(f"thread {tid} starved")
+            models.append(model)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors[:3]
+
+    vt = VersionedTable(spark, root)
+    head = vt.latest_version()
+    assert vt._versions() == list(range(head + 1))
+    assert vt.read().columns == ["k", "val"]  # the rename is the head
+    rows = {r.k: r.val for r in vt.read().collect()}
+    expected = {0: 0}
+    for m in models:
+        expected.update(m)
+    assert rows == expected, "row lost/doubled or name-bled across rename"
+    print(
+        f"\nRENAME SOAK commits={head} retries={stats['retries']} "
+        f"schema_refusals={stats['schema_refusals']}"
+    )
