@@ -2115,8 +2115,19 @@ class VersionedTable:
             matched = matched.persist()
         try:
             dv_rel = self._write_dv(matched, v + 1)
-            if dv_rel is not None:
-                extra["dv_add"] = [dv_rel]
+            if dv_rel is None:
+                # a DELETE matching ZERO rows is a commit-free no-op —
+                # the surface every other DML shape already has
+                # (delete_where, update_where, update_where_mor, merge)
+                # and what the model checker's noop program asserts.
+                # Found by the round-9 DDL-aware random program: this
+                # path previously published an empty no-change
+                # "delete_mor" commit (harmless to readers/streams, but
+                # an inconsistent DML surface — and the original
+                # checker's seed had never drawn its noop op to catch
+                # it).  No CDF either: zero rows changed.
+                return v
+            extra["dv_add"] = [dv_rel]
             if self.cdf_enabled:
                 extra["cdf"] = self._write_cdf(
                     matched.select(*data_cols).withColumn(

@@ -311,3 +311,128 @@ def test_random_program_with_evolution_merge_and_clone(spark, root):
         )
         assert vt.latest_version() == src_head, "clone commit leaked back"
         assert 999_999 not in _state_ev(vt), "clone data leaked back"
+
+
+# --------------------------------------------------------------------------
+# DDL-aware program: the round-9-tail extension.  Adds metadata-only
+# RENAME and DROP COLUMN to the op pool — the model tracks the CURRENT
+# name of the value column (and whether it is dropped) per version, and
+# the end-of-run replay asserts data AND column names at every version,
+# including across restore boundaries that revert both.
+
+
+def test_random_program_with_rename_and_drop(spark, root):
+    rng = random.Random(SEED ^ 0xDD1)
+    n_ops = int(os.environ.get("EEL_MODEL_DDL_OPS", "34"))
+    # model: {k: multiset of v-values}; vname: current logical name of
+    # the value column, or None when dropped
+    model: dict[int, list[int]] = {1: [10], 2: [20]}
+    vt = VersionedTable.create(spark, root, _df(spark, [(1, 10), (2, 20)]))
+    vname: str | None = "v"
+    retired: set[str] = set()
+    fresh_names = iter(f"v{i}" for i in range(1, 1000))
+    history: dict[int, dict] = {
+        0: {"snap": _snapshot(model), "vname": vname}
+    }
+
+    def read_state():
+        out: dict[int, list[int]] = {}
+        for r in vt.read().collect():
+            d = r.asDict()
+            out.setdefault(d["k"], []).append(
+                d[vname] if vname is not None else None
+            )
+        return {k: tuple(sorted(vs)) for k, vs in out.items()}
+
+    next_key = 100
+    for step in range(n_ops):
+        op = rng.choice(
+            [
+                "append", "append", "rename", "rename", "drop",
+                "delete_mor", "update_cow", "restore", "noop",
+            ]
+        )
+        if op == "append":
+            k = next_key
+            next_key += 1
+            if vname is None:
+                vt.append(spark.createDataFrame([(k,)], "k bigint"))
+                model.setdefault(k, []).append(None)
+            else:
+                vt.append(
+                    spark.createDataFrame(
+                        [(k, k * 7)], f"k bigint, {vname} bigint"
+                    )
+                )
+                model.setdefault(k, []).append(k * 7)
+        elif op == "rename":
+            if vname is None:
+                continue
+            new = next(fresh_names)
+            retired.add(vname)
+            vt.rename_column(vname, new)
+            vname = new
+        elif op == "drop":
+            if vname is None:
+                continue
+            retired.add(vname)
+            vt.drop_column(vname)
+            vname = None
+            # all values become unobservable; the model keeps row
+            # EXISTENCE (k multiplicity) with None values
+            model = {k: [None] * len(vs) for k, vs in model.items()}
+        elif op == "delete_mor":
+            live = [k for k, vs in model.items() if vs]
+            if not live:
+                continue
+            k = rng.choice(live)
+            vt.delete_where_mor(f"k = {k}")
+            model[k] = []
+        elif op == "update_cow":
+            if vname is None:
+                continue
+            live = [k for k, vs in model.items() if vs]
+            if not live:
+                continue
+            k = rng.choice(live)
+            vt.update_where(
+                f"k = {k}", {vname: F.expr(f"{vname} + 1")}
+            )
+            model[k] = [v + 1 if v is not None else None for v in model[k]]
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            vt.restore(target)
+            model = {
+                k: list(vs) for k, vs in history[target]["snap"].items()
+            }
+            vname = history[target]["vname"]
+            # restore does NOT un-retire names (the dropped/rename
+            # records revert to the target's, but our test-side retired
+            # set stays conservative — fresh names only)
+        elif op == "noop":
+            head = vt.latest_version()
+            assert vt.delete_where_mor("k = -1") == head
+
+        head = vt.latest_version()
+        got = read_state()
+        want = {k: tuple(sorted(vs)) for k, vs in model.items() if vs}
+        assert got == want, f"step {step} op {op}"
+        expect_cols = ["k"] + ([vname] if vname is not None else [])
+        assert vt.read().columns == expect_cols, f"step {step} cols"
+        history[head] = {"snap": _snapshot(model), "vname": vname}
+
+    # ---- replay: every version serves its own data AND column names
+    for v in sorted(history):
+        rec = history[v]
+        cols = vt.read(v).columns
+        expect = ["k"] + ([rec["vname"]] if rec["vname"] else [])
+        assert cols == expect, f"v{v}: {cols} != {expect}"
+        out: dict[int, list] = {}
+        for r in vt.read(v).collect():
+            d = r.asDict()
+            out.setdefault(d["k"], []).append(
+                d[rec["vname"]] if rec["vname"] else None
+            )
+        got = {k: tuple(sorted(vs)) for k, vs in out.items()}
+        assert got == rec["snap"], f"time travel to v{v} diverged"
+    assert vt._versions() == list(range(vt.latest_version() + 1))
