@@ -568,8 +568,25 @@ def main() -> None:
     # a polluted stream; round 2's parse failed on the oversized line).
     with open(os.path.join(_REPO_ROOT, "BENCH_SELF.json"), "w") as fh:
         fh.write(json.dumps({**payload, "stages": stages}) + "\n")
-    # The contract line — the ONLY bytes ever written to the real stdout.
+    # Contract output (the ONLY bytes ever written to the real stdout):
+    # the full payload line first, then a COMPACT final line.  The grading
+    # driver captures only the last ~2000 chars of stdout; the full payload
+    # (180+ per-query medians + spreads) overflows that window, which left
+    # BENCH_r08/r09 with parsed=null.  The compact line is < 200 bytes and
+    # is the last bytes on stdout, so any tail window >= 200 chars contains
+    # one complete JSON object carrying the headline metric.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries_n": len(timings),
+        "s_per_q": round(payload["value"] / max(len(timings), 1), 4),
+        "sf": sf,
+        "reps": reps,
+        "queries": {"_full_payload": "BENCH_SELF.json"},
+    }
     os.write(real_stdout, (json.dumps(payload) + "\n").encode())
+    os.write(real_stdout, (json.dumps(compact) + "\n").encode())
     os.close(real_stdout)
 
 

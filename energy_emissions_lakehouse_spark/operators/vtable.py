@@ -573,19 +573,32 @@ class VersionedTable:
         # rename_column/drop_column extend them, overwrite resets them
         # (a whole-live-set replace leaves no pre-rename segment live)
         # — everyone else inherits.
-        for key in ("renames", "dropped"):
-            if extra is not None and key in extra:
-                continue
+        inherit = [
+            key
+            for key in ("renames", "dropped")
+            if extra is None or key not in extra
+        ]
+        if inherit and version > 0:
+            # ONE read of the predecessor for both keys, and no OSError
+            # swallow: commits are never deleted, so an unreadable
+            # version-1 is corruption, not a normal state.  Defaulting
+            # to empty chains here would commit with NO renames/dropped
+            # records — every later read of a renamed table would stop
+            # coalescing retired names and silently serve NULLs for
+            # pre-rename segments.
             try:
-                prev = (
-                    self._read_commit(version - 1).get(key)
-                    if version > 0
-                    else None
-                )
-            except OSError:
-                prev = None
-            if prev:
-                extra = {**(extra or {}), key: prev}
+                prev_entry = self._read_commit(version - 1)
+            except OSError as exc:
+                raise RuntimeError(
+                    f"commit {version} of {self.root}: predecessor commit "
+                    f"{version - 1} is unreadable ({exc}) — refusing to "
+                    "commit with empty rename/drop chains (the log is "
+                    "append-only; an unreadable entry is corruption)"
+                ) from exc
+            for key in inherit:
+                prev = prev_entry.get(key)
+                if prev:
+                    extra = {**(extra or {}), key: prev}
         payload = {
             "version": version,
             "op": op,

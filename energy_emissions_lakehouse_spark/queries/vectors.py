@@ -1352,8 +1352,12 @@ def embedding_dim_covariance(spark, sf_dir) -> DataFrame:
             "transform(embedding,"
             " v -> cast(round(cast(v as double) * 10000, 0) as bigint))"
         ).alias("q")
-    ).filter(F.size("q") >= 2)
-    pairs = q.select(
+    )
+    # The size guard protects ONLY the pair expansion (sequence(0, -1)
+    # on a 1-dim vector would DESCEND and index out of range); n and the
+    # per-dimension sums must count every row, like the oracle's q CTE —
+    # a <2-dim vector contributes no pairs but does contribute to n/Sx.
+    pairs = q.filter(F.size("q") >= 2).select(
         F.explode(
             F.expr(
                 "flatten(transform(sequence(0, size(q) - 2), i ->"

@@ -95,6 +95,21 @@ _versions = log_versions
 _read_commit = read_commit
 
 
+def _latest_version(root: str) -> int:
+    """Newest committed version, with the mid-create crash window made a
+    descriptive error: a ``_log/`` directory that exists but holds no
+    commit files (writer crashed between mkdir and the first rename) is
+    NOT 'not a versioned table' and must not surface as a bare
+    IndexError from ``[-1]``."""
+    versions = _versions(root)
+    if not versions:
+        raise FileNotFoundError(
+            f"eel_vtable: {root} has a log directory but no committed "
+            "versions (interrupted create?) — nothing to read yet"
+        )
+    return versions[-1]
+
+
 def _target_arrow_schema(root: str, columns: list[str]):
     """The stream's target Arrow schema, resolved on the DRIVER from the
     newest committed segment's parquet footer (every vtable write aligns
@@ -106,14 +121,15 @@ def _target_arrow_schema(root: str, columns: list[str]):
         _target_schema_at,
     )
 
-    return _target_schema_at(root, columns, _versions(root)[-1])
+    return _target_schema_at(root, columns, _latest_version(root))
 
 
 class VtableStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema: StructType, options):
         if not os.path.isdir(_log_dir(root)):
             raise FileNotFoundError(f"not a versioned table: {root}")
-        head = _read_commit(root, _versions(root)[-1])
+        self._open_version = _latest_version(root)
+        head = _read_commit(root, self._open_version)
         if head.get("renames"):
             # same v1 limit as the batch source: this reader aligns
             # per-file columns by NAME (pre-rename files would silently
@@ -184,6 +200,23 @@ class VtableStreamReader(DataSourceStreamReader):
         parts: list[_SegmentFile] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_commit(self.root, v)
+            if entry.get("renames") and v > self._open_version:
+                # The __init__ guard only sees the head at stream OPEN.
+                # A rename_column committed while the stream is running
+                # would otherwise be served as ordinary evolution: post-
+                # rename segments carry the new physical name and
+                # align_arrow_table (no chains on this path) null-fills
+                # the old-named column — silent NULLs for the renamed
+                # column, the exact corruption the open-time guard
+                # refuses.  Re-check every commit this reader serves.
+                raise RuntimeError(
+                    f"eel_vtable stream: version {v} renamed columns "
+                    "after the stream opened; the Python DataSource read "
+                    "path is not rename-aware — restart the query via "
+                    "VersionedTable.read()/change_feed() (Delta also "
+                    "refuses rename under column mapping for streaming "
+                    "sources)"
+                )
             if entry["op"] in ("compact", "dv_compact"):
                 # content-identical rewrites (segment bin-pack / DV
                 # fold): dataChange=false, nothing to replay
@@ -299,7 +332,7 @@ class VtableStreamDataSource(DataSource):
         if not root:
             raise ValueError("eel_vtable requires .option('path', <root>)")
         v_opt = self.options.get("versionAsOf")
-        latest = int(v_opt) if v_opt is not None else _versions(root)[-1]
+        latest = int(v_opt) if v_opt is not None else _latest_version(root)
         base = StructType.fromJson(_read_commit(root, latest)["schema"])
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             from pyspark.sql.types import LongType, StringType, StructField
