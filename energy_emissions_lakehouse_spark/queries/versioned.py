@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 14
+_HISTORY_REV = 15
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -213,6 +213,51 @@ def _build_rename(spark: SparkSession, sf_dir: str, root: str) -> None:
         )
     )
     vt.drop_column("note")
+
+
+def _build_widen(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A vtable exercising metadata-only LOSSLESS TYPE WIDENING (Delta's
+    typeWidening table feature; operators/vtable.py widen_column_type):
+
+      v0 create      (o_orderkey INT, price FLOAT, o_orderstatus)
+                     WHERE o_orderkey % 5 = 0 — physically NARROW files
+      v1 widen       o_orderkey INT -> BIGINT     (ZERO rewrite)
+      v2 append      o_orderkey % 5 = 1 rows handed in with the OLD
+                     narrow int key — the write path upcasts (Delta's
+                     widening-aware schema-on-write)
+      v3 widen       price FLOAT -> DOUBLE
+      v4 evolve      append o_orderkey % 5 = 2 rows carrying a NEW
+                     src='late' column, key/price still narrow in the
+                     batch (evolve aligns + upcasts)
+      v5 update_mor  o_orderkey % 2 = 0: price *= 2 — the DV-backed
+                     update reads ACROSS both widen boundaries (narrow
+                     files upcast at scan) and appends wide post-images
+
+    The head serves (bigint, double) over files physically storing
+    int32/float32 (v0), int64/float32 (v2), and int64/float64 (v4/v5)
+    — three physical-type generations under one logical schema, plus
+    deletion vectors masking the pre-update rows."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.select(
+        key.cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").cast("float").alias("price"),
+        "o_orderstatus",
+    )
+    vt = VersionedTable.create(spark, root, base.filter(key % 5 == 0))
+    vt.widen_column_type("o_orderkey", "bigint")
+    vt.append(base.filter(key % 5 == 1))  # narrow batch -> upcast write
+    vt.widen_column_type("price", "double")
+    vt.append_evolve(
+        base.filter(key % 5 == 2).withColumn("src", F.lit("late"))
+    )
+    vt.update_where_mor(
+        "o_orderkey % 2 = 0", {"price": F.expr("price * 2")}
+    )
 
 
 def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -432,6 +477,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
             (_build_admin, os.path.join(tmp, "table_admin")),
             (_build_dml, tmp),  # table_dml + table_dml_clone
             (_build_rename, os.path.join(tmp, "table_rename")),
+            (_build_widen, os.path.join(tmp, "table_widen")),
         ]
         with ThreadPoolExecutor(max_workers=len(builds)) as pool:
             futures = [
@@ -534,6 +580,18 @@ def staged_vtable_rename(
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_rename"))
+
+
+def staged_vtable_widen(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged type-widening vtable (two widens + cross-widen DML)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_widen"))
 
 
 def staged_vtable_dml_clone(
@@ -2254,5 +2312,154 @@ def vtable_sql_source_renamed_scan(spark, sf_dir) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             scaled_sum(F.col("price_usd")).alias("total_price"),
+        )
+    )
+
+
+#: Shared oracle CTE: the widen table's head state, reconstructed from
+#: orders in ANSI SQL.  price is quantized through FLOAT (the narrow
+#: write-time type) then upcast — float32 -> float64 is value-exact, and
+#: the MOR update's *2 is exact in either width, so both engines see
+#: identical doubles.
+_WIDEN_HEAD_SQL = """
+    base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'late' END AS src
+      FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+    ),
+    head AS (
+      SELECT k,
+             CASE WHEN k % 2 = 0 THEN price * 2 ELSE price END AS price,
+             o_orderstatus, src
+      FROM base
+    )
+"""
+
+
+@register(
+    "vtable_type_widening_read",
+    oracle=f"""
+    WITH {_WIDEN_HEAD_SQL}
+    SELECT o_orderstatus AS status, src,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(k) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('price')} AS total_price
+    FROM head GROUP BY o_orderstatus, src
+    """,
+    survey="extension (lakehouse DDL): ALTER COLUMN TYPE as a metadata-"
+    "only LOSSLESS WIDENING commit (Delta typeWidening semantics, "
+    "operators/vtable.py widen_column_type) — the head read serves "
+    "(bigint, double) over files physically storing three type "
+    "generations (int32/float32, int64/float32, int64/float64) with "
+    "ZERO rewrite: the scan layer upcasts per file; a DV-backed MOR "
+    "update applied ACROSS both widen boundaries and a narrow-batch "
+    "append upcast at write time both feed the same head",
+    tags=("vtable",),
+)
+def vtable_type_widening_read(spark, sf_dir) -> DataFrame:
+    """Head read of the widen table: value parity proves the per-file
+    read-time upcast, the write-path narrow-batch upcast, the evolve
+    alignment, and the DV mask all compose across type generations."""
+    vt = staged_vtable_widen(spark, sf_dir)
+    return vt.read().groupBy(
+        F.col("o_orderstatus").alias("status"), "src"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        scaled_sum(F.col("price")).alias("total_price"),
+    )
+
+
+@register(
+    "vtable_widen_time_travel",
+    oracle=f"""
+    WITH narrow AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    {_WIDEN_HEAD_SQL}
+    SELECT 'v0_narrow' AS snapshot, 'int' AS key_type,
+           'float' AS price_type,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(k) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('price')} AS total_price
+    FROM narrow
+    UNION ALL
+    SELECT 'v5_head' AS snapshot, 'bigint' AS key_type,
+           'double' AS price_type,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(k) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('price')} AS total_price
+    FROM head
+    """,
+    survey="extension (lakehouse DDL): time travel across a type "
+    "widening serves EACH ERA'S TYPE — v0 reads as (int, float) with "
+    "the values written then, the head as (bigint, double); the "
+    "key_type/price_type columns are the Spark-side dtypes observed on "
+    "the snapshot DataFrames, value-pinned against the oracle's "
+    "expected literals",
+    tags=("vtable",),
+)
+def vtable_widen_time_travel(spark, sf_dir) -> DataFrame:
+    """Era'd snapshot reads: dtypes come from the ACTUAL DataFrame
+    schemas (not literals), so a widen map leaking backwards through
+    time travel flips key_type/price_type and breaks parity."""
+    vt = staged_vtable_widen(spark, sf_dir)
+
+    def era(label: str, df: DataFrame) -> DataFrame:
+        dt = dict(df.dtypes)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            scaled_sum(F.col("price").cast("double")).alias("total_price"),
+        ).select(
+            F.lit(label).alias("snapshot"),
+            F.lit(dt["o_orderkey"]).alias("key_type"),
+            F.lit(dt["price"]).alias("price_type"),
+            "n_orders",
+            "key_checksum",
+            "total_price",
+        )
+
+    return era("v0_narrow", vt.read(0)).unionByName(
+        era("v5_head", vt.read())
+    )
+
+
+@register(
+    "vtable_sql_source_widened_scan",
+    oracle=f"""
+    WITH {_WIDEN_HEAD_SQL}
+    SELECT o_orderstatus AS status, src,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('price')} AS total_price
+    FROM head WHERE k % 2 = 1 GROUP BY o_orderstatus, src
+    """,
+    survey="extension (lakehouse DDL x sources): the Python DataSource "
+    "batch read over a WIDENED table — the commit log's widen map "
+    "overrides the stale narrow footer types in the Arrow target "
+    "schema (sources/vtable_batch.py _target_schema_at), each file "
+    "upcast in align_arrow_table, DV masks applied; odd keys only, so "
+    "the MOR post-images contribute nothing and parity proves masks + "
+    "per-file upcast compose",
+    tags=("vtable",),
+)
+def vtable_sql_source_widened_scan(spark, sf_dir) -> DataFrame:
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    vt = staged_vtable_widen(spark, sf_dir)
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", vt.root).load()
+    return (
+        src.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy(F.col("o_orderstatus").alias("status"), "src")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            scaled_sum(F.col("price")).alias("total_price"),
         )
     )

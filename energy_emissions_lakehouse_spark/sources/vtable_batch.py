@@ -86,11 +86,39 @@ class _BatchFile(InputPartition):
         self.chains = chains or {}
 
 
+def _arrow_type_of(simple: str):
+    """Arrow type for a Spark simpleString (the widen map's value
+    encoding).  A static map, NOT Spark's DDL parser: this runs in the
+    Python DataSource planner worker, which has no SparkSession.  The
+    map is closed over the widening matrix's target types
+    (operators/vtable._WIDEN_OK + decimal), so an unknown string is a
+    protocol bug worth failing on."""
+    import re as _re
+
+    import pyarrow as pa
+
+    prim = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+    }
+    if simple in prim:
+        return prim[simple]
+    m = _re.match(r"^decimal\((\d+),(\d+)\)$", simple)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"eel_vtable: unsupported widened type {simple!r}")
+
+
 def _target_schema_at(
     root: str,
     columns: list[str],
     max_version: int,
     chains: dict[str, list[str]] | None = None,
+    widen: dict[str, str] | None = None,
 ):
     """The snapshot's Arrow schema with EXACT physical types, resolved
     driver-side PER COLUMN from the newest segment footer at or before
@@ -99,11 +127,18 @@ def _target_schema_at(
     time-traveled version so a later evolution cannot leak its types
     backwards; ``chains`` maps a renamed logical column to its retired
     physical names — rename preserves the type, so the retired twin's
-    footer type IS the logical type)."""
+    footer type IS the logical type).
+
+    ``widen`` (logical name -> widened simpleString, from the commit's
+    inherited widen map) OVERRIDES the footer type: after a metadata-only
+    :meth:`VersionedTable.widen_column_type` the newest footer may still
+    carry the narrow pre-DDL type — the logical type lives in the log,
+    and ``align_arrow_table`` upcasts each file to it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     chains = chains or {}
+    widen_types = {c: _arrow_type_of(s) for c, s in (widen or {}).items()}
     want = {c: [c, *chains.get(c, [])] for c in columns}
     resolved: dict[str, object] = {}
     for v in range(max_version, -1, -1):
@@ -123,7 +158,9 @@ def _target_schema_at(
                     continue
                 for n in names:
                     if n in footer.names:
-                        resolved[c] = pa.field(c, footer.field(n).type)
+                        resolved[c] = pa.field(
+                            c, widen_types.get(c, footer.field(n).type)
+                        )
                         break
             if len(resolved) == len(columns):
                 return pa.schema([resolved[c] for c in columns])
@@ -221,6 +258,11 @@ class VtableBatchReader(DataSourceReader):
         #: (a file stores exactly one of the names), and stats/bloom
         #: pruning resolves a pushed column through them
         self.chains = entry.get("renames") or {}
+        #: widen map of the served snapshot (logical -> widened
+        #: simpleString): overrides footer types in the target schema so
+        #: a metadata-only type widening is visible before any wide
+        #: segment exists
+        self.widen = entry.get("widen") or {}
         self.version = version
         self.live = live
         self.dvs = dvs
@@ -307,7 +349,7 @@ class VtableBatchReader(DataSourceReader):
         else:
             survivors = list(self.live)
         target = _target_schema_at(
-            self.root, self.columns, self.version, self.chains
+            self.root, self.columns, self.version, self.chains, self.widen
         )
         masks = _load_dv_masks(self.root, self.dvs) if self.dvs else {}
         parts: list[_BatchFile] = []

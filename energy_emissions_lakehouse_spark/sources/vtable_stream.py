@@ -121,7 +121,9 @@ def _target_arrow_schema(root: str, columns: list[str]):
         _target_schema_at,
     )
 
-    return _target_schema_at(root, columns, _latest_version(root))
+    head = _latest_version(root)
+    widen = _read_commit(root, head).get("widen")
+    return _target_schema_at(root, columns, head, widen=widen)
 
 
 class VtableStreamReader(DataSourceStreamReader):
@@ -216,6 +218,28 @@ class VtableStreamReader(DataSourceStreamReader):
                     "VersionedTable.read()/change_feed() (Delta also "
                     "refuses rename under column mapping for streaming "
                     "sources)"
+                )
+            if v > self._open_version and (
+                entry.get("evolved")
+                or entry["op"] in ("widen_type", "drop")
+            ):
+                # Delta's streaming-source schema-change semantics: an
+                # ADDITIVE evolution (new column / lossless type widen)
+                # committed mid-stream FAILS the query; a restart reopens
+                # with the new schema and resumes from the checkpointed
+                # offset — already-delivered batches stay delivered, the
+                # evolution commit's own rows arrive under the new
+                # schema.  Serving it without restarting would silently
+                # drop the new column / downcast the widened one: the
+                # query's declared schema was fixed at open.
+                raise RuntimeError(
+                    f"eel_vtable stream: version {v} ({entry['op']}) "
+                    "changed the table schema after the stream opened "
+                    "(Delta: 'Detected schema change... Please restart "
+                    "the query') — restart the query to pick up the new "
+                    "schema; the checkpoint offset is preserved and the "
+                    "restarted reader serves old segments under the new "
+                    "schema"
                 )
             if entry["op"] in ("compact", "dv_compact"):
                 # content-identical rewrites (segment bin-pack / DV

@@ -1,0 +1,322 @@
+"""Round-10 lakehouse DDL surface: metadata-only TYPE WIDENING
+(operators/vtable.py widen_column_type — Delta typeWidening semantics)
+and the streaming source's fail-and-restart schema-change contract
+(sources/vtable_stream.py — Delta streaming-source semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    VersionedTable,
+    _is_widening,
+    log_versions,
+    read_commit,
+)
+from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+    VtableStreamReader,
+    register_vtable_source,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="widen-r10-")
+    yield os.path.join(d, "t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _kv(spark, lo, hi, ktype="int", vtype="float"):
+    return spark.range(lo, hi).select(
+        F.col("id").cast(ktype).alias("k"),
+        (F.col("id") * 1.5).cast(vtype).alias("v"),
+    )
+
+
+# ---------------------------------------------------------- widening matrix
+def test_widening_matrix():
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    assert _is_widening(IntegerType(), LongType())
+    assert _is_widening(IntegerType(), DoubleType())
+    assert _is_widening(ShortType(), IntegerType())
+    assert _is_widening(FloatType(), DoubleType())
+    assert _is_widening(DecimalType(10, 2), DecimalType(12, 2))
+    assert _is_widening(DecimalType(10, 2), DecimalType(14, 4))
+    # narrowing / cross-family / same-type are NOT widening
+    assert not _is_widening(LongType(), IntegerType())
+    assert not _is_widening(DoubleType(), FloatType())
+    assert not _is_widening(StringType(), LongType())
+    assert not _is_widening(IntegerType(), StringType())
+    assert not _is_widening(IntegerType(), IntegerType())
+    assert not _is_widening(DecimalType(12, 4), DecimalType(12, 2))
+    # scale up without integer-digit headroom would drop digits
+    assert not _is_widening(DecimalType(10, 2), DecimalType(10, 4))
+
+
+def test_widen_is_metadata_only_and_read_serves_wide(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 5))
+    v = vt.widen_column_type("k", "bigint")
+    entry = read_commit(root, v)
+    assert entry["op"] == "widen_type"
+    assert entry["add"] == [] and entry["remove"] == []
+    assert entry["widen"] == {"k": "bigint"}
+    got = vt.read()
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_widen_refuses_narrowing_and_cross_family(spark, root):
+    vt = VersionedTable.create(
+        spark, root, _kv(spark, 0, 3, ktype="bigint", vtype="double")
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        vt.widen_column_type("k", "int")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        vt.widen_column_type("k", "string")
+    with pytest.raises(ValueError, match="already"):
+        vt.widen_column_type("k", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        vt.widen_column_type("zzz", "bigint")
+
+
+def test_write_path_upcasts_narrow_batch_after_widen(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 3))
+    vt.widen_column_type("k", "bigint")
+    vt.append(_kv(spark, 3, 6))  # still int-typed batch: upcast, not error
+    got = vt.read()
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 6
+    # a batch that is NOT widening-compatible still fails loudly
+    bad = spark.range(2).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") * 1.5).cast("float").alias("v"),
+    )
+    with pytest.raises(ValueError, match="schema-on-write"):
+        vt.append(bad)
+
+
+def test_time_travel_serves_each_eras_type(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    vt.widen_column_type("v", "double")
+    vt.append(_kv(spark, 4, 6, vtype="double"))
+    assert dict(vt.read(0).dtypes)["v"] == "float"
+    assert dict(vt.read(1).dtypes)["v"] == "double"
+    assert dict(vt.read().dtypes)["v"] == "double"
+    # float -> double upcast is value-exact per element
+    narrow = {r.k: r.v for r in vt.read(0).collect()}
+    wide = {r.k: r.v for r in vt.read().collect()}
+    for k, val in narrow.items():
+        assert wide[k] == val
+
+
+def test_restore_across_widen_reverts_type_and_map(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    vt.widen_column_type("k", "bigint")
+    v_restore = vt.restore(0)
+    entry = read_commit(root, v_restore)
+    assert entry.get("widen") == {}
+    assert dict(vt.read().dtypes)["k"] == "int"
+    # the Arrow DataSource path serves the restored-narrow type too
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    assert dict(src.dtypes)["k"] == "int"
+    assert src.count() == 4
+
+
+def test_widen_then_rename_rekeys_map_and_datasource_reads_wide(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    vt.widen_column_type("k", "bigint")
+    vt.rename_column("k", "key_id")
+    head = read_commit(root, vt.latest_version())
+    assert head["widen"] == {"key_id": "bigint"}
+    got = vt.read()
+    assert dict(got.dtypes)["key_id"] == "bigint"
+    assert sorted(r.key_id for r in got.collect()) == [0, 1, 2, 3]
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    assert dict(src.dtypes)["key_id"] == "bigint"
+    assert sorted(r.key_id for r in src.collect()) == [0, 1, 2, 3]
+
+
+def test_datasource_serves_wide_before_any_wide_segment(spark, root):
+    """The metadata-only widen must be visible through the Arrow reader
+    even when every physical file is still narrow (the footer type is
+    stale — the log's widen map is authoritative)."""
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    vt.widen_column_type("k", "bigint")
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    assert dict(src.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in src.collect()) == [0, 1, 2, 3]
+    # versionAsOf to the narrow era still serves int through the source
+    old = (
+        spark.read.format("eel_vtable")
+        .option("path", root)
+        .option("versionAsOf", "0")
+        .load()
+    )
+    assert dict(old.dtypes)["k"] == "int"
+
+
+def test_decimal_widening_roundtrip(spark, root):
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.25).cast("decimal(10,2)").alias("amt"),
+    )
+    vt = VersionedTable.create(spark, root, df)
+    vt.widen_column_type("amt", "decimal(14,4)")
+    got = vt.read()
+    assert dict(got.dtypes)["amt"] == "decimal(14,4)"
+    assert {str(r.amt) for r in got.collect()} == {
+        "0.0000", "1.2500", "2.5000"
+    }
+
+
+def test_mor_update_across_widen_boundary(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 6))
+    vt.widen_column_type("v", "double")
+    vt.update_where_mor("k % 2 = 0", {"v": F.expr("v * 2")})
+    got = {r.k: r.v for r in vt.read().collect()}
+    for k in range(6):
+        want = float(
+            __import__("numpy").float32(k * 1.5)
+        ) * (2 if k % 2 == 0 else 1)
+        assert got[k] == want
+
+
+def test_cdf_across_widen_coerces_union(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4), enable_cdf=True)
+    vt.widen_column_type("k", "bigint")
+    vt.append(_kv(spark, 4, 6, ktype="bigint"))
+    feed = vt.read_changes(0, vt.latest_version())
+    assert dict(feed.dtypes)["k"] == "bigint"
+    inserts = feed.filter(F.col("_change_type") == "insert")
+    assert inserts.count() == 6
+
+
+# --------------------------------------- streaming schema-change semantics
+def test_midstream_widen_fails_with_restart_message(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    reader = VtableStreamReader(root, vt.read().schema, {})
+    vt.widen_column_type("k", "bigint")
+    vt.append(_kv(spark, 4, 6, ktype="bigint"))
+    with pytest.raises(RuntimeError, match="restart the query"):
+        reader.partitions(
+            {"version": 0}, {"version": log_versions(root)[-1]}
+        )
+
+
+def test_midstream_evolve_fails_with_restart_message(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    reader = VtableStreamReader(root, vt.read().schema, {})
+    vt.append_evolve(
+        _kv(spark, 4, 6).withColumn("tag", F.lit("x"))
+    )
+    with pytest.raises(RuntimeError, match="restart the query"):
+        reader.partitions(
+            {"version": 0}, {"version": log_versions(root)[-1]}
+        )
+
+
+def test_historic_evolution_before_open_streams_fine(spark, root):
+    """Evolution committed BEFORE the stream opens is ordinary widened
+    replay (old segments null-fill) — only post-open DDL fails."""
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 4))
+    vt.append_evolve(_kv(spark, 4, 6).withColumn("tag", F.lit("x")))
+    register_vtable_source(spark)
+    name = "r10_hist_evolve"
+    q = (
+        spark.readStream.format("eel_vtable")
+        .option("path", root)
+        .load()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.count("tag").alias("n_tag"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table(name).collect()[0]
+    assert (row.n, row.n_tag) == (6, 2)
+
+
+def test_stream_restart_across_evolution_resumes_exactly_once(
+    spark, root, tmp_path
+):
+    """The full Delta contract: run -> evolution commit -> restart from
+    the SAME checkpoint picks up the new schema and serves only the
+    not-yet-delivered versions (offset preserved, no duplicates)."""
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 5))
+    register_vtable_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("eel_vtable")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # delivers v0 (5 rows, schema k,v)
+    vt.append_evolve(
+        _kv(spark, 5, 8).withColumn("tag", F.lit("late"))
+    )
+    run_once()  # restart: new schema, serves ONLY v1 (3 rows with tag)
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert got.count() == 8
+    assert got.select("k").distinct().count() == 8  # exactly-once
+    assert got.filter(F.col("tag").isNotNull()).count() == 3
+
+
+def test_stream_restart_across_widen_resumes_wide(spark, root, tmp_path):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 5))
+    register_vtable_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("eel_vtable")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    vt.widen_column_type("k", "bigint")
+    vt.append(_kv(spark, 5, 8, ktype="bigint"))
+    run_once()
+    # output spans int32-era and int64-era files: read under the wide
+    # schema (the same upcast contract the table itself uses)
+    got = spark.read.schema("k bigint, v float").parquet(out)
+    assert got.count() == 8
+    assert got.select("k").distinct().count() == 8

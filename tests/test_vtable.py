@@ -122,18 +122,32 @@ def test_merge_upsert_source_wins_and_history_preserved(spark, vt_root):
 
 def test_schema_on_write_rejects_incompatible_batch(spark, vt_root):
     """Delta semantics: a mixed-type segment would poison later reads,
-    so append/merge reject it at write time; overwrite may evolve."""
+    so append/merge reject an INCOMPATIBLE batch at write time; a batch
+    whose only difference is a narrower widenable type is upcast
+    (round-10 type-widening write path); overwrite may evolve."""
     vt = _mk(spark, vt_root, n=3)
     bad = spark.range(2).select(
-        F.col("id").alias("k"), F.lit(0).cast("int").alias("v")
+        F.col("id").alias("k"), F.lit("x").alias("v")
     )
     with pytest.raises(ValueError, match="schema-on-write"):
         vt.append(bad)
     with pytest.raises(ValueError, match="schema-on-write"):
         vt.merge_upsert(bad, keys=["k"])
     assert vt.latest_version() == 0  # nothing committed
+    # a NARROWER widenable batch (int vs the table's bigint) upcasts
+    # instead of failing — Delta's widening-aware schema-on-write
+    narrow = spark.range(100, 102).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(0).cast("int").alias("v"),
+    )
+    vt.append(narrow)
+    assert vt.read().schema["v"].dataType.simpleString() == "bigint"
+    assert vt.read().count() == 5
+    wrong_cols = spark.range(2).select(F.col("id").alias("zzz"))
+    with pytest.raises(ValueError, match="schema-on-write"):
+        vt.append(wrong_cols)
     vt.overwrite(bad)  # explicit full replace MAY change the schema
-    assert vt.read().schema["v"].dataType.simpleString() == "int"
+    assert vt.read().schema["v"].dataType.simpleString() == "string"
 
 
 def test_delete_where_null_predicate_rows_are_kept(spark, vt_root):
