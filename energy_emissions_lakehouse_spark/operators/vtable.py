@@ -154,6 +154,131 @@ _WIDEN_OK: dict[str, set[str]] = {
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
 
+#: Partition-spec transforms (Iceberg hidden-partitioning shape).  Each
+#: spec field is {"col": source column, "transform": name, "param": int
+#: or None}; the TRANSFORMED value is what segments record and what
+#: pruning compares — queries keep filtering on the SOURCE column and
+#: never see the partitioning (that is the 'hidden' part).
+_SPEC_TRANSFORMS = ("identity", "year", "month", "day", "bucket", "truncate")
+#: transforms whose output preserves the source ordering — a range probe
+#: [lo, hi] on the source maps to [T(lo), T(hi)] on partition values
+_MONOTONE_TRANSFORMS = {"identity", "year", "month", "day", "truncate"}
+#: date/timestamp-only transforms
+_TEMPORAL_TRANSFORMS = {"year", "month", "day"}
+
+
+def _spec_key(field: dict) -> str:
+    """Canonical field key, e.g. ``month(o_orderdate)`` /
+    ``bucket(o_custkey,4)`` — the name segments' pv maps are keyed by."""
+    param = field.get("param")
+    inner = field["col"] + (f",{param}" if param is not None else "")
+    return f"{field['transform']}({inner})"
+
+
+def _spec_expr(field: dict) -> Column:
+    """Spark-side transform expression (what the partitioned write
+    splits on).  The bucket hash is the repo's portable md5 primitive —
+    ``conv(substr(md5(cast(x as string)),1,15),16,10) % n`` — identical
+    to Python's ``int(md5(str(x))[:15], 16) % n`` for integral/string
+    columns (enforced at set_partition_spec), so the PLANNER can bucket
+    a probe value without a Spark job."""
+    c, t, p = F.col(field["col"]), field["transform"], field.get("param")
+    if t == "identity":
+        return c
+    if t == "year":
+        return F.year(c)
+    if t == "month":
+        return F.date_format(c, "yyyy-MM")
+    if t == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if t == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(int(p)),
+        )
+    if t == "truncate":
+        return c - F.pmod(c, F.lit(int(p)))
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _spec_probe(field: dict, value):
+    """Driver-side twin of :func:`_spec_expr`: transform a PROBE value
+    the way the write transformed the data, with no Spark job.  None in,
+    None out (an open bound stays open)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    t, p = field["transform"], field.get("param")
+    if t == "identity":
+        return value if isinstance(value, (int, float, str)) else str(value)
+    if t in _TEMPORAL_TRANSFORMS:
+        if isinstance(value, (_dt.date, _dt.datetime)):
+            iso = value.strftime("%Y-%m-%d")
+        else:
+            iso = str(value)
+        return (
+            int(iso[:4]) if t == "year"
+            else iso[:7] if t == "month"
+            else iso[:10]
+        )
+    if t == "bucket":
+        digest = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        return int(digest[:15], 16) % int(p)
+    if t == "truncate":
+        return value - (value % int(p))
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+_SPEC_KEY_RE = re.compile(
+    r"^(identity|year|month|day|bucket|truncate)\((\w+)(?:,(\d+))?\)$"
+)
+
+
+def _parse_spec_key(key: str) -> dict | None:
+    m = _SPEC_KEY_RE.match(key)
+    if not m:
+        return None
+    return {
+        "col": m.group(2),
+        "transform": m.group(1),
+        "param": int(m.group(3)) if m.group(3) else None,
+    }
+
+
+def partition_skips(
+    pv: dict, col: str, lo, hi, is_point: bool = False
+) -> bool:
+    """True when a segment's recorded partition values PROVE it holds no
+    row with ``lo <= col <= hi``.  The transform is decoded from the pv
+    KEY itself (``month(o_orderdate)`` etc.), so each segment is judged
+    under the spec IT WAS WRITTEN WITH — exactly Iceberg's
+    spec-evolution contract, with no era bookkeeping: a segment whose pv
+    has no field on ``col`` (pre-spec, or an evolved-away field) is
+    never skipped here.  Bucket fields prune only equality probes (hash
+    order is meaningless for ranges); anything incomparable falls back
+    to scan — pruning may only ever skip provably-disjoint segments."""
+    for key, val in (pv or {}).items():
+        field = _parse_spec_key(key)
+        if field is None or field["col"] != col or val is None:
+            continue
+        t = field["transform"]
+        if t in _MONOTONE_TRANSFORMS:
+            try:
+                plo = _spec_probe(field, lo)
+                phi = _spec_probe(field, hi)
+                if plo is not None and val < plo:
+                    return True
+                if phi is not None and val > phi:
+                    return True
+            except TypeError:
+                continue  # incomparable probe: never skip on it
+        elif t == "bucket" and is_point and lo is not None and lo == hi:
+            if val != _spec_probe(field, lo):
+                return True
+    return False
+
 
 def _is_widening(frm, to) -> bool:
     """True when ``frm -> to`` is a LOSSLESS type widening the read
@@ -608,7 +733,7 @@ class VersionedTable:
         # — everyone else inherits.
         inherit = [
             key
-            for key in ("renames", "dropped", "widen")
+            for key in ("renames", "dropped", "widen", "spec")
             if extra is None or key not in extra
         ]
         if inherit and version > 0:
@@ -698,6 +823,9 @@ class VersionedTable:
                 # as stats; pre-rev checkpoints lack the key and force
                 # the genesis walk — never wrong, only slower)
                 "seg_commits": self._live_segment_commits(version),
+                # per-live-segment partition tuples (Iceberg manifest
+                # partition field summaries) — same O(tail) fold as stats
+                "pvs": self._live_segment_pvs(version),
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -855,6 +983,92 @@ class VersionedTable:
                 [rel], self.constraints(), "write"
             )
         return rel
+
+    def _write_partitioned(
+        self, df: DataFrame, version_hint: int, spec: list[dict]
+    ) -> tuple[list[str], dict[str, dict]]:
+        """Write one immutable segment PER PARTITION TUPLE under the
+        active spec (the Iceberg manifest-entry shape: file -> partition
+        tuple).  ONE Spark write job regardless of tuple count: the
+        batch is written with ``partitionBy`` on the computed transform
+        columns into a scratch dir, then each leaf directory is RENAMED
+        into place as its own segment — O(tuples) driver metadata moves,
+        no per-partition job.  The transform columns are synthetic
+        (``_pt_i``) so ``partitionBy`` dropping them from the files
+        never loses a data column.  Returns (segment rels, {rel: pv
+        map}); the typed pv values come from a distinct-tuples aggregate
+        (bounded by tuple count), matched to leaf dirs via Spark's own
+        dir-name rendering."""
+        from urllib.parse import unquote
+
+        clash = [c for c in df.columns if c in _DV_IDENTITY_COLS]
+        if clash:
+            raise ValueError(
+                f"column {clash[0]!r} collides with the reserved "
+                f"deletion-vector identity names {_DV_IDENTITY_COLS}"
+            )
+        pt_cols = [f"_pt_{i}" for i in range(len(spec))]
+        keyed = df.select(
+            "*",
+            *[
+                _spec_expr(f).alias(pc)
+                for f, pc in zip(spec, pt_cols)
+            ],
+        )
+        # typed tuples first (bounded by partition cardinality): the
+        # JSON-safe canonical value per field, keyed by its dir rendering
+        def _canon(v):
+            return v if isinstance(v, (int, float, str)) or v is None \
+                else str(v)
+
+        tuples = {
+            tuple(
+                "__HIVE_DEFAULT_PARTITION__" if row[pc] is None
+                else str(row[pc])
+                for pc in pt_cols
+            ): {
+                _spec_key(f): _canon(row[pc])
+                for f, pc in zip(spec, pt_cols)
+            }
+            for row in keyed.select(*pt_cols).distinct().collect()
+        }
+        scratch = os.path.join(
+            self.root, f".pt-scratch-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        keyed.write.mode("error").partitionBy(*pt_cols).parquet(scratch)
+        rels: list[str] = []
+        pvs: dict[str, dict] = {}
+        try:
+            def _leaves(d: str, depth: int) -> list[tuple[str, tuple]]:
+                if depth == len(pt_cols):
+                    return [(d, ())]
+                out = []
+                for name in sorted(os.listdir(d)):
+                    if "=" not in name:
+                        continue
+                    raw = unquote(name.split("=", 1)[1])
+                    for leaf, vals in _leaves(
+                        os.path.join(d, name), depth + 1
+                    ):
+                        out.append((leaf, (raw, *vals)))
+                return out
+
+            for leaf, vals in _leaves(scratch, 0):
+                rel = os.path.join(
+                    DATA_DIR,
+                    f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}",
+                )
+                os.rename(leaf, os.path.join(self.root, rel))
+                rels.append(rel)
+                pv = tuples.get(vals)
+                if pv is None:  # rendering mismatch: record no pv —
+                    pv = {}     # the segment is simply never pruned
+                pvs[rel] = pv
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        if self._versions():
+            self._enforce_constraints(rels, self.constraints(), "write")
+        return rels, pvs
 
     def _write_cdf(self, changes: DataFrame, version_hint: int) -> str:
         """Write one immutable change-data segment (rows carrying a
@@ -1383,8 +1597,18 @@ class VersionedTable:
     def append(self, df: DataFrame) -> int:
         df = self._require_schema(df, "append")
         v = self.latest_version()
-        add = [self._write_segment(df, v + 1)]
-        self._commit(v + 1, "append", add=add, remove=[], schema=df.schema)
+        spec = self.partition_spec()
+        if spec:
+            add, pvs = self._write_partitioned(df, v + 1, spec)
+            self._commit(
+                v + 1, "append", add=add, remove=[], schema=df.schema,
+                extra={"pv": pvs},
+            )
+        else:
+            add = [self._write_segment(df, v + 1)]
+            self._commit(
+                v + 1, "append", add=add, remove=[], schema=df.schema
+            )
         return v + 1
 
     def idempotent_append(
@@ -1593,6 +1817,12 @@ class VersionedTable:
                 f"{old!r} — drop or rewrite it first (renaming under it "
                 "would silently break enforcement)"
             )
+        if any(f["col"] == old for f in (entry.get("spec") or [])):
+            raise ValueError(
+                f"rename_column: {old!r} is a partition-spec source "
+                "column — evolve the spec first (set_partition_spec) so "
+                "future writes never reference a retired name"
+            )
         new_fields = [
             StructField(new if f.name == old else f.name, f.dataType,
                         f.nullable)
@@ -1655,6 +1885,11 @@ class VersionedTable:
                 f"drop_column: CHECK constraint {hit[0]!r} references "
                 f"{col!r} — drop the constraint first"
             )
+        if any(f["col"] == col for f in (entry.get("spec") or [])):
+            raise ValueError(
+                f"drop_column: {col!r} is a partition-spec source "
+                "column — evolve the spec first (set_partition_spec)"
+            )
         chains = {
             k: list(v_) for k, v_ in (entry.get("renames") or {}).items()
         }
@@ -1673,6 +1908,100 @@ class VersionedTable:
             extra=extra,
         )
         return v + 1
+
+    def set_partition_spec(self, fields: list) -> int:
+        """ALTER TABLE ... SET PARTITION SPEC — Iceberg hidden
+        partitioning as a METADATA commit.  ``fields`` is a list of
+        ``(col, transform)`` / ``(col, transform, param)`` tuples or
+        equivalent dicts; transforms: identity, year/month/day (date or
+        timestamp source), bucket(n) (integral/string source — the
+        portable md5 hash needs str(x) == Spark's cast-to-string),
+        truncate(w) (integral source).
+
+        From the next partition-aware write on (append / overwrite),
+        the batch is split into ONE SEGMENT PER PARTITION TUPLE and each
+        segment records its tuple in the commit (``pv``) — the planner
+        then prunes on partition values BEFORE the min/max stats fold
+        (:meth:`pruned_segments`).  Queries keep filtering on the SOURCE
+        column; the partitioning is invisible to them (Iceberg's point).
+
+        SPEC EVOLUTION is just another metadata commit: existing
+        segments keep the pv of the spec they were written under and are
+        conservatively scanned by probes their old fields cannot answer
+        — no rewrite, ever.  An empty ``fields`` list unpartitions
+        future writes.  Writes that rewrite existing rows (merge/MOR
+        post-images, compaction) stay unpartitioned-and-always-scanned;
+        re-partition them with :meth:`compact_clustered` + a fresh
+        append if layout matters."""
+        v, _, entry = self._snapshot(None)
+        schema = StructType.fromJson(entry["schema"])
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        spec: list[dict] = []
+        for raw in fields:
+            if isinstance(raw, dict):
+                field = {
+                    "col": raw["col"],
+                    "transform": raw["transform"],
+                    "param": raw.get("param"),
+                }
+            else:
+                field = {
+                    "col": raw[0],
+                    "transform": raw[1],
+                    "param": raw[2] if len(raw) > 2 else None,
+                }
+            col, t, p = field["col"], field["transform"], field["param"]
+            if t not in _SPEC_TRANSFORMS:
+                raise ValueError(
+                    f"set_partition_spec: unknown transform {t!r} "
+                    f"({_SPEC_TRANSFORMS})"
+                )
+            if col not in types:
+                raise ValueError(
+                    f"set_partition_spec: no column {col!r} "
+                    f"({sorted(types)})"
+                )
+            if t in _TEMPORAL_TRANSFORMS and types[col] not in (
+                "date", "timestamp", "timestamp_ntz"
+            ):
+                raise ValueError(
+                    f"set_partition_spec: {t} needs a date/timestamp "
+                    f"source, {col} is {types[col]}"
+                )
+            if t == "bucket" and types[col] not in _BLOOMABLE_TYPES:
+                raise ValueError(
+                    f"set_partition_spec: bucket needs an integral or "
+                    f"string source (portable hash), {col} is "
+                    f"{types[col]}"
+                )
+            if t == "truncate" and types[col] not in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                raise ValueError(
+                    f"set_partition_spec: truncate needs an integral "
+                    f"source, {col} is {types[col]}"
+                )
+            if t in ("bucket", "truncate"):
+                if not isinstance(p, int) or p <= 0:
+                    raise ValueError(
+                        f"set_partition_spec: {t} needs a positive "
+                        f"integer param, got {p!r}"
+                    )
+            elif p is not None:
+                raise ValueError(
+                    f"set_partition_spec: {t} takes no param"
+                )
+            spec.append(field)
+        self._commit(
+            v + 1, "set_spec", add=[], remove=[], schema=schema,
+            extra={"spec": spec},
+        )
+        return v + 1
+
+    def partition_spec(self, version: int | None = None) -> list[dict]:
+        """The active partition spec at ``version`` (head if None)."""
+        _, _, entry = self._snapshot(version)
+        return entry.get("spec") or []
 
     def widen_column_type(self, col: str, new_type) -> int:
         """ALTER TABLE ... ALTER COLUMN TYPE — metadata-only LOSSLESS
@@ -1744,14 +2073,33 @@ class VersionedTable:
         return v + 1
 
     def overwrite(self, df: DataFrame) -> int:
-        v, live, _ = self._snapshot(None)
-        add = [self._write_segment(df, v + 1)]
+        v, live, entry = self._snapshot(None)
+        spec = entry.get("spec") or []
+        extra_pv: dict = {}
+        if spec and [f.name for f in df.schema.fields] == [
+            f["name"] for f in entry["schema"]["fields"]
+        ]:
+            # same-shape overwrite: keep the layout contract (a replace
+            # that EVOLVES the schema may invalidate spec columns — it
+            # writes unpartitioned and the spec applies again from the
+            # next same-shape write)
+            add, extra_pv = self._write_partitioned(df, v + 1, spec)
+        else:
+            add = [self._write_segment(df, v + 1)]
         # a whole-live-set replace leaves no pre-rename segment live:
         # reset the rename chains (also what frees retired names for
         # reuse after an overwriteSchema)
+        extra = {
+            "renames": {}, "dropped": {}, "widen": {}, "pv": extra_pv,
+        }
+        if spec and any(f["col"] not in df.columns for f in spec):
+            # schema-evolving replace dropped a spec source column: the
+            # spec cannot apply to future writes — reset it (metadata
+            # only), like the rename/drop chains
+            extra["spec"] = []
         self._commit(
             v + 1, "overwrite", add=add, remove=live, schema=df.schema,
-            extra={"renames": {}, "dropped": {}, "widen": {}},
+            extra=extra,
         )
         return v + 1
 
@@ -2735,6 +3083,34 @@ class VersionedTable:
                     out[rel] = entry.get("stats", {}).get(rel, {})
         return out
 
+    def _live_segment_pvs(self, version: int) -> dict[str, dict]:
+        """Partition tuples for every live segment at ``version`` —
+        same fold shape as :meth:`_live_segment_stats` (pvs are
+        immutable with the segment), checkpoint-accelerated via the
+        ``pvs`` key; segments written unpartitioned simply have no
+        entry and are never partition-pruned."""
+        live = self._resolve_live(version)
+        out: dict[str, dict] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None and "pvs" in ckpt:
+            out = {
+                rel: pv
+                for rel, pv in ckpt["pvs"].items()
+                if rel in live
+            }
+            start = ckpt["version"] + 1
+        for v in self._versions():
+            if v < start:
+                continue
+            if v > version:
+                break
+            entry = self._read_commit(v)
+            for rel, pv in (entry.get("pv") or {}).items():
+                if rel in live and pv:
+                    out[rel] = pv
+        return out
+
     def _live_segment_commits(self, version: int) -> dict[str, int]:
         """rel-path → the commit that PHYSICALLY WROTE each live segment
         at ``version`` (first add from genesis — a RESTORE's
@@ -2813,13 +3189,22 @@ class VersionedTable:
         self, version: int, col: str, lo, hi
     ) -> tuple[list[str], list[str]]:
         """Split the live set into (scanned, skipped) for a range
-        predicate ``lo <= col <= hi`` using the per-segment min/max
-        stats.  A segment with NO stats for ``col`` is conservatively
-        scanned — pruning may only ever skip provably-disjoint files."""
+        predicate ``lo <= col <= hi``: PARTITION VALUES first (the
+        Iceberg partition-pruning step — pure tuple comparison, no stats
+        needed), then the per-segment min/max stats fold for whatever
+        survives.  A segment with neither a pv field nor stats for
+        ``col`` is conservatively scanned — pruning may only ever skip
+        provably-disjoint files."""
         names = self._stat_names(version, col)
         stats = self._live_segment_stats(version)
+        pvs = self._live_segment_pvs(version)
         scanned, skipped = [], []
         for rel in sorted(stats):
+            if partition_skips(
+                pvs.get(rel), col, lo, hi, is_point=(lo == hi)
+            ):
+                skipped.append(rel)
+                continue
             mn_mx = next(
                 (stats[rel][n] for n in names if n in stats[rel]), None
             )

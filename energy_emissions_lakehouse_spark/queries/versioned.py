@@ -48,7 +48,7 @@ from energy_emissions_lakehouse_spark.registry import register
 from energy_emissions_lakehouse_spark.tables import t
 
 #: Bump to invalidate staged histories when the build recipe changes.
-_HISTORY_REV = 15
+_HISTORY_REV = 16
 
 #: Memoized staged roots, keyed on the SOURCE's version via
 #: table_cache_key (round-7 lesson: a memo fronting an mtime/size-keyed
@@ -258,6 +258,37 @@ def _build_widen(spark: SparkSession, sf_dir: str, root: str) -> None:
     vt.update_where_mor(
         "o_orderkey % 2 = 0", {"price": F.expr("price * 2")}
     )
+
+
+def _build_spec(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """A vtable exercising HIDDEN PARTITIONING with spec evolution
+    (Iceberg semantics; operators/vtable.py set_partition_spec):
+
+      v0 create      1994 orders — one UNPARTITIONED segment (pre-spec)
+      v1 set_spec    month(o_orderdate)           (metadata-only)
+      v2 append      1995 orders — ONE SEGMENT PER MONTH, each recording
+                     its partition tuple in the commit
+      v3 set_spec    bucket(o_custkey, 8)         (spec EVOLUTION —
+                     metadata-only; the month segments keep their pv)
+      v4 append      1996 orders — one segment per custkey bucket
+
+    o_orderdate is a TIMESTAMP column: parquet footer min/max stats are
+    not JSON-safe for it (the stats fold drops them), so partition
+    values are the ONLY file-skipping mechanism for temporal probes —
+    exactly the case hidden partitioning exists for."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    vt = VersionedTable.create(spark, root, orders.filter(yr == 1994))
+    vt.set_partition_spec([("o_orderdate", "month")])
+    vt.append(orders.filter(yr == 1995))
+    vt.set_partition_spec([("o_custkey", "bucket", 8)])
+    vt.append(orders.filter(yr == 1996))
 
 
 def _build_mor(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -478,6 +509,7 @@ def _staged_base(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
             (_build_dml, tmp),  # table_dml + table_dml_clone
             (_build_rename, os.path.join(tmp, "table_rename")),
             (_build_widen, os.path.join(tmp, "table_widen")),
+            (_build_spec, os.path.join(tmp, "table_spec")),
         ]
         with ThreadPoolExecutor(max_workers=len(builds)) as pool:
             futures = [
@@ -592,6 +624,18 @@ def staged_vtable_widen(
 
     base = _staged_base(spark, sf_dir, fresh=fresh)
     return VersionedTable(spark, os.path.join(base, "table_widen"))
+
+
+def staged_vtable_spec(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+):
+    """The staged hidden-partitioning vtable (month spec -> bucket spec)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    base = _staged_base(spark, sf_dir, fresh=fresh)
+    return VersionedTable(spark, os.path.join(base, "table_spec"))
 
 
 def staged_vtable_dml_clone(
@@ -2463,3 +2507,127 @@ def vtable_sql_source_widened_scan(spark, sf_dir) -> DataFrame:
             scaled_sum(F.col("price")).alias("total_price"),
         )
     )
+
+
+@register(
+    "vtable_partition_pruned_scan",
+    oracle=f"""
+    WITH t94 AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        AND o_orderdate <  TIMESTAMP '1995-01-01'
+    ),
+    t95 AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+    ),
+    t96 AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ),
+    -- file-plan arithmetic, derived from the SAME data the build
+    -- partitioned: era A wrote one segment per 1995 month, era B one
+    -- per md5-bucket(o_custkey, 8) over 1996 rows (the repo's portable
+    -- hash primitive, identical in both engines for integral columns)
+    months95 AS (
+      SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                  AS BIGINT) AS n FROM t95
+    ),
+    buckets96 AS (
+      SELECT CAST(COUNT(DISTINCT
+                 ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                 ::BIGINT % 8) AS BIGINT) AS n FROM t96
+    ),
+    march AS (
+      SELECT * FROM t95
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        AND o_orderdate <  TIMESTAMP '1995-04-01'
+    ),
+    kmin AS (
+      SELECT MIN(o_custkey) AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ),
+    krows AS (
+      SELECT o.* FROM orders o, kmin
+      WHERE o.o_custkey = kmin.k
+        AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    -- month probe: pv pruning drops every 1995 month but March; the v0
+    -- 1994 segment and all era-B bucket segments are scanned (timestamp
+    -- footer stats are not JSON-safe, so ONLY partition values skip)
+    SELECT 'month_1995_03' AS probe,
+           (SELECT 2 + n FROM buckets96) AS n_planned,
+           (SELECT n - 1 FROM months95) AS n_skipped,
+           CAST((SELECT COUNT(*) FROM march) AS BIGINT) AS n_rows,
+           (SELECT {scaled_sum_sql('o_totalprice')} FROM march)
+             AS total_price
+    UNION ALL
+    -- bucket probe (era-B segments only: counts among segments carrying
+    -- the bucket pv field — exactly one bucket holds the probe key)
+    SELECT 'custkey_min_bucket' AS probe,
+           CAST(1 AS BIGINT) AS n_planned,
+           (SELECT n - 1 FROM buckets96) AS n_skipped,
+           CAST((SELECT COUNT(*) FROM krows) AS BIGINT) AS n_rows,
+           (SELECT {scaled_sum_sql('o_totalprice')} FROM krows)
+             AS total_price
+    """,
+    survey="extension (lakehouse layout): Iceberg-style HIDDEN "
+    "PARTITIONING with spec evolution as metadata commits "
+    "(operators/vtable.py set_partition_spec) — partitioned writes "
+    "record per-segment partition tuples; planning prunes on them "
+    "BEFORE the stats fold; the planned/skipped file counts under a "
+    "month probe and a bucket equality probe are value-pinned against "
+    "counts the oracle derives from the same data, and the row values "
+    "prove pruning never drops a holding segment",
+    tags=("vtable",),
+)
+def vtable_partition_pruned_scan(spark, sf_dir) -> DataFrame:
+    """Two probes over the spec table: files planned/skipped come from
+    the engine's ACTUAL plan (pruned_segments); the oracle re-derives
+    the expected counts from the data (months present in 1995, buckets
+    present in 1996), so a pruning regression in either direction —
+    over-skip OR over-scan — breaks parity."""
+    import datetime
+
+    vt = staged_vtable_spec(spark, sf_dir)
+    v = vt.latest_version()
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 3, 31, 23, 59, 59, 999999)
+    scanned_m, skipped_m = vt.pruned_segments(v, "o_orderdate", lo, hi)
+    march = vt.read_pruned("o_orderdate", lo, hi).filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    row_m = march.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    ).select(
+        F.lit("month_1995_03").alias("probe"),
+        F.lit(len(scanned_m)).cast("long").alias("n_planned"),
+        F.lit(len(skipped_m)).cast("long").alias("n_skipped"),
+        "n_rows",
+        "total_price",
+    )
+
+    k = vt.read().agg(F.min("o_custkey")).collect()[0][0]
+    scanned_b, skipped_b = vt.pruned_segments(v, "o_custkey", k, k)
+    pvs = vt._live_segment_pvs(v)
+    bkey = "bucket(o_custkey,8)"
+    planned_b = sum(1 for r in scanned_b if bkey in pvs.get(r, {}))
+    skipped_bn = sum(1 for r in skipped_b if bkey in pvs.get(r, {}))
+    krows = vt.read_pruned("o_custkey", k, k).filter(F.col("o_custkey") == k)
+    row_b = krows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    ).select(
+        F.lit("custkey_min_bucket").alias("probe"),
+        F.lit(planned_b).cast("long").alias("n_planned"),
+        F.lit(skipped_bn).cast("long").alias("n_skipped"),
+        "n_rows",
+        "total_price",
+    )
+    return row_m.unionByName(row_b)

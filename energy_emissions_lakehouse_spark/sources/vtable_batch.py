@@ -139,6 +139,16 @@ def _target_schema_at(
 
     chains = chains or {}
     widen_types = {c: _arrow_type_of(s) for c, s in (widen or {}).items()}
+
+    def _normalize(typ):
+        # Spark writes INT96 timestamps by default; pyarrow reads them
+        # as ns, which Spark's Arrow bridge rejects
+        # ([UNSUPPORTED_ARROWTYPE] Timestamp(NANOSECOND)).  Serve every
+        # timestamp as µs — align_arrow_table casts per file, and INT96
+        # values are UTC-normalized so the cast is a pure unit change.
+        if pa.types.is_timestamp(typ):
+            return pa.timestamp("us", tz=typ.tz)
+        return typ
     want = {c: [c, *chains.get(c, [])] for c in columns}
     resolved: dict[str, object] = {}
     for v in range(max_version, -1, -1):
@@ -159,7 +169,10 @@ def _target_schema_at(
                 for n in names:
                     if n in footer.names:
                         resolved[c] = pa.field(
-                            c, widen_types.get(c, footer.field(n).type)
+                            c,
+                            widen_types.get(
+                                c, _normalize(footer.field(n).type)
+                            ),
                         )
                         break
             if len(resolved) == len(columns):
@@ -302,13 +315,25 @@ class VtableBatchReader(DataSourceReader):
         if self._bounds:
             # stats walk + bloom loading only when there is something to
             # prune WITH — an unfiltered scan pays neither
+            from energy_emissions_lakehouse_spark.operators.vtable import (
+                partition_skips,
+            )
+
             vt = VersionedTable(None, self.root)
             stats = vt._live_segment_stats(self.version)
+            pvs = vt._live_segment_pvs(self.version)
             bloom_cols, _, _ = vt.bloom_props
             survivors = []
             for rel in self.live:
                 keep = True
                 for col, lo, hi, is_point, values in self._bounds:
+                    # partition-value pruning FIRST (Iceberg order):
+                    # pure tuple comparison, no stats or bloom I/O
+                    if partition_skips(
+                        pvs.get(rel), col, lo, hi, is_point=is_point
+                    ):
+                        keep = False
+                        break
                     names = [col, *self.chains.get(col, [])]
                     seg_stats = stats.get(rel, {})
                     mn_mx = next(

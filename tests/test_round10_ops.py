@@ -320,3 +320,186 @@ def test_stream_restart_across_widen_resumes_wide(spark, root, tmp_path):
     got = spark.read.schema("k bigint, v float").parquet(out)
     assert got.count() == 8
     assert got.select("k").distinct().count() == 8
+
+
+# ------------------------------------------------- hidden partitioning
+def _dated(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("1995-"),
+                F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+        (F.col("id") % 5).alias("g"),
+    )
+
+
+def test_set_spec_validation(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 10))
+    with pytest.raises(ValueError, match="unknown transform"):
+        vt.set_partition_spec([("ts", "hour")])
+    with pytest.raises(ValueError, match="no column"):
+        vt.set_partition_spec([("zzz", "month")])
+    with pytest.raises(ValueError, match="date/timestamp"):
+        vt.set_partition_spec([("k", "month")])
+    with pytest.raises(ValueError, match="positive integer"):
+        vt.set_partition_spec([("g", "bucket")])
+    with pytest.raises(ValueError, match="takes no param"):
+        vt.set_partition_spec([("ts", "month", 3)])
+    df2 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("x")
+    )
+    vt2 = VersionedTable.create(spark, root + "_2", df2)
+    with pytest.raises(ValueError, match="integral or string"):
+        vt2.set_partition_spec([("x", "bucket", 4)])
+    with pytest.raises(ValueError, match="integral source"):
+        vt2.set_partition_spec([("x", "truncate", 10)])
+
+
+def test_partitioned_append_one_segment_per_tuple(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 5))
+    vt.set_partition_spec([("ts", "month")])
+    v = vt.append(_dated(spark, 5, 60))
+    entry = read_commit(root, v)
+    assert len(entry["add"]) == 12  # one per month
+    pv_vals = sorted(
+        pv["month(ts)"] for pv in entry["pv"].values()
+    )
+    assert pv_vals == [f"1995-{m:02d}" for m in range(1, 13)]
+    assert vt.read().count() == 60
+    assert {r.k for r in vt.read().collect()} == set(range(60))
+
+
+def test_partition_prune_month_and_spec_evolution(spark, root):
+    import datetime
+
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 5))
+    vt.set_partition_spec([("ts", "month")])
+    vt.append(_dated(spark, 5, 60))
+    vt.set_partition_spec([("g", "bucket", 4)])
+    vt.append(_dated(spark, 60, 80))
+    v = vt.latest_version()
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 3, 31, 23, 59, 59)
+    scanned, skipped = vt.pruned_segments(v, "ts", lo, hi)
+    # v0 (no pv, no timestamp stats) + March + the 4 bucket segments
+    assert len(scanned) == 6
+    assert len(skipped) == 11  # the other 11 months — pv-pruned
+    got = vt.read_pruned("ts", lo, hi).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    want = (
+        _dated(spark, 0, 80)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .count()
+    )
+    assert got.count() == want
+    # bucket probe: among era-B segments exactly one is planned
+    s2, k2 = vt.pruned_segments(v, "g", 3, 3)
+    pvs = vt._live_segment_pvs(v)
+    bkey = "bucket(g,4)"
+    assert sum(1 for r in s2 if bkey in pvs.get(r, {})) == 1
+    assert sum(1 for r in k2 if bkey in pvs.get(r, {})) == 3
+    # value safety: the probe rows all arrive
+    got_b = vt.read_pruned("g", 3, 3).filter(F.col("g") == 3)
+    assert got_b.count() == _dated(spark, 0, 80).filter("g = 3").count()
+
+
+def test_partition_pv_survives_checkpoint(spark, root):
+    """CHECKPOINT_EVERY=8: push past a checkpoint and confirm the pv
+    fold (and pruning) still resolves through it."""
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 2))
+    vt.set_partition_spec([("g", "bucket", 2)])
+    for i in range(9):
+        vt.append(_dated(spark, 2 + i * 3, 5 + i * 3))
+    v = vt.latest_version()
+    assert v >= 9
+    pvs = vt._live_segment_pvs(v)
+    n_bucketed = sum(1 for pv in pvs.values() if "bucket(g,2)" in pv)
+    assert n_bucketed >= 9  # every partitioned append contributed
+    s, k = vt.pruned_segments(v, "g", 1, 1)
+    assert len(k) > 0  # pruning works through the checkpointed fold
+    got = vt.read_pruned("g", 1, 1).filter(F.col("g") == 1)
+    want = _dated(spark, 0, 29).filter("g = 1").count()
+    assert got.count() == want
+
+
+def test_spec_source_rename_drop_refused(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 5))
+    vt.set_partition_spec([("ts", "month")])
+    with pytest.raises(ValueError, match="partition-spec source"):
+        vt.rename_column("ts", "event_ts")
+    with pytest.raises(ValueError, match="partition-spec source"):
+        vt.drop_column("ts")
+    # evolving the spec away frees the column
+    vt.set_partition_spec([])
+    vt.rename_column("ts", "event_ts")
+    assert "event_ts" in vt.read().columns
+
+
+def test_null_partition_value_roundtrips_and_never_prunes(spark, root):
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3).alias("g"),
+    )
+    vt = VersionedTable.create(spark, root, df.filter("k < 0"))
+    vt.set_partition_spec([("g", "identity")])
+    vt.append(df)
+    got = vt.read()
+    assert got.count() == 6
+    assert got.filter(F.col("g").isNull()).count() == 3
+    # the null-partition segment is never skipped
+    s, k = vt.pruned_segments(vt.latest_version(), "g", 1, 1)
+    pvs = vt._live_segment_pvs(vt.latest_version())
+    null_segs = [r for r, pv in pvs.items() if pv.get("identity(g)") is None]
+    assert null_segs and all(r in s for r in null_segs)
+
+
+def test_overwrite_keeps_spec_when_shape_matches(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 10))
+    vt.set_partition_spec([("ts", "month")])
+    v = vt.overwrite(_dated(spark, 0, 30))
+    entry = read_commit(root, v)
+    assert len(entry["add"]) == 12  # partitioned replace
+    assert entry["spec"]  # spec survives
+    assert vt.read().count() == 30
+    # schema-evolving overwrite that drops the source column resets it
+    v2 = vt.overwrite(
+        spark.range(4).select(F.col("id").alias("k"))
+    )
+    assert read_commit(root, v2).get("spec") == []
+    assert vt.read().count() == 4
+
+
+def test_datasource_prunes_on_partition_values(spark, root):
+    """The Python DataSource planner consults pv BEFORE stats: a month
+    probe on a timestamp column (no footer stats) must plan only the
+    matching month's files."""
+    from pyspark.sql.datasource import EqualTo
+
+    from energy_emissions_lakehouse_spark.sources.vtable_batch import (
+        VtableBatchReader,
+    )
+
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 5))
+    vt.set_partition_spec([("g", "bucket", 4)])
+    vt.append(_dated(spark, 5, 45))
+    reader = VtableBatchReader(root, vt.read().schema, {"path": root})
+    reader.pushFilters([EqualTo(("g",), 2)])
+    parts = reader.partitions()
+    pvs = vt._live_segment_pvs(vt.latest_version())
+    planned_dirs = {p.path.split("/")[-2] for p in parts}
+    bucketed = [
+        r.split("/")[-1] for r, pv in pvs.items() if "bucket(g,4)" in pv
+    ]
+    assert sum(1 for d in planned_dirs if d in bucketed) == 1
+    # and the engine-side residual still returns every matching row
+    register_vtable_source(spark)
+    src = spark.read.format("eel_vtable").option("path", root).load()
+    assert (
+        src.filter(F.col("g") == 2).count()
+        == _dated(spark, 0, 45).filter("g = 2").count()
+    )
