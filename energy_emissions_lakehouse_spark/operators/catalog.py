@@ -311,7 +311,31 @@ class TableCatalog:
     def history(self) -> list[dict]:
         return [self._read(v) for v in self._versions()]
 
-    # ---------------------------------------------------------- transactions
+    def version_at(self, ts: float) -> int:
+        """The catalog version ACTIVE at wall-clock ``ts`` — the newest
+        commit at or before it (the Nessie/tag time-travel shape at the
+        catalog level, mirroring :meth:`VersionedTable.version_at`)."""
+        cand = [v for v in self._versions() if self._read(v)["ts"] <= ts]
+        if not cand:
+            raise ValueError(
+                f"catalog {self.root} has no version at or before "
+                f"ts={ts} (first commit is later)"
+            )
+        return cand[-1]
+
+    def read_as_of(self, catalog_version: int) -> "CatalogSnapshot":
+        """A CROSS-TABLE-CONSISTENT historical cut: every table served
+        at the version THIS catalog commit pinned (the Nessie tag /
+        Iceberg catalog-snapshot shape).  Per-table time travel cannot
+        give this — two tables' version clocks are independent, and
+        picking 'versions that existed around the same time' can
+        straddle a multi-table transaction; the catalog commit is the
+        only record of which cuts were ever simultaneously visible.
+        The snapshot is immutable (one JSON map) — reads through it are
+        repeatable regardless of later commits."""
+        return CatalogSnapshot(self, catalog_version)
+
+
     def begin(self) -> "CatalogTransaction":
         """Start a multi-table transaction against the current head."""
         return CatalogTransaction(self)
@@ -429,3 +453,38 @@ class CatalogTransaction:
         raise ConcurrentCommitError(
             f"catalog txn: lost {retries} consecutive commit races"
         )
+
+
+class CatalogSnapshot:
+    """An immutable view of one catalog version: ``read(name)`` serves
+    the cut's pinned table version; all reads are mutually consistent
+    by construction (they come from one atomic pointer-map commit)."""
+
+    def __init__(self, catalog: TableCatalog, catalog_version: int):
+        self.catalog = catalog
+        self.catalog_version = catalog_version
+        #: the pinned {name: {root, version}} map, read ONCE
+        self.entries = catalog._read(catalog_version)["tables"]
+
+    def names(self) -> list[str]:
+        return sorted(self.entries)
+
+    def table_version(self, name: str) -> int:
+        ent = self.entries.get(name)
+        if ent is None:
+            raise KeyError(
+                f"catalog v{self.catalog_version} has no table {name!r}"
+            )
+        return ent["version"]
+
+    def read(self, name: str) -> DataFrame:
+        ent = self.entries.get(name)
+        if ent is None:
+            raise KeyError(
+                f"catalog v{self.catalog_version} has no table {name!r}"
+            )
+        return VersionedTable(self.catalog.spark, ent["root"]).read(
+            ent["version"]
+        )
+
+    # ---------------------------------------------------------- transactions

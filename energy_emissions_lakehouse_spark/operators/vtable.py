@@ -3489,6 +3489,83 @@ class VersionedTable:
         return VersionedTable(self.spark, dest_root)
 
     # -------------------------------------------------------------- describe
+    def table_stats(self, version: int | None = None) -> dict:
+        """Planner-facing size estimates from the COMMIT LOG + file
+        metadata alone — the ANALYZE-results store of this lakehouse
+        (Delta keeps numRecords in add-file stats; Iceberg in manifest
+        entries).  O(live files) driver metadata: row counts come from
+        parquet footers, bytes from os.stat — no Spark job, no data
+        read.  Rows are pre-deletion-vector (an upper bound while DVs
+        are active — estimates, not answers; fine for planning).
+        Consumed by :meth:`read_source`'s broadcast decision."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        _, live, dvs, _ = self._snapshot_state(version)
+        n_rows = 0
+        n_bytes = 0
+        n_files = 0
+        for rel in live:
+            for p in _glob.glob(
+                os.path.join(self.root, rel, "part-*.parquet")
+            ):
+                n_files += 1
+                try:
+                    n_rows += pq.ParquetFile(p).metadata.num_rows
+                    n_bytes += os.path.getsize(p)
+                except OSError:
+                    pass
+        return {
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "n_files": n_files,
+            "has_dvs": bool(dvs),
+        }
+
+    def read_source(
+        self, version: int | None = None, use_log_stats: bool = True
+    ) -> DataFrame:
+        """Read through the registered ``eel_vtable`` Python DataSource
+        (Catalyst filter pushdown -> stats/bloom/partition file pruning)
+        WITH the commit log's size estimate fed to the planner.
+
+        Why this exists: a Python DataSource exposes no statistics hook,
+        so Spark costs it at ``spark.sql.defaultSizeInBytes`` (max
+        long) and a genuinely KB-sized dimension table never
+        auto-broadcasts — every star join against it degrades to a
+        shuffle.  This is the consumption side of the log's ANALYZE
+        stats (:meth:`table_stats`): when the live-set byte estimate is
+        under ``spark.sql.autoBroadcastJoinThreshold``, the broadcast
+        hint is attached, flipping the join back to the plan a native
+        source with CBO stats would have produced.  At 100 TB the fact
+        side never qualifies and reads unhinted — exactly right."""
+        from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+            register_vtable_source,
+        )
+
+        register_vtable_source(self.spark)
+        reader = self.spark.read.format("eel_vtable").option(
+            "path", self.root
+        )
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        df = reader.load()
+        if not use_log_stats:
+            return df
+        try:
+            raw = str(
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            ).strip().lower().removesuffix("b")
+            threshold = int(raw)
+        except (TypeError, ValueError):
+            threshold = 10 * 1024 * 1024
+        if 0 < threshold and (
+            self.table_stats(version)["n_bytes"] <= threshold
+        ):
+            return F.broadcast(df)
+        return df
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL: head-snapshot facts as one dict — version,
         operation, schema, live segment/DV/file counts, total live bytes,

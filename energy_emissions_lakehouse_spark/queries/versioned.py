@@ -2631,3 +2631,160 @@ def vtable_partition_pruned_scan(spark, sf_dir) -> DataFrame:
         "total_price",
     )
     return row_m.unionByName(row_b)
+
+
+@register(
+    "vtable_stats_broadcast_join",
+    oracle=f"""
+    WITH dim AS (
+      -- the admin table's head: customer + the restored-era +2M batch
+      SELECT c_custkey, c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey + 2000000, c_mktsegment FROM customer
+      WHERE c_custkey % 7 = 0
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o.o_totalprice')} AS total_price
+    FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+    survey="extension (CBO): the commit log's ANALYZE stats CONSUMED by "
+    "the planner — a Python DataSource reports no statistics (Spark "
+    "costs it at defaultSizeInBytes, so a KB-sized dim never "
+    "auto-broadcasts); VersionedTable.read_source feeds the log's "
+    "live-set byte estimate (table_stats) into the broadcast decision "
+    "and the star join against the vtable dim flips from shuffle to "
+    "BroadcastHashJoin (plan-pinned in tests/test_plan_quality.py)",
+    tags=("vtable",),
+)
+def vtable_stats_broadcast_join(spark, sf_dir) -> DataFrame:
+    """Orders fact (parquet scan) x admin vtable dim (eel_vtable source
+    + log-stats broadcast): value parity proves the hinted plan reads
+    the same head snapshot; the broadcast flip itself is plan-asserted
+    in tests."""
+    vt = staged_vtable_admin(spark, sf_dir)
+    dim = vt.read_source().select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            scaled_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "catalog_as_of_consistent_cut",
+    oracle=f"""
+    -- catalog v1 pinned: orders has thirds 0+1, customer still lacks
+    -- BUILDING (the second transaction — orders third 2 + the BUILDING
+    -- backfill — landed in catalog v2 and must be invisible at v1)
+    WITH o_v1 AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    c_v1 AS (
+      SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'
+    )
+    SELECT 'customer' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('c_acctbal')} AS value_sum,
+           TRUE AS matches_time_travel
+    FROM c_v1
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {scaled_sum_sql('o_totalprice')},
+           TRUE
+    FROM o_v1
+    ORDER BY side
+    """,
+    survey="extension (catalog time travel): catalog.read_as_of — a "
+    "CROSS-TABLE-CONSISTENT historical cut (Nessie tag / Iceberg "
+    "catalog-snapshot shape, operators/catalog.py CatalogSnapshot): "
+    "both tables served at the versions ONE catalog commit pinned, so "
+    "a multi-table transaction is all-visible or all-invisible; the "
+    "matches_time_travel column equates each snapshot read with the "
+    "per-table time travel of its pinned version",
+    tags=("vtable",),
+)
+def catalog_as_of_consistent_cut(spark, sf_dir) -> DataFrame:
+    """Two multi-table transactions, then read AS OF the intermediate
+    catalog version: txn2's orders rows AND its customer backfill must
+    both be invisible (consistent cut), and each snapshot read must
+    equal the per-table time travel of the version the cut pinned."""
+    import shutil as _shutil
+
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        TableCatalog,
+    )
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    cust = t(spark, sf_dir, "customer")
+    base = os.path.join(
+        staging_dir("vtable_catalog"),
+        f"asof_{table_cache_key(sf_dir, 'orders', 'catalog', _HISTORY_REV)}",
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    key = F.col("o_orderkey")
+    t_orders = VersionedTable.create(
+        spark, os.path.join(base, "orders"), orders.filter(key % 3 == 0)
+    )
+    t_cust = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        cust.filter(F.col("c_mktsegment") != "BUILDING"),
+    )
+    cat = TableCatalog.create(
+        spark, base, {"orders": t_orders.root, "customer": t_cust.root}
+    )
+    txn1 = cat.begin()
+    txn1.table("orders").append(orders.filter(key % 3 == 1))
+    v_mid = txn1.commit()
+    txn2 = cat.begin()
+    txn2.table("orders").append(orders.filter(key % 3 == 2))
+    txn2.table("customer").append(
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    txn2.commit()
+
+    snap = cat.read_as_of(v_mid)
+
+    def _side(name: str, key_col: str, val_col: str) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(key_col).cast("long").alias("key_checksum"),
+            scaled_sum(F.col(val_col)).alias("value_sum"),
+        ]
+        got = snap.read(name).agg(*aggs)
+        # per-table time travel of the pinned version must agree —
+        # equated IN the result, so a divergence breaks value parity
+        tt = (
+            VersionedTable(spark, snap.entries[name]["root"])
+            .read(snap.table_version(name))
+            .agg(*[a.alias(f"tt_{i}") for i, a in enumerate(aggs)])
+        )
+        return got.crossJoin(F.broadcast(tt)).select(
+            F.lit(name).alias("side"),
+            "n_rows",
+            "key_checksum",
+            "value_sum",
+            (
+                (F.col("n_rows") == F.col("tt_0"))
+                & (F.col("key_checksum") == F.col("tt_1"))
+                & (F.col("value_sum") == F.col("tt_2"))
+            ).alias("matches_time_travel"),
+        )
+
+    return (
+        _side("customer", "c_custkey", "c_acctbal")
+        .unionAll(_side("orders", "o_orderkey", "o_totalprice"))
+        .orderBy("side")
+    )

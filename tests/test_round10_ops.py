@@ -503,3 +503,140 @@ def test_datasource_prunes_on_partition_values(spark, root):
         src.filter(F.col("g") == 2).count()
         == _dated(spark, 0, 45).filter("g = 2").count()
     )
+
+
+# ------------------------------------------------- log stats -> planner
+def test_table_stats_from_log_metadata(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 100))
+    vt.append(_kv(spark, 100, 150))
+    st = vt.table_stats()
+    assert st["n_rows"] == 150
+    assert st["n_bytes"] > 0
+    assert st["n_files"] >= 2
+    assert not st["has_dvs"]
+    assert vt.table_stats(0)["n_rows"] == 100
+
+
+def test_read_source_broadcasts_small_dim_from_log_stats(spark, root):
+    """The plan-asserted CBO flip: a Python DataSource has no stats
+    hook (Spark costs it at defaultSizeInBytes), so without the log
+    stats the dim side of the join shuffles; read_source feeds the
+    commit log's byte estimate into the broadcast decision and the
+    join flips to BroadcastHashJoin."""
+    import tempfile as _tf
+
+    dim = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp")
+    )
+    vt = VersionedTable.create(spark, root, dim)
+    fact_dir = _tf.mkdtemp(prefix="cbo-fact-") + "/fact"
+    spark.range(300_000).select(
+        (F.col("id") % 20).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).write.parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # fact (several MB) above, dim (KB) below the threshold
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+
+        def plan_of(d):
+            return d._jdf.queryExecution().executedPlan().toString()
+
+        unhinted = (
+            fact.join(vt.read_source(use_log_stats=False), "k")
+            .groupBy("grp")
+            .count()
+        )
+        assert "BroadcastHashJoin" not in plan_of(unhinted)
+        hinted = (
+            fact.join(vt.read_source(), "k").groupBy("grp").count()
+        )
+        assert "BroadcastHashJoin" in plan_of(hinted)
+        # and the hinted plan is value-correct
+        got = {r.grp: r["count"] for r in hinted.collect()}
+        assert got == {0: 105_000, 1: 105_000, 2: 90_000}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_read_source_never_broadcasts_a_big_table(spark, root):
+    vt = VersionedTable.create(spark, root, _kv(spark, 0, 1000))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        df = vt.read_source()  # ~KBs > 1 KiB threshold: no hint
+        plan = df._jdf.queryExecution().logical().toString()
+        assert "hint" not in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ------------------------------------------------- catalog as-of reads
+def test_catalog_read_as_of_serves_consistent_cut(spark, root, tmp_path):
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        TableCatalog,
+    )
+
+    base = str(tmp_path / "cat")
+    t_a = VersionedTable.create(
+        spark, os.path.join(base, "a"), _kv(spark, 0, 5)
+    )
+    t_b = VersionedTable.create(
+        spark, os.path.join(base, "b"), _kv(spark, 0, 3)
+    )
+    cat = TableCatalog.create(spark, base, {"a": t_a.root, "b": t_b.root})
+    txn = cat.begin()
+    txn.table("a").append(_kv(spark, 5, 8))
+    txn.table("b").append(_kv(spark, 3, 9))
+    v1 = txn.commit()
+    txn2 = cat.begin()
+    txn2.table("a").append(_kv(spark, 8, 20))
+    txn2.commit()
+
+    snap0 = cat.read_as_of(0)
+    assert snap0.names() == ["a", "b"]
+    assert snap0.read("a").count() == 5
+    assert snap0.read("b").count() == 3
+    snap1 = cat.read_as_of(v1)
+    assert snap1.read("a").count() == 8
+    assert snap1.read("b").count() == 9
+    # head unaffected; snapshot reads are repeatable after later commits
+    assert cat.read("a").count() == 20
+    assert snap1.read("a").count() == 8
+    # snapshot agrees with per-table time travel of its pinned versions
+    want = (
+        VersionedTable(spark, snap1.entries["a"]["root"])
+        .read(snap1.table_version("a"))
+        .count()
+    )
+    assert snap1.read("a").count() == want
+    with pytest.raises(KeyError, match="no table"):
+        snap1.read("zzz")
+
+
+def test_catalog_version_at_timestamp(spark, root, tmp_path):
+    import time as _time
+
+    from energy_emissions_lakehouse_spark.operators.catalog import (
+        TableCatalog,
+    )
+
+    base = str(tmp_path / "cat")
+    t_a = VersionedTable.create(
+        spark, os.path.join(base, "a"), _kv(spark, 0, 5)
+    )
+    cat = TableCatalog.create(spark, base, {"a": t_a.root})
+    ts_after_create = _time.time()
+    _time.sleep(0.02)
+    txn = cat.begin()
+    txn.table("a").append(_kv(spark, 5, 8))
+    txn.commit()
+    assert cat.version_at(ts_after_create) == 0
+    assert cat.version_at(_time.time()) == cat.latest_version()
+    with pytest.raises(ValueError, match="no version at or before"):
+        cat.version_at(0.0)
+    # the composition: time -> catalog version -> consistent cut
+    assert cat.read_as_of(cat.version_at(ts_after_create)).read(
+        "a"
+    ).count() == 5
