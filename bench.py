@@ -234,6 +234,15 @@ HEADLINE = [
     "bottomk_sample_orders",
     "embedding_dim_covariance",
     "interval_overlap_sessions",
+    # round-10 additions: type widening, hidden partitioning, log-stats
+    # CBO, catalog as-of cuts, exact-substring dedup
+    "vtable_type_widening_read",
+    "vtable_widen_time_travel",
+    "vtable_sql_source_widened_scan",
+    "vtable_partition_pruned_scan",
+    "vtable_stats_broadcast_join",
+    "catalog_as_of_consistent_cut",
+    "doc_exact_substring_dedup",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

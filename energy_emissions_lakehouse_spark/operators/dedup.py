@@ -393,3 +393,91 @@ def connected_components(
                 f"connected_components: no fixpoint in {max_iter}"
             )
         return labels.select("node", F.col("label").alias("component_id"))
+
+
+# -------------------------------------------------- exact-substring tier
+def exact_substring_windows(
+    docs: DataFrame, w: int = 50
+) -> DataFrame:
+    """``(doc_id, n_tokens, pos, hid)`` — one row per ``w``-token sliding
+    window of each document, keyed by the portable md5 hash of the
+    window's text (the suffix-array replacement for Lee et al. 2022's
+    EXACT-SUBSTRING dedup tier, 50-token default granularity).
+
+    Why windows instead of a suffix array: the suffix array is a
+    single-machine structure; a verbatim run of length ``L >= w`` shared
+    between any two corpus positions is EXACTLY the set of runs all of
+    whose w-windows collide, so window-hash equality distributes the
+    same detection as keyed groupBy/join — no all-pairs step anywhere,
+    O(total tokens) window rows.
+
+    Window construction uses the zip_with chain (operators/text.shingles
+    rationale: transform(sequence) would re-evaluate the token array per
+    element); ``docs`` must carry (doc_id, toks)."""
+    from energy_emissions_lakehouse_spark.operators.text import all_ngrams
+
+    grams = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.posexplode(all_ngrams(F.col("toks"), n=w)).alias("pos", "gram"),
+    )
+    return grams.select(
+        "doc_id", "n_tokens", "pos", hash_id(F.col("gram")).alias("hid")
+    )
+
+
+def exact_substring_coverage(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Per-document duplicated-run coverage at ``w``-token granularity
+    (Lee et al. 2022 'Deduplicating Training Data Makes Language Models
+    Better', the exact-substring tier): windows occurring >= 2 times
+    ANYWHERE in the corpus (other documents or the same one) mark
+    duplicated spans; overlapping windows merge into maximal runs
+    (gaps-and-islands over positions) and each document reports its
+    total covered tokens — the quantity production dedup CUTS from the
+    corpus.  Only documents with at least one duplicated run appear.
+
+    Scale shape: one groupBy on the window hash (map-side partials),
+    one co-partitioned equi-join back, then a per-DOCUMENT window fold —
+    state bounded by a document's own duplicated windows, never a hot
+    global key.  The complement of the 3-gram span profile
+    (queries/text.doc_duplicate_span_coverage): that tier sees ANY
+    shared 3-gram, this tier sees only LONG verbatim runs."""
+    from pyspark.sql.window import Window
+
+    win = exact_substring_windows(docs, w)
+    cnt = win.groupBy("hid").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = win.join(cnt.filter(F.col("n_occ") >= 2), "hid")
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        dup.withColumn("prev", F.lag("pos").over(ww))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + w)
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                ww.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    islands = marked.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") - F.min("pos") + w).alias("covered"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return islands.groupBy("doc_id", "n_tokens").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.sum("covered").cast("long").alias("covered_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_windows",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

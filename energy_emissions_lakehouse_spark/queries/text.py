@@ -2083,3 +2083,118 @@ def doc_psi_drift(spark, sf_dir) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Exact-substring tier window width for THIS corpus: documents median
+#: 56 tokens (max 99), so the production 50-token granularity would
+#: exceed most documents outright; 20 keeps the operator semantics
+#: (long-verbatim-run detection) testable.  The operator default stays
+#: 50 (operators/dedup.exact_substring_coverage).
+_XS_W = 20
+
+#: Verbatim-run injection shared by the query and its oracle: for every
+#: 20th document with >= 30 tokens, a synthetic doc carrying a unique
+#: prefix token plus tokens 4..28 of the original — a 25-token verbatim
+#: run (>= _XS_W), detectable by the window tier but NOT an exact dup.
+_XS_DOCS_CTE = """
+    docs_plus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'synth' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(
+               list_slice(string_split_regex(lower(text), '\\W+'), 4, 28),
+               ' ') AS text
+      FROM documents
+      WHERE doc_id % 20 = 0
+        AND len(string_split_regex(lower(text), '\\W+')) >= 30
+    )
+"""
+
+
+def _xs_docs(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = tx.tokens(F.col("text"))
+    synth = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("tk"))
+        .filter((F.col("doc_id") % 20 == 0) & (F.size("tk") >= 30))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.lit("synth"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.concat_ws(" ", F.slice("tk", 4, 25)),
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(synth)
+
+
+@register(
+    "doc_exact_substring_dedup",
+    oracle=f"""
+    WITH {_XS_DOCS_CTE},
+    dt AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\W+') AS toks
+      FROM docs_plus
+    ),
+    wins AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             i - 1 AS pos,
+             {dd.hash_id_sql(
+                 "array_to_string(list_slice(toks, i, i + " +
+                 str(_XS_W - 1) + "), ' ')")} AS hid
+      FROM dt, UNNEST(range(1, len(toks) - {_XS_W} + 2)) AS u(i)
+    ),
+    cnt AS (SELECT hid, COUNT(*) AS n_occ FROM wins GROUP BY hid),
+    dup AS (
+      SELECT w.* FROM wins w JOIN cnt c USING (hid) WHERE c.n_occ >= 2
+    ),
+    isl AS (
+      SELECT *, CASE WHEN lag(pos) OVER dw IS NULL
+                       OR pos > lag(pos) OVER dw + {_XS_W}
+                     THEN 1 ELSE 0 END AS brk
+      FROM dup WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    per_island AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(pos) - MIN(pos) + {_XS_W} AS covered,
+             COUNT(*) AS nw
+      FROM isl2 GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(SUM(covered) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS coverage
+    FROM per_island GROUP BY doc_id, n_tokens
+    """,
+    survey="extension (dedup, exact-substring tier): Lee et al. 2022's "
+    "EXACT-SUBSTRING dedup (suffix-array tier, 50-token production "
+    "granularity; 20 here — corpus median doc is 56 tokens) as "
+    "distributed window hashing — every w-token sliding window keyed "
+    "by the portable md5; windows occurring twice anywhere in the "
+    "corpus mark duplicated spans; overlapping windows merge into "
+    "maximal verbatim runs per document (gaps-and-islands) and the "
+    "covered-token count is what production dedup cuts.  Catches the "
+    "long-verbatim-run shape the 3-gram span profile and the "
+    "whole-document MinHash tiers both miss",
+    tags=("text",),
+)
+def doc_exact_substring_dedup(spark, sf_dir) -> DataFrame:
+    """Injected 25-token verbatim runs (>= w, < whole doc) must surface
+    with exact per-document covered-token counts; organic runs, if the
+    generator ever emits any, count identically in both engines.  No
+    all-pairs step and no suffix array: one window-hash groupBy, one
+    keyed join back, one per-document fold."""
+    docs = _xs_docs(spark, sf_dir).select(
+        "doc_id", tx.tokens(F.col("text")).alias("toks")
+    )
+    return dd.exact_substring_coverage(docs, w=_XS_W)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Measured scale stressors (round-9 verdict items 4+5): numbers, not
+"""Measured scale stressors (round-9 items 4+5, round-10 item 5): numbers, not
 prose, for the three 100 TB claims that previously rested on unmeasured
 assumptions.
 
@@ -23,7 +23,11 @@ C. VREAD — the versioned-table read path vs spark.read.parquet on the
    DV-masked read after a 1% merge-on-read delete (broadcast anti-join
    overhead).
 
-Writes SCALE_STRESSORS_r09.json at the repo root and prints it.
+E. XSUB  — exact-substring dedup growth (round-10 verdict item 5):
+   window rows / duplicated windows / wall at sf0.01 vs the bench SF
+   must grow near-linearly (no all-pairs step anywhere).
+
+Writes SCALE_STRESSORS_r10.json at the repo root and prints it.
 Run on an IDLE host (same policy as bench.py).
 """
 
@@ -64,7 +68,7 @@ def best_of(fn, reps=REPS) -> float:
 def main() -> None:
     spark = get_spark(app_name="eel-stressors", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    work = os.path.join(user_staging_root(), "stressors_r09")
+    work = os.path.join(user_staging_root(), "stressors_r10")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     out: dict = {"sf_dir": SF_DIR, "cpus": CPUS, "reps": REPS}
@@ -382,7 +386,59 @@ def main() -> None:
         print(f"[stress] interval {n}x: {iv_out[f'{n}x']}", file=sys.stderr)
     out["interval_overlap_candidates"] = iv_out
 
-    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r09.json")
+    # --------------------------------- E. exact-substring dedup growth
+    # Round-10 verdict item 5: the Lee-et-al exact-substring tier must
+    # grow near-linearly with corpus size — window rows are O(tokens),
+    # the only shuffle is the window-hash groupBy + keyed join back, and
+    # there is no all-pairs step whose cost would grow quadratically.
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        exact_substring_coverage,
+        exact_substring_windows,
+    )
+    from energy_emissions_lakehouse_spark.queries.text import _xs_docs
+
+    xs_out = {}
+    sweep = [os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")]
+    if os.path.realpath(sweep[0]) != os.path.realpath(SF_DIR):
+        sweep.append(SF_DIR)
+    for d in [p for p in sweep if os.path.isdir(p)]:
+        docs = _xs_docs(spark, d).select(
+            "doc_id", F.split(F.lower("text"), r"\W+").alias("toks")
+        )
+        n_docs = docs.count()
+        win = exact_substring_windows(docs, w=20)
+        n_windows = win.count()
+        dup_w = (
+            win.groupBy("hid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n >= 2")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+            or 0
+        )
+        wall = best_of(
+            lambda: exact_substring_coverage(docs, w=20).collect()
+        )
+        tag = os.path.basename(d.rstrip("/"))
+        xs_out[tag] = {
+            "docs": n_docs,
+            "window_rows": int(n_windows),
+            "dup_window_rows": int(dup_w),
+            "wall_sec": round(wall, 3),
+            "windows_per_doc": round(n_windows / max(n_docs, 1), 1),
+        }
+        print(f"[stress] exact-substring {tag}: {xs_out[tag]}",
+              file=sys.stderr)
+    if len(xs_out) == 2:
+        a, b = (xs_out[k] for k in sorted(xs_out))
+        xs_out["growth"] = {
+            "docs_ratio": round(b["docs"] / a["docs"], 2),
+            "window_ratio": round(b["window_rows"] / a["window_rows"], 2),
+            "wall_ratio": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+        }
+    out["exact_substring_growth"] = xs_out
+
+    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r10.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -640,3 +640,60 @@ def test_catalog_version_at_timestamp(spark, root, tmp_path):
     assert cat.read_as_of(cat.version_at(ts_after_create)).read(
         "a"
     ).count() == 5
+
+
+# ------------------------------------------- exact-substring dedup tier
+def test_exact_substring_coverage_hand_computed(spark):
+    """Two docs share a verbatim 12-token run; w=5 windows inside it
+    collide, the island fold must report exactly the run's extent."""
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        exact_substring_coverage,
+    )
+
+    run = [f"r{i}" for i in range(12)]
+    a = ["a0", "a1", "a2"] + run + ["a3", "a4"]          # 17 tokens
+    b = ["b0"] + run + ["b1", "b2", "b3", "b4", "b5"]    # 18 tokens
+    c = [f"c{i}" for i in range(10)]                      # no dups
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, toks array<string>"
+    )
+    got = {
+        r.doc_id: (r.n_dup_windows, r.covered_tokens, r.n_tokens)
+        for r in exact_substring_coverage(docs, w=5).collect()
+    }
+    # in doc 1 the run spans positions 3..14: windows start 3..10 (8 of
+    # them), covered = 10-3+5 = 12 tokens; doc 2: positions 1..12,
+    # windows 1..8, covered 12; doc 3 absent
+    assert got == {1: (8, 12, 17), 2: (8, 12, 18)}
+
+
+def test_exact_substring_same_doc_repeat_detected(spark):
+    """Lee et al. dedup within a document too: a run repeated INSIDE one
+    doc duplicates its own windows."""
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        exact_substring_coverage,
+    )
+
+    run = [f"x{i}" for i in range(6)]
+    doc = run + ["mid1", "mid2"] + run  # 14 tokens, run at 0..5 and 8..13
+    docs = spark.createDataFrame(
+        [(7, doc)], "doc_id long, toks array<string>"
+    )
+    rows = exact_substring_coverage(docs, w=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # windows at pos 0 and pos 8 collide; gap 8 > 0+6 so two islands of
+    # 6 covered tokens each
+    assert (r.n_dup_windows, r.covered_tokens) == (2, 12)
+
+
+def test_exact_substring_short_docs_yield_nothing(spark):
+    from energy_emissions_lakehouse_spark.operators.dedup import (
+        exact_substring_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"])],
+        "doc_id long, toks array<string>",
+    )
+    assert exact_substring_coverage(docs, w=5).count() == 0
