@@ -2545,11 +2545,11 @@ def vtable_sql_source_widened_scan(spark, sf_dir) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '1995-03-01'
         AND o_orderdate <  TIMESTAMP '1995-04-01'
     ),
-    kmin AS (
-      SELECT MIN(o_custkey) AS k FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-        AND o_orderdate <  TIMESTAMP '1997-01-01'
-    ),
+    -- the probe key must HAVE 1996 rows: pv pruning keeps exactly its
+    -- bucket, and the stats fold can then never skip that segment (it
+    -- provably holds the key).  A key absent from 1996 would let stats
+    -- legitimately skip even its own bucket (observed at sf0.1).
+    kmin AS (SELECT MIN(o_custkey) AS k FROM t96),
     krows AS (
       SELECT o.* FROM orders o, kmin
       WHERE o.o_custkey = kmin.k
@@ -2613,7 +2613,14 @@ def vtable_partition_pruned_scan(spark, sf_dir) -> DataFrame:
         "total_price",
     )
 
-    k = vt.read().agg(F.min("o_custkey")).collect()[0][0]
+    # min custkey WITH 1996 rows (see the oracle's kmin comment): its
+    # bucket segment provably holds it, so planned_b is exactly 1
+    k = (
+        vt.read()
+        .filter(F.year("o_orderdate") == 1996)
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )
     scanned_b, skipped_b = vt.pruned_segments(v, "o_custkey", k, k)
     pvs = vt._live_segment_pvs(v)
     bkey = "bucket(o_custkey,8)"
