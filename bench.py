@@ -243,6 +243,7 @@ HEADLINE = [
     "vtable_stats_broadcast_join",
     "catalog_as_of_consistent_cut",
     "doc_exact_substring_dedup",
+    "vtable_partition_compaction_identity",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

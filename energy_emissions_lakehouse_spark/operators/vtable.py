@@ -2962,6 +2962,65 @@ class VersionedTable:
         )
         return v + 1
 
+    def compact_partition(
+        self, col: str, value, target_partitions: int = 1
+    ) -> int:
+        """OPTIMIZE ... WHERE <partition predicate> (Delta's
+        partition-scoped OPTIMIZE): bin-pack ONLY the live segments
+        whose recorded partition tuple matches ``transform(value)`` on
+        a pv field over ``col`` — selection is pure METADATA (the pv
+        fold), never a data scan, so compacting one hot partition of a
+        100 TB table reads exactly that partition's bytes.  Segments
+        with no pv field on ``col`` (pre-spec eras, other spec
+        generations) are never touched: only provably-in-partition
+        files qualify — the conservative dual of partition pruning.
+
+        The packed segment KEEPS the matched partition tuple (the
+        fields every packed segment agreed on), so partition pruning
+        keeps working across the compaction.  Content-identical and
+        DV-aware like :meth:`compact_small` (op ``compact``,
+        dataChange=false — streams skip it); no-op when fewer than two
+        segments qualify."""
+        v, live, dvs, entry = self._snapshot_state(None)
+        pvs = self._live_segment_pvs(v)
+        targets: list[str] = []
+        for rel in live:
+            for key, pval in (pvs.get(rel) or {}).items():
+                field = _parse_spec_key(key)
+                if (
+                    field is not None
+                    and field["col"] == col
+                    and pval is not None
+                    and pval == _spec_probe(field, value)
+                ):
+                    targets.append(rel)
+                    break
+        if len(targets) < 2:
+            return v  # nothing to pack
+        # the packed segment's tuple: the fields ALL packed segments
+        # agree on (single-field specs: exactly the matched field)
+        common = dict(pvs.get(targets[0]) or {})
+        for rel in targets[1:]:
+            pv = pvs.get(rel) or {}
+            common = {
+                k: vv for k, vv in common.items() if pv.get(k) == vv
+            }
+        schema = StructType.fromJson(entry["schema"])
+        merged = self._scan_segments(v, targets, schema, dvs=dvs).coalesce(
+            target_partitions
+        )
+        add = [self._write_segment(merged, v + 1)]
+        self._commit(
+            v + 1, "compact", add=add, remove=targets, schema=schema,
+            extra={
+                "scope": "partition",
+                "packed": len(targets),
+                "preserved": len(live) - len(targets),
+                "pv": {add[0]: common} if common else {},
+            },
+        )
+        return v + 1
+
     def compact_clustered(
         self, cluster_by: list[str], n_segments: int = 16, bits: int = 8
     ) -> int:

@@ -2795,3 +2795,105 @@ def catalog_as_of_consistent_cut(spark, sf_dir) -> DataFrame:
         .unionAll(_side("orders", "o_orderkey", "o_totalprice"))
         .orderBy("side")
     )
+
+
+@register(
+    "vtable_partition_compaction_identity",
+    oracle=f"""
+    WITH y95 AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+    ),
+    march AS (
+      SELECT * FROM y95
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        AND o_orderdate <  TIMESTAMP '1995-04-01'
+    ),
+    -- segment census for the months that stay UNTOUCHED: one segment
+    -- per (month, key parity) half that has data (the build appends the
+    -- two parities separately); January lives in the unpartitioned v0
+    seg_other AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN has_even THEN 1 ELSE 0 END
+               + CASE WHEN has_odd THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+      FROM (
+        SELECT strftime(o_orderdate, '%m') AS m,
+               BOOL_OR(o_orderkey % 2 = 0) AS has_even,
+               BOOL_OR(o_orderkey % 2 = 1) AS has_odd
+        FROM y95
+        WHERE strftime(o_orderdate, '%m') NOT IN ('01', '03')
+        GROUP BY 1
+      )
+    )
+    SELECT 'march_after_optimize' AS probe,
+           -- v0 (Jan, unpartitioned, timestamp stats unusable) + the
+           -- ONE packed March segment (or the single pre-existing one
+           -- when only one parity had data — no-op either way)
+           CAST(2 AS BIGINT) AS n_planned,
+           (SELECT n FROM seg_other) AS n_skipped,
+           CAST((SELECT COUNT(*) FROM march) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(o_orderkey) FROM march) AS BIGINT)
+             AS key_checksum,
+           (SELECT {scaled_sum_sql('o_totalprice')} FROM march)
+             AS total_price
+    """,
+    survey="extension (table maintenance x layout, round 10): "
+    "partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE; "
+    "operators/vtable.py compact_partition) — only the probed month's "
+    "segments are bin-packed, selected by pure pv METADATA (never a "
+    "data scan); the packed segment keeps its partition tuple so "
+    "pruning still works after the compaction; planned/skipped counts "
+    "and March values pinned against data-derived oracle counts",
+    tags=("vtable",),
+)
+def vtable_partition_compaction_identity(spark, sf_dir) -> DataFrame:
+    """Build (v0 Jan unpartitioned; month spec; Feb-Dec appended as two
+    key-parity halves = two segments per month), OPTIMIZE March only,
+    then probe March: exactly v0 + the packed segment plan; every other
+    month's two halves stay untouched and pv-pruned."""
+    import datetime
+    import shutil as _shutil
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    y95 = orders.filter(F.year("o_orderdate") == 1995)
+    root = os.path.join(
+        staging_dir("vtable_catalog"),
+        f"optwhere_{table_cache_key(sf_dir, 'orders', 'optw', _HISTORY_REV)}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    mon = F.month("o_orderdate")
+    key = F.col("o_orderkey")
+    vt = VersionedTable.create(spark, root, y95.filter(mon == 1))
+    vt.set_partition_spec([("o_orderdate", "month")])
+    rest = y95.filter(mon != 1)
+    vt.append(rest.filter(key % 2 == 0))
+    vt.append(rest.filter(key % 2 == 1))
+    vt.compact_partition("o_orderdate", datetime.date(1995, 3, 15))
+
+    v = vt.latest_version()
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 3, 31, 23, 59, 59, 999999)
+    scanned, skipped = vt.pruned_segments(v, "o_orderdate", lo, hi)
+    march = vt.read_pruned("o_orderdate", lo, hi).filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    return march.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    ).select(
+        F.lit("march_after_optimize").alias("probe"),
+        F.lit(len(scanned)).cast("long").alias("n_planned"),
+        F.lit(len(skipped)).cast("long").alias("n_skipped"),
+        "n_rows",
+        "key_checksum",
+        "total_price",
+    )

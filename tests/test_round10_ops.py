@@ -697,3 +697,60 @@ def test_exact_substring_short_docs_yield_nothing(spark):
         "doc_id long, toks array<string>",
     )
     assert exact_substring_coverage(docs, w=5).count() == 0
+
+
+# ------------------------------------------- partition-scoped OPTIMIZE
+def test_compact_partition_packs_only_matching_segments(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 3))
+    vt.set_partition_spec([("ts", "month")])
+    vt.append(_dated(spark, 3, 40))
+    vt.append(_dated(spark, 40, 80))  # two segments per month now
+    before = vt.read()
+    n_before, sum_before = before.count(), before.agg(
+        F.sum("k")
+    ).collect()[0][0]
+    pvs_before = vt._live_segment_pvs(vt.latest_version())
+    march_before = [
+        r for r, pv in pvs_before.items() if pv.get("month(ts)") == "1995-03"
+    ]
+    assert len(march_before) == 2
+    import datetime
+
+    v = vt.compact_partition("ts", datetime.date(1995, 3, 15))
+    entry = read_commit(root, v)
+    assert entry["op"] == "compact"
+    assert entry["scope"] == "partition"
+    assert entry["packed"] == 2 and len(entry["add"]) == 1
+    # the packed segment keeps the partition tuple -> pruning survives
+    pvs = vt._live_segment_pvs(v)
+    assert pvs[entry["add"][0]] == {"month(ts)": "1995-03"}
+    march_after = [
+        r for r, pv in pvs.items() if pv.get("month(ts)") == "1995-03"
+    ]
+    assert march_after == entry["add"]
+    # content identity + untouched others
+    after = vt.read()
+    assert after.count() == n_before
+    assert after.agg(F.sum("k")).collect()[0][0] == sum_before
+    other = [
+        r for r, pv in pvs_before.items()
+        if pv.get("month(ts)") not in (None, "1995-03")
+    ]
+    live_now = set(vt._resolve_live(v))
+    assert all(r in live_now for r in other)
+    # no-op when fewer than two segments match
+    assert vt.compact_partition("ts", datetime.date(1995, 3, 15)) == v
+
+
+def test_compact_partition_never_touches_prespec_segments(spark, root):
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 20))  # pre-spec
+    vt.set_partition_spec([("ts", "month")])
+    vt.append(_dated(spark, 20, 30))
+    import datetime
+
+    v0_live = set(vt._resolve_live(0))
+    v = vt.compact_partition("ts", datetime.date(1995, 3, 15))
+    # only one partitioned March segment exists -> no-op; the pre-spec
+    # segment (which HOLDS March rows) must never qualify
+    assert v == vt.latest_version()
+    assert v0_live <= set(vt._resolve_live(v))
