@@ -244,6 +244,7 @@ HEADLINE = [
     "catalog_as_of_consistent_cut",
     "doc_exact_substring_dedup",
     "vtable_partition_compaction_identity",
+    "vtable_describe_history",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their

@@ -2897,3 +2897,50 @@ def vtable_partition_compaction_identity(spark, sf_dir) -> DataFrame:
         "key_checksum",
         "total_price",
     )
+
+
+@register(
+    "vtable_describe_history",
+    oracle="""
+    -- the staged table's deterministic 6-commit history (see the module
+    -- docstring): every column here is a protocol invariant of the
+    -- build — op sequence, add/remove file-diff shapes, which commits
+    -- wrote a change feed, which evolved the schema
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'create',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+      (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE),
+      (CAST(2 AS BIGINT), 'merge',   CAST(1 AS BIGINT), CAST(2 AS BIGINT), TRUE,  FALSE),
+      (CAST(3 AS BIGINT), 'delete',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), TRUE,  FALSE),
+      (CAST(4 AS BIGINT), 'compact', CAST(1 AS BIGINT), CAST(1 AS BIGINT), FALSE, FALSE),
+      (CAST(5 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE)
+    ) AS t(version, op, n_added, n_removed, wrote_cdf, evolved_schema)
+    """,
+    survey="extension (warehouse ops, round 10): DESCRIBE HISTORY "
+    "(Delta's table-history surface) served straight from the commit "
+    "log as a DataFrame — per-version operation, file-diff shape, "
+    "change-feed presence and schema-evolution markers, value-pinned "
+    "against the staged build's protocol invariants; O(versions) "
+    "driver metadata, no data read",
+    tags=("vtable",),
+)
+def vtable_describe_history(spark, sf_dir) -> DataFrame:
+    """The audit surface every lakehouse exposes: the commit log AS a
+    table.  A wrong op label, a misfolded file diff, a merge that stops
+    writing its feed, or an evolve losing its marker all break parity."""
+    vt = staged_vtable(spark, sf_dir)
+    rows = [
+        (
+            e["version"],
+            e["op"],
+            len(e["add"]),
+            len(e["remove"]),
+            bool(e.get("cdf")),
+            bool(e.get("evolved")),
+        )
+        for e in vt.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, n_added long, n_removed long, "
+        "wrote_cdf boolean, evolved_schema boolean",
+    )

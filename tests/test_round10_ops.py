@@ -754,3 +754,57 @@ def test_compact_partition_never_touches_prespec_segments(spark, root):
     # segment (which HOLDS March rows) must never qualify
     assert v == vt.latest_version()
     assert v0_live <= set(vt._resolve_live(v))
+
+
+# ------------------------------------------------- feature interplay
+def test_stream_source_serves_partitioned_appends(spark, root):
+    """A partitioned append is many segments in ONE commit; the
+    streaming source must serve them all as that version's batch, and
+    a set_spec commit (metadata-only) must stream as nothing."""
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 3))
+    vt.set_partition_spec([("g", "identity")])
+    vt.append(_dated(spark, 3, 40))
+    register_vtable_source(spark)
+    name = "r10_part_stream"
+    q = (
+        spark.readStream.format("eel_vtable")
+        .option("path", root)
+        .load()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table(name).collect()[0]
+    assert (row.n, row.s) == (40, sum(range(40)))
+
+
+def test_widen_then_partition_spec_interplay(spark, root):
+    """Widen a spec source column: bucket probes hash str(value), which
+    is width-independent for integers, so pruning stays exact across
+    the widen (and across the upcast write)."""
+    def _nd(lo, hi):  # _dated with a NARROW (int) k
+        return _dated(spark, lo, hi).withColumn(
+            "k", F.col("k").cast("int")
+        )
+
+    vt = VersionedTable.create(spark, root, _nd(0, 3))
+    vt.set_partition_spec([("g", "bucket", 4)])
+    vt.append(_nd(3, 30))
+    vt.widen_column_type("k", "bigint")      # widen a NON-spec column
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        vt.widen_column_type("g", "int")     # narrowing still refused
+    vt.append(_nd(30, 50))                   # narrow batch: upcast write
+    v = vt.latest_version()
+    s, k = vt.pruned_segments(v, "g", 2, 2)
+    pvs = vt._live_segment_pvs(v)
+    bkey = "bucket(g,4)"
+    # two partitioned appends -> exactly two segments hold bucket(2)
+    assert sum(1 for r in s if bkey in pvs.get(r, {})) == 2
+    got = vt.read_pruned("g", 2, 2).filter(F.col("g") == 2)
+    assert got.count() == _dated(spark, 0, 50).filter("g = 2").count()
+    assert dict(vt.read().dtypes)["k"] == "bigint"
