@@ -426,7 +426,9 @@ def exact_substring_windows(
     )
 
 
-def exact_substring_coverage(docs: DataFrame, w: int = 50) -> DataFrame:
+def exact_substring_coverage_from_windows(
+    win: DataFrame, w: int = 50
+) -> DataFrame:
     """Per-document duplicated-run coverage at ``w``-token granularity
     (Lee et al. 2022 'Deduplicating Training Data Makes Language Models
     Better', the exact-substring tier): windows occurring >= 2 times
@@ -444,7 +446,6 @@ def exact_substring_coverage(docs: DataFrame, w: int = 50) -> DataFrame:
     shared 3-gram, this tier sees only LONG verbatim runs."""
     from pyspark.sql.window import Window
 
-    win = exact_substring_windows(docs, w)
     cnt = win.groupBy("hid").agg(F.count(F.lit(1)).alias("n_occ"))
     dup = win.join(cnt.filter(F.col("n_occ") >= 2), "hid")
     ww = Window.partitionBy("doc_id").orderBy("pos")
@@ -480,4 +481,16 @@ def exact_substring_coverage(docs: DataFrame, w: int = 50) -> DataFrame:
             / F.col("n_tokens").cast("double"),
             6,
         ).alias("coverage"),
+    )
+
+
+def exact_substring_coverage(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Convenience composition of :func:`exact_substring_windows` +
+    :func:`exact_substring_coverage_from_windows` — note the window
+    frame is referenced TWICE downstream (occurrence count + join
+    back), so callers that already materialize windows (the registered
+    query memoizes them per corpus version, like queries/text._doc_sh)
+    should pass them to the from-windows form directly."""
+    return exact_substring_coverage_from_windows(
+        exact_substring_windows(docs, w), w
     )

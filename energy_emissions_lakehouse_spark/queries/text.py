@@ -2112,6 +2112,26 @@ _XS_DOCS_CTE = """
 """
 
 
+#: Memoized exact-substring window frames, keyed like _DOC_SH_MEMO:
+#: the (doc_id, n_tokens, pos, hid) frame is referenced TWICE by the
+#: coverage fold (occurrence count + join back), so without the
+#: lineage-truncating checkpoint the 19-layer gram construction and the
+#: md5 per window run twice per query (measured ~2x at sf0.1).
+_XS_WIN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _xs_windows(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir, _doc_version(sf_dir))
+    if key not in _XS_WIN_MEMO:
+        docs = _xs_docs(spark, sf_dir).select(
+            "doc_id", tx.tokens(F.col("text")).alias("toks")
+        )
+        _XS_WIN_MEMO[key] = dd.exact_substring_windows(
+            docs, _XS_W
+        ).localCheckpoint(eager=True)
+    return _XS_WIN_MEMO[key]
+
+
 def _xs_docs(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tk = tx.tokens(F.col("text"))
@@ -2194,7 +2214,6 @@ def doc_exact_substring_dedup(spark, sf_dir) -> DataFrame:
     generator ever emits any, count identically in both engines.  No
     all-pairs step and no suffix array: one window-hash groupBy, one
     keyed join back, one per-document fold."""
-    docs = _xs_docs(spark, sf_dir).select(
-        "doc_id", tx.tokens(F.col("text")).alias("toks")
+    return dd.exact_substring_coverage_from_windows(
+        _xs_windows(spark, sf_dir), w=_XS_W
     )
-    return dd.exact_substring_coverage(docs, w=_XS_W)

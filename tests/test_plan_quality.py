@@ -104,6 +104,9 @@ def _lazy_frame_builders():
 DRIVER_LOCAL_RESULTS: dict[str, str] = {
     "bpe_train_merges": "K merge rows live in the driver by design "
     "(1-row argmax collect per round); createDataFrame output",
+    "vtable_describe_history": "DESCRIBE HISTORY is O(versions) commit-"
+    "log metadata read on the driver by design (no data scan exists); "
+    "createDataFrame output",
 }
 
 
