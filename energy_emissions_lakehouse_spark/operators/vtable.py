@@ -3778,4 +3778,20 @@ class VersionedTable:
                 except OSError:
                     pass
             deleted.append(os.path.join(LOG_DIR, name))
+        # a hard-crashed PARTITIONED write strands its .pt-scratch-* dir
+        # at the table root (the normal path removes it in a finally);
+        # nothing ever references it — reclaimed past the same grace
+        # window (an in-flight partitioned writer's scratch is younger)
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith(".pt-scratch-"):
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                if now - os.path.getmtime(path) < orphan_grace_s:
+                    continue
+            except OSError:
+                continue  # vanished under us
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+            deleted.append(name)
         return deleted

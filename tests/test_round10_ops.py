@@ -808,3 +808,38 @@ def test_widen_then_partition_spec_interplay(spark, root):
     got = vt.read_pruned("g", 2, 2).filter(F.col("g") == 2)
     assert got.count() == _dated(spark, 0, 50).filter("g = 2").count()
     assert dict(vt.read().dtypes)["k"] == "bigint"
+
+
+# ---------------------------------------- partitioned-write crash litter
+def test_vacuum_reclaims_crashed_partitioned_write_litter(spark, root):
+    """A writer killed inside _write_partitioned strands (a) the
+    .pt-scratch dir at the root and (b) possibly some already-renamed
+    orphan leaf segments in data/ that no commit references.  Vacuum
+    reclaims BOTH past the grace window; a fresh (possibly in-flight)
+    scratch survives."""
+    import time as _time
+
+    vt = VersionedTable.create(spark, root, _dated(spark, 0, 5))
+    vt.set_partition_spec([("g", "identity")])
+    vt.append(_dated(spark, 5, 20))
+    # simulate the crash litter
+    scratch = os.path.join(root, ".pt-scratch-dead-12345")
+    os.makedirs(os.path.join(scratch, "_pt_0=9"))
+    orphan = os.path.join(root, "data", "00000000000000000099-deadbeef")
+    os.makedirs(orphan)
+    old = _time.time() - 7200
+    os.utime(scratch, (old, old))
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(root, ".pt-scratch-live-999")
+    os.makedirs(fresh)
+
+    reclaimed = vt.vacuum(retain_last=1, orphan_grace_s=3600.0)
+    assert ".pt-scratch-dead-12345" in reclaimed
+    assert any("deadbeef" in r for r in reclaimed)
+    assert not os.path.exists(scratch)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)  # in-flight grace honored
+    # the table is untouched
+    assert vt.read().count() == 20
+    s, k = vt.pruned_segments(vt.latest_version(), "g", 2, 2)
+    assert len(k) > 0  # pv pruning still intact after the sweep
