@@ -205,30 +205,87 @@ def _spec_expr(field: dict) -> Column:
 def _spec_probe(field: dict, value):
     """Driver-side twin of :func:`_spec_expr`: transform a PROBE value
     the way the write transformed the data, with no Spark job.  None in,
-    None out (an open bound stays open)."""
+    None out (an open bound stays open).
+
+    STRICT about probe types — raises TypeError (callers scan) rather
+    than coercing: ``str()`` of a cross-typed probe can differ from the
+    engine's rendering of the stored value (md5("5.0") != md5("5");
+    str(datetime) != the stored date string), and a coerced mismatch
+    would PRUNE A HOLDING SEGMENT — the one unforgivable direction.
+    Bucket probes must be int/str (the same rule as prune_point: those
+    are the types whose str(x) provably equals Spark's
+    cast-to-string); identity probes must be scalar; temporal
+    transforms accept date/datetime/ISO strings (prefix extraction is
+    rendering-independent)."""
     import datetime as _dt
 
     if value is None:
         return None
     t, p = field["transform"], field.get("param")
     if t == "identity":
-        return value if isinstance(value, (int, float, str)) else str(value)
+        if isinstance(value, bool) or not isinstance(
+            value, (int, float, str)
+        ):
+            raise TypeError(
+                f"identity partition probe must be scalar, got "
+                f"{type(value).__name__}"
+            )
+        return value
     if t in _TEMPORAL_TRANSFORMS:
         if isinstance(value, (_dt.date, _dt.datetime)):
             iso = value.strftime("%Y-%m-%d")
+        elif isinstance(value, str):
+            iso = value
         else:
-            iso = str(value)
+            raise TypeError(
+                f"{t} partition probe must be date/datetime/ISO string, "
+                f"got {type(value).__name__}"
+            )
         return (
             int(iso[:4]) if t == "year"
             else iso[:7] if t == "month"
             else iso[:10]
         )
     if t == "bucket":
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                "bucket partition probe must be int or str "
+                f"(portable-hash contract), got {type(value).__name__}"
+            )
         digest = hashlib.md5(str(value).encode("utf-8")).hexdigest()
         return int(digest[:15], 16) % int(p)
     if t == "truncate":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise TypeError(
+                "truncate partition probe must be numeric, got "
+                f"{type(value).__name__}"
+            )
         return value - (value % int(p))
     raise ValueError(f"unknown partition transform {t!r}")
+
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size_conf(raw) -> int | None:
+    """Spark size-conf string ('10485760b', '64MB', '1g', '-1') ->
+    bytes; None when unparsable (callers must then take the
+    conservative branch, never a hardcoded default)."""
+    if raw is None:
+        return None
+    m = re.match(r"^\s*(-?\d+)\s*([a-zA-Z]*)\s*$", str(raw))
+    if not m:
+        return None
+    mult = _SIZE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        return None
+    return int(m.group(1)) * mult
 
 
 _SPEC_KEY_RE = re.compile(
@@ -275,8 +332,11 @@ def partition_skips(
             except TypeError:
                 continue  # incomparable probe: never skip on it
         elif t == "bucket" and is_point and lo is not None and lo == hi:
-            if val != _spec_probe(field, lo):
-                return True
+            try:
+                if val != _spec_probe(field, lo):
+                    return True
+            except TypeError:
+                continue  # cross-typed probe: never skip on it
     return False
 
 
@@ -1008,6 +1068,13 @@ class VersionedTable:
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
             )
         pt_cols = [f"_pt_{i}" for i in range(len(spec))]
+        clash_pt = [c for c in df.columns if c in pt_cols]
+        if clash_pt:
+            raise ValueError(
+                f"column {clash_pt[0]!r} collides with the reserved "
+                "partitioned-write transform names (_pt_N) — rename it "
+                "or unset the partition spec"
+            )
         keyed = df.select(
             "*",
             *[
@@ -1992,6 +2059,16 @@ class VersionedTable:
                     f"set_partition_spec: {t} takes no param"
                 )
             spec.append(field)
+        reserved = [
+            f.name for f in schema.fields
+            if re.fullmatch(r"_pt_\d+", f.name)
+        ]
+        if spec and reserved:
+            raise ValueError(
+                f"set_partition_spec: column {reserved[0]!r} collides "
+                "with the reserved partitioned-write transform names "
+                "(_pt_N) — rename it first"
+            )
         self._commit(
             v + 1, "set_spec", add=[], remove=[], schema=schema,
             extra={"spec": spec},
@@ -2052,6 +2129,32 @@ class VersionedTable:
                 "narrowing/cross-family changes need overwrite() "
                 "(files already written cannot be served narrower)"
             )
+        # the same spec-source protection rename/drop carry: a bucket or
+        # truncate spec hashes/arithmetics the SOURCE type — widening it
+        # out of the transform's domain (int -> double breaks the
+        # str(x)==cast-to-string hash contract) would silently corrupt
+        # partition pruning for every later write.  Integer-ladder
+        # widenings are fine: str(5) is width-independent.
+        for f in entry.get("spec") or []:
+            if f["col"] != col:
+                continue
+            t = f["transform"]
+            new_simple = new_dt.simpleString()
+            if t == "bucket" and new_simple not in _BLOOMABLE_TYPES:
+                raise ValueError(
+                    f"widen_column_type: {col!r} is a bucket partition-"
+                    f"spec source; widening to {new_simple} would break "
+                    "the portable-hash contract — evolve the spec first "
+                    "(set_partition_spec)"
+                )
+            if t == "truncate" and new_simple not in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                raise ValueError(
+                    f"widen_column_type: {col!r} is a truncate partition-"
+                    f"spec source; widening to {new_simple} leaves the "
+                    "integral domain — evolve the spec first"
+                )
         new_fields = [
             StructField(col, new_dt, True) if f.name == col else f
             for f in schema.fields
@@ -2880,6 +2983,10 @@ class VersionedTable:
             # ...and the widen map of THEN: inheriting the head's would
             # serve a restored-narrow column wide in the Arrow readers
             "widen": entry_t.get("widen") or {},
+            # ...and the partition spec of THEN: the head's spec may
+            # reference a column the restored schema lacks, which would
+            # wedge every later append at the _write_partitioned select
+            "spec": entry_t.get("spec") or [],
         }
         if dvs_t or dvs_now:
             # record FULL sets, not diffs — and even when the sets are
@@ -3120,55 +3227,64 @@ class VersionedTable:
         metadata per pruned read, and O(tail) per checkpoint write.  A
         pre-stats-rev checkpoint forces the genesis walk (never wrong,
         only slower)."""
-        live = self._resolve_live(version)
-        out: dict[str, dict] = {}
-        start = 0
-        ckpt = self._latest_checkpoint(version)
-        if ckpt is not None and "stats" in ckpt:
-            out = {
-                rel: stats
-                for rel, stats in ckpt["stats"].items()
-                if rel in live
-            }
-            start = ckpt["version"] + 1
-        for v in self._versions():
-            if v < start:
-                continue
-            if v > version:
-                break
-            entry = self._read_commit(v)
-            for rel in entry["add"]:
-                if rel in live:
-                    out[rel] = entry.get("stats", {}).get(rel, {})
-        return out
+        return self._live_segment_meta(version)[0]
 
     def _live_segment_pvs(self, version: int) -> dict[str, dict]:
-        """Partition tuples for every live segment at ``version`` —
-        same fold shape as :meth:`_live_segment_stats` (pvs are
-        immutable with the segment), checkpoint-accelerated via the
-        ``pvs`` key; segments written unpartitioned simply have no
-        entry and are never partition-pruned."""
+        """Partition tuples for every live segment at ``version`` (see
+        :meth:`_live_segment_meta` — one shared fold with the stats)."""
+        return self._live_segment_meta(version)[1]
+
+    def _live_segment_meta(
+        self, version: int
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """(stats, partition tuples) for every live segment at
+        ``version`` in ONE checkpoint + tail walk — both maps are
+        immutable with their segments and fold identically, and every
+        bounded read needs both (pv pruning runs before the stats
+        fold), so reading the same commit JSON twice would double the
+        planner's metadata I/O for nothing.  Checkpoint-accelerated via
+        the ``stats``/``pvs`` keys; a pre-rev checkpoint lacking either
+        key forces the genesis walk for that map (never wrong, only
+        slower)."""
         live = self._resolve_live(version)
-        out: dict[str, dict] = {}
-        start = 0
+        stats_out: dict[str, dict] = {}
+        pvs_out: dict[str, dict] = {}
+        stats_start = 0
+        pvs_start = 0
         ckpt = self._latest_checkpoint(version)
-        if ckpt is not None and "pvs" in ckpt:
-            out = {
-                rel: pv
-                for rel, pv in ckpt["pvs"].items()
-                if rel in live
-            }
-            start = ckpt["version"] + 1
+        if ckpt is not None:
+            if "stats" in ckpt:
+                stats_out = {
+                    rel: st
+                    for rel, st in ckpt["stats"].items()
+                    if rel in live
+                }
+                stats_start = ckpt["version"] + 1
+            if "pvs" in ckpt:
+                pvs_out = {
+                    rel: pv
+                    for rel, pv in ckpt["pvs"].items()
+                    if rel in live
+                }
+                pvs_start = ckpt["version"] + 1
+        start = min(stats_start, pvs_start)
         for v in self._versions():
             if v < start:
                 continue
             if v > version:
                 break
             entry = self._read_commit(v)
-            for rel, pv in (entry.get("pv") or {}).items():
-                if rel in live and pv:
-                    out[rel] = pv
-        return out
+            if v >= stats_start:
+                for rel in entry["add"]:
+                    if rel in live:
+                        stats_out[rel] = entry.get("stats", {}).get(
+                            rel, {}
+                        )
+            if v >= pvs_start:
+                for rel, pv in (entry.get("pv") or {}).items():
+                    if rel in live and pv:
+                        pvs_out[rel] = pv
+        return stats_out, pvs_out
 
     def _live_segment_commits(self, version: int) -> dict[str, int]:
         """rel-path → the commit that PHYSICALLY WROTE each live segment
@@ -3255,8 +3371,7 @@ class VersionedTable:
         ``col`` is conservatively scanned — pruning may only ever skip
         provably-disjoint files."""
         names = self._stat_names(version, col)
-        stats = self._live_segment_stats(version)
-        pvs = self._live_segment_pvs(version)
+        stats, pvs = self._live_segment_meta(version)
         scanned, skipped = [], []
         for rel in sorted(stats):
             if partition_skips(
@@ -3612,14 +3727,12 @@ class VersionedTable:
         df = reader.load()
         if not use_log_stats:
             return df
-        try:
-            raw = str(
-                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            ).strip().lower().removesuffix("b")
-            threshold = int(raw)
-        except (TypeError, ValueError):
-            threshold = 10 * 1024 * 1024
-        if 0 < threshold and (
+        threshold = _parse_size_conf(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        # unparsable or disabled (-1/0) -> NO hint: wrongly broadcasting
+        # a big table hurts more than a missed broadcast
+        if threshold is not None and 0 < threshold and (
             self.table_stats(version)["n_bytes"] <= threshold
         ):
             return F.broadcast(df)
@@ -3781,14 +3894,25 @@ class VersionedTable:
         # a hard-crashed PARTITIONED write strands its .pt-scratch-* dir
         # at the table root (the normal path removes it in a finally);
         # nothing ever references it — reclaimed past the same grace
-        # window (an in-flight partitioned writer's scratch is younger)
+        # window.  In-flight detection uses the NEWEST mtime in the
+        # scratch TREE, not the top dir's: Spark writes under
+        # _temporary/ subdirs, so the root mtime stays pinned at job
+        # start and a long-running write would look stale by its end.
         for name in sorted(os.listdir(self.root)):
             if not name.startswith(".pt-scratch-"):
                 continue
             path = os.path.join(self.root, name)
             try:
-                if now - os.path.getmtime(path) < orphan_grace_s:
-                    continue
+                newest = os.path.getmtime(path)
+                for dpath, _dirs, files in os.walk(path):
+                    newest = max(newest, os.path.getmtime(dpath))
+                    for fn in files:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(dpath, fn)),
+                        )
+                if now - newest < orphan_grace_s:
+                    continue  # potentially in-flight
             except OSError:
                 continue  # vanished under us
             if not dry_run:

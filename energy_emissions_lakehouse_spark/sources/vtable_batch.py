@@ -320,8 +320,7 @@ class VtableBatchReader(DataSourceReader):
             )
 
             vt = VersionedTable(None, self.root)
-            stats = vt._live_segment_stats(self.version)
-            pvs = vt._live_segment_pvs(self.version)
+            stats, pvs = vt._live_segment_meta(self.version)
             bloom_cols, _, _ = vt.bloom_props
             survivors = []
             for rel in self.live:

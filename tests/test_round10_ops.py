@@ -828,6 +828,13 @@ def test_vacuum_reclaims_crashed_partitioned_write_litter(spark, root):
     orphan = os.path.join(root, "data", "00000000000000000099-deadbeef")
     os.makedirs(orphan)
     old = _time.time() - 7200
+    # vacuum judges the scratch TREE's newest mtime (Spark writes under
+    # _temporary/, so the top dir's mtime pins at job start) — age the
+    # whole tree
+    for d, _dirs, files in os.walk(scratch):
+        os.utime(d, (old, old))
+        for fn in files:
+            os.utime(os.path.join(d, fn), (old, old))
     os.utime(scratch, (old, old))
     os.utime(orphan, (old, old))
     fresh = os.path.join(root, ".pt-scratch-live-999")
@@ -843,3 +850,86 @@ def test_vacuum_reclaims_crashed_partitioned_write_litter(spark, root):
     assert vt.read().count() == 20
     s, k = vt.pruned_segments(vt.latest_version(), "g", 2, 2)
     assert len(k) > 0  # pv pruning still intact after the sweep
+
+
+# -------------------------------------------- round-10 review-fix pins
+def test_widen_refuses_bucket_spec_source_out_of_domain(spark, root):
+    df = spark.range(5).select(
+        F.col("id").cast("int").alias("g"), F.col("id").alias("k")
+    )
+    vt = VersionedTable.create(spark, root, df)
+    vt.set_partition_spec([("g", "bucket", 4)])
+    with pytest.raises(ValueError, match="portable-hash contract"):
+        vt.widen_column_type("g", "double")
+    # integer-ladder widening of the spec source is FINE (str(5) is
+    # width-independent) and pruning stays exact
+    vt.widen_column_type("g", "bigint")
+    vt.append(
+        spark.range(5, 30).select(
+            F.col("id").alias("g"), F.col("id").alias("k")
+        )
+    )
+    got = vt.read_pruned("g", 7, 7).filter(F.col("g") == 7)
+    assert got.count() == 1
+
+
+def test_restore_reverts_partition_spec(spark, root):
+    vt = VersionedTable.create(
+        spark, root, spark.range(3).select(F.col("id").alias("a"))
+    )
+    vt.append_evolve(
+        spark.range(3, 6).select(
+            F.col("id").alias("a"), (F.col("id") % 2).alias("c")
+        )
+    )
+    vt.set_partition_spec([("c", "identity")])
+    vt.restore(0)
+    assert vt.partition_spec() == []
+    # the post-restore append must not reference the vanished column
+    vt.append(spark.range(6, 9).select(F.col("id").alias("a")))
+    assert vt.read().count() == 6
+
+
+def test_partition_probe_type_strictness(spark, root):
+    """Cross-typed probes must SCAN, never skip a holding segment."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        partition_skips,
+    )
+
+    pv = {"bucket(k,8)": 3}
+    # float probe of an int-bucketed column: conservative scan
+    assert not partition_skips(pv, "k", 5.0, 5.0, is_point=True)
+    # identity on a date column probed with datetime: conservative scan
+    pv2 = {"identity(d)": "1995-03-01"}
+    import datetime
+
+    assert not partition_skips(
+        pv2, "d",
+        datetime.datetime(1996, 1, 1), datetime.datetime(1996, 1, 1),
+    )
+    # well-typed probes still prune
+    assert partition_skips(pv2, "d", "1996-01-01", "1996-12-31")
+
+
+def test_parse_size_conf_suffixes():
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        _parse_size_conf,
+    )
+
+    assert _parse_size_conf("10485760b") == 10485760
+    assert _parse_size_conf("64MB") == 64 << 20
+    assert _parse_size_conf("1g") == 1 << 30
+    assert _parse_size_conf("512k") == 512 << 10
+    assert _parse_size_conf("-1") == -1
+    assert _parse_size_conf("0") == 0
+    assert _parse_size_conf("nonsense") is None
+    assert _parse_size_conf(None) is None
+
+
+def test_reserved_pt_column_names_refused(spark, root):
+    df = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("_pt_0")
+    )
+    vt = VersionedTable.create(spark, root, df)
+    with pytest.raises(ValueError, match="_pt_N"):
+        vt.set_partition_spec([("k", "identity")])
