@@ -292,6 +292,35 @@ _SPEC_KEY_RE = re.compile(
     r"^(identity|year|month|day|bucket|truncate)\((\w+)(?:,(\d+))?\)$"
 )
 
+#: integer widths whose str(x) rendering is identical for the same value
+#: — the one type family a spec source may change within and keep its
+#: partition-value rendering (md5(str(5)) is width-independent).
+_INTEGRAL_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+
+def _spec_type_stable(
+    spec: list, old_types: dict, new_types: dict
+) -> bool:
+    """True when every partition-spec source column exists in
+    ``new_types`` AND its new type renders partition values identically
+    to the old one (same type, or both within the integer ladder).  A
+    type-evolving replace that fails this (e.g. int -> double on a
+    bucket source) would record pv values under the NEW rendering
+    (md5("5.0")) while :func:`_spec_probe` hashes the probe's rendering
+    (md5("5")) — partition_skips could then skip a HOLDING segment.
+    Callers must write unpartitioned and reset the spec instead."""
+    for field in spec:
+        old = old_types.get(field["col"])
+        new = new_types.get(field["col"])
+        if new is None:
+            return False
+        if new == old:
+            continue
+        if old in _INTEGRAL_TYPES and new in _INTEGRAL_TYPES:
+            continue
+        return False
+    return True
+
 
 def _parse_spec_key(key: str) -> dict | None:
     m = _SPEC_KEY_RE.match(key)
@@ -860,6 +889,11 @@ class VersionedTable:
             # (Delta's setTransactions), so idempotent_append's replay
             # check stays O(tail) on long-running sinks.
             live = self._resolve_live(version, use_checkpoint=False)
+            # ONE shared checkpoint+tail fold for both maps — calling
+            # _live_segment_stats and _live_segment_pvs separately would
+            # walk the log twice (the exact double-read the shared fold
+            # exists to avoid).
+            live_stats, live_pvs = self._live_segment_meta(version)
             ckpt = {
                 "version": version,
                 "live": sorted(live),
@@ -876,7 +910,7 @@ class VersionedTable:
                 # list O(tail) instead of walking the whole log; built
                 # from the PREVIOUS checkpoint + tail, so each
                 # checkpoint costs O(tail) too
-                "stats": self._live_segment_stats(version),
+                "stats": live_stats,
                 # live segment → physically-writing commit, so
                 # read_with_provenance resolves O(tail) instead of
                 # walking from genesis on every call (same fold shape
@@ -885,7 +919,7 @@ class VersionedTable:
                 "seg_commits": self._live_segment_commits(version),
                 # per-live-segment partition tuples (Iceberg manifest
                 # partition field summaries) — same O(tail) fold as stats
-                "pvs": self._live_segment_pvs(version),
+                "pvs": live_pvs,
             }
             cpath = self._checkpoint_path(version)
             cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -1067,6 +1101,23 @@ class VersionedTable:
                 f"column {clash[0]!r} collides with the reserved "
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
             )
+        for f in spec:
+            pinned_tz = f.get("tz")
+            if pinned_tz:
+                session_tz = self.spark.conf.get(
+                    "spark.sql.session.timeZone"
+                )
+                if session_tz != pinned_tz:
+                    raise ValueError(
+                        f"partitioned write: spec field "
+                        f"{_spec_key(f)} was pinned to session timezone "
+                        f"{pinned_tz!r} at set_partition_spec time but "
+                        f"the session now runs {session_tz!r} — "
+                        "temporal pv values would be rendered in a "
+                        "different zone than probes expect (an unsound "
+                        "prune).  Restore spark.sql.session.timeZone or "
+                        "evolve the spec under the new zone."
+                    )
         pt_cols = [f"_pt_{i}" for i in range(len(spec))]
         clash_pt = [c for c in df.columns if c in pt_cols]
         if clash_pt:
@@ -2035,6 +2086,19 @@ class VersionedTable:
                     f"set_partition_spec: {t} needs a date/timestamp "
                     f"source, {col} is {types[col]}"
                 )
+            if t in _TEMPORAL_TRANSFORMS and types[col] == "timestamp":
+                # tz-relative source: year/month/day pv values are
+                # rendered by date_format under the SESSION timezone at
+                # write time, while _spec_probe extracts naive wall-clock
+                # prefixes.  Pin the session tz into the spec as part of
+                # the contract — every later partitioned write enforces
+                # it (loud mismatch error), so a boundary row can never
+                # land in a pruned month/day because the zone drifted.
+                # date / timestamp_ntz sources are zone-free and need no
+                # pin.
+                field["tz"] = self.spark.conf.get(
+                    "spark.sql.session.timeZone"
+                )
             if t == "bucket" and types[col] not in _BLOOMABLE_TYPES:
                 raise ValueError(
                     f"set_partition_spec: bucket needs an integral or "
@@ -2178,10 +2242,27 @@ class VersionedTable:
     def overwrite(self, df: DataFrame) -> int:
         v, live, entry = self._snapshot(None)
         spec = entry.get("spec") or []
+        old_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(entry["schema"]).fields
+        }
+        new_types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        # names AND rendering-stable spec-source types: a same-name
+        # type-evolving replace (overwrite may evolve schema) on a
+        # bucket/truncate/temporal spec source would write pv values
+        # under the NEW type's rendering while _spec_probe hashes the
+        # probe's — an unsound skip.  _spec_type_stable guards that the
+        # way rename/drop/widen guard their spec sources.
+        type_stable = _spec_type_stable(spec, old_types, new_types)
         extra_pv: dict = {}
-        if spec and [f.name for f in df.schema.fields] == [
-            f["name"] for f in entry["schema"]["fields"]
-        ]:
+        if (
+            spec
+            and type_stable
+            and [f.name for f in df.schema.fields]
+            == [f["name"] for f in entry["schema"]["fields"]]
+        ):
             # same-shape overwrite: keep the layout contract (a replace
             # that EVOLVES the schema may invalidate spec columns — it
             # writes unpartitioned and the spec applies again from the
@@ -2195,8 +2276,9 @@ class VersionedTable:
         extra = {
             "renames": {}, "dropped": {}, "widen": {}, "pv": extra_pv,
         }
-        if spec and any(f["col"] not in df.columns for f in spec):
-            # schema-evolving replace dropped a spec source column: the
+        if spec and not type_stable:
+            # schema-evolving replace dropped a spec source column or
+            # changed its type out of the rendering-stable family: the
             # spec cannot apply to future writes — reset it (metadata
             # only), like the rename/drop chains
             extra["spec"] = []

@@ -144,6 +144,14 @@ class VtableStreamReader(DataSourceStreamReader):
                 "use VersionedTable.read()/change_feed()"
             )
         self.root = root
+        #: (name, type) shape of every column at stream OPEN — the
+        #: schema every served commit must still carry.  Nullability is
+        #: deliberately ignored: plain appends record their batch's
+        #: nullability verbatim, which may differ commit to commit
+        #: without changing what the stream serves.
+        self._open_fields = [
+            (f["name"], f["type"]) for f in head["schema"]["fields"]
+        ]
         self.skip_change = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
@@ -219,19 +227,22 @@ class VtableStreamReader(DataSourceStreamReader):
                     "refuses rename under column mapping for streaming "
                     "sources)"
                 )
-            if v > self._open_version and (
-                entry.get("evolved")
-                or entry["op"] in ("widen_type", "drop")
-            ):
-                # Delta's streaming-source schema-change semantics: an
-                # ADDITIVE evolution (new column / lossless type widen)
-                # committed mid-stream FAILS the query; a restart reopens
-                # with the new schema and resumes from the checkpointed
-                # offset — already-delivered batches stay delivered, the
-                # evolution commit's own rows arrive under the new
-                # schema.  Serving it without restarting would silently
-                # drop the new column / downcast the widened one: the
-                # query's declared schema was fixed at open.
+            if v > self._open_version and [
+                (f["name"], f["type"])
+                for f in entry["schema"]["fields"]
+            ] != self._open_fields:
+                # Delta's streaming-source schema-change semantics: ANY
+                # schema change committed mid-stream FAILS the query; a
+                # restart reopens with the new schema and resumes from
+                # the checkpointed offset — already-delivered batches
+                # stay delivered, the change commit's own rows arrive
+                # under the new schema.  Serving it without restarting
+                # would silently drop new columns / downcast widened
+                # ones: the query's declared schema was fixed at open.
+                # Compared against the OPEN schema itself — not op
+                # labels — so a schema-evolving overwrite on an empty
+                # live set (remove=[], no dv_add) cannot slip past as a
+                # plain data commit.
                 raise RuntimeError(
                     f"eel_vtable stream: version {v} ({entry['op']}) "
                     "changed the table schema after the stream opened "
