@@ -30,8 +30,18 @@ re-expressed in ~pure PySpark + stdlib:
 
 Concurrency contract (optimistic, Delta-style): writers read a snapshot,
 write new segments, then attempt the ``snapshot_version + 1`` commit.  A
-losing writer gets :class:`ConcurrentCommitError` and must re-read and
-retry against the new snapshot (its orphaned segments are vacuumable).
+lost race first goes through SEMANTIC conflict resolution (Delta's
+ConflictChecker): the operation is re-validated against every
+interleaved commit and auto-rebased — the same already-written segments
+re-attempted at the new head, no data-job re-run — when provably
+disjoint (blind appends vs any data commit; DML whose read
+probes/removes are disjoint from the interleaved adds/removes, proven
+from log stats and partition values; compaction vs appends).  Only TRUE
+conflicts surface, as typed :class:`ConcurrentCommitError` subclasses
+(:class:`MetadataChangedError`, :class:`ConcurrentAppendError`,
+:class:`ConcurrentDeleteReadError`, :class:`ConcurrentDeleteDeleteError`),
+and the caller must then re-derive against the new snapshot (orphaned
+segments are vacuumable).
 Readers resolve a version's segment list eagerly, so a DataFrame handle
 is pinned to its snapshot — immutable segments make reads repeatable
 regardless of later commits (snapshot isolation by construction).
@@ -104,7 +114,38 @@ CHECKPOINT_EVERY = 8
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first.  Optimistic-concurrency
     contract: re-read the latest snapshot, re-derive the operation against
-    it, and retry at the new version (the Delta PROTOCOL.md loop)."""
+    it, and retry at the new version (the Delta PROTOCOL.md loop).
+
+    Since round 11 the write paths first try SEMANTIC conflict resolution
+    (Delta's ConflictChecker, PROTOCOL.md "Concurrency Control"): a lost
+    race is re-validated against the interleaved commits and auto-rebased
+    when provably disjoint — only TRUE conflicts surface, as one of the
+    typed subclasses below, and the caller must then re-derive."""
+
+
+class MetadataChangedError(ConcurrentCommitError):
+    """An interleaved commit changed table metadata (schema shape, partition
+    spec, rename/drop/widen chains, constraints, or a restore) — the lost
+    operation was derived under metadata that no longer holds (Delta's
+    MetadataChangedException / ProtocolChangedException)."""
+
+
+class ConcurrentAppendError(ConcurrentCommitError):
+    """An interleaved commit ADDED files that may match the lost
+    operation's read predicate — rows the operation should have seen
+    (Delta's ConcurrentAppendException, serializable isolation)."""
+
+
+class ConcurrentDeleteReadError(ConcurrentCommitError):
+    """An interleaved commit REMOVED (or DV-masked) files the lost
+    operation read — its scan is stale (Delta's
+    ConcurrentDeleteReadException)."""
+
+
+class ConcurrentDeleteDeleteError(ConcurrentCommitError):
+    """An interleaved commit REMOVED files the lost operation also
+    removes — both rewrote the same data (Delta's
+    ConcurrentDeleteDeleteException)."""
 
 
 class ConstraintViolationError(ValueError):
@@ -933,6 +974,170 @@ class VersionedTable:
                 except OSError:
                     pass
 
+    #: ops whose commit changes table METADATA — never rebasable across:
+    #: the lost writer derived its batch under schema/spec/constraint/
+    #: chain state that no longer holds (restore rewires the live set and
+    #: may resurrect files a DML thought dead, so it counts too).
+    _METADATA_OPS = frozenset((
+        "rename", "drop", "widen_type", "set_spec", "set_constraint",
+        "restore",
+    ))
+
+    def _probe_disjoint(
+        self, probes: list[tuple], rel: str, entry: dict
+    ) -> bool:
+        """True when an interleaved commit's added segment ``rel`` is
+        PROVABLY disjoint from at least one of the lost operation's read
+        probes ``(col, lo, hi)`` — via the segment's recorded partition
+        values first, then its footer min/max stats.  Unprovable ==
+        False: the caller must then declare a conflict (the same
+        only-skip-what-is-proven rule as read-side pruning)."""
+        pv = (entry.get("pv") or {}).get(rel)
+        stats = (entry.get("stats") or {}).get(rel) or {}
+        for col, lo, hi in probes:
+            if lo is None or hi is None:
+                continue
+            if pv and partition_skips(pv, col, lo, hi, is_point=(lo == hi)):
+                return True
+            mn_mx = stats.get(col)
+            if mn_mx is not None:
+                try:
+                    if mn_mx[1] < lo or mn_mx[0] > hi:
+                        return True
+                except TypeError:
+                    pass  # cross-typed comparison proves nothing
+        return False
+
+    def _check_interleaved(
+        self,
+        entry: dict,
+        vi: int,
+        schema_fields: list[tuple],
+        blind: bool,
+        read_files: frozenset,
+        removes: frozenset,
+        probes: list[tuple],
+        ignore_adds: bool = False,
+    ) -> None:
+        """Raise the typed conflict if interleaved commit ``entry`` (at
+        version ``vi``) invalidates the lost operation; return silently
+        when the operation can be rebased past it.  The Delta
+        ConflictChecker decision table under SERIALIZABLE isolation:
+
+        - metadata ops / schema-shape change  -> MetadataChangedError
+        - removed files ∩ our removes         -> ConcurrentDeleteDeleteError
+        - removed files ∩ our read set,
+          or any DV added (masks rows of
+          files we may have read)             -> ConcurrentDeleteReadError
+        - added files not provably disjoint
+          from our read probes (blind appends
+          read nothing and skip this check)   -> ConcurrentAppendError
+        """
+        if entry["op"] in self._METADATA_OPS:
+            raise MetadataChangedError(
+                f"version {vi} ({entry['op']}) changed table metadata "
+                "under the in-flight operation — re-derive against the "
+                "new snapshot"
+            )
+        fields = [
+            (f["name"], f["type"]) for f in entry["schema"]["fields"]
+        ]
+        if fields != schema_fields:
+            raise MetadataChangedError(
+                f"version {vi} ({entry['op']}) changed the table schema "
+                "under the in-flight operation — re-derive against the "
+                "new snapshot"
+            )
+        removed = frozenset(entry["remove"])
+        if removed & removes:
+            raise ConcurrentDeleteDeleteError(
+                f"version {vi} ({entry['op']}) removed file(s) this "
+                f"operation also removes {sorted(removed & removes)[:3]}"
+            )
+        if not blind:
+            if removed & read_files:
+                raise ConcurrentDeleteReadError(
+                    f"version {vi} ({entry['op']}) removed file(s) this "
+                    f"operation read {sorted(removed & read_files)[:3]}"
+                )
+            if entry.get("dv_add"):
+                # a DV masks rows INSIDE existing files; which files is
+                # only knowable by reading the DV parquet — conservative
+                raise ConcurrentDeleteReadError(
+                    f"version {vi} ({entry['op']}) added a deletion "
+                    "vector masking rows this operation may have read"
+                )
+            if not ignore_adds:
+                # ignore_adds marks file-scoped rewrites (compaction):
+                # they read exactly their input files, no predicate, so
+                # interleaved adds never invalidate them
+                for rel in entry["add"]:
+                    if not self._probe_disjoint(probes, rel, entry):
+                        raise ConcurrentAppendError(
+                            f"version {vi} ({entry['op']}) added segment "
+                            f"{rel} not provably disjoint from this "
+                            "operation's read predicate"
+                        )
+
+    def _commit_rebased(
+        self,
+        v: int,
+        op: str,
+        add: list[str],
+        remove: list[str],
+        schema: StructType,
+        extra: dict | None = None,
+        *,
+        blind: bool = False,
+        read_files=(),
+        probes: list[tuple] | None = None,
+        ignore_adds: bool = False,
+        max_rebase: int = 64,
+    ) -> int:
+        """:meth:`_commit` with SEMANTIC conflict resolution (Delta's
+        ConflictChecker): on a lost race, re-validate the operation
+        against every interleaved commit and, when provably disjoint,
+        auto-rebase — re-attempt the SAME already-written segments at the
+        new head, no data job re-run, no caller-visible retry.  A true
+        conflict raises the typed :class:`ConcurrentCommitError`
+        subclass naming the interleaved commit.
+
+        ``blind`` marks operations that read nothing (plain appends):
+        they rebase across any data commit and conflict only with
+        metadata changes.  DML passes its ``read_files`` (the scanned
+        candidates) and optional ``probes`` [(col, lo, hi), ...] — the
+        read predicate interleaved ADDS are checked against.  Returns
+        the version that actually committed."""
+        # the commit schema's JSON rendering is what interleaved entries
+        # are compared to — use the same serialization both sides
+        schema_fields = [
+            (f["name"], f["type"])
+            for f in json.loads(schema.json())["fields"]
+        ]
+        read_files = frozenset(read_files)
+        removes = frozenset(remove)
+        probes = probes or []
+        attempt = v
+        for _ in range(max_rebase):
+            try:
+                self._commit(
+                    attempt + 1, op, add=add, remove=remove,
+                    schema=schema, extra=extra,
+                )
+                return attempt + 1
+            except ConcurrentCommitError:
+                head = self.latest_version()
+                for vi in range(attempt + 1, head + 1):
+                    self._check_interleaved(
+                        self._read_commit(vi), vi, schema_fields,
+                        blind, read_files, removes, probes, ignore_adds,
+                    )
+                attempt = head
+        raise ConcurrentCommitError(
+            f"{op}: lost {max_rebase} consecutive commit races on "
+            f"{self.root}"
+        )
+
     def _latest_checkpoint(self, version: int) -> dict | None:
         """The newest checkpoint payload at or before ``version`` (None
         when the log has none yet) — the single discovery point every
@@ -1713,21 +1918,24 @@ class VersionedTable:
         )
 
     def append(self, df: DataFrame) -> int:
+        """INSERT — a BLIND append (reads nothing): on a lost commit race
+        it auto-rebases across any interleaved DATA commit (Delta's
+        ConflictChecker — blind appends conflict only with metadata
+        changes), so N concurrent appenders all land with zero
+        caller-visible retries and no data-job re-runs."""
         df = self._require_schema(df, "append")
         v = self.latest_version()
         spec = self.partition_spec()
         if spec:
             add, pvs = self._write_partitioned(df, v + 1, spec)
-            self._commit(
-                v + 1, "append", add=add, remove=[], schema=df.schema,
-                extra={"pv": pvs},
+            return self._commit_rebased(
+                v, "append", add=add, remove=[], schema=df.schema,
+                extra={"pv": pvs}, blind=True,
             )
-        else:
-            add = [self._write_segment(df, v + 1)]
-            self._commit(
-                v + 1, "append", add=add, remove=[], schema=df.schema
-            )
-        return v + 1
+        add = [self._write_segment(df, v + 1)]
+        return self._commit_rebased(
+            v, "append", add=add, remove=[], schema=df.schema, blind=True,
+        )
 
     def idempotent_append(
         self, df: DataFrame, source_id: str, batch_id: int
@@ -2328,7 +2536,7 @@ class VersionedTable:
         cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         return self._replace_slice(
             df, cond, f"{col} BETWEEN {lo} AND {hi}", candidates, skipped,
-            v, dvs, entry,
+            v, dvs, entry, probes=[(col, lo, hi)],
         )
 
     def replace_where_segment(
@@ -2367,6 +2575,7 @@ class VersionedTable:
         dvs: list[str],
         entry: dict,
         new_rel: str | None = None,
+        probes: list[tuple] | None = None,
     ) -> int:
         """Shared replaceWhere core: exact touched discovery over
         ``candidates`` (``skipped`` were already proven disjoint from log
@@ -2476,16 +2685,17 @@ class VersionedTable:
                 .withColumn("_change_type", F.lit("insert")),
                 v + 1,
             )
-        self._commit(
-            v + 1, "replace_where", add=add, remove=list(touched),
+        committed = self._commit_rebased(
+            v, "replace_where", add=add, remove=list(touched),
             schema=schema, extra=extra,
+            read_files=candidates, probes=probes,
         )
         if empty_new is not None:
             # the commit settled without referencing it — reclaim now
             shutil.rmtree(
                 os.path.join(self.root, empty_new), ignore_errors=True
             )
-        return v + 1
+        return committed
 
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE (source wins on key match) as copy-on-write: read the
@@ -2614,11 +2824,20 @@ class VersionedTable:
         finally:
             if self.cdf_enabled:
                 target.unpersist()
-        self._commit(
-            v + 1, "merge", add=add, remove=touched, schema=merged.schema,
-            extra=extra,
+        # rebase probe: the merge READ every row whose keys[0] falls in
+        # the source's key range — one tiny agg over the delta side
+        krange = source.agg(
+            F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+        ).first()
+        probes = (
+            [(keys[0], krange["mn"], krange["mx"])]
+            if krange["mn"] is not None
+            else []
         )
-        return v + 1
+        return self._commit_rebased(
+            v, "merge", add=add, remove=touched, schema=merged.schema,
+            extra=extra, read_files=touched, probes=probes,
+        )
 
     def delete_where(self, condition: Column | str) -> int:
         """SQL DELETE semantics: rows where the predicate is TRUE are
@@ -3099,8 +3318,10 @@ class VersionedTable:
         v, live, _ = self._snapshot(None)
         df = self.read(v).coalesce(target_partitions)
         add = [self._write_segment(df, v + 1)]
-        self._commit(v + 1, "compact", add=add, remove=live, schema=df.schema)
-        return v + 1
+        return self._commit_rebased(
+            v, "compact", add=add, remove=live, schema=df.schema,
+            read_files=live, ignore_adds=True,
+        )
 
     def _segment_bytes(self, rel: str) -> int:
         """On-disk bytes of a segment's part files — O(files) stat."""
@@ -3140,16 +3361,16 @@ class VersionedTable:
             target_partitions
         )
         add = [self._write_segment(merged, v + 1)]
-        self._commit(
-            v + 1, "compact", add=add, remove=small, schema=schema,
+        return self._commit_rebased(
+            v, "compact", add=add, remove=small, schema=schema,
             extra={
                 "scope": "small",
                 "max_bytes": int(max_bytes),
                 "packed": len(small),
                 "preserved": len(live) - len(small),
             },
+            read_files=small, ignore_adds=True,
         )
-        return v + 1
 
     def compact_partition(
         self, col: str, value, target_partitions: int = 1
@@ -3199,16 +3420,16 @@ class VersionedTable:
             target_partitions
         )
         add = [self._write_segment(merged, v + 1)]
-        self._commit(
-            v + 1, "compact", add=add, remove=targets, schema=schema,
+        return self._commit_rebased(
+            v, "compact", add=add, remove=targets, schema=schema,
             extra={
                 "scope": "partition",
                 "packed": len(targets),
                 "preserved": len(live) - len(targets),
                 "pv": {add[0]: common} if common else {},
             },
+            read_files=targets, ignore_adds=True,
         )
-        return v + 1
 
     def compact_clustered(
         self, cluster_by: list[str], n_segments: int = 16, bits: int = 8
@@ -3292,12 +3513,12 @@ class VersionedTable:
                 add.append(rel)
         finally:
             shutil.rmtree(tmp_abs, ignore_errors=True)
-        self._commit(
-            v + 1, "compact", add=add, remove=live,
+        return self._commit_rebased(
+            v, "compact", add=add, remove=live,
             schema=StructType.fromJson(entry["schema"]),
             extra={"clustered_by": list(cluster_by)},
+            read_files=live, ignore_adds=True,
         )
-        return v + 1
 
     # ------------------------------------------------------- stats pruning
     def _live_segment_stats(self, version: int) -> dict[str, dict]:

@@ -2944,3 +2944,125 @@ def vtable_describe_history(spark, sf_dir) -> DataFrame:
         "version long, op string, n_added long, n_removed long, "
         "wrote_cdf boolean, evolved_schema boolean",
     )
+
+
+@register(
+    "vtable_concurrent_disjoint_rebase",
+    oracle=f"""
+    -- two writers raced disjoint-range replaceWheres: low keys got
+    -- price*2, high keys price+5.  Disjoint ops COMMUTE, so the end
+    -- state is deterministic whichever writer won the version race —
+    -- and auto-rebase means BOTH landed with zero caller retries:
+    -- exactly 4 commits (create, append, 2 replace_where), pinned in
+    -- n_versions/ops_signature.
+    WITH lim AS (
+      SELECT MAX(o_orderkey) // 2 AS cut FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice * 2 AS o_totalprice,
+             CASE WHEN TRUE THEN 'low' END AS slice
+      FROM orders, lim WHERE o_orderkey <= cut
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 5, 'high'
+      FROM orders, lim WHERE o_orderkey > cut
+    )
+    SELECT slice,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           {scaled_sum_sql('o_totalprice')} AS value_sum,
+           CAST(3 AS BIGINT) AS head_version,
+           'append,create,replace_where,replace_where' AS ops_signature
+    FROM final
+    GROUP BY slice
+    ORDER BY slice
+    """,
+    survey="extension (concurrency, round 11): SEMANTIC conflict "
+    "resolution — Delta ConflictChecker semantics on the vtable commit "
+    "log: two writers genuinely racing (threads, barrier-released) on "
+    "DISJOINT key ranges both land with ZERO caller-visible retries "
+    "(a lost os.link race is auto-rebased after proving the "
+    "interleaved commit's adds/removes disjoint via log stats/pv), "
+    "pinned by head_version=3 + the op multiset; the value oracle "
+    "checks the commuted end state exactly.  True conflicts "
+    "(overlapping removes/reads, metadata changes) still raise typed "
+    "ConcurrentCommitError subclasses — pinned in "
+    "tests/test_round11_ops.py",
+    tags=("vtable",),
+)
+def vtable_concurrent_disjoint_rebase(spark, sf_dir) -> DataFrame:
+    """Two racing writers, disjoint ranges, one table: writer A
+    replaceWheres the low half (price*2), writer B the high half
+    (price+5), released simultaneously.  Whoever loses the version-claim
+    race auto-rebases (operators/vtable.py _commit_rebased) instead of
+    surfacing ConcurrentCommitError — the Delta PROTOCOL.md conflict
+    table, re-expressed over the JSON log.  Deterministic because
+    disjoint replaces commute."""
+    import shutil as _shutil
+    import threading
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cut = orders.agg(F.max("o_orderkey")).first()[0] // 2
+    low = orders.filter(F.col("o_orderkey") <= cut)
+    high = orders.filter(F.col("o_orderkey") > cut)
+    root = os.path.join(
+        staging_dir("vtable_race"),
+        f"rebase_{table_cache_key(sf_dir, 'orders', 'race', _HISTORY_REV)}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    # two segments with disjoint o_orderkey ranges — the stats/pv
+    # evidence the rebase disjointness proof runs on
+    vt = VersionedTable.create(spark, root, low)
+    vt.append(high)
+
+    new_low = low.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    new_high = high.withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def _writer(df, lo, hi):
+        try:
+            barrier.wait(timeout=120)
+            VersionedTable(spark, root).overwrite_range(
+                df, "o_orderkey", lo, hi
+            )
+        except Exception as exc:  # noqa: BLE001 — re-raised on the caller
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=_writer, args=(new_low, 0, cut)),
+        threading.Thread(
+            target=_writer, args=(new_high, cut + 1, 1 << 62)
+        ),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+
+    ops_sig = ",".join(sorted(e["op"] for e in vt.history()))
+    head = vt.latest_version()
+    return (
+        vt.read()
+        .withColumn(
+            "slice",
+            F.when(F.col("o_orderkey") <= cut, "low").otherwise("high"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            scaled_sum(F.col("o_totalprice")).alias("value_sum"),
+        )
+        .withColumn("head_version", F.lit(int(head)).cast("long"))
+        .withColumn("ops_signature", F.lit(ops_sig))
+        .orderBy("slice")
+    )

@@ -1,0 +1,295 @@
+"""Round-11 pins: semantic conflict resolution on the vtable commit log
+(Delta ConflictChecker semantics — PROTOCOL.md "Concurrency Control").
+
+A lost commit race is re-validated against the interleaved commits and
+auto-rebased when provably disjoint; TRUE conflicts raise typed
+ConcurrentCommitError subclasses.  Interleaves are injected
+deterministically: the loser's first _commit attempt triggers the
+winner's commit, so the loser always loses version v+1 and must rebase.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    ConcurrentAppendError,
+    ConcurrentDeleteDeleteError,
+    MetadataChangedError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="r11-")
+    yield os.path.join(d, "t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(spark, lo, hi, price=1.0):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 0 + price).cast("double").alias("p"),
+    )
+
+
+def _inject_loss(monkeypatch, loser: VersionedTable, action) -> dict:
+    """Make ``loser``'s next commit attempt lose: fire ``action`` (the
+    winner's commit) right before the loser's FIRST _commit call, so the
+    version it claims is taken and the rebase path must run.  Returns a
+    state dict whose 'fired' records that the race actually happened."""
+    orig = VersionedTable._commit
+    state = {"fired": False}
+
+    def patched(self, version, op, add, remove, schema, extra=None):
+        if not state["fired"] and self is loser:
+            state["fired"] = True
+            action()
+        return orig(self, version, op, add, remove, schema, extra)
+
+    monkeypatch.setattr(VersionedTable, "_commit", patched)
+    return state
+
+
+# --------------------------------------------------------- blind appends
+
+def test_blind_append_rebases_across_concurrent_append(
+    spark, root, monkeypatch
+):
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 100, 110))
+    )
+    v = vt_a.append(_rows(spark, 200, 210))  # must NOT raise
+    assert state["fired"]
+    assert v == 2  # rebased past the interleaved append
+    assert vt_a.read().count() == 30
+    assert [e["op"] for e in vt_a.history()] == [
+        "create", "append", "append"
+    ]
+
+
+def test_blind_append_rebases_across_concurrent_delete(
+    spark, root, monkeypatch
+):
+    """Appends read nothing — a concurrent DELETE (full-remove data
+    commit) never conflicts with them (Delta: blind appends only
+    conflict with metadata)."""
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.delete_where(F.col("k") < 5)
+    )
+    vt_a.append(_rows(spark, 200, 210))
+    assert state["fired"]
+    # delete kept k in [5,10), append added [200,210)
+    assert vt_a.read().count() == 15
+
+
+def test_blind_append_conflicts_with_metadata_change(
+    spark, root, monkeypatch
+):
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.add_constraint("k_pos", "k >= 0")
+    )
+    with pytest.raises(MetadataChangedError):
+        vt_a.append(_rows(spark, 200, 210))
+
+
+def test_blind_append_conflicts_with_schema_change(
+    spark, root, monkeypatch
+):
+    """An interleaved overwrite that EVOLVES the schema (op 'overwrite'
+    is not in the metadata-op set; the schema-shape comparison must
+    catch it)."""
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch,
+        vt_a,
+        lambda: vt_b.overwrite(
+            _rows(spark, 0, 10).withColumn("extra", F.lit(1))
+        ),
+    )
+    with pytest.raises(MetadataChangedError):
+        vt_a.append(_rows(spark, 200, 210))
+
+
+# ------------------------------------------------------- DML rebase
+
+def _two_segment_table(spark, root) -> VersionedTable:
+    """seg0: k in [0,100), seg1: k in [1000,1100) — range-disjoint."""
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 100))
+    vt.append(_rows(spark, 1000, 1100))
+    return vt
+
+
+def test_disjoint_overwrite_ranges_both_land(spark, root, monkeypatch):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch,
+        vt_a,
+        lambda: vt_b.overwrite_range(
+            _rows(spark, 1000, 1100, price=9.0), "k", 1000, 1099
+        ),
+    )
+    vt_a.overwrite_range(_rows(spark, 0, 100, price=5.0), "k", 0, 99)
+    assert state["fired"]
+    got = {
+        r["p"]
+        for r in vt_a.read().select("p").distinct().collect()
+    }
+    assert got == {5.0, 9.0}
+    assert vt_a.read().count() == 200
+    assert vt_a.latest_version() == 3  # zero extra commits
+
+
+def test_overlapping_overwrite_ranges_conflict(spark, root, monkeypatch):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch,
+        vt_a,
+        lambda: vt_b.overwrite_range(
+            _rows(spark, 0, 50, price=9.0), "k", 0, 49
+        ),
+    )
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        vt_a.overwrite_range(_rows(spark, 0, 100, price=5.0), "k", 0, 99)
+
+
+def test_dml_conflicts_with_overlapping_concurrent_append(
+    spark, root, monkeypatch
+):
+    """A concurrent append INTO the replaced range: rows the replace
+    should have replaced — serializable isolation demands a conflict."""
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 50, 60))
+    )
+    with pytest.raises(ConcurrentAppendError):
+        vt_a.overwrite_range(_rows(spark, 0, 100, price=5.0), "k", 0, 99)
+
+
+def test_dml_rebases_across_disjoint_concurrent_append(
+    spark, root, monkeypatch
+):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 5000, 5010))
+    )
+    vt_a.overwrite_range(_rows(spark, 0, 100, price=5.0), "k", 0, 99)
+    assert state["fired"]
+    assert vt_a.read().count() == 210
+
+
+def test_merge_pruned_rebases_across_disjoint_append(
+    spark, root, monkeypatch
+):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 5000, 5010))
+    )
+    vt_a.merge_upsert_pruned(_rows(spark, 0, 5, price=7.0), ["k"])
+    assert state["fired"]
+    df = vt_a.read()
+    assert df.count() == 210
+    assert df.filter(F.col("p") == 7.0).count() == 5
+
+
+def test_merge_pruned_conflicts_with_append_in_key_range(
+    spark, root, monkeypatch
+):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 2, 4))
+    )
+    with pytest.raises(ConcurrentAppendError):
+        vt_a.merge_upsert_pruned(_rows(spark, 0, 5, price=7.0), ["k"])
+
+
+# ----------------------------------------------------------- compaction
+
+def test_compact_rebases_across_blind_append(spark, root, monkeypatch):
+    """Compaction reads exactly its input files: an interleaved append
+    never invalidates it (ignore_adds), and the appended rows survive."""
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_a.append(_rows(spark, 10, 20))
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 100, 105))
+    )
+    vt_a.compact()
+    assert state["fired"]
+    assert vt_a.read().count() == 25  # 20 compacted + 5 appended
+
+
+def test_compact_conflicts_when_input_removed(spark, root, monkeypatch):
+    vt_a = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    vt_a.append(_rows(spark, 10, 20))
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.delete_where(F.col("k") < 5)
+    )
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        vt_a.compact()
+
+
+# ----------------------------------------------------------------- soak
+
+def test_soak_disjoint_writers_zero_visible_retries(spark, root):
+    """Two threads, three barrier-released rounds of disjoint-range
+    replaces each: every op lands (no caller-visible error), exactly one
+    commit per op, and the end state is the last round's writes."""
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 100))
+    vt.append(_rows(spark, 1000, 1100))
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(lo, hi, base_price):
+        try:
+            handle = VersionedTable(spark, root)
+            for rnd in range(3):
+                barrier.wait(timeout=120)
+                handle.overwrite_range(
+                    _rows(spark, lo, hi, price=base_price + rnd),
+                    "k", lo, hi - 1,
+                )
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    ths = [
+        threading.Thread(target=writer, args=(0, 100, 10.0)),
+        threading.Thread(target=writer, args=(1000, 1100, 20.0)),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    assert vt.latest_version() == 7  # 2 seeds + 6 ops, one commit each
+    final = dict(
+        vt.read()
+        .groupBy((F.col("k") < 500).alias("low"))
+        .agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
+        .select("low", "mn", "mx")
+        .rdd.map(lambda r: (r["low"], (r["mn"], r["mx"])))
+        .collect()
+    )
+    assert final[True] == (12.0, 12.0)
+    assert final[False] == (22.0, 22.0)
