@@ -110,6 +110,21 @@ _CONSTRAINT_NAME_OK = frozenset(
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
 
+#: DV fast-path bounds: deletion vectors are read DRIVER-SIDE and applied
+#: as per-file position filters (InSet on _metadata.row_index — no per-row
+#: string hashing) only while they are metadata-sized.  Past any bound the
+#: scan falls back to the broadcast anti-join, which scales with the data.
+_DV_DRIVER_MAX_BYTES = 64 << 20
+_DV_MAX_FILE_BRANCHES = 256
+_DV_MAX_POSITIONS_PER_FILE = 200_000
+
+#: Memoized driver-side DV content, keyed on (root, active dv set).  DV
+#: files are immutable once committed (and never vacuumed while active),
+#: so the fold can never go stale; a bounded size keeps a long-running
+#: session from accumulating dead tables' masks.
+_DV_POS_MEMO: dict[tuple, dict] = {}
+_DV_POS_MEMO_MAX = 64
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first.  Optimistic-concurrency
@@ -1456,6 +1471,58 @@ class VersionedTable:
                 f"{missing[:3]}"
             )
 
+    def _dv_positions(self, dvs: list[str]) -> dict | None:
+        """Driver-side fold of the active deletion vectors:
+        ``{segment name: {part file: [row positions]}}`` — the per-file
+        masks the fast read path filters with.  Returns None (caller
+        falls back to the broadcast anti-join) whenever the DVs are not
+        metadata-sized: total bytes past ``_DV_DRIVER_MAX_BYTES``, or
+        any single file masked past ``_DV_MAX_POSITIONS_PER_FILE`` (an
+        InSet that large costs more than the join it replaces).  DV
+        files are immutable, so the fold memoizes on the active set."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        key = (self.root, tuple(dvs))
+        hit = _DV_POS_MEMO.get(key)
+        if hit is not None:
+            return hit
+        parts: list[str] = []
+        total = 0
+        for d in dvs:
+            for p in _glob.glob(
+                os.path.join(self.root, d, "part-*.parquet")
+            ):
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    return None
+                parts.append(p)
+        if total > _DV_DRIVER_MAX_BYTES:
+            return None
+        out: dict[str, dict[str, list[int]]] = {}
+        for p in parts:
+            tb = pq.read_table(
+                p, columns=["_dv_seg", "_dv_file", "_dv_pos"]
+            )
+            for seg, fl, pos in zip(
+                tb["_dv_seg"].to_pylist(),
+                tb["_dv_file"].to_pylist(),
+                tb["_dv_pos"].to_pylist(),
+            ):
+                out.setdefault(seg, {}).setdefault(fl, []).append(
+                    int(pos)
+                )
+        for files in out.values():
+            for poss in files.values():
+                if len(poss) > _DV_MAX_POSITIONS_PER_FILE:
+                    return None
+        if len(_DV_POS_MEMO) >= _DV_POS_MEMO_MAX:
+            _DV_POS_MEMO.pop(next(iter(_DV_POS_MEMO)))
+        _DV_POS_MEMO[key] = out
+        return out
+
     def _scan_segments(
         self,
         version: int,
@@ -1518,11 +1585,11 @@ class VersionedTable:
                 for r in chains.get(f.name, [])
             ]
             read_schema = StructType(list(schema.fields) + retired)
-        df = self.spark.read.schema(read_schema).parquet(
-            *(os.path.join(self.root, p) for p in rels)
-        )
+        reader = self.spark.read.schema(read_schema)
         if dvs is None:
             dvs = sorted(self._resolve_dvs(version))
+        if dvs:
+            self._check_present(version, dvs)
 
         def _logical(f: StructField) -> Column:
             rs = chains.get(f.name)
@@ -1534,12 +1601,76 @@ class VersionedTable:
 
         logical_sel = [_logical(f) for f in schema.fields]
         out_cols = [f.name for f in schema.fields]
+
+        # DV FAST PATH (round 11; the measured 3.67x -> ~1.3x cut): for
+        # metadata-sized DVs, apply each file's mask IN THE SCAN — clean
+        # part files get the plain multi-path read, masked files each get
+        # a per-file ``row_index NOT IN (positions)`` filter (compiles to
+        # an InSet probe on a LONG — no per-row path splitting, no string
+        # hashing, no join).  Exactly the rows the anti-join drops: the
+        # DV identity IS (file, row_index), scoped here by real file.
+        if dvs and not keep_identity:
+            masked = self._dv_positions(dvs)
+            if masked is not None:
+                import glob as _glob
+
+                clean: list[str] = []
+                branches: list[tuple[str, list[int]]] = []
+                for rel in rels:
+                    seg_abs = os.path.join(self.root, rel)
+                    seg_masked = masked.get(os.path.basename(rel))
+                    if not seg_masked:
+                        clean.append(seg_abs)
+                        continue
+                    for part in sorted(
+                        _glob.glob(
+                            os.path.join(seg_abs, "part-*.parquet")
+                        )
+                    ):
+                        poss = seg_masked.get(os.path.basename(part))
+                        if poss:
+                            branches.append((part, poss))
+                        else:
+                            clean.append(part)
+                if len(branches) <= _DV_MAX_FILE_BRANCHES:
+                    parts_dfs: list[DataFrame] = []
+                    if clean:
+                        parts_dfs.append(reader.parquet(*clean))
+                    for part, poss in branches:
+                        # ONE SQL string, not Column.isin(*positions):
+                        # py4j marshals isin literals one object at a
+                        # time (~0.3 ms each — seconds for a few
+                        # thousand positions), while the parser chews
+                        # the IN list in microseconds.  Positions are
+                        # ints from the DV parquet — no quoting issues.
+                        in_list = ",".join(map(str, poss))
+                        parts_dfs.append(
+                            reader.parquet(part).where(
+                                F.expr(
+                                    "_metadata.row_index NOT IN "
+                                    f"({in_list})"
+                                )
+                            )
+                        )
+                    if not parts_dfs:
+                        # every part file of every rel fully enumerated
+                        # and none exist — an empty (but present) live set
+                        return self.spark.createDataFrame([], schema)
+                    fast = parts_dfs[0]
+                    for other in parts_dfs[1:]:
+                        fast = fast.unionAll(other)
+                    return (
+                        fast.select(*logical_sel) if chains else fast
+                    )
+
+        df = reader.parquet(
+            *(os.path.join(self.root, p) for p in rels)
+        )
         if keep_identity or dvs:
             df = df.select(*logical_sel, *self._identity_cols())
         elif chains:
             df = df.select(*logical_sel)
         if dvs:
-            self._check_present(version, dvs)
             dv = self.spark.read.parquet(
                 *(os.path.join(self.root, d) for d in dvs)
             )

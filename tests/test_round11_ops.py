@@ -293,3 +293,58 @@ def test_soak_disjoint_writers_zero_visible_retries(spark, root):
     )
     assert final[True] == (12.0, 12.0)
     assert final[False] == (22.0, 22.0)
+
+
+# ------------------------------------------------- DV fast read path
+
+def test_dv_fast_path_matches_antijoin_and_skips_join(
+    spark, root, monkeypatch
+):
+    """Small DVs apply as per-file InSet position filters in the scan —
+    no join in the plan — and serve EXACTLY the rows the broadcast
+    anti-join fallback serves."""
+    import energy_emissions_lakehouse_spark.operators.vtable as vmod
+
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 1000))
+    vt.append(_rows(spark, 1000, 2000))
+    vt.delete_where_mor(F.col("k") % 7 == 0)
+    fast = vt.read()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, "fast path must not join"
+    assert "INSET" in plan or "NOT (_metadata" in plan or "IN (" in plan
+    fast_rows = sorted((r["k"], r["p"]) for r in fast.collect())
+    # force the legacy anti-join and compare value-exactly
+    monkeypatch.setattr(vmod, "_DV_DRIVER_MAX_BYTES", 0)
+    vmod._DV_POS_MEMO.clear()
+    legacy = vt.read()
+    legacy_plan = legacy._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in legacy_plan, "fallback must be the anti-join"
+    assert sorted((r["k"], r["p"]) for r in legacy.collect()) == fast_rows
+    assert len(fast_rows) == 2000 - len([k for k in range(2000) if k % 7 == 0])
+
+
+def test_dv_fast_path_branch_cap_falls_back(spark, root, monkeypatch):
+    import energy_emissions_lakehouse_spark.operators.vtable as vmod
+
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 100))
+    vt.delete_where_mor(F.col("k") < 3)
+    monkeypatch.setattr(vmod, "_DV_MAX_FILE_BRANCHES", 0)
+    vmod._DV_POS_MEMO.clear()
+    df = vt.read()
+    assert "LeftAnti" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 97
+
+
+def test_dv_fast_path_prunes_dvs_of_unscanned_segments(spark, root):
+    """A DV whose segment is not in the scanned rels (pruned / since
+    rewritten) must not leak masks into other segments' files."""
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 100))
+    vt.append(_rows(spark, 1000, 1100))
+    vt.delete_where_mor(F.col("k") < 10)  # masks only segment 0 rows
+    # range-pruned read of the second segment only: full 100 rows
+    pruned = vt.read_pruned("k", 1000, 1099)
+    assert pruned.where(
+        (F.col("k") >= 1000) & (F.col("k") <= 1099)
+    ).count() == 100
+    # and the full read drops exactly the masked ten
+    assert vt.read().count() == 190
