@@ -504,6 +504,7 @@ class VersionedTable:
         bloom_bits: int = 1 << 19,
         bloom_k: int = 5,
         constraints: dict[str, str] | None = None,
+        ndv_cols: list[str] | None = None,
     ) -> "VersionedTable":
         """Initialize ``root`` with version 0 = ``df``.  Fails if a log
         already exists (use :meth:`overwrite` to replace content).
@@ -554,6 +555,32 @@ class VersionedTable:
                     f"supports {sorted(_BLOOMABLE_TYPES)} columns only "
                     "(canonical-string hashing; see create docstring)"
                 )
+        if ndv_cols:
+            # per-commit HLL NDV sketches (Iceberg's Theta-sketch puffin
+            # / Delta's dataSkippingStatsColumns analog): each data
+            # commit adds one HLL sketch per configured column per
+            # segment, folded to a table-level NDV estimate the planner
+            # consumes (table_ndv / distinct_filter).  Sketchable types
+            # follow hll_sketch_agg's domain.
+            types = {f.name: f.dataType.simpleString() for f in df.schema}
+            bad = [
+                c for c in ndv_cols
+                if types.get(c)
+                not in ("tinyint", "smallint", "int", "bigint", "string")
+            ]
+            if bad:
+                raise ValueError(
+                    f"ndv_cols: {bad[0]!r} is "
+                    f"{types.get(bad[0], 'absent')} — NDV sketching "
+                    "supports integral and string columns "
+                    "(hll_sketch_agg domain)"
+                )
+            if "__hll__" in types:
+                raise ValueError(
+                    "ndv_cols: a column named '__hll__' collides with "
+                    "the reserved per-segment sketch key in the commit "
+                    "stats — rename it or skip NDV sketching"
+                )
         if constraints:
             # still pre-mkdir: bad names/expressions must reject the
             # create before anything lands on disk.  (Whether the DATA
@@ -578,6 +605,9 @@ class VersionedTable:
             table._bloom_props = (list(bloom_cols), bloom_bits, bloom_k)
         if constraints:
             props["constraints"] = dict(constraints)
+        table._ndv_cols = list(ndv_cols or [])
+        if ndv_cols:
+            props["ndvColumns"] = list(ndv_cols)
         add = [table._write_segment(df, 0)]
         if constraints:
             # data validation needs the written segment (the input plan
@@ -614,6 +644,18 @@ class VersionedTable:
                 .get("enableChangeDataFeed", False)
             )
         return self._cdf_enabled
+
+    @property
+    def ndv_cols(self) -> list[str]:
+        """Columns with per-commit HLL NDV sketches (create-time table
+        property ``ndvColumns``, cached like the bloom props)."""
+        if not hasattr(self, "_ndv_cols"):
+            self._ndv_cols = list(
+                self._read_commit(0)
+                .get("properties", {})
+                .get("ndvColumns", [])
+            )
+        return self._ndv_cols
 
     @property
     def bloom_props(self) -> tuple[list[str], int, int]:
@@ -902,14 +944,23 @@ class VersionedTable:
                 prev = prev_entry.get(key)
                 if prev:
                     extra = {**(extra or {}), key: prev}
+        # per-added-segment min/max column stats from the parquet
+        # footers (Iceberg-manifest analog) — the pruning index; plus,
+        # on ndv_cols tables, one HLL sketch per configured column per
+        # segment under the "__hll__" key (never a real column name —
+        # stats are keyed by column), folded by table_ndv
+        add_stats = {rel: self._segment_stats(rel) for rel in add}
+        if add and self.ndv_cols:
+            for rel, sketches in self._segment_hll(
+                add, self.ndv_cols
+            ).items():
+                add_stats.setdefault(rel, {})["__hll__"] = sketches
         payload = {
             "version": version,
             "op": op,
             "add": sorted(add),
             "remove": sorted(remove),
-            # per-added-segment min/max column stats from the parquet
-            # footers (Iceberg-manifest analog) — the pruning index
-            "stats": {rel: self._segment_stats(rel) for rel in add},
+            "stats": add_stats,
             "schema": json.loads(schema.json()),
             "ts": time.time(),
             **(extra or {}),
@@ -3793,6 +3844,128 @@ class VersionedTable:
         if not ranges or any(r is None for r in ranges):
             return None
         return min(r[0] for r in ranges), max(r[1] for r in ranges)
+
+    def _segment_hll(
+        self, add: list[str], cols: list[str]
+    ) -> dict[str, dict[str, str | None]]:
+        """Per-added-segment HLL sketches for ``cols`` in ONE Spark job
+        (grouped by the segment the file_path identifies — a
+        partitioned append's N tuple-segments cost one aggregate, not
+        N jobs): {rel: {col: base64 sketch | None for an all-null
+        column}}.  Columns the written schema lacks (evolution eras)
+        are skipped — table_ndv then conservatively reports None."""
+        import base64 as _b64
+
+        df = self.spark.read.parquet(
+            *(os.path.join(self.root, r) for r in add)
+        )
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        by_name = {os.path.basename(r): r for r in add}
+        seg = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
+        )
+        rows = (
+            df.select(seg.alias("_seg"), *present)
+            .groupBy("_seg")
+            .agg(*[F.hll_sketch_agg(c).alias(c) for c in present])
+            .collect()
+        )
+        out: dict[str, dict[str, str | None]] = {}
+        for row in rows:
+            rel = by_name.get(row["_seg"])
+            if rel is None:
+                continue
+            out[rel] = {
+                c: (
+                    _b64.b64encode(bytes(row[c])).decode("ascii")
+                    if row[c] is not None
+                    else None
+                )
+                for c in present
+            }
+        return out
+
+    def table_ndv(self, col: str, version: int | None = None) -> int | None:
+        """Estimated number of distinct non-null values of ``col`` at a
+        version, folded from the live segments' commit-time HLL sketches
+        alone — O(live segments) metadata plus one tiny union job, no
+        table scan (Iceberg's NDV-from-puffin / CBO column stats).  None
+        when any live segment lacks a sketch for the column (pre-ndv
+        eras, evolution gaps): an estimate from partial sketches would
+        silently understate NDV and flip planner decisions the wrong
+        way.  Rows masked by deletion vectors still count (sketches are
+        per written segment) — NDV is a planning upper estimate, not an
+        exact count."""
+        version, live, _ = self._snapshot(version)
+        if not live:
+            return 0
+        import base64 as _b64
+
+        stats = self._live_segment_stats(version)
+        sketches: list[bytes] = []
+        for rel in live:
+            m = (stats.get(rel) or {}).get("__hll__")
+            if not isinstance(m, dict) or col not in m:
+                return None
+            if m[col] is not None:
+                sketches.append(_b64.b64decode(m[col]))
+        if not sketches:
+            return 0  # every live segment was all-null in col
+        df = self.spark.createDataFrame(
+            [(s,) for s in sketches], "s binary"
+        )
+        return int(
+            df.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("s")).alias("e")
+            ).first()["e"]
+        )
+
+    def distinct_filter(
+        self,
+        fact: DataFrame,
+        fact_col: str,
+        col: str,
+        max_inset: int = 1024,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filter ``fact`` to rows whose ``fact_col`` appears among the
+        DISTINCT values of this table's ``col`` — the NDV-DRIVEN
+        strategy choice (the CBO semi-join-vs-IN decision, fed from the
+        commit log's sketches instead of a catalog ANALYZE):
+
+        - log NDV <= ``max_inset``: collect the distinct values (bounded
+          by the estimate before any collect happens) and push an IN
+          filter into the fact scan — Catalyst turns it into an InSet
+          data filter AND a pushed parquet filter, so fact files whose
+          min/max exclude every value are never read.  At 100 TB this is
+          the difference between a shuffle of the fact table and a
+          footer-pruned scan.
+        - otherwise (or no sketch): a LEFT SEMI join, the
+          corpus-proportional plan.
+
+        Both strategies return identical rows (NULLs match nothing
+        under either, per SQL IN semantics; a dim NULL falls back to the
+        semi-join, where it also matches nothing)."""
+        ndv = self.table_ndv(col, version)
+        if ndv is not None and ndv <= max_inset:
+            vals = [
+                r[0]
+                for r in self.read(version).select(col).distinct().collect()
+            ]
+            # the estimate carries ~2% HLL error — re-check the actual
+            # cardinality before building the literal list
+            if len(vals) <= 2 * max_inset and not any(
+                v is None for v in vals
+            ):
+                return fact.where(F.col(fact_col).isin(vals))
+        keys = (
+            self.read(version)
+            .select(F.col(col).alias(fact_col))
+            .distinct()
+        )
+        return fact.join(keys, fact_col, "left_semi")
 
     def pruned_segments(
         self, version: int, col: str, lo, hi

@@ -3066,3 +3066,77 @@ def vtable_concurrent_disjoint_rebase(spark, sf_dir) -> DataFrame:
         .withColumn("ops_signature", F.lit(ops_sig))
         .orderBy("slice")
     )
+
+
+@register(
+    "vtable_ndv_inset_pushdown",
+    oracle=f"""
+    -- the NDV-driven strategy: the nation dim's log sketch says 15
+    -- distinct keys, under the IN threshold, so the fact filter is a
+    -- pushed IN list (no join in the plan — used_inset pins it), value
+    -- -identical to the semi-join it replaces
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {scaled_sum_sql('c_acctbal')} AS acctbal_sum,
+           TRUE AS used_inset
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+    )
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    survey="extension (CBO, round 11): column-level NDV from the commit "
+    "log CONSUMED by the planner — every data commit on an ndv_cols "
+    "table folds one HLL sketch per column per segment into its stats "
+    "(Iceberg puffin-NDV analog; one grouped aggregate per commit, "
+    "O(delta)); table_ndv unions the live set's sketches O(segments), "
+    "and distinct_filter flips the dim-key filter between a pushed IN "
+    "list (NDV under threshold: footer-pruned fact scan, no shuffle) "
+    "and a LEFT SEMI join (the corpus-proportional plan).  Both plan "
+    "directions + the no-sketch conservative fallback are asserted in "
+    "tests/test_round11_ops.py; used_inset pins the chosen strategy "
+    "inside the value oracle",
+    tags=("vtable",),
+)
+def vtable_ndv_inset_pushdown(spark, sf_dir) -> DataFrame:
+    """Customer fact filtered by a 15-key nation vtable dim through the
+    NDV-driven strategy choice: the log's HLL estimate (15 <= 64)
+    selects the IN-pushdown plan — used_inset is computed FROM the
+    executed plan, so a silent fallback to the join breaks parity."""
+    import shutil as _shutil
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = os.path.join(
+        staging_dir("vtable_catalog"),
+        f"ndv_{table_cache_key(sf_dir, 'nation', 'ndv', _HISTORY_REV)}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable.create(
+        spark,
+        root,
+        nation.filter(F.col("n_regionkey") <= 2),
+        ndv_cols=["n_nationkey"],
+    )
+    cust = t(spark, sf_dir, "customer")
+    filtered = vt.distinct_filter(
+        cust, "c_nationkey", "n_nationkey", max_inset=64
+    )
+    used_inset = "Join" not in (
+        filtered._jdf.queryExecution().executedPlan().toString()
+    )
+    return (
+        filtered.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            scaled_sum(F.col("c_acctbal")).alias("acctbal_sum"),
+        )
+        .withColumn("used_inset", F.lit(bool(used_inset)))
+        .orderBy("segment")
+    )

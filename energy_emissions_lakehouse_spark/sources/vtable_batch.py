@@ -569,6 +569,7 @@ class VtableBatchWriter(DataSourceArrowWriter):
             # commit 0 does not exist yet — pre-seed the lazy property
             # caches the commit path reads (same as VersionedTable.create)
             vt._bloom_props = ([], 0, 0)
+            vt._ndv_cols = []
             if not files:
                 # a create must leave a readable v0 even for an empty
                 # frame: materialize an empty segment so the schema has
@@ -588,7 +589,9 @@ class VtableBatchWriter(DataSourceArrowWriter):
                 # EXISTS — fall through to the existing-table path (its
                 # schema gate and constraint enforcement now apply)
                 self.creating = False
-                del vt._bloom_props  # re-resolve from the winner's commit 0
+                # re-resolve both caches from the winner's commit 0
+                del vt._bloom_props
+                del vt._ndv_cols
                 if self.replace_where is not None:
                     # a lost CREATE race must stay a predicate-scoped
                     # replace against the winner's table — falling into

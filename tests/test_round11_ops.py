@@ -348,3 +348,71 @@ def test_dv_fast_path_prunes_dvs_of_unscanned_segments(spark, root):
     ).count() == 100
     # and the full read drops exactly the masked ten
     assert vt.read().count() == 190
+
+
+# ------------------------------------------------- NDV stats -> planner
+
+def _g_rows(spark, lo, hi, mod):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % mod).cast("int").alias("g"),
+    )
+
+
+def test_ndv_sketch_fold_and_time_travel(spark, root):
+    vt = VersionedTable.create(
+        spark, root, _g_rows(spark, 0, 1000, 37), ndv_cols=["g", "k"]
+    )
+    vt.append(_g_rows(spark, 1000, 2000, 41))
+    assert vt.table_ndv("g") == 41
+    assert vt.table_ndv("g", 0) == 37  # per-version fold
+    k_est = vt.table_ndv("k")
+    assert 1900 <= k_est <= 2100  # HLL estimate of 2000
+    assert vt.table_ndv("absent") is None
+
+
+def test_ndv_low_cardinality_picks_inset_pushdown(spark, root, tmp_path):
+    """Log NDV under the threshold -> no join, IN pushed into the fact
+    parquet scan."""
+    vt = VersionedTable.create(
+        spark, root, _g_rows(spark, 0, 1000, 7), ndv_cols=["g"]
+    )
+    fact_dir = str(tmp_path / "fact")
+    _g_rows(spark, 0, 5000, 60).write.parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    out = vt.distinct_filter(fact, "g", "g", max_inset=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PushedFilters: [In(g" in plan
+    # exact: rows whose g (= id % 60) falls in the dim's 0..6 domain
+    assert out.count() == sum(1 for i in range(5000) if (i % 60) < 7)
+
+
+def test_ndv_high_cardinality_picks_semijoin(spark, root, tmp_path):
+    vt = VersionedTable.create(
+        spark, root, _g_rows(spark, 0, 1000, 997), ndv_cols=["g"]
+    )
+    fact_dir = str(tmp_path / "fact")
+    _g_rows(spark, 0, 5000, 60).write.parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    out = vt.distinct_filter(fact, "g", "g", max_inset=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert out.count() == sum(1 for i in range(5000) if (i % 60) < 997)
+
+
+def test_ndv_absent_sketch_is_conservative_semijoin(
+    spark, root, tmp_path
+):
+    """No ndv_cols -> table_ndv None -> the strategy must NOT guess
+    small: semi-join even for a tiny dim (the 'only with the log's
+    estimate' direction)."""
+    vt = VersionedTable.create(spark, root, _g_rows(spark, 0, 100, 3))
+    fact_dir = str(tmp_path / "fact")
+    _g_rows(spark, 0, 1000, 10).write.parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    assert vt.table_ndv("g") is None
+    out = vt.distinct_filter(fact, "g", "g", max_inset=64)
+    assert "LeftSemi" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
