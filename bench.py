@@ -513,6 +513,28 @@ def main() -> None:
     reps = int(reps_env) if reps_env else 3
     if reps < 1:
         raise SystemExit(f"bench.py: SPARK_GRAFT_BENCH_REPS must be >= 1")
+
+    # Host-noise calibration probe (round-10 verdict item 4: three of
+    # the last four rounds adjudicated headline drift by hand).  A fixed
+    # pure-compute workload — data-independent, no IO, whole-stage
+    # codegen sum over a hash — is timed immediately BEFORE and AFTER
+    # the timed sweep; probe_drift = after/before rides in the payload,
+    # and |drift| > 10% raises probe_drift_flag so a noisy window is
+    # machine-readable instead of narrated.  Median of 3 so the probe
+    # itself resists one-off hiccups.
+    def _calibration_probe() -> float:
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 150_000_000, 1, cpus).selectExpr(
+                "sum(xxhash64(id) % 1000) as s"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
+    probe_before = _calibration_probe()
+    print(f"[bench] calibration probe (before): {probe_before}s",
+          file=sys.stderr)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -540,6 +562,15 @@ def main() -> None:
         demonstrators[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] demonstrator {name}: {demonstrators[name]}s",
               file=sys.stderr)
+
+    probe_after = _calibration_probe()
+    probe_drift = round(probe_after / probe_before, 3) if probe_before else 1.0
+    probe_flag = abs(probe_drift - 1.0) > 0.10
+    print(
+        f"[bench] calibration probe (after): {probe_after}s — drift "
+        f"{probe_drift}x{' FLAGGED (>10%)' if probe_flag else ''}",
+        file=sys.stderr,
+    )
 
     # Scale-sweep evidence (not counted in the headline total): dedup-tier
     # stage rows/timings at sf0.01 and the bench SF (10x document count).
@@ -573,6 +604,13 @@ def main() -> None:
         "reps": reps,
         "query_spread": spreads,
         "spread_total_sec": round(sum(spreads.values()), 3),
+        # host-noise calibration (round-11): same fixed compute probe
+        # before and after the timed sweep; >10% drift flags the run as
+        # noise-contaminated for round-over-round comparison
+        "probe_before_sec": probe_before,
+        "probe_after_sec": probe_after,
+        "probe_drift": probe_drift,
+        "probe_drift_flag": probe_flag,
     }
     # Durable full record (incl. the stage sweep): survives even if the
     # caller's stdout capture truncates (round 1 lost its bench record to
@@ -594,6 +632,8 @@ def main() -> None:
         "s_per_q": round(payload["value"] / max(len(timings), 1), 4),
         "sf": sf,
         "reps": reps,
+        "probe_drift": probe_drift,
+        "probe_drift_flag": probe_flag,
         "queries": {"_full_payload": "BENCH_SELF.json"},
     }
     os.write(real_stdout, (json.dumps(payload) + "\n").encode())
