@@ -692,7 +692,9 @@ class VersionedTable:
         if ckpt is not None and "constraints" in ckpt:
             floor = ckpt["version"]
             fallback = dict(ckpt["constraints"])
-        for v in reversed([x for x in versions if floor < x <= version]):
+        # contiguous log: the candidate tail is a range (the full list
+        # comp was O(history) python work per fold at deep logs)
+        for v in range(version, floor, -1):
             entry = self._read_commit(v)
             if "constraints" in entry:
                 return dict(entry["constraints"])
@@ -995,7 +997,16 @@ class VersionedTable:
             # folds the latest (batch, version) per streaming source
             # (Delta's setTransactions), so idempotent_append's replay
             # check stays O(tail) on long-running sinks.
-            live = self._resolve_live(version, use_checkpoint=False)
+            # Each checkpoint folds from the PREVIOUS checkpoint + tail
+            # (Delta's incremental checkpointing) — O(tail) per
+            # checkpoint, NOT a genesis walk: at a 10k-commit history
+            # the old use_checkpoint=False folds cost ~0.4 s of JSON
+            # reads per checkpointing commit (measured, round 11) and
+            # grew linearly forever.  The corruption-propagation
+            # tradeoff is the standard one: a checkpoint is only ever
+            # built from state the previous checkpoint already served
+            # every reader from.
+            live, dvs_now = self._resolve_state(version)
             # ONE shared checkpoint+tail fold for both maps — calling
             # _live_segment_stats and _live_segment_pvs separately would
             # walk the log twice (the exact double-read the shared fold
@@ -1004,10 +1015,8 @@ class VersionedTable:
             ckpt = {
                 "version": version,
                 "live": sorted(live),
-                "txns": self._resolve_txns(version, use_checkpoint=False),
-                "dvs": sorted(
-                    self._resolve_dvs(version, use_checkpoint=False)
-                ),
+                "txns": self._resolve_txns(version),
+                "dvs": sorted(dvs_now),
                 # the active CHECK-constraint map, so constraints() is
                 # O(tail) like every other fold (pre-rev checkpoints
                 # lack the key and force the genesis walk — never wrong)
@@ -1039,6 +1048,20 @@ class VersionedTable:
                     os.unlink(cscratch)
                 except OSError:
                     pass
+            else:
+                # register in this handle's discovery cache so the next
+                # fold uses it without a fresh listdir
+                if hasattr(self, "_ckpt_versions") and (
+                    version not in self._ckpt_versions
+                ):
+                    import bisect
+
+                    bisect.insort(self._ckpt_versions, version)
+                    if len(self._ckpt_payloads) >= 4:
+                        self._ckpt_payloads.pop(
+                            next(iter(self._ckpt_payloads))
+                        )
+                    self._ckpt_payloads[version] = ckpt
 
     #: ops whose commit changes table METADATA — never rebasable across:
     #: the lost writer derived its batch under schema/spec/constraint/
@@ -1207,18 +1230,54 @@ class VersionedTable:
     def _latest_checkpoint(self, version: int) -> dict | None:
         """The newest checkpoint payload at or before ``version`` (None
         when the log has none yet) — the single discovery point every
-        checkpointed fold shares."""
-        ckpts = sorted(
-            int(n[: -len(".checkpoint.json")])
-            for n in os.listdir(self._log_dir)
-            if n.endswith(".checkpoint.json")
-            and n[: -len(".checkpoint.json")].isdigit()
-        )
-        usable = [v for v in ckpts if v <= version]
-        if not usable:
+        checkpointed fold shares.
+
+        Per-handle caching (round-11 deep-history item): the discovery
+        listdir runs once per handle (refreshed when THIS handle writes
+        a checkpoint), and payloads are memoized — checkpoint files are
+        immutable and never vacuumed, so a cached payload can't go
+        stale.  A checkpoint another PROCESS wrote after this handle's
+        listing is simply not used yet: the fold replays a longer tail
+        off an older checkpoint, which is always correct."""
+        if not hasattr(self, "_ckpt_versions"):
+            self._ckpt_versions: list[int] = sorted(
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self._log_dir)
+                if n.endswith(".checkpoint.json")
+                and n[: -len(".checkpoint.json")].isdigit()
+            )
+            self._ckpt_payloads: dict[int, dict] = {}
+        import bisect
+
+        i = bisect.bisect_right(self._ckpt_versions, version)
+        known = self._ckpt_versions[i - 1] if i else -1
+        if version - known > 4 * CHECKPOINT_EVERY:
+            # the cached listing would force a long tail replay — other
+            # writers have likely checkpointed since; refresh once
+            self._ckpt_versions = sorted(
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self._log_dir)
+                if n.endswith(".checkpoint.json")
+                and n[: -len(".checkpoint.json")].isdigit()
+            )
+            i = bisect.bisect_right(self._ckpt_versions, version)
+        if i == 0:
             return None
-        with open(self._checkpoint_path(usable[-1])) as fh:
-            return json.load(fh)
+        cv = self._ckpt_versions[i - 1]
+        payload = self._ckpt_payloads.get(cv)
+        if payload is None:
+            try:
+                with open(self._checkpoint_path(cv)) as fh:
+                    payload = json.load(fh)
+            except OSError:
+                # externally cleaned (not our vacuum's doing): drop it
+                # from the cache and fall back to the next older one
+                self._ckpt_versions.remove(cv)
+                return self._latest_checkpoint(version)
+            if len(self._ckpt_payloads) >= 4:
+                self._ckpt_payloads.pop(next(iter(self._ckpt_payloads)))
+            self._ckpt_payloads[cv] = payload
+        return payload
 
     def _resolve_state(
         self, version: int, use_checkpoint: bool = True
@@ -3752,12 +3811,11 @@ class VersionedTable:
                     if rel in live
                 }
                 pvs_start = ckpt["version"] + 1
-        start = min(stats_start, pvs_start)
-        for v in self._versions():
-            if v < start:
-                continue
-            if v > version:
-                break
+        # versions are contiguous by construction (every commit claims
+        # predecessor+1), so the tail is a range — iterating the full
+        # _versions() listing here cost O(history) python work per fold
+        # at deep logs (measured, round 11)
+        for v in range(min(stats_start, pvs_start), version + 1):
             entry = self._read_commit(v)
             if v >= stats_start:
                 for rel in entry["add"]:
@@ -3797,10 +3855,8 @@ class VersionedTable:
             start = ckpt["version"] + 1
         pending = set(live) - set(out)
         refold: set[str] = set()
-        for v in self._versions():
-            if v < start:
-                continue
-            if v > version or not pending:
+        for v in range(start, version + 1):
+            if not pending:
                 break
             entry = self._read_commit(v)
             resurrection = "restored_from" in entry

@@ -27,7 +27,11 @@ E. XSUB  — exact-substring dedup growth (round-10 verdict item 5):
    window rows / duplicated windows / wall at sf0.01 vs the bench SF
    must grow near-linearly (no all-pairs step anywhere).
 
-Writes SCALE_STRESSORS_r10.json at the repo root and prints it.
+F. DEEP  — 10k-commit history (round-10 item 5): snapshot resolution,
+   stats fold and checkpoint-fold cost must stay O(tail), not
+   O(history), via the incremental checkpoint.
+
+Writes SCALE_STRESSORS_r11.json at the repo root and prints it.
 Run on an IDLE host (same policy as bench.py).
 """
 
@@ -438,7 +442,61 @@ def main() -> None:
         }
     out["exact_substring_growth"] = xs_out
 
-    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r10.json")
+    # ------------------------------------------ F. deep commit history
+    # Round-10 verdict item 5: a 10k-commit table's snapshot resolution
+    # and checkpoint-fold cost must stay bounded (O(tail) via the
+    # incremental checkpoint, round-11 fix: the checkpoint writer used
+    # to run THREE genesis walks — 430 ms/checkpoint at 5k commits).
+    # Commits are fabricated driver-side (copytree of one real segment,
+    # then the real _commit protocol) so 10k commits take ~2 min, the
+    # log shape being exactly what a drip-feed streaming sink produces.
+    import uuid as _uuid
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        DATA_DIR, _fmt_version,
+    )
+
+    droot = os.path.join(work, "deep")
+    ddf = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2.0).alias("p")
+    )
+    dvt = VersionedTable.create(spark, droot, ddf)
+    seed_rel = sorted(dvt._resolve_live(0))[0]
+    n_deep = int(os.environ.get("SPARK_GRAFT_DEEP_COMMITS", "10000"))
+    ckpt_ms: list[float] = []
+    t0 = time.perf_counter()
+    for v in range(1, n_deep + 1):
+        rel = os.path.join(
+            DATA_DIR, f"{_fmt_version(v)}-{_uuid.uuid4().hex[:8]}"
+        )
+        shutil.copytree(
+            os.path.join(droot, seed_rel), os.path.join(droot, rel)
+        )
+        tc = time.perf_counter()
+        dvt._commit(v, "append", add=[rel], remove=[], schema=ddf.schema)
+        if v % 8 == 0:
+            ckpt_ms.append((time.perf_counter() - tc) * 1000)
+    build_s = round(time.perf_counter() - t0, 1)
+    fresh = VersionedTable(spark, droot)
+    out["deep_history"] = {
+        "commits": n_deep,
+        "build_sec_total": build_s,
+        "snapshot_resolution_ms": round(
+            best_of(lambda: fresh._snapshot(None)) * 1000, 1
+        ),
+        "live_stats_fold_ms": round(
+            best_of(lambda: fresh._live_segment_stats(n_deep)) * 1000, 1
+        ),
+        "time_travel_mid_ms": round(
+            best_of(lambda: fresh._snapshot(n_deep // 2)) * 1000, 1
+        ),
+        "checkpoint_commit_ms_first_last": [
+            round(ckpt_ms[0], 1), round(ckpt_ms[-1], 1)
+        ],
+    }
+    print(f"[stress] deep history: {out['deep_history']}", file=sys.stderr)
+
+    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r11.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
