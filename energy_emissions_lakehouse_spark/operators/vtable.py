@@ -952,6 +952,13 @@ class VersionedTable:
         # segment under the "__hll__" key (never a real column name —
         # stats are keyed by column), folded by table_ndv
         add_stats = {rel: self._segment_stats(rel) for rel in add}
+        for rel in add:
+            # on-disk bytes per added segment (Delta add-file `size`):
+            # O(files) stat calls, no job — the streaming source's
+            # maxBytesPerBatch sizes micro-batches from this
+            add_stats.setdefault(rel, {})["__bytes__"] = (
+                self._segment_bytes(rel)
+            )
         if add and self.ndv_cols:
             for rel, sketches in self._segment_hll(
                 add, self.ndv_cols
@@ -1392,6 +1399,14 @@ class VersionedTable:
                 f"column {clash[0]!r} collides with the reserved "
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
             )
+        reserved_stats = [
+            c for c in df.columns if c in ("__hll__", "__bytes__")
+        ]
+        if reserved_stats:
+            raise ValueError(
+                f"column {reserved_stats[0]!r} collides with a reserved "
+                "per-segment stats key in the commit log — rename it"
+            )
         rel = os.path.join(
             DATA_DIR, f"{_fmt_version(version_hint)}-{uuid.uuid4().hex[:8]}"
         )
@@ -1430,6 +1445,14 @@ class VersionedTable:
             raise ValueError(
                 f"column {clash[0]!r} collides with the reserved "
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
+            )
+        reserved_stats = [
+            c for c in df.columns if c in ("__hll__", "__bytes__")
+        ]
+        if reserved_stats:
+            raise ValueError(
+                f"column {reserved_stats[0]!r} collides with a reserved "
+                "per-segment stats key in the commit log — rename it"
             )
         for f in spec:
             pinned_tz = f.get("tz")

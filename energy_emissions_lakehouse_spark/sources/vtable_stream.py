@@ -161,6 +161,17 @@ class VtableStreamReader(DataSourceStreamReader):
         #: incremental cursor (measured); the per-version replay mode is
         #: for processAllAvailable-driven runs.
         self.max_versions = int(options.get("maxVersionsPerBatch", 0))
+        #: soft byte cap per micro-batch (Delta's maxBytesPerTrigger):
+        #: versions are admitted in commit order until the NEXT one
+        #: would push the batch's added-segment bytes past the cap —
+        #: but a batch always advances by at least one version, so a
+        #: single over-cap commit still streams (Delta semantics).
+        #: Bytes come from the LOG's per-segment "__bytes__" stats
+        #: (recorded at commit time), falling back to an on-disk stat
+        #: for pre-rev commits.  0 = unlimited.  Same availableNow /
+        #: restart caveats as maxVersionsPerBatch (the cursor is
+        #: per-reader; partitions() refuses offset regressions).
+        self.max_bytes = int(options.get("maxBytesPerBatch", 0))
         self._cursor = -1
         #: change-feed mode (Delta readChangeFeed): emit row-level changes
         #: instead of appended rows — merge/delete commits stream their
@@ -185,10 +196,40 @@ class VtableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": -1}
 
+    def _entry_bytes(self, entry: dict) -> int:
+        """Added-segment bytes of one commit, from the log's per-segment
+        ``__bytes__`` stats (recorded at commit time); a pre-rev commit
+        lacking them falls back to an on-disk stat of its part files."""
+        total = 0
+        for rel in entry["add"]:
+            rec = (entry.get("stats") or {}).get(rel) or {}
+            b = rec.get("__bytes__")
+            if b is None:
+                b = sum(
+                    os.path.getsize(p)
+                    for p in glob.glob(
+                        os.path.join(self.root, rel, "part-*.parquet")
+                    )
+                )
+            total += int(b)
+        return total
+
     def latestOffset(self) -> dict:
         latest = _versions(self.root)[-1]
         if self.max_versions > 0:
             latest = min(self._cursor + self.max_versions, latest)
+        if self.max_bytes > 0 and latest > self._cursor:
+            acc = 0
+            v = self._cursor
+            while v < latest:
+                nxt_bytes = self._entry_bytes(
+                    _read_commit(self.root, v + 1)
+                )
+                if acc and acc + nxt_bytes > self.max_bytes:
+                    break  # soft cap: first version always admitted
+                acc += nxt_bytes
+                v += 1
+            latest = v
         self._cursor = max(self._cursor, latest)
         return {"version": latest}
 

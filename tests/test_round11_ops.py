@@ -479,3 +479,61 @@ def test_incremental_checkpoint_equals_genesis_state(spark, root):
     assert sorted(ckpt["live"]) == sorted(live_g)
     assert sorted(ckpt["dvs"]) == sorted(dvs_g)
     assert ckpt["txns"] == vt._resolve_txns(head, use_checkpoint=False)
+
+
+# ------------------------------------------- byte-based stream rate cap
+
+def _batch_boundaries(reader, head: int) -> list[int]:
+    """Drive the reader's offset cycle to the head; return the end
+    version of each micro-batch."""
+    ends = []
+    cur = reader.initialOffset()
+    while cur["version"] < head:
+        nxt = reader.latestOffset()
+        if nxt["version"] == cur["version"]:
+            break
+        reader.partitions(cur, nxt)
+        reader.commit(nxt)
+        ends.append(nxt["version"])
+        cur = nxt
+    return ends
+
+
+def test_stream_max_bytes_per_batch_boundaries(spark, root):
+    """maxBytesPerBatch sizes micro-batches from the LOG's per-segment
+    byte stats: with a cap of ~1.5 segments each batch carries one
+    version; ~2.5 segments -> two; a cap smaller than any single commit
+    still advances one version per batch (soft cap)."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        read_commit,
+    )
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        VtableStreamReader,
+    )
+
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 500))
+    for i in range(1, 4):
+        vt.append(_rows(spark, 500 * i, 500 * (i + 1)))
+    head = vt.latest_version()
+    entry1 = read_commit(root, 1)
+    seg_bytes = sum(
+        st["__bytes__"] for st in entry1["stats"].values()
+    )
+    assert seg_bytes > 0  # the log records per-segment bytes
+    schema = vt.read().schema
+
+    one = VtableStreamReader(
+        root, schema, {"maxBytesPerBatch": str(int(seg_bytes * 1.5))}
+    )
+    assert _batch_boundaries(one, head) == [0, 1, 2, 3]
+
+    two = VtableStreamReader(
+        root, schema, {"maxBytesPerBatch": str(int(seg_bytes * 2.5))}
+    )
+    assert _batch_boundaries(two, head) == [1, 3]
+
+    tiny = VtableStreamReader(root, schema, {"maxBytesPerBatch": "1"})
+    assert _batch_boundaries(tiny, head) == [0, 1, 2, 3]
+
+    unlimited = VtableStreamReader(root, schema, {})
+    assert _batch_boundaries(unlimited, head) == [head]
