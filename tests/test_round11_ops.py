@@ -310,15 +310,17 @@ def test_dv_fast_path_matches_antijoin_and_skips_join(
     vt.delete_where_mor(F.col("k") % 7 == 0)
     fast = vt.read()
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" not in plan, "fast path must not join"
-    assert "INSET" in plan or "NOT (_metadata" in plan or "IN (" in plan
+    # fast path: per-file LONG-key anti against the broadcast position
+    # list — never the legacy 3-column identity join (no path splitting)
+    assert "_mask_pos" in plan
+    assert "_dv_seg" not in plan, "fast path must not derive identities"
     fast_rows = sorted((r["k"], r["p"]) for r in fast.collect())
     # force the legacy anti-join and compare value-exactly
     monkeypatch.setattr(vmod, "_DV_DRIVER_MAX_BYTES", 0)
     vmod._DV_POS_MEMO.clear()
     legacy = vt.read()
     legacy_plan = legacy._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in legacy_plan, "fallback must be the anti-join"
+    assert "_dv_seg" in legacy_plan, "fallback must be the identity join"
     assert sorted((r["k"], r["p"]) for r in legacy.collect()) == fast_rows
     assert len(fast_rows) == 2000 - len([k for k in range(2000) if k % 7 == 0])
 
