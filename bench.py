@@ -245,6 +245,10 @@ HEADLINE = [
     "doc_exact_substring_dedup",
     "vtable_partition_compaction_identity",
     "vtable_describe_history",
+    # round 11: conflict auto-rebase (two genuinely racing writers),
+    # NDV-driven IN-pushdown strategy
+    "vtable_concurrent_disjoint_rebase",
+    "vtable_ndv_inset_pushdown",
 ]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their
@@ -256,6 +260,11 @@ HEADLINE = [
 # alternatives (stream_session_windows, the _coarse variant) are headline.
 DEMONSTRATORS = [
     "stream_session_timeout_close",
+    # round 11: graph-ANN tier — measured NEGATIVE on the cost-recall
+    # frontier vs ADC re-rank (BASELINE.md "Graph-ANN tier"); kept as
+    # the graph-shape demonstrator, excluded from the headline metric
+    # by the same known-floor policy
+    "graph_ann_ivf_beam_topk",
 ]
 
 

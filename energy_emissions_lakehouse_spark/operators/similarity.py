@@ -1006,3 +1006,175 @@ def ivfpq_adc_topk(
             "rank",
         )
     )
+
+
+def ivf_graph_build(
+    vectors: DataFrame, centroids: DataFrame, degree: int = 6
+) -> DataFrame:
+    """INDEX BUILD for the graph ANN tier (round-11 stretch): a
+    PARTITION-LOCAL neighbor graph — each vector keeps edges to its
+    ``degree`` nearest neighbors WITHIN ITS IVF CELL (the HNSW idea
+    scoped to cells so both build and search stay cell-local, never a
+    corpus-wide traversal).  Build is one equi-self-join on the cell id
+    + a per-source top-``degree`` window: quadratic only WITHIN a cell
+    (cells are N/nlist by construction), train-once like the PQ model;
+    a production build would swap per-cell NN-descent in here.
+
+    Returns (src, dst, sim) edges, sims rounded to 6dp (the repo's
+    cross-engine exactness contract)."""
+    home = ivf_assign(vectors, centroids)
+    a = home.select(
+        "centroid_id", F.col("vec_id").alias("src"),
+        F.col("v").alias("sv"), norm(F.col("v")).alias("sn"),
+    )
+    b = home.select(
+        "centroid_id", F.col("vec_id").alias("dst"),
+        F.col("v").alias("dv"), norm(F.col("v")).alias("dn"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.round(
+                cosine_pre(
+                    F.col("sv"), F.col("sn"), F.col("dv"), F.col("dn")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= degree)
+        .select("src", "dst", "sim")
+    )
+
+
+def ivf_graph_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_pred,
+    k: int = 3,
+    beam: int = 8,
+    rounds: int = 2,
+    degree: int = 6,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Graph-ANN serving: centroid ROUTER picks each query's home cell,
+    the cell's fixed ENTRY POINT (its vector most similar to the
+    centroid — query-independent, like HNSW's top-layer entry) seeds the
+    search, then ``rounds`` beam-expansion steps walk the cell-local
+    neighbor graph: the per-query top-``beam`` of everything scored so
+    far expands its edges, new nodes are scored against the query,
+    visited accumulates (union-distinct — re-expansion is idempotent).
+    Final answer = top-``k`` of visited, self excluded.
+
+    Cost per query is BOUNDED BY CONSTRUCTION: at most
+    1 + beam*degree*rounds float scorings (145 at the defaults) versus
+    the re-rank tier's shortlist (BASELINE.md records the measured
+    cost-recall frontier).  Every step is an equi-join keyed on node or
+    query id — no corpus scan, no cross join; the ``rounds`` driver
+    loop is a bounded index parameter (2-3), same contract as the BPE
+    trainer's K merge rounds, with a localCheckpoint per round keeping
+    lineage flat."""
+    if edges is None:
+        edges = ivf_graph_build(vectors, centroids, degree)
+    home = ivf_assign(vectors, centroids)
+    cents = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c_vec")
+    )
+    # fixed entry point per cell: max centroid-similarity, tie on vec_id
+    ew = Window.partitionBy("centroid_id").orderBy(
+        F.col("e_sim").desc(), F.col("vec_id")
+    )
+    entry = (
+        home.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id", "vec_id",
+            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("e_sim"),
+        )
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", F.col("vec_id").alias("entry_id"))
+    )
+    # router: each query's nearest centroid (nprobe=1)
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    queries = (
+        vectors.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_vec"),
+            "centroid_id",
+            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand_vecs = vectors.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        """(query_id, q_vec, cand_id) -> + sim (6dp, the shared
+        exactness contract)."""
+        return (
+            pairs.join(cand_vecs, "cand_id")
+            .select(
+                "query_id", "q_vec", "cand_id",
+                F.round(
+                    cosine_pre(
+                        F.col("q_vec"), norm(F.col("q_vec")),
+                        F.col("cv"), F.col("cn"),
+                    ),
+                    6,
+                ).alias("sim"),
+            )
+        )
+
+    visited = score(
+        queries.join(F.broadcast(entry), "centroid_id").select(
+            "query_id", "q_vec", F.col("entry_id").alias("cand_id")
+        )
+    ).localCheckpoint(eager=True)
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    for _ in range(rounds):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(bw))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "q_vec", F.col("cand_id").alias("src"))
+        )
+        neighbors = (
+            frontier.join(
+                edges.select("src", F.col("dst").alias("cand_id")), "src"
+            )
+            .select("query_id", "q_vec", "cand_id")
+            # distinct BEFORE the subtraction: exceptAll is MULTISET
+            # minus, so a visited node reachable from several frontier
+            # sources would survive with leftover copies and be scored
+            # (and ranked) twice
+            .distinct()
+            .exceptAll(visited.select("query_id", "q_vec", "cand_id"))
+        )
+        visited = visited.unionByName(score(neighbors)).localCheckpoint(
+            eager=True
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        visited.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
