@@ -1009,7 +1009,10 @@ def ivfpq_adc_topk(
 
 
 def ivf_graph_build(
-    vectors: DataFrame, centroids: DataFrame, degree: int = 6
+    vectors: DataFrame,
+    centroids: DataFrame,
+    degree: int = 6,
+    home: DataFrame | None = None,
 ) -> DataFrame:
     """INDEX BUILD for the graph ANN tier (round-11 stretch): a
     PARTITION-LOCAL neighbor graph — each vector keeps edges to its
@@ -1021,8 +1024,10 @@ def ivf_graph_build(
     a production build would swap per-cell NN-descent in here.
 
     Returns (src, dst, sim) edges, sims rounded to 6dp (the repo's
-    cross-engine exactness contract)."""
-    home = ivf_assign(vectors, centroids)
+    cross-engine exactness contract).  ``home`` optionally reuses an
+    already-computed cell assignment (the serve path shares one)."""
+    if home is None:
+        home = ivf_assign(vectors, centroids)
     a = home.select(
         "centroid_id", F.col("vec_id").alias("src"),
         F.col("v").alias("sv"), norm(F.col("v")).alias("sn"),
@@ -1081,9 +1086,11 @@ def ivf_graph_topk(
     loop is a bounded index parameter (2-3), same contract as the BPE
     trainer's K merge rounds, with a localCheckpoint per round keeping
     lineage flat."""
-    if edges is None:
-        edges = ivf_graph_build(vectors, centroids, degree)
     home = ivf_assign(vectors, centroids)
+    if edges is None:
+        # reuse the single assignment pass (the build would otherwise
+        # re-run the N x nlist broadcast scoring)
+        edges = ivf_graph_build(vectors, centroids, degree, home=home)
     cents = centroids.select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c_vec")
     )
@@ -1101,22 +1108,14 @@ def ivf_graph_topk(
         .filter(F.col("rn") == 1)
         .select("centroid_id", F.col("vec_id").alias("entry_id"))
     )
-    # router: each query's nearest centroid (nprobe=1)
-    qw = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
-    )
-    queries = (
-        vectors.filter(query_pred)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("q_vec"),
-            "centroid_id",
-            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("c_sim"),
-        )
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "q_vec", "centroid_id")
+    # router: each query's nearest centroid (nprobe=1) — exactly the
+    # home assignment already computed (ivf_assign's argmin ties to the
+    # lowest centroid id, the same ordering the explicit window used),
+    # so routing is a filter, not a third N x nlist scoring pass
+    queries = home.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        "centroid_id",
     )
     cand_vecs = vectors.select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),

@@ -122,8 +122,10 @@ _DV_MAX_POSITIONS_PER_FILE = 200_000
 #: files are immutable once committed (and never vacuumed while active),
 #: so the fold can never go stale; a bounded size keeps a long-running
 #: session from accumulating dead tables' masks.
-_DV_POS_MEMO: dict[tuple, dict] = {}
+_DV_POS_MEMO: dict[tuple, dict | None] = {}
 _DV_POS_MEMO_MAX = 64
+#: distinguishes "not cached" from a memoized None (fallback) verdict
+_DV_MEMO_MISSING = object()
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -951,19 +953,36 @@ class VersionedTable:
         # on ndv_cols tables, one HLL sketch per configured column per
         # segment under the "__hll__" key (never a real column name —
         # stats are keyed by column), folded by table_ndv
-        add_stats = {rel: self._segment_stats(rel) for rel in add}
+        # Segments are immutable and uuid-named (never reused), so their
+        # stats are too: cache per rel on the handle so a REBASE RETRY
+        # (_commit_rebased re-enters here with the same add list, up to
+        # 64 times under contention) never re-reads footers, re-stats
+        # part files, or re-launches the HLL aggregate job.
+        cache = getattr(self, "_add_stats_cache", None)
+        if cache is None:
+            cache = self._add_stats_cache = {}
+        add_stats: dict[str, dict] = {}
         for rel in add:
-            # on-disk bytes per added segment (Delta add-file `size`):
-            # O(files) stat calls, no job — the streaming source's
-            # maxBytesPerBatch sizes micro-batches from this
-            add_stats.setdefault(rel, {})["__bytes__"] = (
-                self._segment_bytes(rel)
-            )
+            st = cache.get(rel)
+            if st is None:
+                st = self._segment_stats(rel)
+                # on-disk bytes per added segment (Delta add-file
+                # `size`): O(files) stat calls, no job — the streaming
+                # source's maxBytesPerBatch sizes micro-batches from it
+                st["__bytes__"] = self._segment_bytes(rel)
+                if len(cache) >= 256:
+                    cache.pop(next(iter(cache)), None)
+                cache[rel] = st
+            add_stats[rel] = st
         if add and self.ndv_cols:
-            for rel, sketches in self._segment_hll(
-                add, self.ndv_cols
-            ).items():
-                add_stats.setdefault(rel, {})["__hll__"] = sketches
+            missing = [
+                rel for rel in add if "__hll__" not in add_stats[rel]
+            ]
+            if missing:
+                for rel, sketches in self._segment_hll(
+                    missing, self.ndv_cols
+                ).items():
+                    add_stats[rel]["__hll__"] = sketches
         payload = {
             "version": version,
             "op": op,
@@ -1212,7 +1231,10 @@ class VersionedTable:
         ]
         read_files = frozenset(read_files)
         removes = frozenset(remove)
-        probes = probes or []
+        # probes may be a zero-arg CALLABLE: the happy (uncontended)
+        # path then never pays the job that computes them — they are
+        # resolved once, on the first lost race
+        resolved = None if callable(probes) else (probes or [])
         attempt = v
         for _ in range(max_rebase):
             try:
@@ -1222,11 +1244,13 @@ class VersionedTable:
                 )
                 return attempt + 1
             except ConcurrentCommitError:
+                if resolved is None:
+                    resolved = probes() or []
                 head = self.latest_version()
                 for vi in range(attempt + 1, head + 1):
                     self._check_interleaved(
                         self._read_commit(vi), vi, schema_fields,
-                        blind, read_files, removes, probes, ignore_adds,
+                        blind, read_files, removes, resolved, ignore_adds,
                     )
                 attempt = head
         raise ConcurrentCommitError(
@@ -1618,9 +1642,20 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         key = (self.root, tuple(dvs))
-        hit = _DV_POS_MEMO.get(key)
-        if hit is not None:
-            return hit
+        hit = _DV_POS_MEMO.get(key, _DV_MEMO_MISSING)
+        if hit is not _DV_MEMO_MISSING:
+            return hit  # may be a memoized None verdict (fallback)
+
+        def remember(value):
+            if len(_DV_POS_MEMO) >= _DV_POS_MEMO_MAX:
+                # pop(k, None), not pop(next(iter())): two threads can
+                # race to evict the same head key (the racing-writer
+                # workload this round introduces) and the loser must
+                # not raise
+                _DV_POS_MEMO.pop(next(iter(_DV_POS_MEMO)), None)
+            _DV_POS_MEMO[key] = value
+            return value
+
         parts: list[str] = []
         total = 0
         for d in dvs:
@@ -1630,10 +1665,13 @@ class VersionedTable:
                 try:
                     total += os.path.getsize(p)
                 except OSError:
-                    return None
+                    return None  # transient: do NOT memoize
                 parts.append(p)
         if total > _DV_DRIVER_MAX_BYTES:
-            return None
+            # memoize the fallback verdict too: DV files are immutable,
+            # so re-reading them on every scan just to re-conclude
+            # "too big" would pay the full driver fold per read
+            return remember(None)
         out: dict[str, dict[str, list[int]]] = {}
         for p in parts:
             tb = pq.read_table(
@@ -1650,11 +1688,8 @@ class VersionedTable:
         for files in out.values():
             for poss in files.values():
                 if len(poss) > _DV_MAX_POSITIONS_PER_FILE:
-                    return None
-        if len(_DV_POS_MEMO) >= _DV_POS_MEMO_MAX:
-            _DV_POS_MEMO.pop(next(iter(_DV_POS_MEMO)))
-        _DV_POS_MEMO[key] = out
-        return out
+                    return remember(None)
+        return remember(out)
 
     def _scan_segments(
         self,
@@ -3094,18 +3129,22 @@ class VersionedTable:
             if self.cdf_enabled:
                 target.unpersist()
         # rebase probe: the merge READ every row whose keys[0] falls in
-        # the source's key range — one tiny agg over the delta side
-        krange = source.agg(
-            F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
-        ).first()
-        probes = (
-            [(keys[0], krange["mn"], krange["mx"])]
-            if krange["mn"] is not None
-            else []
-        )
+        # the source's key range — one tiny agg over the delta side,
+        # LAZY so the uncontended path never runs it (resolved by
+        # _commit_rebased only on a lost race)
+        def _krange_probe():
+            krange = source.agg(
+                F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+            ).first()
+            return (
+                [(keys[0], krange["mn"], krange["mx"])]
+                if krange["mn"] is not None
+                else []
+            )
+
         return self._commit_rebased(
             v, "merge", add=add, remove=touched, schema=merged.schema,
-            extra=extra, read_files=touched, probes=probes,
+            extra=extra, read_files=touched, probes=_krange_probe,
         )
 
     def delete_where(self, condition: Column | str) -> int:
@@ -3969,6 +4008,11 @@ class VersionedTable:
                 )
                 for c in present
             }
+        for rel in add:
+            # a ZERO-ROW segment yields no aggregate row: record explicit
+            # empty sketches (same as an all-null column) or table_ndv
+            # would return None forever once any empty segment is live
+            out.setdefault(rel, {c: None for c in present})
         return out
 
     def table_ndv(self, col: str, version: int | None = None) -> int | None:
@@ -4032,15 +4076,22 @@ class VersionedTable:
         Both strategies return identical rows (NULLs match nothing
         under either, per SQL IN semantics; a dim NULL falls back to the
         semi-join, where it also matches nothing)."""
+        # pin the snapshot ONCE: with version=None the NDV decision, the
+        # values collect and the semi-join fallback must all read the
+        # SAME head — a concurrent overwrite between them could otherwise
+        # pull an unbounded distinct set driver-side after a stale small
+        # estimate approved the collect
+        version, _, _ = self._snapshot(version)
         ndv = self.table_ndv(col, version)
         if ndv is not None and ndv <= max_inset:
             vals = [
                 r[0]
                 for r in self.read(version).select(col).distinct().collect()
             ]
-            # the estimate carries ~2% HLL error — re-check the actual
-            # cardinality before building the literal list
-            if len(vals) <= 2 * max_inset and not any(
+            # re-check the ACTUAL cardinality against the caller's bound
+            # before building the literal list (the HLL estimate carries
+            # ~2% error; max_inset is the hard expression-size budget)
+            if len(vals) <= max_inset and not any(
                 v is None for v in vals
             ):
                 return fact.where(F.col(fact_col).isin(vals))

@@ -478,13 +478,9 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    if len(xs_out) >= 2:
-        a, b = (
-            xs_out[k]
-            for k in sorted(
-                k for k in xs_out if k.startswith("sf")
-            )
-        )
+    sf_keys = sorted(k for k in xs_out if k.startswith("sf"))
+    if len(sf_keys) == 2:
+        a, b = (xs_out[k] for k in sf_keys)
         xs_out["growth"] = {
             "docs_ratio": round(b["docs"] / a["docs"], 2),
             "window_ratio": round(b["window_rows"] / a["window_rows"], 2),
