@@ -3478,11 +3478,28 @@ class VersionedTable:
         finally:
             if self.cdf_enabled and identified is not None:
                 identified.unpersist()
-        self._commit(
-            v + 1, "merge_mor", add=add, remove=[], schema=schema,
-            extra=extra,
+        # rebase contract (same decision table as merge_upsert_pruned):
+        # the merge READ every live file (the identified scan) hunting
+        # rows whose keys match the source — an interleaved add whose
+        # keys[0] range is provably disjoint from the source's cannot
+        # hold a match, so the lost race rebases; an in-range add (a row
+        # this merge should have masked), any removal of a file the DV
+        # references, or another DV all conflict.  Probe is lazy: the
+        # uncontended path never pays the key-range agg.
+        def _krange_probe():
+            krange = source.agg(
+                F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+            ).first()
+            return (
+                [(keys[0], krange["mn"], krange["mx"])]
+                if krange["mn"] is not None
+                else []
+            )
+
+        return self._commit_rebased(
+            v, "merge_mor", add=add, remove=[], schema=schema,
+            extra=extra, read_files=live, probes=_krange_probe,
         )
-        return v + 1
 
     def compact_dvs(self) -> int:
         """Deletion-vector maintenance: merge the active DV files into

@@ -539,3 +539,75 @@ def test_stream_max_bytes_per_batch_boundaries(spark, root):
 
     unlimited = VtableStreamReader(root, schema, {})
     assert _batch_boundaries(unlimited, head) == [head]
+
+
+# -------------------------------------------------- MOR merge rebase
+
+def test_merge_mor_rebases_across_disjoint_append(
+    spark, root, monkeypatch
+):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    state = _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 5000, 5010))
+    )
+    vt_a.merge_upsert_mor(_rows(spark, 0, 5, price=7.0), ["k"])
+    assert state["fired"]
+    df = vt_a.read()
+    assert df.count() == 210
+    assert df.filter(F.col("p") == 7.0).count() == 5
+    # the interleaved append's rows survived untouched
+    assert df.filter(F.col("k") >= 5000).count() == 10
+
+
+def test_merge_mor_conflicts_with_append_in_key_range(
+    spark, root, monkeypatch
+):
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a, lambda: vt_b.append(_rows(spark, 2, 4))
+    )
+    with pytest.raises(ConcurrentAppendError):
+        vt_a.merge_upsert_mor(_rows(spark, 0, 5, price=7.0), ["k"])
+
+
+def test_merge_mor_conflicts_with_concurrent_dv(spark, root, monkeypatch):
+    """Another MOR writer's DV masks rows this merge's scan read —
+    conservative conflict."""
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        ConcurrentDeleteReadError,
+    )
+
+    vt_a = _two_segment_table(spark, root)
+    vt_b = VersionedTable(spark, root)
+    _inject_loss(
+        monkeypatch, vt_a,
+        lambda: vt_b.delete_where_mor(F.col("k") >= 1090),
+    )
+    with pytest.raises(ConcurrentDeleteReadError):
+        vt_a.merge_upsert_mor(_rows(spark, 0, 5, price=7.0), ["k"])
+
+
+# -------------------------------- NDV/bytes stats across checkpoints
+
+def test_ndv_and_bytes_survive_checkpoint_boundary(spark, root):
+    """__hll__ and __bytes__ ride the stats map into checkpoints: after
+    the fold crosses a checkpoint, table_ndv and the stream's byte
+    stats still resolve for PRE-checkpoint segments."""
+    import energy_emissions_lakehouse_spark.operators.vtable as vmod
+
+    vt = VersionedTable.create(
+        spark, root, _g_rows(spark, 0, 200, 13), ndv_cols=["g"]
+    )
+    while vt.latest_version() < vmod.CHECKPOINT_EVERY + 2:
+        lo = 200 * (vt.latest_version() + 1)
+        vt.append(_g_rows(spark, lo, lo + 200, 13))
+    head = vt.latest_version()
+    assert os.path.exists(
+        vt._checkpoint_path(vmod.CHECKPOINT_EVERY)
+    )
+    fresh = VersionedTable(spark, root)
+    assert fresh.table_ndv("g") == 13
+    stats = fresh._live_segment_stats(head)
+    assert all("__bytes__" in st for st in stats.values())
