@@ -29,227 +29,23 @@ if _REPO_ROOT not in sys.path:
 from energy_emissions_lakehouse_spark.registry import all_queries
 from energy_emissions_lakehouse_spark.session import get_spark
 
-HEADLINE = [
-    # TPC-H-ish core: scan, hash agg, star join, windows
-    "pricing_summary",
-    "star_join_revenue",
-    "top_orders_per_priority",
-    "revenue_growth_by_month",
-    "first_order_per_customer",
-    "customer_segment_activity",
-    "bucketed_join_revenue_by_segment",
-    "grouping_sets_revenue",
-    "hll_sketch_distinct_custkeys",
-    "correlated_above_nation_avg",
-    "window_analytic_functions",
-    "top100_orders_global",
-    "keyset_pagination_orders",
-    "most_common_type_per_brand",
-    "latest_order_per_customer",
-    "try_arithmetic_profile",
-    "unpivot_lineitem_measures",
-    "shipping_priority_top10",
-    "revenue_band_forecast",
-    "disjunctive_predicate_revenue",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "active_customers_exists",
-    "cheapest_supplier_per_part",
-    "idle_rich_customers",
-    "top_revenue_supplier",
-    "sole_supplier_orders",
-    "revenue_share_within_region",
-    "moving_avg_weekly_revenue",
-    "map_transform_profile",
-    "quantile_sketch_prices",
-    "union_missing_columns",
-    "dq_expectations_orders",
-    "null_safe_join_priority",
-    "global_row_ids_orders",
-    "regional_market_share",
-    "profit_by_supp_nation_year",
-    "top_returned_revenue_customers",
-    "customer_order_count_distribution",
-    "part_value_concentration",
-    "supplier_variety_by_part_class",
-    "abc_classification_parts",
-    "sampled_revenue_estimate",
-    # medallion pipeline (generator -> silver -> gold -> analysis)
-    "medallion_gold_carbon_intensity",
-    "medallion_analysis_q3",
-    # events (sessionization / tumbling windows)
-    "events_hourly_tumbling",
-    "events_sessionization",
-    "events_user_day_gapfill",
-    "range_join_event_pairs_1h",
-    "scd2_user_event_type_history",
-    # text analysis / curation over documents
-    "stratified_sample_documents",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_language_id",
-    "doc_fingerprints",
-    "doc_word_topk",
-    "doc_array_functions_profile",
-    "doc_regex_profile",
-    "lateral_explode_doc_words",
-    # dedup family
-    "dedup_exact_documents",
-    "minhash_lsh_pairs",
-    "simhash_hamming_pairs",
-    "ngram_jaccard_pairs",
-    "dedup_cluster_components",
-    "corpus_curation_pipeline",
-    # embedding similarity
-    "cosine_topk_bruteforce",
-    "ann_bucketed_topk",
-    "ann_multiprobe_topk",
-    "ivf_topk_nprobe2",
-    "embedding_cosine_neardup",
-    "embedding_neardup_adaptive",
-    "semantic_dedup_prune",
-    "embedding_kmeans_clusters",
-    "embedding_dim_profile",
-    "pq_encode_stats",
-    "pq_adc_topk",
-    "pq_adc_rerank_topk",
-    "ivfpq_adc_topk",
-    "pq_incremental_assign",
-    "stream_pq_incremental_assign",
-    # multimodal (Arrow-batched mapInPandas)
-    "media_feature_extract",
-    "media_phash_neardup",
-    "media_feature_extract_arrow",
-    # structured streaming (availableNow run to completion)
-    "stream_hourly_tumbling",
-    "stream_stateful_user_stats",
-    "stream_static_enriched_counts",
-    "stream_purchase_click_join",
-    "stream_chained_window_rollup",
-    "stream_ingest_neardup",
-    "stream_rolling_distinct_users",
-    "stream_hourly_ohlc",
-    "stream_cusum_drift",
-    # custom operators
-    "asof_last_purchase_per_click",
-    "sessionize_partitionwise",
-    "salted_join_revenue",
-    # file-format roundtrips
-    "csv_roundtrip_silver_energy",
-    "csv_corrupt_record_audit",
-    "schema_evolution_merge_read",
-    # warehouse paths
-    "jdbc_star_roundtrip_q2",
-    "merge_upsert_orders_partition_scoped",
-    "merge_changefeed_orders",
-    "incremental_agg_maintenance",
-    "snapshot_diff_buckets",
-    "scd2_point_in_time_join",
-    "fk_containment_audit",
-    "customer_rfm_segments",
-    # Spark 4 Python DataSource connector (100k generated rows)
-    "pysource_synthetic_profile",
-    "pysource_writer_roundtrip",
-    # corpus quality / safety passes
-    "doc_gopher_quality_filter",
-    "doc_contamination_overlap",
-    "doc_repetition_profile",
-    "doc_pii_redaction_stats",
-    "doc_mixture_resample",
-    "doc_psi_drift",
-    "corpus_data_card",
-    # retrieval + LM scoring (inverted-index probe, perplexity-style filter)
-    "bm25_keyword_topk",
-    "doc_bigram_lm_fluency_tail",
-    "bpe_train_merges",
-    "bpe_encode_vocab_profile",
-    "rag_chunk_retrieval_topk",
-    "mmr_diversified_topk",
-    "countmin_heavy_hitter_terms",
-    # graph / time-series / layout tier
-    "pagerank_nation_trade",
-    "lpa_communities_copurchase",
-    "kcore_copurchase",
-    "recursive_cte_reachability",
-    "poisson_bootstrap_ci_revenue",
-    "ab_test_proportions_ztest",
-    "events_hourly_anomaly_zscore",
-    "events_hourly_ewma",
-    "events_hourly_ohlc",
-    "events_hourly_interpolate",
-    "events_cusum_drift",
-    "zorder_layout_lineitem",
-    # stream-stream outer joins
-    "stream_purchase_click_left_join",
-    "stream_purchase_click_full_join",
-    "stream_purchase_click_semi_join",
-    # event-time-timeout stateful sessionization: the coarsened-bucket
-    # PRODUCTION shape stays headline; its fine-grained demonstrator
-    # twin is timed in the separate `demonstrators` block below
-    "stream_session_timeout_close_coarse",
-    # versioned-table (commit-log) serving reads; the one-time 5-commit
-    # history build is the vtable_history_build staging entry
-    "vtable_time_travel_read",
-    "vtable_change_feed_orders",
-    "vtable_compaction_content_identity",
-    "vtable_stats_pruned_read",
-    "vtable_merge_pruned_rewrite",
-    "vtable_schema_evolution_backfill",
-    "vtable_zorder_pruned_scan",
-    "vtable_mor_deleted_read",
-    "vtable_mor_time_travel_masks",
-    "vtable_mor_change_feed_window",
-    "vtable_mor_merge_read",
-    "vtable_mor_dv_compaction_identity",
-    "vtable_restore_read",
-    "vtable_restore_time_travel",
-    "vtable_constraint_audit",
-    "vtable_sql_source_mor_scan",
-    "vtable_sql_source_pushdown_point",
-    "vtable_sql_source_renamed_scan",
-    "vtable_sql_sink_roundtrip",
-    "vtable_catalog_txn_load",
-    "vtable_provenance_read",
-    "vtable_rename_read",
-    "vtable_rename_time_travel",
-    "vtable_drop_column_history",
-    "vtable_bloom_point_lookup",
-    "vtable_mor_update_read",
-    "vtable_replace_where_read",
-    "vtable_update_cow_head",
-    "vtable_update_change_feed",
-    "vtable_clone_divergence",
-    "vtable_cdf_mirror_sync",
-    "vtable_incremental_agg_maintenance",
-    "stream_vtable_append_source",
-    "stream_vtable_changefeed",
-    "stream_vtable_exactly_once_ingest",
-    "stream_vtable_ivm",
-    # round-9 additions: nearest as-of, span-level dedup, KMV sampling,
-    # covariance QA, interval-overlap join
-    "asof_nearest_purchase_per_click",
-    "doc_duplicate_span_coverage",
-    "doc_span_novelty",
-    "bottomk_sample_orders",
-    "embedding_dim_covariance",
-    "interval_overlap_sessions",
-    # round-10 additions: type widening, hidden partitioning, log-stats
-    # CBO, catalog as-of cuts, exact-substring dedup
-    "vtable_type_widening_read",
-    "vtable_widen_time_travel",
-    "vtable_sql_source_widened_scan",
-    "vtable_partition_pruned_scan",
-    "vtable_stats_broadcast_join",
-    "catalog_as_of_consistent_cut",
-    "doc_exact_substring_dedup",
-    "vtable_partition_compaction_identity",
-    "vtable_describe_history",
-    # round 11: conflict auto-rebase (two genuinely racing writers),
-    # NDV-driven IN-pushdown strategy
-    "vtable_concurrent_disjoint_rebase",
-    "vtable_ndv_inset_pushdown",
-]
+# Round-12 verdict item 1: the headline set is DERIVED from the query
+# registry at run time (headline = sorted(registry) - DEMONSTRATORS), not
+# hand-curated — a hand-maintained list silently dropped 99 registered
+# queries from the metric through round 11 (most sub-second, but two
+# heavy Arrow-surface queries rode along unlabeled).  Now every
+# registered query is either timed in the headline metric or explicitly
+# labeled a DEMONSTRATOR with a known-floor rationale below; a pytest
+# (tests/test_advice_r12.py) pins the identity so no query can silently
+# leave the metric again.
+def headline_names(registry_names) -> list[str]:
+    demos = set(DEMONSTRATORS)
+    unknown = demos - set(registry_names)
+    if unknown:
+        raise SystemExit(
+            f"bench.py: DEMONSTRATORS not in registry: {sorted(unknown)}"
+        )
+    return [n for n in sorted(registry_names) if n not in demos]
 
 # Labeled DEMONSTRATORS (round-6 verdict item 4): queries kept for their
 # semantics exposition whose cost is a documented floor, not a design —
@@ -265,6 +61,20 @@ DEMONSTRATORS = [
     # the graph-shape demonstrator, excluded from the headline metric
     # by the same known-floor policy
     "graph_ann_ivf_beam_topk",
+    # round 12 (verdict item 1): the two heavy Arrow-surface queries
+    # that previously rode outside the metric unlabeled.  Both exist to
+    # pin a Python-execution surface against a declarative oracle and
+    # carry a documented Arrow/pandas per-group floor; their headline
+    # production twins compute the same results JVM-side:
+    # - sessionize_grouped_map (queries/events.py): applyInPandas
+    #   gap-split, twin = events_sessionization / sessionize_partitionwise
+    #   (18.5 s vs 0.3 s at sf0.1 — the floor is the per-user pandas
+    #   frame materialization, not the plan)
+    # - cogroup_user_conversion (queries/events.py): cogrouped
+    #   applyInPandas merge, twin = the declarative full-outer-join
+    #   oracle it is pinned to (6.8 s at sf0.1, same floor)
+    "sessionize_grouped_map",
+    "cogroup_user_conversion",
 ]
 
 
@@ -556,7 +366,13 @@ def main() -> None:
           file=sys.stderr)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    headline = headline_names(queries)
+    print(
+        f"[bench] headline = registry({len(queries)}) - "
+        f"demonstrators({len(DEMONSTRATORS)}) = {len(headline)} queries",
+        file=sys.stderr,
+    )
+    for name in headline:
         fn = queries[name]
         runs: list[float] = []
         for _ in range(reps):

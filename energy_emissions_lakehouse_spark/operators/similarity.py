@@ -1079,7 +1079,8 @@ def ivf_graph_topk(
     Final answer = top-``k`` of visited, self excluded.
 
     Cost per query is BOUNDED BY CONSTRUCTION: at most
-    1 + beam*degree*rounds float scorings (145 at the defaults) versus
+    1 + beam*degree*rounds float scorings (97 at the defaults
+    beam=8, degree=6, rounds=2) versus
     the re-rank tier's shortlist (BASELINE.md records the measured
     cost-recall frontier).  Every step is an equi-join keyed on node or
     query id — no corpus scan, no cross join; the ``rounds`` driver

@@ -1648,11 +1648,16 @@ class VersionedTable:
 
         def remember(value):
             if len(_DV_POS_MEMO) >= _DV_POS_MEMO_MAX:
-                # pop(k, None), not pop(next(iter())): two threads can
-                # race to evict the same head key (the racing-writer
-                # workload this round introduces) and the loser must
-                # not raise
-                _DV_POS_MEMO.pop(next(iter(_DV_POS_MEMO)), None)
+                # pop(k, None) so two threads racing to evict the same
+                # head key can't raise KeyError; next(iter(...)) itself
+                # can still raise RuntimeError ("dictionary changed size
+                # during iteration") if a racing writer inserts between
+                # iter() and next() — skip eviction on contention, the
+                # other thread is evicting anyway and the cap is soft
+                try:
+                    _DV_POS_MEMO.pop(next(iter(_DV_POS_MEMO)), None)
+                except RuntimeError:
+                    pass
             _DV_POS_MEMO[key] = value
             return value
 

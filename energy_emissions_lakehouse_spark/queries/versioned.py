@@ -3128,8 +3128,24 @@ def vtable_ndv_inset_pushdown(spark, sf_dir) -> DataFrame:
     filtered = vt.distinct_filter(
         cust, "c_nationkey", "n_nationkey", max_inset=64
     )
-    used_inset = "Join" not in (
-        filtered._jdf.queryExecution().executedPlan().toString()
+    # Detect the strategy from the executed plan by matching the
+    # CONCRETE join-exec node names (BroadcastHashJoin / SortMergeJoin /
+    # ShuffledHashJoin / BroadcastNestedLoopJoin — stable across Spark
+    # 3.x/4.x), not the bare substring "Join", which any future plan
+    # text could contain incidentally and silently flip this pinned
+    # column.  Spark-version coupling: if an exec node is ever renamed,
+    # the companion pytests (tests/test_round11_ops.py::
+    # test_ndv_{low,high}_cardinality_*) assert both directions of the
+    # underlying strategy and will catch the drift.
+    _plan = filtered._jdf.queryExecution().executedPlan().toString()
+    used_inset = not any(
+        node in _plan
+        for node in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
     )
     return (
         filtered.groupBy(F.col("c_mktsegment").alias("segment"))

@@ -199,18 +199,30 @@ class VtableStreamReader(DataSourceStreamReader):
     def _entry_bytes(self, entry: dict) -> int:
         """Added-segment bytes of one commit, from the log's per-segment
         ``__bytes__`` stats (recorded at commit time); a pre-rev commit
-        lacking them falls back to an on-disk stat of its part files."""
+        lacking them falls back to an on-disk stat of its part files.
+
+        A pre-rev segment that was since REMOVED AND VACUUMED globs to
+        zero files — that is unknown size, not 0 bytes: returning 0
+        would let maxBytesPerBatch admit an arbitrarily long run of such
+        historical versions into one micro-batch.  Unknown admits the
+        version ALONE (returns >= the cap so the soft-cap loop stops
+        after it)."""
         total = 0
         for rel in entry["add"]:
             rec = (entry.get("stats") or {}).get(rel) or {}
             b = rec.get("__bytes__")
             if b is None:
-                b = sum(
-                    os.path.getsize(p)
-                    for p in glob.glob(
-                        os.path.join(self.root, rel, "part-*.parquet")
-                    )
+                parts = glob.glob(
+                    os.path.join(self.root, rel, "part-*.parquet")
                 )
+                if not parts:
+                    # vacuumed pre-rev segment: size unknown -> saturate
+                    # to the cap (+1 so `acc + nxt > cap` trips even at
+                    # acc == 0 for the NEXT version) = admit-one-at-a-
+                    # time, the conservative reading of the cap
+                    return (self.max_bytes + 1) if self.max_bytes > 0 \
+                        else 1
+                b = sum(os.path.getsize(p) for p in parts)
             total += int(b)
         return total
 
