@@ -109,6 +109,7 @@ def multiprobe_topk(
     candidates: DataFrame,
     k: int = 3,
     num_hyperplanes: int = 5,
+    return_scored: bool = False,
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query probes 8 buckets — its home
     bucket, single-bit flips of its 4 lowest-|margin| hyperplanes, and
@@ -174,6 +175,11 @@ def multiprobe_topk(
             ).alias("sim"),
         )
     )
+    if return_scored:
+        # the pre-ranking candidate set — the scale-stressor surface
+        # (scored candidates per query is the cost the occupancy-sized
+        # H keeps constant as the corpus grows)
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

