@@ -591,11 +591,11 @@ class VersionedTable:
                     "supports integral and string columns "
                     "(hll_sketch_agg domain)"
                 )
-            if "__hll__" in types:
+            if "__hll__" in types or "__mcv__" in types:
                 raise ValueError(
-                    "ndv_cols: a column named '__hll__' collides with "
-                    "the reserved per-segment sketch key in the commit "
-                    "stats — rename it or skip NDV sketching"
+                    "ndv_cols: a column named '__hll__'/'__mcv__' "
+                    "collides with a reserved per-segment stats key in "
+                    "the commit log — rename it or skip NDV sketching"
                 )
         if constraints:
             # still pre-mkdir: bad names/expressions must reject the
@@ -1000,6 +1000,18 @@ class VersionedTable:
                     missing, self.ndv_cols
                 ).items():
                     add_stats[rel]["__hll__"] = sketches
+            # most-common-value stats on the same tracked columns —
+            # the planner's skew signal (join_skew_planned); one
+            # O(delta) job like the sketches, cached per rel the same
+            # way so rebase retries never re-run it
+            mcv_missing = [
+                rel for rel in add if "__mcv__" not in add_stats[rel]
+            ]
+            if mcv_missing:
+                for rel, m in self._segment_mcv(
+                    mcv_missing, self.ndv_cols
+                ).items():
+                    add_stats[rel]["__mcv__"] = m
         payload = {
             "version": version,
             "op": op,
@@ -1582,7 +1594,8 @@ class VersionedTable:
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
             )
         reserved_stats = [
-            c for c in df.columns if c in ("__hll__", "__bytes__")
+            c for c in df.columns
+            if c in ("__hll__", "__bytes__", "__mcv__")
         ]
         if reserved_stats:
             raise ValueError(
@@ -1629,7 +1642,8 @@ class VersionedTable:
                 f"deletion-vector identity names {_DV_IDENTITY_COLS}"
             )
         reserved_stats = [
-            c for c in df.columns if c in ("__hll__", "__bytes__")
+            c for c in df.columns
+            if c in ("__hll__", "__bytes__", "__mcv__")
         ]
         if reserved_stats:
             raise ValueError(
@@ -4194,6 +4208,165 @@ class VersionedTable:
             # would return None forever once any empty segment is live
             out.setdefault(rel, {c: None for c in present})
         return out
+
+    def _segment_mcv(
+        self, add: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-added-segment most-common-value stats for ``cols`` in ONE
+        Spark job over the new files only (O(delta), the ANALYZE-delta
+        shape — same policy as constraint enforcement and the HLL
+        sketches): {rel: {col: [value_as_string, count]}}.  This is the
+        planner's skew signal (Postgres pg_stats.most_common_vals /
+        Spark CBO histogram head): a join key whose hottest value
+        carries a large row fraction shuffles that fraction into ONE
+        reducer partition — the case where AQE's skew split is
+        suppressed by downstream hash-distribution requirements and
+        manual salting is the only mitigation (measured 1.24x,
+        SCALE_STRESSORS skew_join).  Columns the written schema lacks
+        are skipped; an all-null column records no entry (same
+        conservative gap semantics as the HLL sketches)."""
+        df = self.spark.read.parquet(
+            *(os.path.join(self.root, r) for r in add)
+        )
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        by_name = {os.path.basename(r): r for r in add}
+        seg = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
+        )
+        stacked = (
+            df.select(
+                seg.alias("_seg"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in present
+                    ])
+                ).alias("kv"),
+            )
+            .select("_seg", F.col("kv.c").alias("c"), F.col("kv.v").alias("v"))
+            .where(F.col("v").isNotNull())
+        )
+        rows = (
+            stacked.groupBy("_seg", "c", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("_seg", "c")
+            .agg(F.max(F.struct("n", "v")).alias("m"))
+            .collect()
+        )
+        out: dict[str, dict[str, list]] = {}
+        for row in rows:
+            rel = by_name.get(row["_seg"])
+            if rel is None:
+                continue
+            out.setdefault(rel, {})[row["c"]] = [
+                row["m"]["v"], int(row["m"]["n"])
+            ]
+        for rel in add:
+            out.setdefault(rel, {})
+        return out
+
+    def table_mcv(
+        self, col: str, version: int | None = None
+    ) -> tuple[str, int] | None:
+        """Estimated hottest value of ``col`` and its row count at a
+        version, folded from the live segments' commit-time MCV stats
+        alone — O(live segments) driver metadata, no scan.  The fold
+        sums each candidate value's per-segment top counts and returns
+        the max: exact when one value dominates every segment (the
+        pathological-skew case the planner cares about), an
+        UNDERestimate otherwise (a value can be frequent without
+        topping any one segment) — so a positive skew verdict is
+        trustworthy and a miss errs toward not salting, the cheap
+        direction.  None when any live segment lacks the stat (pre-mcv
+        eras, evolution gaps): guessing 'not skewed' from partial stats
+        could flip the planner the expensive way (same conservative
+        policy as table_ndv)."""
+        version, live, _ = self._snapshot(version)
+        if not live:
+            return None
+        stats = self._live_segment_stats(version)
+        by_value: dict[str, int] = {}
+        for rel in live:
+            m = (stats.get(rel) or {}).get("__mcv__")
+            if not isinstance(m, dict):
+                return None
+            if col in m:
+                v, n = m[col]
+                by_value[v] = by_value.get(v, 0) + int(n)
+        if not by_value:
+            return None  # column all-null or absent in every segment
+        v = max(by_value, key=lambda k: (by_value[k], k))
+        return v, by_value[v]
+
+    def join_skew_planned(
+        self,
+        dim: DataFrame,
+        fact_col: str,
+        dim_col: str | None = None,
+        how: str = "inner",
+        version: int | None = None,
+        skew_frac: float = 0.1,
+        num_salts: int = 16,
+        dim_bytes: int | None = None,
+    ) -> DataFrame:
+        """Join this table (the FACT side) to ``dim`` with the log's
+        column stats driving the physical strategy — the stats-CBO
+        consumption path, like :meth:`read_source`'s broadcast flip and
+        :meth:`distinct_filter`'s IN-pushdown:
+
+        1. ``dim`` provably broadcastable (``dim_bytes`` — e.g. a dim
+           vtable's ``table_stats()['n_bytes']`` — at or under
+           ``spark.sql.autoBroadcastJoinThreshold``): plain join with
+           the broadcast hint.  Broadcast beats salting whenever it is
+           available (measured: SCALE_STRESSORS skew_join — 'do not
+           salt a broadcastable join'), and a broadcast join has no
+           reducer hot partition for skew to hurt.
+        2. Else, the fact key's log MCV says one value carries at least
+           ``skew_frac`` of the table's rows: salted join
+           (operators/skew.py) — the case where AQE's skew split is
+           suppressed by downstream hash-distribution requirements.
+        3. Else: plain shuffle join (AQE handles residual imbalance).
+
+        Unknown sizes/stats choose conservatively: no ``dim_bytes``
+        means no broadcast hint (never guess a table small); no MCV
+        stat means no salting (never pay replication on a guess) —
+        both 'only with the log's estimate' directions, exactly like
+        :meth:`distinct_filter`."""
+        from energy_emissions_lakehouse_spark.operators.skew import (
+            salted_join,
+        )
+
+        dim_col = dim_col or fact_col
+        fact = self.read(version)
+        right = (
+            dim.withColumnRenamed(dim_col, fact_col)
+            if dim_col != fact_col
+            else dim
+        )
+        threshold = _parse_size_conf(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        if (
+            dim_bytes is not None
+            and threshold is not None
+            and 0 < threshold
+            and dim_bytes <= threshold
+        ):
+            return fact.join(F.broadcast(right), fact_col, how)
+        mcv = self.table_mcv(fact_col, version)
+        n_rows = self.table_stats(version)["n_rows"]
+        if mcv is not None and n_rows > 0 and (
+            mcv[1] / n_rows >= skew_frac
+        ):
+            return salted_join(
+                fact, right, [fact_col], how=how, num_salts=num_salts
+            )
+        return fact.join(right, fact_col, how)
 
     def table_ndv(self, col: str, version: int | None = None) -> int | None:
         """Estimated number of distinct non-null values of ``col`` at a

@@ -3156,3 +3156,127 @@ def vtable_ndv_inset_pushdown(spark, sf_dir) -> DataFrame:
         .withColumn("used_inset", F.lit(bool(used_inset)))
         .orderBy("segment")
     )
+
+
+@register(
+    "vtable_skew_salted_join",
+    oracle=f"""
+    -- stats-driven skew mitigation (round 12): the fact table's commit-
+    -- log MCV stat says one key carries ~52% of the skewed build's rows
+    -- (>= the 10% skew_frac), so the planner salts that join; the
+    -- uniform build's hottest key is ~4%, so it stays a plain shuffle
+    -- join.  used_salt pins the chosen strategy inside the value oracle
+    -- (both directions in one result), and the salted rewrite must be
+    -- row-identical to the plain join.
+    WITH fact_skew AS (
+      SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 7
+                       ELSE o_orderkey % 25 END AS INTEGER) AS k,
+             o_totalprice
+      FROM orders
+    ), fact_unif AS (
+      SELECT CAST(o_orderkey % 25 AS INTEGER) AS k, o_totalprice
+      FROM orders
+    ), dim AS (
+      SELECT CAST(n_nationkey AS INTEGER) AS k, n_regionkey AS r
+      FROM nation
+    )
+    SELECT * FROM (
+      SELECT 'skewed' AS fact_kind, r,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {scaled_sum_sql('o_totalprice')} AS price_sum,
+             TRUE AS used_salt
+      FROM fact_skew JOIN dim USING (k) GROUP BY r
+      UNION ALL
+      SELECT 'uniform' AS fact_kind, r,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {scaled_sum_sql('o_totalprice')} AS price_sum,
+             FALSE AS used_salt
+      FROM fact_unif JOIN dim USING (k) GROUP BY r
+    )
+    ORDER BY fact_kind, r
+    """,
+    survey="extension (CBO, round 12): commit-log MCV column stats "
+    "CONSUMED by join planning — every data commit on an ndv_cols table "
+    "records the per-segment most-common-value + count (Postgres "
+    "pg_stats.most_common_vals analog; one O(delta) grouped aggregate "
+    "per commit), table_mcv folds the live set O(segments), and "
+    "join_skew_planned flips the fact-dim join between the salted "
+    "rewrite (hot-key fraction >= skew_frac and the dim not provably "
+    "broadcastable — the case where AQE's skew split is suppressed by "
+    "downstream hash-distribution requirements; measured 1.24x win, "
+    "SCALE_STRESSORS skew_join) and the plain shuffle join.  Unknown "
+    "stats choose conservatively (no salt, no broadcast).  Both plan "
+    "directions + fallbacks are asserted in tests/test_round12_ops.py; "
+    "used_salt pins the chosen strategy inside the value oracle",
+    tags=("vtable",),
+)
+def vtable_skew_salted_join(spark, sf_dir) -> DataFrame:
+    """Two order-derived fact vtables (one hot-keyed, one uniform)
+    joined to the nation dim through the stats-driven planner: the
+    skewed build must come out salted, the uniform build unsalted —
+    detected from the executed plans (the salt column is physical), and
+    both value-identical to the plain SQL join."""
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dim = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"),
+        F.col("n_regionkey").alias("r"),
+    )
+    facts = {
+        "skewed": orders.select(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(7))
+            .otherwise(F.col("o_orderkey") % 25)
+            .cast("int")
+            .alias("k"),
+            "o_totalprice",
+        ),
+        "uniform": orders.select(
+            (F.col("o_orderkey") % 25).cast("int").alias("k"),
+            "o_totalprice",
+        ),
+    }
+    parts = []
+    for kind, fact_df in sorted(facts.items()):
+        # build-once-serve-many (the fact table is INDEX-like state, and
+        # the MCV/HLL stats jobs are its one-time ANALYZE cost): keyed
+        # on the source's mtime so a regenerated corpus rebuilds
+        def _populate(tmp, fact_df=fact_df):
+            VersionedTable.create(
+                spark,
+                os.path.join(tmp, "t"),
+                fact_df,
+                ndv_cols=["k"],
+            )
+
+        base = staged_artifact(
+            "vtable_skewjoin",
+            f"{kind}_"
+            f"{table_cache_key(sf_dir, 'orders', 'mcv', _HISTORY_REV)}",
+            _populate,
+        )
+        vt = VersionedTable(spark, os.path.join(base, "t"))
+        joined = vt.join_skew_planned(dim, "k")
+        agg = joined.groupBy("r").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            scaled_sum(F.col("o_totalprice")).alias("price_sum"),
+        )
+        # the salt column is physical: its presence in the EXECUTED plan
+        # is the strategy, not a guess
+        used_salt = SALT_COL in (
+            agg._jdf.queryExecution().executedPlan().toString()
+        )
+        parts.append(
+            agg.select(
+                F.lit(kind).alias("fact_kind"),
+                "r",
+                "n_rows",
+                "price_sum",
+                F.lit(bool(used_salt)).alias("used_salt"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.orderBy("fact_kind", "r")

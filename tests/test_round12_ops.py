@@ -211,3 +211,110 @@ def test_deep_drip_rewrites_bounded_sidecars_per_checkpoint(
     # 8 adds per checkpoint window, SIDECAR_MAX=4 -> at most 3 new files
     # (partial last + two full), never O(live)
     assert new_per_ckpt and all(n <= 3 for n in new_per_ckpt), new_per_ckpt
+
+
+# ---------------------------- MCV stats + stats-driven skew planning
+
+def _keyed_skew(spark, n, hot_frac_mod):
+    """n rows; key 7 gets every hot_frac_mod-th row, rest uniform 0..24."""
+    return spark.range(0, n).select(
+        F.when(F.col("id") % hot_frac_mod == 0, F.lit(7))
+        .otherwise(F.col("id") % 25)
+        .cast("int")
+        .alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+def _dim25(spark):
+    return spark.range(0, 25).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("r"),
+    )
+
+
+def test_mcv_stats_recorded_and_folded(spark, root):
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 1000, 2), ndv_cols=["k"]
+    )
+    v, n = vt.table_mcv("k")
+    assert v == "7"
+    # key 7: 500 hot rows + uniform hits (id%2!=0 and id%25==7)
+    exact = sum(
+        1 for i in range(1000) if (i % 2 == 0 and 7 == 7) or (i % 2 and i % 25 == 7)
+    )
+    assert n == exact
+    # fold across segments: append more hot rows, count accumulates
+    vt.append(_keyed_skew(spark, 100, 2))
+    v2, n2 = vt.table_mcv("k")
+    assert v2 == "7" and n2 > n
+    # untracked column -> None (never guess)
+    assert vt.table_mcv("v") is None
+
+
+def test_mcv_absent_on_untracked_table(spark, root):
+    vt = VersionedTable.create(spark, root, _keyed_skew(spark, 100, 2))
+    assert vt.table_mcv("k") is None
+
+
+def test_join_skew_planned_salts_on_hot_key(spark, root):
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 2000, 2), ndv_cols=["k"]
+    )
+    out = vt.join_skew_planned(_dim25(spark), "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL in plan, "hot-key stats must select the salted join"
+    # the salted rewrite is row-identical to the plain join
+    plain = vt.read().join(_dim25(spark), "k")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_join_skew_planned_plain_on_uniform(spark, root):
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 2000, 10**9), ndv_cols=["k"]
+    )
+    out = vt.join_skew_planned(_dim25(spark), "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL not in plan, "uniform stats must stay unsalted"
+    assert out.count() == 2000
+
+
+def test_join_skew_planned_broadcast_beats_salt(spark, root):
+    """A provably broadcastable dim short-circuits to the broadcast
+    join even when the fact is hot-keyed (measured: broadcast wins;
+    never salt a broadcastable join)."""
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 2000, 2), ndv_cols=["k"]
+    )
+    out = vt.join_skew_planned(_dim25(spark), "k", dim_bytes=1024)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL not in plan
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 2000
+
+
+def test_join_skew_planned_no_stats_no_salt(spark, root):
+    """Unknown MCV (untracked table) must choose conservatively: plain
+    join, never pay replication on a guess."""
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    vt = VersionedTable.create(spark, root, _keyed_skew(spark, 500, 2))
+    out = vt.join_skew_planned(_dim25(spark), "k")
+    assert SALT_COL not in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    assert out.count() == 500
+
+
+def test_reserved_mcv_stats_key_rejected(spark, root):
+    bad = spark.range(3).select(F.col("id").alias("__mcv__"))
+    with pytest.raises(ValueError, match="reserved"):
+        VersionedTable.create(spark, root, bad)
