@@ -3280,3 +3280,86 @@ def vtable_skew_salted_join(spark, sf_dir) -> DataFrame:
         )
     out = parts[0].unionByName(parts[1])
     return out.orderBy("fact_kind", "r")
+
+
+@register(
+    "stream_vtable_availablenow_drain",
+    oracle=f"""
+    -- the drained sink must equal the batch read of the table head:
+    -- run 1 drains v0+v1 and STOPS (Trigger.AvailableNow), v2 lands
+    -- while the stream is down, run 2 restarts from the same checkpoint
+    -- and drains ONLY v2 — a replayed version double-counts, a skipped
+    -- one under-counts, and either breaks the hash
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey="W4 S4 — Trigger.AvailableNow batch-drain of the vtable "
+    "stream source (Delta availableNow backfill: drain everything "
+    "committed, stop, restart later for the increment).  Two drains "
+    "against ONE durable checkpoint with a commit landing between them: "
+    "exactly-once across the restart is pinned by the value oracle "
+    "(sink == batch read at the final head), the production backfill "
+    "pattern the per-version replay modes don't cover",
+    tags=("vtable", "streaming"),
+)
+def stream_vtable_availablenow_drain(spark, sf_dir) -> DataFrame:
+    """Drain a 2-commit orders vtable into a parquet sink via
+    Trigger.AvailableNow, append a third commit while the stream is
+    stopped, then restart from the same checkpoint and drain again: the
+    sink must hold exactly the head's batch content — each of the three
+    order slices exactly once."""
+    import shutil as _shutil
+
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        VersionedTable,
+    )
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    base = os.path.join(
+        staging_dir("vtable_catalog"),
+        f"anow_{table_cache_key(sf_dir, 'orders', 'anow', _HISTORY_REV)}",
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    troot = os.path.join(base, "t")
+    sink = os.path.join(base, "sink")
+    ck = os.path.join(base, "ck")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    vt = VersionedTable.create(
+        spark, troot, orders.filter(F.col("o_orderkey") % 3 == 0)
+    )
+    vt.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    register_vtable_source(spark)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("eel_vtable")
+            .option("path", troot)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # v0 + v1, then the query STOPS (drained)
+    vt.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    drain()  # restart from the durable checkpoint: v2 only
+    return (
+        spark.read.parquet(sink)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            scaled_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
