@@ -236,6 +236,14 @@ def main() -> None:
         lambda: _pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2,
                                  fresh=True),
     )
+    # the round-12 hi-fidelity tier (m16 x 64, 4 Lloyd rounds) is its own
+    # staged index: deeper training is the one-time cost that halves the
+    # serving-side re-rank shortlist at >= 0.95 recall
+    staged(
+        "pq_hi_index_build",
+        lambda: _pq_staged_model(spark, sf_dir, m=16, ksub=64, iters=4,
+                                 fresh=True),
+    )
 
     # The co-purchase pair list is the second staged index (round-4
     # advice): five graph queries (triangle / LPA / k-core / lift / BFS)

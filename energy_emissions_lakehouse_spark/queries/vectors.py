@@ -766,11 +766,21 @@ def _emb_corpus_count(spark, sf_dir: str) -> int:
 
 def _pq_adc_rerank_oracle_sql(
     m: int = 16, ksub: int = 32, iters: int = 2, k: int = 3,
+    shortlist_floor: int | None = None,
+    shortlist_divisor: int | None = None,
 ) -> str:
     """DuckDB replay of pq_adc_rerank_topk: the ADC oracle ranked to the
     corpus-derived shortlist (GREATEST(floor, COUNT(*) // divisor) —
     same integer rule as ``pq_shortlist_for``), joined back to full
     vectors for an exact-L2 integer-micro re-rank."""
+    sl_floor = (
+        PQ_SHORTLIST_FLOOR if shortlist_floor is None else shortlist_floor
+    )
+    sl_div = (
+        PQ_SHORTLIST_DIVISOR
+        if shortlist_divisor is None
+        else shortlist_divisor
+    )
     ctes, union, cent_names = _pq_ctes(m, ksub, iters)
     dq = (
         "list_sum(list_transform(list_zip(q.v, c.c_vec), "
@@ -800,8 +810,8 @@ def _pq_adc_rerank_oracle_sql(
         GROUP BY d.query_id, e.vec_id
     ),
     sl AS (
-        SELECT GREATEST({PQ_SHORTLIST_FLOOR},
-                        CAST(COUNT(*) AS BIGINT) // {PQ_SHORTLIST_DIVISOR})
+        SELECT GREATEST({sl_floor},
+                        CAST(COUNT(*) AS BIGINT) // {sl_div})
                AS s
         FROM embeddings
     ),
@@ -859,6 +869,49 @@ def pq_adc_rerank_topk(spark, sf_dir) -> DataFrame:
         shortlist=pq_shortlist_for(_emb_corpus_count(spark, sf_dir)),
         m=16, ksub=32, iters=2,
         model=_pq_staged_model(spark, sf_dir, m=16, ksub=32, iters=2),
+    )
+
+
+#: hi-fidelity tier shortlist: HALF the standard divisor's fan-out —
+#: the deeper codebooks (ksub=64, iters=4) buy the recall back, so the
+#: exact-L2 re-rank float-scores half the candidates for the same >=0.95
+#: recall point (measured, BASELINE.md "ADC re-rank frontier r12").
+PQ_HI_SHORTLIST_DIVISOR = 50
+
+
+@register(
+    "pq_adc_rerank_hi_topk",
+    oracle=_pq_adc_rerank_oracle_sql(
+        m=16, ksub=64, iters=4, k=3,
+        shortlist_divisor=PQ_HI_SHORTLIST_DIVISOR,
+    ),
+    survey="extension (similarity, compression tier — round-12 frontier "
+    "push): the ADC re-rank ladder's next rung is CODEBOOK DEPTH, not a "
+    "rotation or residual stage — m=16 x ksub=64, 4 Lloyd iterations "
+    "shortlists GREATEST(20, N//50) (HALF the m16x32 tier's fan-out) "
+    "and measures recall@3 0.967 at sf0.1 vs the old tier's 0.950 at "
+    "double the float-scored candidates (BASELINE frontier table).  "
+    "OPQ-PCA rotation and residual-vs-coarse-centroid encoding were "
+    "both built and measured on this corpus and RECORDED AS NEGATIVES "
+    "(rotation ties at best on these near-isotropic embeddings, "
+    "residuals lose at small shortlists — BASELINE.md); ksub/iters cost "
+    "only index-build time (staged, train-once), serving cost is "
+    "unchanged (m code lookups per candidate).  Same exactness contract "
+    "and DuckDB full-Lloyd replay as pq_adc_rerank_topk",
+)
+def pq_adc_rerank_hi_topk(spark, sf_dir) -> DataFrame:
+    """Hi-fidelity ADC re-rank: deeper sub-codebooks (m=16 x 64, 4 Lloyd
+    rounds) halve the exact-re-rank shortlist (GREATEST(20, N//50)) at
+    equal-or-better recall — served against its own staged index."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    n = _emb_corpus_count(spark, sf_dir)
+    return sim.pq_adc_rerank_topk(
+        emb, query_pred=F.col("vec_id") % 100 == 0, k=3,
+        shortlist=max(PQ_SHORTLIST_FLOOR, n // PQ_HI_SHORTLIST_DIVISOR),
+        m=16, ksub=64, iters=4,
+        model=_pq_staged_model(spark, sf_dir, m=16, ksub=64, iters=4),
     )
 
 

@@ -70,3 +70,48 @@ def test_pq_rerank_recall_at_sf01(spark):
     assert truth, "exact reference is empty — test setup broken"
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"recall@3 {recall:.3f} < 0.9 at sf0.1"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="sf0.1 testdata absent")
+def test_pq_hi_tier_recall_at_half_shortlist(spark):
+    """Round-12 frontier push: the m16x64/iters=4 tier at HALF the
+    shortlist (GREATEST(20, N//50) = 40 at N=2000) must hold recall@3
+    >= 0.95 — the point the m16x32 tier needs shortlist 80 to reach
+    (measured 0.967 vs 0.950, BASELINE frontier r12)."""
+    from energy_emissions_lakehouse_spark.queries.vectors import (
+        pq_adc_rerank_hi_topk,
+    )
+
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in pq_adc_rerank_hi_topk(spark, SF01).collect()
+    }
+    emb = t(spark, SF01, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(sim.sq_l2(F.col("qv"), F.col("cv")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("d_micro"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    truth = {(r.query_id, r.cand_id) for r in exact.collect()}
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95, f"hi-tier recall@3 {recall:.3f} < 0.95 at sf0.1"
