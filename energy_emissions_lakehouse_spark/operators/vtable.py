@@ -4986,6 +4986,53 @@ class VersionedTable:
                 except OSError:
                     pass
             deleted.append(os.path.join(LOG_DIR, name))
+        # checkpoint sidecars are published BEFORE the main rename; a
+        # publish that crashes in between strands sidecar litter no
+        # checkpoint references (normal operation orphans nothing —
+        # every published checkpoint keeps referencing its sidecars and
+        # checkpoints are never vacuumed, and the incremental fold only
+        # reuses names the previous checkpoint already references, so
+        # unreferenced means unreferenced FOREVER).  Collect the
+        # referenced set from every checkpoint main file and reclaim
+        # the rest past the same in-flight grace (a just-written
+        # sidecar may belong to a publish whose main rename is
+        # microseconds away).
+        referenced: set[str] = set()
+        ckpt_names = [
+            n
+            for n in os.listdir(self._log_dir)
+            if n.endswith(".checkpoint.json")
+        ]
+        ckpt_ok = True
+        for n in ckpt_names:
+            try:
+                with open(os.path.join(self._log_dir, n)) as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                # an unreadable checkpoint might reference anything —
+                # reclaiming nothing is the only safe answer this sweep
+                ckpt_ok = False
+                break
+            for ref in payload.get("sidecars") or []:
+                referenced.add(ref["name"])
+        if ckpt_ok:
+            for name in sorted(os.listdir(self._log_dir)):
+                if not name.endswith(".sidecar.json"):
+                    continue
+                if name in referenced:
+                    continue
+                path = os.path.join(self._log_dir, name)
+                try:
+                    if now - os.path.getmtime(path) < orphan_grace_s:
+                        continue
+                except OSError:
+                    continue  # vanished under us
+                if not dry_run:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+                deleted.append(os.path.join(LOG_DIR, name))
         # a hard-crashed PARTITIONED write strands its .pt-scratch-* dir
         # at the table root (the normal path removes it in a finally);
         # nothing ever references it — reclaimed past the same grace

@@ -318,3 +318,52 @@ def test_reserved_mcv_stats_key_rejected(spark, root):
     bad = spark.range(3).select(F.col("id").alias("__mcv__"))
     with pytest.raises(ValueError, match="reserved"):
         VersionedTable.create(spark, root, bad)
+
+
+def test_vacuum_reclaims_crash_orphaned_sidecars(spark, root, monkeypatch):
+    """In NORMAL operation every written sidecar stays referenced by the
+    checkpoint that published it (checkpoints are never vacuumed), so
+    nothing is reclaimable; a checkpoint publish that crashes between
+    the sidecar writes and the main rename strands unreferenced sidecar
+    litter — vacuum reclaims exactly that, and every referenced sidecar
+    survives."""
+    import errno
+
+    monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
+    for i in range(1, CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    referenced = {
+        s["name"] for s in _ckpt_raw(vt, CHECKPOINT_EVERY)["sidecars"]
+    }
+    assert _sidecar_files(root) == referenced  # normal op: zero orphans
+    assert [
+        d for d in vt.vacuum(orphan_grace_s=0.0, dry_run=True)
+        if d.endswith(".sidecar.json")
+    ] == []
+    # crash the NEXT checkpoint's main publish: sidecars land, main dies
+    real_rename = os.rename
+
+    def flaky(src, dst, *a, **kw):
+        if dst.endswith(".checkpoint.json"):
+            raise OSError(errno.EIO, "injected checkpoint fault")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(vmod.os, "rename", flaky)
+    for i in range(CHECKPOINT_EVERY):
+        vt.append(_rows(spark, 5000 + 10 * i, 5000 + 10 * i + 5))
+    monkeypatch.setattr(vmod.os, "rename", real_rename)
+    orphans = _sidecar_files(root) - referenced
+    assert orphans, "setup: the crashed publish must strand sidecars"
+    n_before = vt.read().count()
+    deleted = vt.vacuum(orphan_grace_s=0.0)
+    assert {
+        os.path.basename(d) for d in deleted if d.endswith(".sidecar.json")
+    } == orphans
+    assert _sidecar_files(root) == referenced
+    # the surviving checkpoint still hydrates; reads untouched
+    fresh = VersionedTable(spark, root)
+    assert fresh._latest_checkpoint(
+        fresh.latest_version()
+    )["version"] == CHECKPOINT_EVERY
+    assert fresh.read().count() == n_before
