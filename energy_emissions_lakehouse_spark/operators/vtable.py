@@ -4341,6 +4341,12 @@ class VersionedTable:
             salted_join,
         )
 
+        if isinstance(dim, VersionedTable):
+            # a vtable dim carries its own ANALYZE estimate in the log —
+            # pull it unless the caller already supplied one
+            if dim_bytes is None:
+                dim_bytes = dim.table_stats()["n_bytes"]
+            dim = dim.read()
         dim_col = dim_col or fact_col
         fact = self.read(version)
         right = (

@@ -367,3 +367,20 @@ def test_vacuum_reclaims_crash_orphaned_sidecars(spark, root, monkeypatch):
         fresh.latest_version()
     )["version"] == CHECKPOINT_EVERY
     assert fresh.read().count() == n_before
+
+
+def test_join_skew_planned_vtable_dim_auto_broadcast(spark, root, tmp_path):
+    """A VersionedTable dim supplies its own log byte estimate: a tiny
+    dim vtable short-circuits to broadcast even on a hot-keyed fact."""
+    from energy_emissions_lakehouse_spark.operators.skew import SALT_COL
+
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 2000, 2), ndv_cols=["k"]
+    )
+    dim_vt = VersionedTable.create(
+        spark, str(tmp_path / "dim"), _dim25(spark)
+    )
+    out = vt.join_skew_planned(dim_vt, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL not in plan and "BroadcastHashJoin" in plan
+    assert out.count() == 2000
