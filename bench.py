@@ -361,9 +361,15 @@ def main() -> None:
             pass
         time.sleep(2)
         runs: list[float] = []
+        # 600M rows (~0.3 s at local[32]): at the old 150M (~0.08 s) the
+        # probe was dominated by fixed JVM-state deltas — late C2 tiers
+        # shaved ~15 ms off the AFTER reading and flagged two back-to-
+        # back runs whose actual query timings agreed within 0.2%
+        # (round 12).  4x the work amortizes those fixed deltas; host
+        # LOAD (the thing the probe exists to catch) scales with work.
         for _ in range(5):
             t0 = time.perf_counter()
-            spark.range(0, 150_000_000, 1, cpus).selectExpr(
+            spark.range(0, 600_000_000, 1, cpus).selectExpr(
                 "sum(xxhash64(id) % 1000) as s"
             ).collect()
             runs.append(time.perf_counter() - t0)

@@ -1157,9 +1157,16 @@ class VersionedTable:
 
                 bisect.insort(self._ckpt_versions, version)
                 if len(self._ckpt_payloads) >= 4:
-                    self._ckpt_payloads.pop(
-                        next(iter(self._ckpt_payloads))
-                    )
+                    # racing in-process writer threads share this handle
+                    # cache: next(iter()) can raise RuntimeError if a
+                    # peer inserts mid-eviction — skip on contention,
+                    # same soft-cap policy as the DV-position memo
+                    try:
+                        self._ckpt_payloads.pop(
+                            next(iter(self._ckpt_payloads)), None
+                        )
+                    except RuntimeError:
+                        pass
                 self._ckpt_payloads[version] = ckpt
 
     def _fold_sidecars_incremental(
@@ -1470,10 +1477,20 @@ class VersionedTable:
             except OSError:
                 # externally cleaned (not our vacuum's doing): drop it
                 # from the cache and fall back to the next older one
-                self._ckpt_versions.remove(cv)
+                # (a racing thread may have dropped it first)
+                try:
+                    self._ckpt_versions.remove(cv)
+                except ValueError:
+                    pass
                 return self._latest_checkpoint(version)
             if len(self._ckpt_payloads) >= 4:
-                self._ckpt_payloads.pop(next(iter(self._ckpt_payloads)))
+                # same contention guard as the write-path registration
+                try:
+                    self._ckpt_payloads.pop(
+                        next(iter(self._ckpt_payloads)), None
+                    )
+                except RuntimeError:
+                    pass
             self._ckpt_payloads[cv] = payload
         # a write-path registration caches {main + _sidecars} without the
         # merged legacy views — build them on first consumer access

@@ -107,22 +107,23 @@ def test_consecutive_checkpoints_reuse_clean_sidecars(
     )
 
 
-def test_removals_dirty_only_owning_sidecars(spark, root, monkeypatch):
+def test_full_rewrite_replaces_every_sidecar(spark, root, monkeypatch):
     monkeypatch.setattr(vmod, "SIDECAR_MAX", 4)
     vt = VersionedTable.create(spark, root, _rows(spark, 0, 10))
     for i in range(1, CHECKPOINT_EVERY + 1):
         vt.append(_rows(spark, 100 * i, 100 * i + 5))
     refs1 = [s["name"] for s in _ckpt_raw(vt, CHECKPOINT_EVERY)["sidecars"]]
-    # remove one OLD segment (lives in the first sidecar): compact the
-    # very first segment away via a copy-on-write delete of its rows
-    vt.delete_where(F.col("k") < 10)  # rewrites the whole live set
+    # a copy-on-write delete rewrites the WHOLE live set: every prior
+    # sidecar's segments are removed, so the next checkpoint must carry
+    # entirely fresh sidecar names (a full rewrite dirties everything)
+    vt.delete_where(F.col("k") < 10)
     head = _to_boundary(vt, spark)
     refs2 = [s["name"] for s in _ckpt_raw(vt, head)["sidecars"]]
-    # full rewrite dirties everything — but hydration must stay exact
+    assert set(refs2).isdisjoint(set(refs1))
+    # and hydration must stay exact
     ckpt = vt._hydrate_checkpoint(_ckpt_raw(vt, head))
     live_g = vt._resolve_live(head, use_checkpoint=False)
     assert sorted(ckpt["live"]) == sorted(live_g)
-    assert set(refs2).isdisjoint(set(refs1)) or set(refs2) & set(refs1)
 
 
 def test_partial_remove_reuses_untouched_sidecars(
@@ -384,3 +385,36 @@ def test_join_skew_planned_vtable_dim_auto_broadcast(spark, root, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert SALT_COL not in plan and "BroadcastHashJoin" in plan
     assert out.count() == 2000
+
+
+def test_mcv_fold_drops_removed_segments(spark, root):
+    """A compaction/rewrite removes segments: their MCV entries must
+    leave the fold (stats ride the ADDING commit; live-set filtered)."""
+    vt = VersionedTable.create(
+        spark, root, _keyed_skew(spark, 1000, 2), ndv_cols=["k"]
+    )
+    v_hot, n_hot = vt.table_mcv("k")
+    assert v_hot == "7"
+    # rewrite the whole table to a uniform distribution: the old hot
+    # segment is gone, the fold must see only the new segment's MCV
+    vt.overwrite(_keyed_skew(spark, 1000, 10**9))
+    v2, n2 = vt.table_mcv("k")
+    exact = {}
+    for i in range(1000):
+        k = 7 if i % 10**9 == 0 else i % 25
+        exact[k] = exact.get(k, 0) + 1
+    best = max(exact, key=lambda k: (exact[k], str(k)))
+    assert (v2, n2) == (str(best), exact[best])
+    # time travel still folds the OLD version's stats
+    assert vt.table_mcv("k", 0) == (v_hot, n_hot)
+
+
+def test_mcv_string_column(spark, root):
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 3 == 0, F.lit("alpha"))
+        .otherwise(F.concat(F.lit("x"), F.col("id")))
+        .alias("s")
+    )
+    vt = VersionedTable.create(spark, root, df, ndv_cols=["s"])
+    v, n = vt.table_mcv("s")
+    assert v == "alpha" and n == 34
