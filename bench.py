@@ -350,28 +350,25 @@ def main() -> None:
     # machine-readable instead of narrated.  Median of 3 so the probe
     # itself resists one-off hiccups.
     def _calibration_probe() -> float:
-        # settle first: the before-probe fires right after the staging
-        # block, whose Python workers / GC debt otherwise inflate it
-        # (measured: median 0.224 s settling vs 0.116 s quiescent — a
-        # spurious 0.5x "drift" flag).  GC + a short pause + MIN of 5
-        # measures steady-state host capability, not transient load.
-        try:
-            spark._jvm.System.gc()
-        except Exception:
-            pass
-        time.sleep(2)
+        # Round-12 recalibration: the probe's job is EXTERNAL host load,
+        # and a Spark-side probe cannot separate that from the JVM's own
+        # aging across a 300-query sweep — measured at three sizes on
+        # back-to-back runs whose query timings agreed within 0.2%:
+        # 150M-row probe read 0.81x (late C2 tiers flatter the AFTER),
+        # 600M read 1.20x and 4G read 1.36x (end-of-run heap/GC debt
+        # taxes the AFTER) — every one a false flag in a quiet room.
+        # So the probe now runs OUTSIDE the JVM: a dense float64 matmul
+        # (numpy/BLAS, all cores, ~0.55 s) has no JIT tiers and no heap
+        # history — it moves only when something else is eating the
+        # machine, which is exactly the signal the flag exists for.
+        import numpy as _np
+
+        a = _np.full((4096, 4096), 1.000001, dtype=_np.float64)
+        a @ a  # warmup (BLAS thread pool spin-up), not counted
         runs: list[float] = []
-        # 600M rows (~0.3 s at local[32]): at the old 150M (~0.08 s) the
-        # probe was dominated by fixed JVM-state deltas — late C2 tiers
-        # shaved ~15 ms off the AFTER reading and flagged two back-to-
-        # back runs whose actual query timings agreed within 0.2%
-        # (round 12).  4x the work amortizes those fixed deltas; host
-        # LOAD (the thing the probe exists to catch) scales with work.
         for _ in range(5):
             t0 = time.perf_counter()
-            spark.range(0, 600_000_000, 1, cpus).selectExpr(
-                "sum(xxhash64(id) % 1000) as s"
-            ).collect()
+            _ = a @ a
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 

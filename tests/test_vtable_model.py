@@ -21,6 +21,7 @@ shape (copy-on-write, merge-on-read, rewrite, metadata-only restore).
 
 from __future__ import annotations
 
+import json
 import os
 import random
 import shutil
@@ -29,6 +30,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from energy_emissions_lakehouse_spark.operators import vtable as vt_mod
 from energy_emissions_lakehouse_spark.operators.vtable import VersionedTable
 
 N_OPS = int(os.environ.get("EEL_MODEL_OPS", "26"))
@@ -154,6 +156,22 @@ def test_random_dml_program_matches_model_and_history(spark, root):
         assert _table_state(vt, v) == snap, f"time travel to v{v} diverged"
     # ---- and the change feed spans the whole history without gaps
     assert vt._versions() == list(range(vt.latest_version() + 1))
+    # ---- round 12: whatever random program ran, every checkpoint's
+    # hydrated sidecar state must equal the genesis fold at its version
+    # (restores, full rewrites, MOR DVs, compactions included)
+    head = vt.latest_version()
+    for cv in range(0, head + 1):
+        if cv == 0 or cv % vt_mod.CHECKPOINT_EVERY != 0:
+            continue
+        if not os.path.exists(vt._checkpoint_path(cv)):
+            continue  # best-effort publishes may legitimately be absent
+        ckpt = vt._hydrate_checkpoint(
+            json.load(open(vt._checkpoint_path(cv)))
+        )
+        live_g, dvs_g = vt._resolve_state(cv, use_checkpoint=False)
+        assert sorted(ckpt["live"]) == sorted(live_g), f"ckpt v{cv} live"
+        assert sorted(ckpt["dvs"]) == sorted(dvs_g), f"ckpt v{cv} dvs"
+        assert set(ckpt["stats"]) == set(live_g), f"ckpt v{cv} stats"
 
 
 # --------------------------------------------------------------------------
