@@ -418,3 +418,90 @@ def test_mcv_string_column(spark, root):
     vt = VersionedTable.create(spark, root, df, ndv_cols=["s"])
     v, n = vt.table_mcv("s")
     assert v == "alpha" and n == 34
+
+
+def test_racing_writers_publish_exact_checkpoints(spark, root):
+    """Two writer threads racing idempotent appends across several
+    checkpoint boundaries: whatever subset of checkpoints actually
+    publishes (best-effort under contention), every published one must
+    hydrate to exactly the genesis fold at its version."""
+    import threading
+
+    vt0 = VersionedTable.create(spark, root, _rows(spark, 0, 5))
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def worker(tid: int) -> None:
+        try:
+            vt = VersionedTable(spark, root)
+            barrier.wait()
+            for i in range(2 * CHECKPOINT_EVERY):
+                batch = _rows(spark, 1000 * tid + 10 * i,
+                              1000 * tid + 10 * i + 3)
+                vt.idempotent_append(batch, f"src{tid}", i)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    fresh = VersionedTable(spark, root)
+    head = fresh.latest_version()
+    assert head == 4 * CHECKPOINT_EVERY  # every commit landed exactly once
+    n_published = 0
+    for cv in range(CHECKPOINT_EVERY, head + 1, CHECKPOINT_EVERY):
+        if not os.path.exists(fresh._checkpoint_path(cv)):
+            continue  # lost to a concurrent-commit race: legal
+        n_published += 1
+        ckpt = fresh._hydrate_checkpoint(_ckpt_raw(fresh, cv))
+        live_g, dvs_g = fresh._resolve_state(cv, use_checkpoint=False)
+        assert sorted(ckpt["live"]) == sorted(live_g), f"v{cv} live"
+        assert sorted(ckpt["dvs"]) == sorted(dvs_g), f"v{cv} dvs"
+        assert set(ckpt["stats"]) == set(live_g), f"v{cv} stats"
+        assert ckpt["txns"] == fresh._resolve_txns(
+            cv, use_checkpoint=False
+        ), f"v{cv} txns"
+    assert n_published >= 1, "no checkpoint published across 4 boundaries"
+
+
+def test_legacy_inline_checkpoint_upgrades_to_sidecars(spark, root):
+    """A round-11-format INLINE checkpoint on disk: reads hydrate it
+    as-is, and the NEXT checkpoint write upgrades to sidecar form with
+    exact state."""
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 20))
+    for i in range(1, CHECKPOINT_EVERY + 1):
+        vt.append(_rows(spark, 100 * i, 100 * i + 5))
+    # rewrite the sidecar checkpoint as the legacy inline form
+    cpath = vt._checkpoint_path(CHECKPOINT_EVERY)
+    hydrated = vt._hydrate_checkpoint(_ckpt_raw(vt, CHECKPOINT_EVERY))
+    legacy = {
+        k: hydrated[k]
+        for k in ("version", "live", "txns", "dvs", "constraints",
+                  "stats", "seg_commits", "pvs")
+    }
+    with open(cpath, "w") as fh:
+        json.dump(legacy, fh)
+    for n in _sidecar_files(root):  # r11 logs have no sidecar files
+        os.unlink(os.path.join(root, vmod.LOG_DIR, n))
+    # a FRESH handle reads the legacy form exactly
+    fresh = VersionedTable(spark, root)
+    ckpt = fresh._latest_checkpoint(CHECKPOINT_EVERY)
+    assert "sidecars" not in ckpt
+    assert sorted(ckpt["live"]) == sorted(
+        fresh._resolve_live(CHECKPOINT_EVERY, use_checkpoint=False)
+    )
+    # drive to the next boundary: the new checkpoint must be sidecar
+    # form (upgrade) and exact
+    for i in range(CHECKPOINT_EVERY):
+        fresh.append(_rows(spark, 5000 + 10 * i, 5000 + 10 * i + 5))
+    head = fresh.latest_version()
+    raw = _ckpt_raw(fresh, head)
+    assert "sidecars" in raw and "live" not in raw
+    up = fresh._hydrate_checkpoint(raw)
+    assert sorted(up["live"]) == sorted(
+        fresh._resolve_live(head, use_checkpoint=False)
+    )
+    assert fresh.read().count() == 20 + 5 * (2 * CHECKPOINT_EVERY)
