@@ -3363,3 +3363,54 @@ def stream_vtable_availablenow_drain(spark, sf_dir) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "stream_vtable_starting_version",
+    oracle=f"""
+    -- startingVersion=5 on the staged 6-version history: the stream
+    -- must deliver ONLY the v5 evolved-backfill commit — none of the
+    -- v0/v1 history re-streams (the Delta partial-backfill contract);
+    -- a full replay would multiply every original row into the counts
+    WITH {_V2_SQL}
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {scaled_sum_sql('o_totalprice')} AS total_price
+    FROM v2 WHERE (o_orderkey % 13) = 0
+    GROUP BY o_orderpriority
+    """,
+    survey="W4 S4 — startingVersion on the vtable stream source (Delta "
+    "readStream .option('startingVersion', N)): a NEW stream begins AT "
+    "commit N instead of replaying the whole log — the partial-backfill "
+    "/ resume-CDC-from-a-known-point pattern; startingTimestamp resolves "
+    "through commit timestamps the same way, the two are mutually "
+    "exclusive, a start past the head idles until the log catches up, "
+    "and on restart the sink checkpoint's offset wins (the option names "
+    "where a NEW query begins — Delta semantics).  Pinned value-exactly: "
+    "only the v5 backfill slice may arrive",
+    tags=("vtable", "streaming"),
+)
+def stream_vtable_starting_version(spark, sf_dir) -> DataFrame:
+    """Stream the staged history from startingVersion=5 (the evolved
+    backfill commit): the aggregate must contain exactly that slice."""
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+    from energy_emissions_lakehouse_spark.streaming.jobs import (
+        run_to_table,
+    )
+
+    vt = staged_vtable(spark, sf_dir)
+    register_vtable_source(spark)
+    stream = (
+        spark.readStream.format("eel_vtable")
+        .option("path", vt.root)
+        .option("skipChangeCommits", "true")
+        .option("startingVersion", "5")
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        scaled_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+    return run_to_table(agg, "complete")

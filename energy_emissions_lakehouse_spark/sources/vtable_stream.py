@@ -172,7 +172,40 @@ class VtableStreamReader(DataSourceStreamReader):
         #: restart caveats as maxVersionsPerBatch (the cursor is
         #: per-reader; partitions() refuses offset regressions).
         self.max_bytes = int(options.get("maxBytesPerBatch", 0))
-        self._cursor = -1
+        #: Delta's startingVersion / startingTimestamp: begin the stream
+        #: AT a commit instead of replaying the whole log — the partial-
+        #: backfill pattern (resume CDC from a known point without
+        #: re-delivering history).  startingVersion=N means version N is
+        #: the FIRST delivered commit (Delta semantics); a timestamp
+        #: resolves to the first commit whose ts is >= it (and to
+        #: "nothing yet" past the head).  Mutually exclusive; only
+        #: honored on a FRESH stream — on restart Spark's checkpoint
+        #: offset wins (also Delta semantics: the option names where a
+        #: NEW query begins, it never rewinds an existing one).
+        sv = options.get("startingVersion")
+        st = options.get("startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "eel_vtable stream: startingVersion and "
+                "startingTimestamp are mutually exclusive"
+            )
+        start_after = -1
+        if sv is not None:
+            start_after = int(sv) - 1
+            if start_after < -1:
+                raise ValueError(
+                    f"eel_vtable stream: startingVersion must be >= 0, "
+                    f"got {sv!r}"
+                )
+        elif st is not None:
+            ts = float(st)
+            start_after = self._open_version  # nothing yet, if all older
+            for v in _versions(root):
+                if float(_read_commit(root, v).get("ts") or 0) >= ts:
+                    start_after = v - 1
+                    break
+        self._start_after = start_after
+        self._cursor = start_after
         #: change-feed mode (Delta readChangeFeed): emit row-level changes
         #: instead of appended rows — merge/delete commits stream their
         #: commit-time cdf/ segments, appends synthesize inserts, compact
@@ -194,7 +227,10 @@ class VtableStreamReader(DataSourceStreamReader):
         self.target = _target_arrow_schema(root, table_cols)
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # only consulted on a FRESH stream (a restart replays the sink
+        # checkpoint's committed offset instead) — exactly where the
+        # startingVersion/startingTimestamp contract applies
+        return {"version": self._start_after}
 
     def _entry_bytes(self, entry: dict) -> int:
         """Added-segment bytes of one commit, from the log's per-segment
@@ -242,6 +278,10 @@ class VtableStreamReader(DataSourceStreamReader):
                 acc += nxt_bytes
                 v += 1
             latest = v
+        # a startingVersion past the head must idle (no batch) until the
+        # log catches up — never report an offset BEHIND the start point
+        # (Spark would plan a regressing batch)
+        latest = max(latest, self._cursor)
         self._cursor = max(self._cursor, latest)
         return {"version": latest}
 

@@ -505,3 +505,82 @@ def test_legacy_inline_checkpoint_upgrades_to_sidecars(spark, root):
         fresh._resolve_live(head, use_checkpoint=False)
     )
     assert fresh.read().count() == 20 + 5 * (2 * CHECKPOINT_EVERY)
+
+
+# ----------------------- startingVersion / startingTimestamp (Delta)
+
+def _stream_all(spark, root, **opts):
+    import tempfile as _tf
+
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    reader = spark.readStream.format("eel_vtable").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    name = f"sv_{abs(hash((root, tuple(sorted(opts.items()))))) % 10**8}"
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="sv-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(r.k for r in spark.table(name).collect())
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def test_starting_version_skips_history(spark, root):
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 5))
+    vt.append(_rows(spark, 10, 15))
+    vt.append(_rows(spark, 20, 25))
+    assert _stream_all(spark, root, startingVersion="1") == list(
+        range(10, 15)
+    ) + list(range(20, 25))
+    assert _stream_all(spark, root, startingVersion="2") == list(
+        range(20, 25)
+    )
+    # from 0 == full replay
+    assert len(_stream_all(spark, root, startingVersion="0")) == 15
+
+
+def test_starting_version_past_head_idles(spark, root):
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 5))
+    assert _stream_all(spark, root, startingVersion="7") == []
+
+
+def test_starting_timestamp_resolves_commit_boundary(spark, root):
+    from energy_emissions_lakehouse_spark.operators.vtable import (
+        read_commit,
+    )
+
+    vt = VersionedTable.create(spark, root, _rows(spark, 0, 5))
+    vt.append(_rows(spark, 10, 15))
+    ts1 = read_commit(root, 1)["ts"]
+    # exactly at v1's ts -> v1 onward; just after -> nothing yet
+    assert _stream_all(spark, root, startingTimestamp=str(ts1)) == list(
+        range(10, 15)
+    )
+    assert _stream_all(
+        spark, root, startingTimestamp=str(ts1 + 10.0)
+    ) == []
+
+
+def test_starting_version_and_timestamp_mutually_exclusive(spark, root):
+    VersionedTable.create(spark, root, _rows(spark, 0, 3))
+    from energy_emissions_lakehouse_spark.sources.vtable_stream import (
+        VtableStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VtableStreamReader(
+            root,
+            VersionedTable(spark, root).read().schema,
+            {"startingVersion": "1", "startingTimestamp": "0"},
+        )
