@@ -274,9 +274,17 @@ def interval_overlap_sessions(spark, sf_dir) -> DataFrame:
     wlit = F.lit(OVERLAP_BUCKET_S)
     b0 = (F.unix_timestamp("t0") / wlit).cast("long")
     b1 = (F.unix_timestamp("t1") / wlit).cast("long")
+    # Materialize the sessionize+explode pipeline ONCE: both self-join
+    # sides read the checkpointed intervals instead of each re-running
+    # scan -> exchange -> 2 windows -> agg -> explode (the before-plan
+    # shows that whole chain duplicated under the join; the exploded
+    # interval table is session-metadata-sized, far smaller than events,
+    # so materializing it is the standard self-join move at any scale).
+    # Guide §2.4 (remove shuffles outright) + §5 (localCheckpoint to cut
+    # lineage): measured 2.26 s -> ~1.5 s bench-like at sf0.1 local[32].
     expl = iv.select(
         "user_id", "t0", "t1", F.explode(F.sequence(b0, b1)).alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     a = expl.select(
         F.col("user_id").alias("a_user"), F.col("t0").alias("a_t0"),
         F.col("t1").alias("a_t1"), "bucket",

@@ -986,6 +986,11 @@ def semantic_dedup_prune(spark, sf_dir) -> DataFrame:
     )
     aug = emb.unionByName(copies).unionByName(scaled)
     centroids = emb.filter(F.col("vec_id") % 100 == 1)
+    # member feeds three consumers (both self-join sides + the final
+    # membership count); materializing it once was measured NET-WORSE at
+    # sf0.1 (localCheckpoint build +0.75 s vs ~0.22 s per map-only
+    # broadcast-argmin recompute), so the recompute stays — it is a scan
+    # + broadcast argmin with no shuffle, the cheap kind of recompute.
     member = sim.ivf_assign(aug, centroids)
 
     x = member.select(

@@ -46,9 +46,15 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
-        # Local rule of thumb: ~2x cores keeps all threads busy through AQE
-        # coalescing without tiny-partition overhead at test scale.
-        shuffle_partitions = max(2 * cpus, 8)
+        # Local rule of thumb: ONE wave of tasks (1x cores). Round-12 A/B
+        # on a 20-query sf0.1 subset measured 2x-cores at 38.6 s vs
+        # 1x-cores at 35.2-37.4 s (two runs): with AQE coalescing on, the
+        # extra initial partitions only buy scheduling overhead at test
+        # scale. Still derived from the core count (scale-adaptive, the
+        # driver's lower-core bench runs shrink it automatically); on a
+        # real cluster size this to data volume (100 MB-1 GB per
+        # partition, guide §2.2) via the explicit parameter instead.
+        shuffle_partitions = max(cpus, 8)
     # Python workers inherit this env: silences pandas FutureWarnings emitted
     # from Arrow serializers on empty batches, which would otherwise interleave
     # with (and corrupt) machine-read stdout such as bench.py's JSON line.
