@@ -32,28 +32,54 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product in double precision."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-fold dot product in double precision.
+
+    ``dim`` statically UNROLLS the fold to ``0.0 + a[0]*b[0] + ... +
+    a[dim-1]*b[dim-1]`` — the identical left-associated IEEE operation
+    sequence (bit-equal results) as plain GetArrayItem arithmetic.
+    Round-12 NEGATIVE RESULT, measured both ways at sf0.1 local[32]:
+    unrolling to the full 64-dim corpus width EXPLODED Catalyst
+    analysis/codegen time wherever the expression is composed or
+    referenced repeatedly (ann_multiprobe_topk 2.9 s -> 26 s bench-like,
+    embedding_cosine_neardup 2.5 s -> 14 s; each ``b[i]`` on a literal
+    plane additionally embeds the whole 64-literal array per term) —
+    execution got faster, planning got two orders of magnitude slower.
+    The default therefore stays the compact higher-order fold; only
+    SHORT sub-slice widths (PQ dims 4/16, measured neutral-to-positive)
+    pass ``dim``. The unrolled form also returns NULL for vectors
+    shorter than ``dim`` (fold over a same-length short pair sums them),
+    so ``dim`` is only valid where length is a contract."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
 
 
-def norm(vec: Column) -> Column:
-    return F.sqrt(dot(vec, vec))
+def norm(vec: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(vec, vec, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
-def cosine_pre(a: Column, a_n: Column, b: Column, b_n: Column) -> Column:
+def cosine_pre(
+    a: Column, a_n: Column, b: Column, b_n: Column,
+    dim: int | None = None,
+) -> Column:
     """Cosine with PRE-COMPUTED norms: per-pair work drops from one dot +
     two norm folds to one dot. The arithmetic is the identical fold in the
     identical order, so the double result is bit-equal to ``cosine`` —
     norms are just computed once per vector (O(N)) instead of once per
     candidate pair (O(pairs)), a ~3x cut on the join's hot expression."""
-    return dot(a, b) / F.nullif(a_n * b_n, F.lit(0.0))
+    return dot(a, b, dim) / F.nullif(a_n * b_n, F.lit(0.0))
 
 
 def lsh_bucket(vec: Column, num_hyperplanes: int = NUM_HYPERPLANES) -> Column:
@@ -423,14 +449,24 @@ def bucketed_topk(
     )
 
 
-def sq_l2(a: Column, b: Column) -> Column:
-    """Squared euclidean distance, one fused zip_with/aggregate fold —
-    JVM codegen, no Python."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def sq_l2(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Squared euclidean distance — same left-fold order either way.
+
+    ``dim`` statically unrolls to codegen-able GetArrayItem arithmetic
+    (bit-equal to the fold, see ``dot``); default stays the generic
+    higher-order fold because sq_l2's callers span full vectors AND
+    PQ sub-slices of several widths — each hot call site passes its
+    contract width explicitly."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+    return acc
 
 
 def lloyd_model(
@@ -438,6 +474,7 @@ def lloyd_model(
     k: int = 8,
     iters: int = 3,
     n_partitions: int | None = 8,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd k-means over an array<double> column ``v``,
     returning (assignments, centroids): the final assignment
@@ -472,11 +509,11 @@ def lloyd_model(
 
     # n_partitions=None is handled by the context manager (no-op)
     with loop_shuffle_partitions(vectors.sparkSession, n_partitions):
-        return _lloyd_rounds(vectors, k, iters)
+        return _lloyd_rounds(vectors, k, iters, dim)
 
 
 def _lloyd_rounds(
-    vectors: DataFrame, k: int, iters: int
+    vectors: DataFrame, k: int, iters: int, dim: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Body of ``lloyd_model`` (factored so the whole training loop sits
     inside the caller's shuffle-partition override)."""
@@ -492,7 +529,7 @@ def _lloyd_rounds(
             "vec_id",
             "v",
             "cluster_id",
-            sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
+            sq_l2(F.col("v"), F.col("c_vec"), dim).alias("d2"),
         )
         # argmin by (d2, cluster_id) — same total order as the former
         # row_number window, but partial-aggregates map-side (v rides
@@ -598,7 +635,7 @@ def pq_encode_frozen(
     ).select(
         "vec_id",
         "sub",
-        sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
+        sq_l2(F.col("v"), F.col("c_vec"), dim).alias("d2"),
         "code",
     )
     best = scored.groupBy("vec_id", "sub").agg(
@@ -683,7 +720,7 @@ def _pq_rounds(
             "sub",
             "v",
             "code",
-            sq_l2(F.col("v"), F.col("c_vec")).alias("d2"),
+            sq_l2(F.col("v"), F.col("c_vec"), dim).alias("d2"),
         )
         # argmin by (d2, code) per (vec, subspace): a map-side-combining
         # aggregate instead of a row_number window — the N x ksub scored
@@ -769,7 +806,7 @@ def pq_adc_topk(
         "code",
         # integer micro-units: the m-way partial sum must be
         # order-independent (exact) across engines and partitionings
-        F.round(sq_l2(F.col("qv"), F.col("c_vec")) * F.lit(1e6), 0)
+        F.round(sq_l2(F.col("qv"), F.col("c_vec"), dim) * F.lit(1e6), 0)
         .cast("long")
         .alias("d_micro"),
     )
@@ -987,7 +1024,7 @@ def ivfpq_adc_topk(
         "query_id",
         "sub",
         "code",
-        F.round(sq_l2(F.col("qv"), F.col("c_vec")) * F.lit(1e6), 0)
+        F.round(sq_l2(F.col("qv"), F.col("c_vec"), dim) * F.lit(1e6), 0)
         .cast("long")
         .alias("d_micro"),
     )

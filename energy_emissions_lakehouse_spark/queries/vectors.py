@@ -1398,12 +1398,21 @@ def embedding_dim_covariance(spark, sf_dir) -> DataFrame:
     components, so Sxy <= corpus * 1e8 and Sx*Sy <= (corpus * 1e4)^2 —
     BIGINT-safe to ~1e5x this corpus; re-scale to 1e3 past that.
 
-    Plan shape: the upper-triangle products are expanded MAP-SIDE per row
-    (flatten/transform over the quantized array -> d*(d-1)/2 structs), so
-    the only shuffle carries partial (i,j) sums — 2,016 groups at d=64
-    regardless of corpus size; the per-dimension sums (64 rows) broadcast
-    back onto the pair aggregates.  Never a vec_id self-join: the oracle
-    states that quadratic form, the engine never executes it."""
+    Plan shape (round-12 rewrite, guide §4.2): the per-partition partial
+    Gram matrix is computed in ONE vectorized ``mapInArrow`` pass — each
+    task reduces its rows to d*(d-1)/2 pair sums + d dimension sums + a
+    row count via an int64 numpy ``M.T @ M`` (integer matmul — exact, so
+    the partials are bit-identical to the JVM fold they replace), and
+    only those ~2,081 partial rows per task cross the single shuffle.
+    This replaced the interpreted JVM expansion (explode of d*(d-1)/2
+    structs per row: N x 2,016 generated rows through a hash aggregate)
+    plus TWO extra scans (posexplode dimension sums, count) — measured
+    2.45 s -> 0.97 s bench-like at sf0.1 local[32]; shuffle bytes unchanged
+    (partials were already map-side-combined), the win is native batch
+    math replacing per-element interpreted expressions.  Quantization
+    stays in the JVM (same cast/round expression the oracle replays), so
+    the Python side never touches a float.  Never a vec_id self-join:
+    the oracle states that quadratic form, the engine never executes it."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.select(
         F.expr(
@@ -1411,25 +1420,76 @@ def embedding_dim_covariance(spark, sf_dir) -> DataFrame:
             " v -> cast(round(cast(v as double) * 10000, 0) as bigint))"
         ).alias("q")
     )
-    # The size guard protects ONLY the pair expansion (sequence(0, -1)
-    # on a 1-dim vector would DESCEND and index out of range); n and the
-    # per-dimension sums must count every row, like the oracle's q CTE —
-    # a <2-dim vector contributes no pairs but does contribute to n/Sx.
-    pairs = q.filter(F.size("q") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(q) - 2), i ->"
-                " transform(sequence(i + 1, size(q) - 1), j ->"
-                " named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    sxy = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("sxy"))
-    dims = q.select(F.posexplode("q").alias("i", "x"))
-    sums = dims.groupBy("i").agg(F.sum("x").cast("long").alias("sx"))
-    n_row = q.select(F.count(F.lit(1)).cast("long").alias("n"))
-    sa = sums.select(F.col("i").alias("_ai"), F.col("sx").alias("sxa"))
-    sb = sums.select(F.col("i").alias("_bj"), F.col("sx").alias("sxb"))
+
+    def _gram_partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        d_seen = 0
+        sxy_m = np.zeros((0, 0), dtype=np.int64)
+        sx_v = np.zeros(0, dtype=np.int64)
+        n_rows = 0
+        for batch in batches:
+            arr = batch.column(0)
+            offs = arr.offsets.to_numpy()
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            lengths = np.diff(offs)
+            n_rows += len(lengths)
+            if len(vals) == 0 or lengths.max(initial=0) == 0:
+                continue
+            l_max = int(lengths.max())
+            if l_max > d_seen:
+                grown = np.zeros((l_max, l_max), dtype=np.int64)
+                grown[:d_seen, :d_seen] = sxy_m
+                sxy_m = grown
+                sx_v = np.concatenate(
+                    [sx_v, np.zeros(l_max - d_seen, dtype=np.int64)]
+                )
+                d_seen = l_max
+            # rows grouped by length: ragged corpora stay exact — a
+            # length-L row contributes to sx[:L] and pairs i<j<L only
+            # (the <2-dim rows count toward n/sx but yield no pairs,
+            # pinned by the round-10 ragged-vector parity test)
+            for l_cur in np.unique(lengths):
+                if l_cur == 0:
+                    continue
+                idx = np.nonzero(lengths == l_cur)[0]
+                gather = (
+                    offs[idx][:, None] + np.arange(l_cur)[None, :]
+                ).ravel()
+                m_rows = vals[gather].reshape(len(idx), l_cur)
+                sx_v[:l_cur] += m_rows.sum(axis=0, dtype=np.int64)
+                sxy_m[:l_cur, :l_cur] += m_rows.T @ m_rows
+        iu, ju = np.triu_indices(d_seen, k=1)
+        out_i = np.concatenate([iu, np.arange(d_seen), [-1]]).astype("int32")
+        out_j = np.concatenate(
+            [ju, np.full(d_seen, -1), [-1]]
+        ).astype("int32")
+        out_s = np.concatenate(
+            [sxy_m[iu, ju], sx_v, [n_rows]]
+        ).astype("int64")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_i), pa.array(out_j), pa.array(out_s)],
+            names=["i", "j", "s"],
+        )
+
+    partials = q.mapInArrow(_gram_partials, "i int, j int, s long")
+    # one tiny aggregate over (tasks x ~2,081) partial rows; materialized
+    # once so the three consumers below don't re-run the corpus pass
+    agg = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    sxy = agg.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("s").alias("sxy")
+    )
+    n_row = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    sums = agg.filter((F.col("i") >= 0) & (F.col("j") == -1))
+    sa = sums.select(F.col("i").alias("_ai"), F.col("s").alias("sxa"))
+    sb = sums.select(F.col("i").alias("_bj"), F.col("s").alias("sxb"))
     joined = (
         sxy.crossJoin(F.broadcast(n_row))
         .join(F.broadcast(sa), F.col("i") == F.col("_ai"))

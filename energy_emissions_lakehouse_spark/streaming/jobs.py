@@ -1396,7 +1396,7 @@ def rowwise_pq_code_cols(codebook_rows, m: int, dim: int) -> list:
         # NB: a 2-arg lambda would make F.transform pass the array INDEX
         # as the second argument — close over s via a factory instead
         return F.transform(
-            mats[s], lambda c: sim.sq_l2(F.col(f"_s{s}"), c)
+            mats[s], lambda c: sim.sq_l2(F.col(f"_s{s}"), c, dim)
         ).alias(f"_d{s}")
 
     dists = [_dist_expr(s) for s in range(m)]
