@@ -126,7 +126,20 @@ def run_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    return spark.table(name)
+    # Round-12 leak fix (guide §5 — the driver should hold almost
+    # nothing): every bounded replay used to leave its memory-sink temp
+    # view (and with it the sink's collected rows) registered forever —
+    # a 292-query bench accumulates ~80 of them plus their state-store
+    # providers, and repeated-run probing measured per-stream wall
+    # drifting +50% over 7 back-to-back runs from that buildup. The
+    # sink contents are aggregate-sized by construction, so copy them
+    # out once (localCheckpoint) and release the view + the terminated
+    # query handle; the checkpointed blocks free with the returned
+    # DataFrame via the ContextCleaner.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    return out
 
 
 def hourly_tumbling(events: DataFrame) -> DataFrame:
