@@ -101,7 +101,12 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
     Long-format band keys + self-equi-join on (band, h_0..h_{r-1}): the
     shuffle key is the band value, so identical docs co-locate and there is
-    no cartesian anywhere."""
+    no cartesian anywhere.
+
+    Round-12 note: materializing ``signatures`` before banding was
+    measured NET-WORSE here (the extra eager job + lost pipeline fusion
+    cost more than the repeated aggregate at bench scale) — the repeated
+    subtree stays, deliberately."""
     n_bands = NUM_HASHES // BAND_SIZE
     bands = None
     for b in range(n_bands):
@@ -162,7 +167,9 @@ def prefix_candidate_pairs(doc_sh: DataFrame, threshold: float) -> DataFrame:
 
     Cost of the ordering: one vocab-keyed groupBy for df + one re-sort
     groupBy per corpus — the same shuffle key as the candidate join, and
-    both aggregate map-side."""
+    both aggregate map-side. (Round-12: materializing ``ranked`` before
+    the two-sided prefix derivation measured net-worse — same verdict as
+    the LSH band join above — so the repeated subtree stays.)"""
     ex = doc_sh.select("doc_id", F.explode("sh").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -274,7 +281,13 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Bands the 32 bits into SIMHASH_BANDS bytes; pigeonhole makes the band
     equi-join EXACT for hamming <= SIMHASH_BANDS-1 — no cartesian product,
-    same shuffle shape as the MinHash LSH join."""
+    same shuffle shape as the MinHash LSH join.
+
+    ``sims`` is materialized once before banding (round-12): the 4-band
+    union x 2 join sides otherwise re-ran the 32-conditional-sum shingle
+    aggregate EIGHT times per query (measured 3.4 s -> see
+    OPTIMIZATION_r12.md). (doc_id, sh32) is two longs per doc."""
+    sims = sims.localCheckpoint(eager=True)
     assert max_hamming <= SIMHASH_BANDS - 1
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
