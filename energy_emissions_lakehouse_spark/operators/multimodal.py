@@ -226,7 +226,14 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     verify. With 4 bands, any pair at hamming <= 3 shares at least one
     band (pigeonhole), so the banded candidate set is EXACT for the
     threshold — the same argument as the SimHash tier, at image scale:
-    candidates come from bucket joins, never all-pairs."""
+    candidates come from bucket joins, never all-pairs.
+
+    ``hashes`` is materialized once (round-12): both self-join sides
+    reference it, and its upstream is the Arrow-batched payload hashing
+    pass — the expensive kind of recompute (every payload byte crosses
+    to Python again); the hash table itself is two longs per media row,
+    the cheap kind of state, at any corpus size."""
+    hashes = hashes.localCheckpoint(eager=True)
     bands = hashes.select(
         "media_id",
         "phash",
