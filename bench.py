@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the contract JSON as the FINAL stdout line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <float>}
+where ``queries`` carries as many per-query medians as fit the driver's
+~2000-char stdout tail window, most-expensive-first (see
+``final_contract_line``); the COMPLETE per-query record precedes it as
+line 1 and is persisted to BENCH_SELF.json (committed each round).
 
 Each query is timed end-to-end (plan build + execution + collect of the
 result, which is small for every headline query), SPARK_GRAFT_BENCH_REPS
@@ -118,6 +122,47 @@ def dedup_stage_sweep(spark, sf_dirs: list[str]) -> dict:
         out[os.path.basename(sf_dir.rstrip("/"))] = {
             "n_docs": n_docs, **stages
         }
+    return out
+
+
+#: Byte budget for the final stdout line.  The driver's stdout capture is
+#: a ~2000-char tail (measured: BENCH_r08/r09 stored exactly-2000-char
+#: tails and parsed=null when the last line was the ~10 KB full payload;
+#: r10+ parsed the <200-byte compact line fine).  1700 leaves a 300-byte
+#: safety margin while fitting ~30-35 cost-ranked per-query entries.
+_FINAL_LINE_BUDGET = 1700
+
+
+def final_contract_line(payload: dict, timings: dict[str, float]) -> dict:
+    """The last-line JSON object: headline metric + as many per-query
+    medians as fit the byte budget, selected most-expensive-first
+    (deterministic: ties break by name; packing stops at the FIRST entry
+    that would overflow, preserving strict by-cost priority).  The
+    pointer to the on-disk full record rides as a top-level key so
+    ``queries`` holds ONLY name->seconds numbers."""
+    base = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries_n": len(timings),
+        "s_per_q": round(payload["value"] / max(len(timings), 1), 4),
+        "sf": payload["sf"],
+        "reps": payload["reps"],
+        "probe_drift": payload["probe_drift"],
+        "probe_drift_flag": payload["probe_drift_flag"],
+        "full_payload": "BENCH_SELF.json",
+        "queries": {},
+    }
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line_q: dict[str, float] = {}
+    for name, sec in ranked:
+        trial = dict(base)
+        trial["queries"] = {**line_q, name: sec}
+        if len(json.dumps(trial)) > _FINAL_LINE_BUDGET:
+            break
+        line_q[name] = sec
+    out = dict(base)
+    out["queries"] = line_q
     return out
 
 
@@ -464,24 +509,20 @@ def main() -> None:
     with open(os.path.join(_REPO_ROOT, "BENCH_SELF.json"), "w") as fh:
         fh.write(json.dumps({**payload, "stages": stages}) + "\n")
     # Contract output (the ONLY bytes ever written to the real stdout):
-    # the full payload line first, then a COMPACT final line.  The grading
-    # driver captures only the last ~2000 chars of stdout; the full payload
-    # (180+ per-query medians + spreads) overflows that window, which left
-    # BENCH_r08/r09 with parsed=null.  The compact line is < 200 bytes and
-    # is the last bytes on stdout, so any tail window >= 200 chars contains
-    # one complete JSON object carrying the headline metric.
-    compact = {
-        "metric": payload["metric"],
-        "value": payload["value"],
-        "unit": "sec",
-        "queries_n": len(timings),
-        "s_per_q": round(payload["value"] / max(len(timings), 1), 4),
-        "sf": sf,
-        "reps": reps,
-        "probe_drift": probe_drift,
-        "probe_drift_flag": probe_flag,
-        "queries": {"_full_payload": "BENCH_SELF.json"},
-    }
+    # the full payload line first, then a size-budgeted final line.  The
+    # grading driver stores only the last ~2000 chars of stdout and
+    # json-parses the LAST line: the full payload (290+ per-query medians
+    # + spreads, ~10 KB) overflows that window and parses as null
+    # (BENCH_r08/r09), while rounds 10-12's <200-byte pointer line parsed
+    # but carried ZERO per-query numbers, leaving the driver's PERF
+    # per-query and scaling comparisons empty two rounds running
+    # (round-12 verdict item 1).  Resolution: the final line now carries
+    # REAL per-query medians, most-expensive-first, packed until the
+    # line reaches _FINAL_LINE_BUDGET bytes — the heavy queries (the
+    # ones optimization moves) are always externally visible, and the
+    # driver's low-core scaling run intersects on them too.  Every query
+    # is still in line 1 and in BENCH_SELF.json (committed per round).
+    compact = final_contract_line(payload, timings)
     os.write(real_stdout, (json.dumps(payload) + "\n").encode())
     os.write(real_stdout, (json.dumps(compact) + "\n").encode())
     os.close(real_stdout)

@@ -865,6 +865,13 @@ def customer_rfm_segments(spark, sf_dir) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
+        # Materialized ONCE (round-12 verdict item 5, guide §2.4): the
+        # rollup is referenced by BOTH the cutpoint aggregate and the
+        # scoring pass, so the un-checkpointed plan scanned + aggregated
+        # orders twice per run.  State is per-customer (4 numeric cols)
+        # — orders-to-customers-scale reduction, the same
+        # decide-on-a-proxy shape as the round-12 materializations.
+        .localCheckpoint(eager=True)
     )
     cuts = rfm.agg(
         *[

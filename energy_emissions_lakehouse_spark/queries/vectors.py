@@ -1432,6 +1432,22 @@ def embedding_dim_covariance(spark, sf_dir) -> DataFrame:
         for batch in batches:
             arr = batch.column(0)
             offs = arr.offsets.to_numpy()
+            # Non-null element contract (round-12 advice): a NULL inside
+            # an embedding array would make to_numpy(zero_copy_only=False)
+            # fall back to float64-with-NaN, and the in-place int64 add
+            # below would raise an opaque TypeError.  The quantization
+            # expression upstream yields NULL only for NULL inputs, and
+            # the corpus contract is non-null fixed-dim vectors — fail
+            # with the contract named instead of a dtype crash.  (The
+            # prior SQL-expression path SUM-skipped such nulls silently,
+            # which is a divergence, not a behavior to preserve.)
+            if arr.values.null_count:
+                raise ValueError(
+                    "embedding_dim_covariance: NULL element inside an "
+                    "embedding vector — the corpus contract is non-null "
+                    "components (TESTDATA.md); integer Gram partials "
+                    "cannot skip elements the way SUM does"
+                )
             vals = arr.values.to_numpy(zero_copy_only=False)
             lengths = np.diff(offs)
             n_rows += len(lengths)

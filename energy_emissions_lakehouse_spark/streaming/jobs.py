@@ -138,6 +138,14 @@ def run_to_table(
     # DataFrame via the ContextCleaner.
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
+    # SESSION-GLOBAL scope (round-12 advice): resetTerminated clears the
+    # termination records of EVERY stream in the session, not just the
+    # one drained above.  That is safe under this engine's
+    # one-query-at-a-time drivers (bench/pytest/grading driver), but a
+    # future concurrent consumer relying on awaitAnyTermination would
+    # silently lose its signal — isolate such a consumer on
+    # spark.newSession(), or drop this call (the view drop alone fixes
+    # the row leak; the terminated-handle list is the smaller half).
     spark.streams.resetTerminated()
     return out
 

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registered queries into plans/r12/.
+"""Capture .explain("formatted") for registered queries into plans/<round>/.
 
 Usage:
-    python scripts/capture_plans.py before name1,name2,...
-    python scripts/capture_plans.py after  name1,name2,...
+    PLANS_ROUND=r13 python scripts/capture_plans.py before name1,name2,...
+    PLANS_ROUND=r13 python scripts/capture_plans.py after  name1,name2,...
 
-Writes plans/r12/<name>_<tag>.txt for each query. The DataFrame returned
+Writes plans/<round>/<name>_<tag>.txt for each query (round defaults to r13). The DataFrame returned
 by a registry function is the declared result; for queries that execute
 side work inside the function (streaming drains, vtable builds) the
 captured plan is the plan of that declared result, which is what the
@@ -31,7 +31,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(_REPO_ROOT, "plans", "r12")
+    outdir = os.path.join(
+        _REPO_ROOT, "plans", os.environ.get("PLANS_ROUND", "r13")
+    )
     os.makedirs(outdir, exist_ok=True)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
