@@ -516,7 +516,21 @@ def _lloyd_rounds(
     vectors: DataFrame, k: int, iters: int, dim: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Body of ``lloyd_model`` (factored so the whole training loop sits
-    inside the caller's shuffle-partition override)."""
+    inside the caller's shuffle-partition override).
+
+    Round-13 NEGATIVE RESULT (round-12 verdict item 4, measured both
+    ways): fusing two training rounds per localCheckpoint — odd rounds
+    riding lazily inside the next round's job — was bit-identical and
+    oracle-green but NOT faster (embedding_kmeans_clusters interleaved
+    fresh-process A/B at sf0.1 local[32]: fused medians 3.16/3.25/3.33 s
+    vs per-round 3.34/2.52/2.96 s over three rounds).  Mechanism: every
+    round's centroids feed a BROADCAST join, and broadcasting a lazy
+    2-round subtree is itself a driver-built job — the saved checkpoint
+    job comes straight back as a broadcast-build job, net zero, while
+    the final consumers recompute a deeper plan.  Per-round checkpoints
+    stay; do not re-fuse without a shape change that removes the
+    broadcast (e.g. collecting model state into literals, which would
+    change the registered all-DataFrame demonstration)."""
     seed = (
         vectors.orderBy("vec_id")
         .limit(k)

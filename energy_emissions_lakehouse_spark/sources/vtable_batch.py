@@ -480,8 +480,21 @@ class VtableBatchWriter(DataSourceArrowWriter):
         # one fresh segment dir per job — tasks write part files into it
         self.rel = os.path.join(DATA_DIR, f"write-{uuid.uuid4().hex[:12]}")
 
+    #: Row-group sizing targets (guide §6 — file layout): every incoming
+    #: Arrow batch is capped at spark.sql.execution.arrow.maxRecordsPerBatch
+    #: (default 10,000 rows), and ``ParquetWriter.write_batch`` closes a
+    #: row group PER CALL — an unbuffered loop therefore wrote one tiny
+    #: row group per batch (measured: 5 x 10k-row groups in a 1.1 MB
+    #: part file), which multiplies footer/stats entries and row-group
+    #: boundaries every reader and the commit's stats fold must walk.
+    #: Buffer batches and flush row groups at a real target instead;
+    #: memory per task is bounded by the byte cap.
+    _ROW_GROUP_ROWS = 1 << 20  # 1M rows
+    _ROW_GROUP_BYTES = 128 << 20  # 128 MB in-memory Arrow bytes
+
     # -------------------------------------------------------- executor side
     def write(self, iterator) -> _WriteMessage:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         seg = os.path.join(self.root, self.rel)
@@ -490,12 +503,31 @@ class VtableBatchWriter(DataSourceArrowWriter):
         rows = 0
         fname = f"part-{uuid.uuid4().hex}.parquet"
         path = os.path.join(seg, fname)
+        buf: list = []
+        buf_rows = 0
+        buf_bytes = 0
+
+        def _flush():
+            nonlocal buf, buf_rows, buf_bytes
+            if buf:
+                writer.write_table(pa.Table.from_batches(buf))
+                buf, buf_rows, buf_bytes = [], 0, 0
+
         try:
             for batch in iterator:
                 if writer is None:
                     writer = pq.ParquetWriter(path, batch.schema)
-                writer.write_batch(batch)
+                buf.append(batch)
+                buf_rows += batch.num_rows
+                buf_bytes += batch.nbytes
                 rows += batch.num_rows
+                if (
+                    buf_rows >= self._ROW_GROUP_ROWS
+                    or buf_bytes >= self._ROW_GROUP_BYTES
+                ):
+                    _flush()
+            if writer is not None:
+                _flush()
         except BaseException:
             # a FAILED task must not leave a readable parquet behind —
             # close() in a bare finally would finalize a VALID file with
